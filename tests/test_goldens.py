@@ -1,0 +1,78 @@
+"""Golden regression tests: kernel outputs over all 51 fixture texts ×
+8 modes × 5 tokenizer modes must match the frozen goldens exactly
+(FIXTURES.md §2/§4; P/R target 1.0 on fixtures), plus structural
+invariants from the north rule."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from ner_spark.core.pipeline import MODES, analyze
+from ner_spark.core.tokenizer import MODES as TOKENIZER_MODES, tokenize
+
+GOLDENS = json.loads(
+    (Path(__file__).parent / "goldens" / "goldens.json").read_text()
+)
+
+
+@pytest.mark.parametrize("tokenizer_mode", TOKENIZER_MODES)
+def test_golden_tokens(tokenizer_mode):
+    for rec in GOLDENS:
+        got = [[t, s, e] for t, s, e in tokenize(rec["text"], tokenizer_mode)]
+        assert got == rec["tokens"][tokenizer_mode], (
+            f"token drift on text_id={rec['text_id']} mode={tokenizer_mode}"
+        )
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_golden_spans_and_tags(mode):
+    for rec in GOLDENS:
+        tagged, entities = analyze(rec["text"], mode=mode)
+        got_tags = [[tag, round(conf, 12)] for _t, tag, conf in tagged]
+        got_spans = [
+            [t, cat, st, et, sb, eb, round(conf, 12), src]
+            for t, cat, st, et, sb, eb, conf, src in entities
+        ]
+        assert got_tags == rec["modes"][mode]["tags"], (
+            f"tag drift on text_id={rec['text_id']} mode={mode}"
+        )
+        assert got_spans == rec["modes"][mode]["spans"], (
+            f"span drift on text_id={rec['text_id']} mode={mode}"
+        )
+
+
+def test_span_offset_invariants():
+    """Span text must equal the trimmed byte-slice of the original
+    (tagger.rs:263 semantics) for every golden span of every mode
+    except span_based (whose text is deliberately untrimmed)."""
+    for rec in GOLDENS:
+        tb = rec["text"].encode("utf-8")
+        for mode, payload in rec["modes"].items():
+            for text, _cat, _st, _et, sb, eb, _conf, _src in payload["spans"]:
+                sliced = tb[sb:eb].decode("utf-8")
+                expected = sliced if mode == "span_based" else sliced.strip()
+                assert text == expected
+
+
+def test_token_offset_invariants():
+    for rec in GOLDENS:
+        tb = rec["text"].encode("utf-8")
+        for tm in TOKENIZER_MODES:
+            prev_end = -1
+            for text, start, end in rec["tokens"][tm]:
+                assert 0 <= start < end <= len(tb)
+                if tm != "char_level":
+                    assert start >= prev_end or tm in ("aggressive",)
+                prev_end = end
+                if tm != "aggressive":  # aggressive rewrites token text (suffix split)
+                    assert tb[start:end].decode("utf-8") == text
+
+
+def test_fixture_coverage():
+    assert len(GOLDENS) == 51  # 41 corpus sentences + 10 demo texts
+    assert all(set(rec["modes"]) == set(MODES) for rec in GOLDENS)
+    n_spans = sum(len(r["modes"]["hybrid"]["spans"]) for r in GOLDENS)
+    assert n_spans > 100  # hybrid finds plenty of entities on fixtures
