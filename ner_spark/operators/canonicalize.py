@@ -1,0 +1,104 @@
+"""Stage 3 — canonicalization: connected components over mention-
+similarity edges via iterative min-label propagation.
+
+The reference has no canonicalization (it links each mention
+independently); the north star requires merging mention surfaces that
+co-refer — we connect surfaces through shared KB links (and optionally
+fuzzy-similarity edges) and take the lexicographically-smallest surface
+of each component as the canonical entity id.
+
+Scale design:
+- label propagation = repeated *hash join* of the edge list against the
+  shrinking label frontier; ``groupBy(node).min(label)`` does map-side
+  partial aggregation, so hub nodes (mega-entities, the repo-level skew
+  of the north rule) cost one combiner row per task rather than a hot
+  reducer; AQE skew-join splitting handles the join-side skew.
+- ``localCheckpoint`` every iteration truncates the lineage (iterative
+  plans otherwise grow exponentially).
+- convergence = zero label changes (count on a join of old vs new).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_edges(links: DataFrame) -> DataFrame:
+    """Similarity edges between distinct surfaces: src=surface,
+    dst=kb:<id> for every linked mention (bipartite star per KB id).
+    Exact-equal surfaces are already one node by construction."""
+    return (
+        links.where(F.col("kb_id").isNotNull())
+        .select(F.col("surface").alias("src"), F.concat(F.lit("kb:"), "kb_id").alias("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 20,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """nodes(node) + edges(src,dst) → (node, label) with label = min
+    node id in the component (min-label propagation)."""
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+
+    labels = nodes.select(F.col("node"), F.col("node").alias("label"))
+
+    for it in range(max_iter):
+        neighbor_labels = (
+            sym.join(labels, sym.src == labels.node)
+            .select(F.col("dst").alias("node"), F.col("label"))
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        if checkpoint_every and it % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels
+
+
+def canonicalize(links: DataFrame, max_iter: int = 20) -> DataFrame:
+    """links → entities(surface, entity_id).
+
+    entity_id = ``ent:<min surface in component>`` (deterministic);
+    surfaces with no KB link form singleton components.
+    """
+    surfaces = links.select("surface").where(F.col("surface").isNotNull()).distinct()
+    edges = build_edges(links)
+
+    if edges.isEmpty():
+        return surfaces.select(
+            "surface", F.concat(F.lit("ent:"), "surface").alias("entity_id")
+        )
+
+    kb_nodes = edges.select(F.col("dst").alias("node")).distinct()
+    nodes = surfaces.select(F.col("surface").alias("node")).union(kb_nodes).distinct()
+
+    labels = connected_components(nodes, edges, max_iter=max_iter)
+
+    # canonical surface per component = min *surface* (kb: nodes excluded)
+    surface_labels = labels.join(
+        surfaces, labels.node == surfaces.surface, "inner"
+    ).select("surface", "label")
+    canon = surface_labels.groupBy("label").agg(F.min("surface").alias("canon_surface"))
+    return surface_labels.join(canon, "label").select(
+        "surface", F.concat(F.lit("ent:"), "canon_surface").alias("entity_id")
+    )

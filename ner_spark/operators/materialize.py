@@ -1,0 +1,117 @@
+"""Stage 4 — graph materialization: (subj, pred, obj) triples.
+
+Emits the four predicates of FIXTURES.md §7 from the linked +
+canonicalized mentions:
+
+- ``(repo:<repo>, DECLARES, <entity_id>)``       evidence = #mentions
+- ``(<ent_a>, MENTIONED_WITH, <ent_b>)`` a<b     evidence = #docs co-occurring
+- ``(<entity_id>, LINKED_TO, <kb_id>)``          evidence = #linked mentions
+- ``(<entity_id>, INSTANCE_OF, <category>)``     evidence = #mentions
+
+Scale design: DECLARES/LINKED_TO/INSTANCE_OF are single groupBy
+aggregations (map-side combine).  MENTIONED_WITH is a per-document
+self-pairing done *without* a self-join: distinct entities per doc are
+collected (capped, sorted) and pairs generated with array transforms —
+one shuffle to group, one to count pairs, no quadratic join.  Docs with
+more than ``max_entities_per_doc`` distinct entities are truncated
+(logged via the metrics layer) to bound the pair blow-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_entities(links: DataFrame, entities: DataFrame) -> DataFrame:
+    """Attach canonical entity_id to each linked mention (broadcast-able
+    dimension in most corpora; Spark will pick broadcast vs SMJ by
+    stats/AQE)."""
+    return links.join(entities, "surface", "left").withColumn(
+        "entity_id", F.coalesce("entity_id", F.concat(F.lit("ent:"), "surface"))
+    )
+
+
+def declares_triples(mentions_ent: DataFrame) -> DataFrame:
+    return (
+        mentions_ent.groupBy("repo", "entity_id")
+        .count()
+        .select(
+            F.concat(F.lit("repo:"), "repo").alias("subj"),
+            F.lit("DECLARES").alias("pred"),
+            F.col("entity_id").alias("obj"),
+            F.col("count").alias("evidence_count"),
+        )
+    )
+
+
+def mentioned_with_triples(
+    mentions_ent: DataFrame, max_entities_per_doc: int = 64
+) -> DataFrame:
+    per_doc = (
+        mentions_ent.groupBy("repo", "path")
+        .agg(F.slice(F.sort_array(F.collect_set("entity_id")), 1, max_entities_per_doc).alias("ents"))
+        .where(F.size("ents") >= 2)
+    )
+    pairs = per_doc.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ents"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ents"), i + 2, F.size("ents")),
+                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy("p.a", "p.b")
+        .count()
+        .select(
+            F.col("a").alias("subj"),
+            F.lit("MENTIONED_WITH").alias("pred"),
+            F.col("b").alias("obj"),
+            F.col("count").alias("evidence_count"),
+        )
+    )
+
+
+def linked_to_triples(mentions_ent: DataFrame) -> DataFrame:
+    return (
+        mentions_ent.where(F.col("kb_id").isNotNull() & (F.col("link_score") >= 0.5))
+        .groupBy("entity_id", "kb_id")
+        .count()
+        .select(
+            F.col("entity_id").alias("subj"),
+            F.lit("LINKED_TO").alias("pred"),
+            F.col("kb_id").alias("obj"),
+            F.col("count").alias("evidence_count"),
+        )
+    )
+
+
+def instance_of_triples(mentions_ent: DataFrame) -> DataFrame:
+    return (
+        mentions_ent.groupBy("entity_id", "resolved_category")
+        .count()
+        .select(
+            F.col("entity_id").alias("subj"),
+            F.lit("INSTANCE_OF").alias("pred"),
+            F.col("resolved_category").alias("obj"),
+            F.col("count").alias("evidence_count"),
+        )
+    )
+
+
+def materialize_triples(
+    links: DataFrame, entities: DataFrame, max_entities_per_doc: int = 64
+) -> DataFrame:
+    m = with_entities(links, entities)
+    return (
+        declares_triples(m)
+        .unionByName(mentioned_with_triples(m, max_entities_per_doc))
+        .unionByName(linked_to_triples(m))
+        .unionByName(instance_of_triples(m))
+    )

@@ -1,0 +1,143 @@
+"""Stage 1 — tokenize + tag + span assembly: source table → mentions.
+
+Spark mapping of the reference's per-document pipeline
+(reference: ner-core/src/pipeline.rs:194-391) as a ``mapInPandas``
+stage: Arrow batches of ``content`` strings are processed with the
+numpy kernels from :mod:`ner_spark.core`; one output row per entity
+mention.
+
+Scale design:
+- *No shuffle*: the stage is a pure narrow map over the source scan;
+  Catalyst prunes the scan to the 4 referenced columns.
+- *Batch dedup + worker-local memo*: identical ``content`` values are
+  analyzed once per worker (exact-dup content is common in web/code
+  corpora; the fixture table replicates 51 texts).  Bounded cache.
+- *Integrity*: recomputes sha256(content) per row and compares against
+  ``content_sha256`` (north-rule per-row invariant), emitted as
+  ``sha_ok`` and aggregated into the metrics table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ner_spark.schemas import MENTIONS_SCHEMA, TAGGED_TOKENS_SCHEMA
+
+_MEMO_MAX = 200_000
+
+
+def _analyze_cached(memo: dict, text: str, mode: str, tokenizer_mode: str):
+    key = (text, mode, tokenizer_mode)
+    hit = memo.get(key)
+    if hit is None:
+        # imports inside the task so the driver process stays light
+        from ner_spark.core.pipeline import analyze
+
+        if len(memo) >= _MEMO_MAX:
+            memo.clear()
+        hit = analyze(text, mode=mode, tokenizer_mode=tokenizer_mode)
+        memo[key] = hit
+    return hit
+
+
+def extract_mentions(
+    source: DataFrame,
+    mode: str = "hybrid",
+    tokenizer_mode: str = "standard",
+    memoize: bool = True,
+) -> DataFrame:
+    """source(repo, path, commit, lang, content[, content_sha256]) → mentions."""
+    has_sha = "content_sha256" in source.columns
+    cols = ["repo", "path", "commit", "content"] + (["content_sha256"] if has_sha else [])
+    narrow = source.select(*cols)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[Any, Any] = {}
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in MENTIONS_SCHEMA.fields}
+            contents = pdf["content"].tolist()
+            shas = pdf["content_sha256"].tolist() if has_sha else [None] * len(pdf)
+            repos = pdf["repo"].tolist()
+            paths = pdf["path"].tolist()
+            commits = pdf["commit"].tolist()
+            for repo, path, commit, content, sha in zip(repos, paths, commits, contents, shas):
+                if content is None:
+                    continue
+                if memoize:
+                    tagged, entities = _analyze_cached(memo, content, mode, tokenizer_mode)
+                else:
+                    from ner_spark.core.pipeline import analyze
+
+                    tagged, entities = analyze(content, mode=mode, tokenizer_mode=tokenizer_mode)
+                sha_ok = (
+                    None if sha is None
+                    else hashlib.sha256(content.encode("utf-8")).hexdigest() == sha
+                )
+                n = len(tagged)
+                for text, cat, st, et, sb, eb, conf, src in entities:
+                    out["repo"].append(repo)
+                    out["path"].append(path)
+                    out["commit"].append(commit)
+                    out["content_sha256"].append(sha)
+                    out["sha_ok"].append(sha_ok)
+                    out["mention_text"].append(text)
+                    out["category"].append(cat)
+                    out["start_token"].append(st)
+                    out["end_token"].append(et)
+                    out["start"].append(sb)
+                    out["end"].append(eb)
+                    out["confidence"].append(conf)
+                    out["source"].append(src)
+                    # ±3-token lowercased context (reference ned.rs:49-51)
+                    lo = max(st - 3, 0)
+                    hi = min(et + 3, n - 1)
+                    out["context_window"].append(
+                        [tagged[i][0][0].lower() for i in range(lo, hi + 1)]
+                    )
+            yield pd.DataFrame(out)
+
+    return narrow.mapInPandas(run, schema=MENTIONS_SCHEMA)
+
+
+def tag_tokens(
+    source: DataFrame,
+    mode: str = "hybrid",
+    tokenizer_mode: str = "standard",
+) -> DataFrame:
+    """Per-token tagging output (debug/inspection surface)."""
+    narrow = source.select("repo", "path", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[Any, Any] = {}
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in TAGGED_TOKENS_SCHEMA.fields}
+            for repo, path, content in zip(pdf["repo"], pdf["path"], pdf["content"]):
+                if content is None:
+                    continue
+                tagged, _entities = _analyze_cached(memo, content, mode, tokenizer_mode)
+                for i, ((text, start, end), tag, conf) in enumerate(tagged):
+                    out["repo"].append(repo)
+                    out["path"].append(path)
+                    out["token_index"].append(i)
+                    out["token_text"].append(text)
+                    out["start"].append(start)
+                    out["end"].append(end)
+                    out["tag"].append(tag)
+                    out["confidence"].append(conf)
+            yield pd.DataFrame(out)
+
+    return narrow.mapInPandas(run, schema=TAGGED_TOKENS_SCHEMA)
+
+
+def sha_integrity(mentions: DataFrame) -> DataFrame:
+    """Aggregate per-row sha256 equality to one boolean per (repo, path)."""
+    return mentions.groupBy("repo", "path").agg(
+        F.min(F.coalesce(F.col("sha_ok"), F.lit(True))).alias("content_sha_ok")
+    )

@@ -1,0 +1,134 @@
+"""End-to-end KG pipeline tests on the fixture source table:
+tag → disambiguate → link → canonicalize → materialize."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from ner_spark.operators.canonicalize import canonicalize
+from ner_spark.operators.link import disambiguate, link_mentions, link_mentions_alias
+from ner_spark.operators.materialize import materialize_triples, with_entities
+from ner_spark.operators.tag import extract_mentions
+from ner_spark.sources.fixtures import fixture_texts, source_table
+
+GOLDENS = json.loads(
+    (Path(__file__).parent / "goldens" / "goldens.json").read_text()
+)
+
+
+@pytest.fixture(scope="module")
+def links_df(spark):
+    src = source_table(spark, n_rows=102)  # each fixture text exactly twice
+    mentions = extract_mentions(src, mode="hybrid")
+    return link_mentions(disambiguate(mentions)).cache()
+
+
+def test_mentions_match_goldens(spark):
+    """Spark-extracted mentions == frozen kernel goldens for every text."""
+    src = source_table(spark, n_rows=51)  # one row per fixture text
+    mentions = extract_mentions(src, mode="hybrid")
+    got = mentions.select(
+        "path", "mention_text", "category", "start_token", "end_token",
+        "start", "end", "confidence", "source",
+    ).collect()
+
+    texts = [t for _d, t in fixture_texts()]
+    by_text: dict[str, list] = {}
+    for r in got:
+        i = int(r.path.split("/")[-1].removesuffix(".txt"))
+        by_text.setdefault(texts[i % len(texts)], []).append(r)
+
+    for rec in GOLDENS:
+        want = sorted(
+            (s[0], s[1], s[2], s[3], s[4], s[5], round(s[6], 9), s[7])
+            for s in rec["modes"]["hybrid"]["spans"]
+        )
+        have = sorted(
+            (r.mention_text, r.category, r.start_token, r.end_token,
+             r.start, r.end, round(r.confidence, 9), r.source)
+            for r in by_text.get(rec["text"], [])
+        )
+        assert have == want, f"mention drift for text_id={rec['text_id']}"
+
+
+def test_sha_integrity(spark):
+    src = source_table(spark, n_rows=51)
+    mentions = extract_mentions(src)
+    assert mentions.where(~F.col("sha_ok")).isEmpty()
+
+
+def test_ned_disambiguates_paris(links_df):
+    paris = links_df.where(F.col("surface") == "paris").select(
+        "resolved_category", "ned_confidence", "context_window"
+    ).collect()
+    assert paris
+    for r in paris:
+        if any(w in ("hilton", "socialite", "atriz") for w in r.context_window):
+            assert r.resolved_category == "PER" and r.ned_confidence == pytest.approx(0.95)
+        else:
+            assert r.resolved_category == "LOC"
+
+
+def test_nel_links_brasil(links_df):
+    rows = links_df.where(F.col("surface") == "brasil").select("kb_id", "link_score").distinct().collect()
+    assert rows
+    for r in rows:
+        assert r.kb_id == "Q155"
+        # exact match 0.8 + LOC bonus 0.15 when NED resolved LOC
+        assert r.link_score in (pytest.approx(0.8), pytest.approx(0.95))
+
+
+def test_nel_tie_breaking_paris(links_df):
+    """'paris' matches both Q47454 (contains) and Q90 (exact): exact 0.8
+    beats substring 0.5; PER-resolved mentions get Q47454 bonus 0.65 < 0.8
+    so Q90 still wins on score — mirrors reference strict-> semantics."""
+    rows = links_df.where(F.col("surface") == "paris").select("kb_id").distinct().collect()
+    assert {r.kb_id for r in rows} == {"Q90"}
+
+
+def test_alias_linking(links_df):
+    aliased = link_mentions_alias(links_df.drop("kb_id", "kb_name", "link_score", "surface"))
+    rows = aliased.where(F.col("surface") == "brasil").select("kb_id").distinct().collect()
+    assert rows and rows[0].kb_id == "Q155"
+
+
+def test_canonicalize_merges_kb_linked_surfaces(links_df):
+    entities = canonicalize(links_df)
+    ids = dict(entities.collect())
+    # 'paris' (Q90) and every surface only-linked to Q90 share a component
+    assert ids["paris"].startswith("ent:")
+    # surfaces are all covered
+    n_surfaces = links_df.select("surface").distinct().count()
+    assert len(ids) == n_surfaces
+
+
+def test_triples_shape(links_df):
+    entities = canonicalize(links_df)
+    triples = materialize_triples(links_df, entities).cache()
+    preds = {r.pred for r in triples.select("pred").distinct().collect()}
+    assert preds == {"DECLARES", "MENTIONED_WITH", "LINKED_TO", "INSTANCE_OF"}
+    assert triples.where(F.col("evidence_count") < 1).isEmpty()
+    # MENTIONED_WITH pairs are ordered a < b and never self-paired
+    mw = triples.where(F.col("pred") == "MENTIONED_WITH")
+    assert mw.where(F.col("subj") >= F.col("obj")).isEmpty()
+    # DECLARES subjects are repos
+    assert triples.where(
+        (F.col("pred") == "DECLARES") & ~F.col("subj").startswith("repo:")
+    ).isEmpty()
+
+
+def test_triples_deterministic(spark, links_df):
+    entities = canonicalize(links_df)
+    t1 = sorted(map(tuple, materialize_triples(links_df, entities).collect()))
+    t2 = sorted(map(tuple, materialize_triples(links_df, entities).collect()))
+    assert t1 == t2
+
+
+def test_mentions_with_entity_coalesce(links_df):
+    entities = canonicalize(links_df)
+    m = with_entities(links_df, entities)
+    assert m.where(F.col("entity_id").isNull()).isEmpty()
