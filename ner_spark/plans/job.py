@@ -1,0 +1,174 @@
+"""Staged, resumable KG-construction job.
+
+Each stage writes a parquet checkpoint table (its ``_SUCCESS`` marker is
+the commit point) plus per-partition lineage rows to a ``metrics``
+table; a re-launched run skips every stage whose checkpoint is already
+committed and resumes mid-pipeline (north rule resumability).
+
+Stages (SURVEY.md §3 Spark lifecycle):
+    tokenize_tag → link → canonicalize → materialize
+
+Launch (spark-submit compatible)::
+
+    spark-submit --py-files ner_spark.zip -m ner_spark.plans.job ...
+    python -m ner_spark.plans.job --output /tmp/kg --fixture-rows 510
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ner_spark.schemas import METRICS_SCHEMA
+
+STAGES = ("tokenize_tag", "link", "canonicalize", "materialize")
+
+
+def _utcnow() -> dt.datetime:
+    return dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+
+
+class KgJob:
+    def __init__(
+        self,
+        spark: SparkSession,
+        output_dir: str,
+        mode: str = "hybrid",
+        tokenizer_mode: str = "standard",
+        run_id: str | None = None,
+        force: bool = False,
+    ) -> None:
+        self.spark = spark
+        self.out = output_dir.rstrip("/")
+        self.mode = mode
+        self.tokenizer_mode = tokenizer_mode
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+        self.force = force
+
+    # -- checkpoint plumbing -------------------------------------------------
+
+    def _path(self, stage: str) -> str:
+        return f"{self.out}/{stage}"
+
+    def _committed(self, stage: str) -> bool:
+        path = self._path(stage)
+        jvm = self.spark.sparkContext._jvm
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+        return p.getFileSystem(conf).exists(p)
+
+    def _log_metrics(
+        self, stage: str, df_out: DataFrame, rows_in: int, sha_ok: bool | None,
+        started: dt.datetime, skipped: bool = False,
+    ) -> None:
+        path = self._path(stage)
+        finished = _utcnow()
+        if skipped:
+            rows = [(self.run_id, stage, -1, rows_in, df_out.count(), sha_ok,
+                     started, finished, path)]
+        else:
+            per_part = (
+                df_out.groupBy(F.spark_partition_id().alias("partition_id"))
+                .count()
+                .collect()
+            )
+            rows = [
+                (self.run_id, stage, int(r.partition_id), rows_in, int(r["count"]),
+                 sha_ok, started, finished, path)
+                for r in per_part
+            ] or [(self.run_id, stage, 0, rows_in, 0, sha_ok, started, finished, path)]
+        self.spark.createDataFrame(rows, METRICS_SCHEMA).write.mode("append").parquet(
+            f"{self.out}/metrics"
+        )
+
+    def _run_stage(
+        self, stage: str, rows_in_df: DataFrame, compute: Callable[[], DataFrame]
+    ) -> DataFrame:
+        path = self._path(stage)
+        started = _utcnow()
+        if not self.force and self._committed(stage):
+            cached = self.spark.read.parquet(path)
+            self._log_metrics(stage, cached, rows_in=-1, sha_ok=None,
+                              started=started, skipped=True)
+            return cached
+        rows_in = rows_in_df.count()
+        out = compute()
+        out.write.mode("overwrite").parquet(path)
+        written = self.spark.read.parquet(path)
+        sha_ok = None
+        if "sha_ok" in written.columns:
+            sha_ok = written.where(F.col("sha_ok") == False).isEmpty()  # noqa: E712
+        self._log_metrics(stage, written, rows_in, sha_ok, started)
+        return written
+
+    # -- stages ---------------------------------------------------------------
+
+    def run(self, source: DataFrame, last_stage: str = "materialize") -> DataFrame:
+        from ner_spark.operators.canonicalize import canonicalize
+        from ner_spark.operators.link import disambiguate, link_mentions
+        from ner_spark.operators.materialize import materialize_triples
+        from ner_spark.operators.tag import extract_mentions
+
+        mentions = self._run_stage(
+            "tokenize_tag", source,
+            lambda: extract_mentions(source, mode=self.mode, tokenizer_mode=self.tokenizer_mode),
+        )
+        if last_stage == "tokenize_tag":
+            return mentions
+
+        links = self._run_stage(
+            "link", mentions, lambda: link_mentions(disambiguate(mentions))
+        )
+        if last_stage == "link":
+            return links
+
+        entities = self._run_stage("canonicalize", links, lambda: canonicalize(links))
+        if last_stage == "canonicalize":
+            return entities
+
+        return self._run_stage(
+            "materialize", links, lambda: materialize_triples(links, entities)
+        )
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.out}/metrics")
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="NER-Spark KG construction job")
+    parser.add_argument("--input", help="parquet source table (repo,path,commit,lang,content)")
+    parser.add_argument("--fixture-rows", type=int, default=0,
+                        help="synthesize a fixture source table with N rows instead of --input")
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--mode", default="hybrid")
+    parser.add_argument("--tokenizer-mode", default="standard")
+    parser.add_argument("--stage", default="materialize", choices=list(STAGES))
+    parser.add_argument("--force", action="store_true", help="recompute committed stages")
+    parser.add_argument("--run-id", default=None)
+    args = parser.parse_args()
+
+    from ner_spark.session import get_spark
+
+    spark = get_spark("ner-spark-kg-job")
+    if args.fixture_rows:
+        from ner_spark.sources.fixtures import source_table
+
+        source = source_table(spark, n_rows=args.fixture_rows)
+    elif args.input:
+        source = spark.read.parquet(args.input)
+    else:
+        parser.error("one of --input / --fixture-rows is required")
+
+    job = KgJob(spark, args.output, mode=args.mode,
+                tokenizer_mode=args.tokenizer_mode, run_id=args.run_id, force=args.force)
+    out = job.run(source, last_stage=args.stage)
+    print(f"stage={args.stage} rows={out.count()} output={job._path(args.stage)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Resumability tests (north rule): kill after stage k, relaunch,
+final tables identical; metrics show skipped stages."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ner_spark.plans.job import KgJob
+from ner_spark.sources.fixtures import source_table
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    d = str(tmp_path / "kg")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _triples_set(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_full_run_then_resume_is_identical(spark, out_dir):
+    src = source_table(spark, n_rows=51)
+    job1 = KgJob(spark, out_dir, run_id="run1")
+    t1 = _triples_set(job1.run(src))
+
+    # simulate loss after stage 2: wipe canonicalize + materialize outputs
+    shutil.rmtree(f"{out_dir}/canonicalize")
+    shutil.rmtree(f"{out_dir}/materialize")
+
+    job2 = KgJob(spark, out_dir, run_id="run2")
+    t2 = _triples_set(job2.run(src))
+    assert t1 == t2
+
+    m = job2.metrics()
+    # run2 skipped tokenize_tag and link (partition_id == -1 marker rows)
+    skipped = {
+        r.stage
+        for r in m.where((F.col("run_id") == "run2") & (F.col("partition_id") == -1)).collect()
+    }
+    assert skipped == {"tokenize_tag", "link"}
+    recomputed = {
+        r.stage
+        for r in m.where((F.col("run_id") == "run2") & (F.col("partition_id") >= 0)).collect()
+    }
+    assert recomputed == {"canonicalize", "materialize"}
+
+
+def test_metrics_records_sha_ok(spark, out_dir):
+    src = source_table(spark, n_rows=20)
+    job = KgJob(spark, out_dir)
+    job.run(src, last_stage="tokenize_tag")
+    m = job.metrics().where(F.col("stage") == "tokenize_tag")
+    assert m.count() >= 1
+    assert all(r.content_sha_ok for r in m.collect())
+
+
+def test_stage_partial_run(spark, out_dir):
+    src = source_table(spark, n_rows=20)
+    job = KgJob(spark, out_dir)
+    mentions = job.run(src, last_stage="tokenize_tag")
+    assert mentions.count() > 0
+    # downstream stages not produced yet
+    assert not job._committed("link")
