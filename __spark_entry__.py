@@ -1,38 +1,410 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction pipeline; ``queries()``
+exposes one callable per implemented operator family (SURVEY.md §2 plus
+the training-data curation layer); ``oracle_sql()`` gives the DuckDB
+twin for every SQL-expressible query (the rest get rows-only checks:
+the NER tagging kernels are vectorized-numpy pandas UDFs and the LSH /
+SimHash / media operators hash with engine-specific functions).
+
+Column names and rounding are kept in lockstep between each Spark query
+and its oracle — the driver hash-compares values after sorting columns
+by name.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+FIXTURE_ROWS = 102  # 2× the 51 reference fixture texts
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+_PKG_ZIP: str | None = None
+
+
+def _ensure_pkg(spark: SparkSession) -> None:
+    """Ship ner_spark to executor Python workers (spark-submit
+    --py-files equivalent) so the contract works however the driver
+    built its SparkSession."""
+    global _PKG_ZIP
+    if _PKG_ZIP is None:
+        path = os.path.join(tempfile.gettempdir(), "ner_spark_pyfiles.zip")
+        with zipfile.ZipFile(path, "w") as z:
+            pkg = os.path.join(_REPO_ROOT, "ner_spark")
+            for dirpath, _dirs, files in os.walk(pkg):
+                for f in sorted(files):
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, _REPO_ROOT))
+        _PKG_ZIP = path
+    try:
+        spark.sparkContext.addPyFile(_PKG_ZIP)
+    except Exception:
+        pass  # already registered in this context
+
+
+# --------------------------------------------------------------- helpers
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = _emb(spark, sf_dir).where("vec_id = 0").select("embedding").first()
+    return [float(x) for x in row[0]]
+
+
+def _fixture_source(spark: SparkSession) -> DataFrame:
+    from ner_spark.sources.fixtures import source_table
+
+    return source_table(spark, n_rows=FIXTURE_ROWS)
+
+
+def _kg_triples(spark: SparkSession, source: DataFrame) -> DataFrame:
+    """Full 4-stage KG pipeline, in-memory (checkpointed variant lives
+    in ner_spark.plans.job.KgJob)."""
+    from ner_spark.operators.canonicalize import canonicalize
+    from ner_spark.operators.link import disambiguate, link_mentions
+    from ner_spark.operators.materialize import materialize_triples
+    from ner_spark.operators.tag import extract_mentions
+
+    links = link_mentions(disambiguate(extract_mentions(source)))
+    links = links.localCheckpoint(eager=True)  # reused by 2 downstream stages
+    return materialize_triples(links, canonicalize(links))
+
+
+# --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: KG triples over sf0.001 documents + fixture corpus."""
+    _ensure_pkg(spark)
+    from ner_spark.sources.fixtures import source_from_documents
+
+    source = source_from_documents(spark, SF_DEFAULT).unionByName(
+        _fixture_source(spark)
+    )
+    return _kg_triples(spark, source)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from ner_spark.operators import dedup, multimodal, similarity
+    from ner_spark.plans import analytics as A
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_dedup_exact(spark, sf):
+        return dedup.exact_dup_groups(_docs(spark, sf))
+
+    def q_dedup_ngram_jaccard(spark, sf):
+        return dedup.ngram_jaccard_pairs(_docs(spark, sf), n=3, top_k=50)
+
+    def q_minhash_lsh_dedup(spark, sf):
+        return dedup.minhash_lsh_dup_pairs(_docs(spark, sf))
+
+    def q_simhash_buckets(spark, sf):
+        return dedup.simhash_buckets(_docs(spark, sf))
+
+    def q_embedding_near_dup(spark, sf):
+        return dedup.embedding_topk_pairs(_emb(spark, sf), top_k=20)
+
+    def q_text_quality(spark, sf):
+        return A.text_quality(_docs(spark, sf))
+
+    def q_token_counts(spark, sf):
+        return A.token_counts(_docs(spark, sf))
+
+    def q_lang_id(spark, sf):
+        return A.lang_id(_docs(spark, sf))
+
+    def q_doc_fingerprint(spark, sf):
+        return A.doc_fingerprint(_docs(spark, sf))
+
+    def q_similarity_topk(spark, sf):
+        return similarity.cosine_topk(
+            _emb(spark, sf), _query_vec(spark, sf), k=10, exclude_vec_id=0
+        )
+
+    def q_ann_lsh(spark, sf):
+        return similarity.ann_lsh_topk(
+            _emb(spark, sf), _query_vec(spark, sf), k=10, exclude_vec_id=0
+        )
+
+    def q_media_features(spark, sf):
+        return multimodal.extract_media_features(
+            multimodal.docs_as_media(_docs(spark, sf))
+        )
+
+    def q_tpch_pricing(spark, sf):
+        return A.tpch_pricing_summary(_tbl(spark, sf, "lineitem"))
+
+    def q_top_customers(spark, sf):
+        return A.top_customers(
+            _tbl(spark, sf, "orders"), _tbl(spark, sf, "customer"),
+            _tbl(spark, sf, "nation"), _tbl(spark, sf, "region"),
+        )
+
+    def q_events_hourly(spark, sf):
+        return A.events_hourly(_tbl(spark, sf, "events"))
+
+    def q_events_sessions(spark, sf):
+        return A.events_sessions(_tbl(spark, sf, "events"))
+
+    def q_hmm_transitions(spark, sf):
+        return A.hmm_transition_counts(A.corpus_tokens_df(spark))
+
+    def q_gazetteer_compile(spark, sf):
+        return A.gazetteer_surfaces(A.corpus_tokens_df(spark))
+
+    def q_bio_gold_spans(spark, sf):
+        return A.gold_bio_spans(A.corpus_tokens_df(spark))
+
+    def q_mentions_hybrid(spark, sf):
+        from ner_spark.operators.tag import extract_mentions
+
+        return extract_mentions(_fixture_source(spark), mode="hybrid")
+
+    def q_mentions_crf(spark, sf):
+        from ner_spark.operators.tag import extract_mentions
+
+        return extract_mentions(_fixture_source(spark), mode="crf_only")
+
+    def q_kg_triples(spark, sf):
+        return _kg_triples(spark, _fixture_source(spark))
+
+    def _with_pkg(fn):
+        def wrapped(spark, sf):
+            _ensure_pkg(spark)
+            return fn(spark, sf)
+
+        wrapped.__name__ = fn.__name__
+        return wrapped
+
+    return {k: _with_pkg(v) for k, v in {
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "simhash_buckets": q_simhash_buckets,
+        "embedding_near_dup": q_embedding_near_dup,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "similarity_topk": q_similarity_topk,
+        "ann_lsh": q_ann_lsh,
+        "media_features": q_media_features,
+        "tpch_pricing": q_tpch_pricing,
+        "top_customers": q_top_customers,
+        "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        "hmm_transitions": q_hmm_transitions,
+        "gazetteer_compile": q_gazetteer_compile,
+        "bio_gold_spans": q_bio_gold_spans,
+        "mentions_hybrid": q_mentions_hybrid,
+        "mentions_crf": q_mentions_crf,
+        "kg_triples": q_kg_triples,
+    }.items()}
+
+
+# ----------------------------------------------------------- oracle SQL
+
+_TOKS = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+         "x -> x <> '')")
+
+_EN = "['the','a','of','and','to','in','is','on','for','with']"
+_PT = "['de','da','do','em','para','com','o','a','e','que','um','uma']"
+
+_SHINGLES = ("list_distinct(list_transform(generate_series(1, len(t)-2), "
+             "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))")
+
+_COS = (
+    "list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)) / "
+    "(sqrt(list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE))) * "
+    "sqrt(list_sum(list_transform(generate_series(1, len({b})), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))))"
+)
+
+
+def _corpus_cte() -> str:
+    from ner_spark.plans.analytics import corpus_values_sql
+
+    return corpus_values_sql()
+
+
+def _runs_cte() -> str:
+    """Shared BIO run-grouping CTE over the corpus VALUES."""
+    return f"""
+WITH c AS (SELECT * FROM {_corpus_cte()}),
+m AS (
+  SELECT sent_id, idx, word, tag,
+    CASE WHEN tag LIKE 'B-%' THEN 1
+         WHEN tag LIKE 'I-%' AND coalesce(lag(tag) OVER (PARTITION BY sent_id ORDER BY idx), 'O') = 'O' THEN 1
+         ELSE 0 END AS new_run
+  FROM c),
+r AS (
+  SELECT sent_id, idx, word, tag,
+    sum(new_run) OVER (PARTITION BY sent_id ORDER BY idx) AS run_id
+  FROM m),
+g AS (
+  SELECT sent_id, run_id,
+    CAST(min(idx) AS INT) AS start_idx,
+    CAST(max(idx) AS INT) AS end_idx,
+    min_by(tag, idx) AS first_tag,
+    string_agg(word, ' ' ORDER BY idx) AS surface
+  FROM r WHERE tag <> 'O'
+  GROUP BY sent_id, run_id)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "dedup_exact": """
+SELECT md5(text) AS content_hash,
+       count(*) AS dup_count,
+       min(doc_id) AS canonical_doc_id
+FROM documents GROUP BY md5(text)
+""",
+        "dedup_ngram_jaccard": f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, source, {_SHINGLES} AS s FROM toks WHERE len(t) >= 3),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) + 1e-9, 6) AS jaccard
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT *, row_number() OVER (ORDER BY jaccard DESC, doc_a, doc_b) AS rk
+  FROM pairs) WHERE rk <= 50
+""",
+        "embedding_near_dup": f"""
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    round({_COS.format(a="a.embedding", b="b.embedding")} + 1e-9, 4) AS cos_sim
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, cos_sim FROM (
+  SELECT *, row_number() OVER (ORDER BY cos_sim DESC, vec_a, vec_b) AS rk
+  FROM pairs) WHERE rk <= 20
+""",
+        "text_quality": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+SELECT doc_id,
+  CAST(len(t) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+  round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t) + 1e-9, 4) AS distinct_ratio,
+  round(CAST(len(list_filter(t, x -> list_contains({_EN}, x))) AS DOUBLE) / len(t) + 1e-9, 4) AS stopword_ratio,
+  round(0.4 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
+      + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+      + 0.3 * (CAST(len(list_filter(t, x -> list_contains({_EN}, x))) AS DOUBLE) / len(t)) + 1e-9, 4)
+    AS quality_score
+FROM toks
+""",
+        "token_counts": f"""
+WITH toks AS (SELECT source, len({_TOKS}) AS n FROM documents)
+SELECT source, count(*) AS n_docs,
+  CAST(sum(n) AS BIGINT) AS total_tokens,
+  round(avg(n) + 1e-9, 4) AS avg_tokens
+FROM toks GROUP BY source
+""",
+        "lang_id": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+SELECT doc_id,
+  CAST(len(list_filter(t, x -> list_contains({_EN}, x))) AS BIGINT) AS en_hits,
+  CAST(len(list_filter(t, x -> list_contains({_PT}, x))) AS BIGINT) AS pt_hits,
+  CASE WHEN len(list_filter(t, x -> list_contains({_EN}, x))) > len(list_filter(t, x -> list_contains({_PT}, x))) THEN 'en'
+       WHEN len(list_filter(t, x -> list_contains({_PT}, x))) > len(list_filter(t, x -> list_contains({_EN}, x))) THEN 'pt'
+       ELSE 'und' END AS predicted_lang
+FROM toks
+""",
+        "doc_fingerprint": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks WHERE len(t) >= 3)
+SELECT doc_id,
+  list_min(list_transform(s, g -> md5('s0|' || g))) AS mh_s0,
+  list_min(list_transform(s, g -> md5('s1|' || g))) AS mh_s1,
+  list_min(list_transform(s, g -> md5('s2|' || g))) AS mh_s2,
+  list_min(list_transform(s, g -> md5('s3|' || g))) AS mh_s3
+FROM sh WHERE len(s) > 0
+""",
+        "similarity_topk": f"""
+WITH q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id, round({_COS.format(a="e.embedding", b="q.v")} + 1e-9, 4) AS cos_sim
+  FROM embeddings e, q WHERE e.vec_id <> 0)
+SELECT vec_id, cos_sim, CAST(rk AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rk FROM s)
+WHERE rk <= 10
+""",
+        "tpch_pricing": """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity) + 1e-9, 2) AS sum_qty,
+  round(sum(l_extendedprice) + 1e-9, 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS sum_disc_price,
+  round(avg(l_quantity) + 1e-9, 4) AS avg_qty,
+  round(avg(l_discount) + 1e-9, 4) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "top_customers": """
+WITH rev AS (
+  SELECT o_custkey, round(sum(o_totalprice) + 1e-9, 2) AS revenue,
+         count(*) AS n_orders
+  FROM orders GROUP BY o_custkey)
+SELECT c_custkey, c_name, region_name, revenue, n_orders, CAST(rk AS INT) AS rank
+FROM (
+  SELECT c.c_custkey, c.c_name, r.r_name AS region_name, rev.revenue, rev.n_orders,
+    row_number() OVER (ORDER BY rev.revenue DESC, c.c_custkey) AS rk
+  FROM rev
+  JOIN customer c ON rev.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey)
+WHERE rk <= 20
+""",
+        "events_hourly": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+  event_type, count(*) AS n_events, round(sum(value) + 1e-9, 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "events_sessions": """
+WITH g AS (
+  SELECT user_id,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           OR CAST(floor(epoch(ts)) AS BIGINT)
+              - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) AS BIGINT) > 1800
+         THEN 1 ELSE 0 END AS new_s
+  FROM events)
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id
+""",
+        "hmm_transitions": f"""
+WITH c AS (SELECT * FROM {_corpus_cte()}),
+p AS (
+  SELECT tag,
+    coalesce(lag(tag) OVER (PARTITION BY sent_id ORDER BY idx), '<S>') AS prev_tag
+  FROM c)
+SELECT prev_tag, tag, count(*) AS n FROM p GROUP BY prev_tag, tag
+""",
+        "gazetteer_compile": _runs_cte() + """
+SELECT DISTINCT substr(first_tag, 3) AS category, lower(surface) AS surface FROM g
+""",
+        "bio_gold_spans": _runs_cte() + """
+SELECT sent_id, start_idx, end_idx, substr(first_tag, 3) AS category, surface
+FROM g WHERE first_tag LIKE 'B-%'
+""",
+    }

@@ -1,0 +1,210 @@
+"""Deduplication operators over the ``documents`` table.
+
+Training-data curation front-end for the KG pipeline: exact dup groups,
+n-gram Jaccard near-dup pairs, MinHash+LSH banding, SimHash bucketing
+and embedding-cosine near-dup.  All hot paths are pure Catalyst
+expressions or one bounded self-join inside a blocking key — no
+per-row Python anywhere.
+
+Scale notes (100 TB):
+- exact dedup is one map-side-combinable groupBy on a 128-bit hash;
+- Jaccard pairs are blocked (``source`` or LSH band) so the self-join
+  is per-block quadratic, never global;
+- MinHash/LSH: signatures are array expressions, banding is
+  ``posexplode`` + groupBy — the classic shuffle-once band join;
+- SimHash: 64-bit signature from per-token md5 bits, bucket by the
+  4×16-bit bands (Hamming ≤ 3 candidates land in a shared band).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ner_spark.functions.text import shingles_col, stable_round, tokens_col
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """Content-hash dup groups: (content_hash, dup_count, canonical_doc_id)."""
+    return (
+        docs.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, top_k: int = 50, block_col: str = "source"
+) -> DataFrame:
+    """Top-k most-similar doc pairs by word n-gram Jaccard, blocked.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, ranked by
+    (jaccard desc, doc_a, doc_b) — fully deterministic; jaccard is an
+    exact int/int ratio so it hash-matches the DuckDB oracle.
+    """
+    sh = docs.select(
+        F.col("doc_id"), F.col(block_col).alias("block"),
+        shingles_col(tokens_col("text"), n).alias("sh"),
+    ).where(F.size("sh") > 0)
+
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    pairs = (
+        a.join(b, (F.col("a.block") == F.col("b.block"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            stable_round(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
+        )
+    )
+    w = Window.orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_k)
+        .drop("rk")
+    )
+
+
+def minhash_signature(tokens, n: int = 3, num_hashes: int = 16) -> F.Column:
+    """num_hashes-wide MinHash signature over word n-gram shingles —
+    pure expressions (salted md5 min per hash function)."""
+    sh = shingles_col(tokens, n)
+
+    def lane(i: int) -> F.Column:
+        # one-arg lambda only: a 2-arg lambda would bind the array index
+        prefix = f"h{i}|"
+        return F.array_min(F.transform(sh, lambda g: F.md5(F.concat(F.lit(prefix), g))))
+
+    return F.array(*[lane(i) for i in range(num_hashes)])
+
+
+def minhash_lsh_dup_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard_est: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs.
+
+    signature → split into ``bands`` bands of ``num_hashes/bands`` rows
+    → band-hash groupBy join (only docs sharing a band collide) →
+    estimate Jaccard as signature agreement.  One shuffle for banding,
+    one bounded self-join per band bucket.
+    """
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        "doc_id", minhash_signature(tokens_col("text"), n, num_hashes).alias("sig")
+    ).where(F.size("sig") > 0)
+
+    banded = sig.select(
+        "doc_id", "sig",
+        F.posexplode(
+            F.array(*[
+                F.md5(F.concat_ws("|", F.lit(b), *[
+                    F.element_at("sig", b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ]))
+                for b in range(bands)
+            ])
+        ).alias("band", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (agree.cast("double") / F.lit(float(num_hashes))).alias("jaccard_est"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return cand.where(F.col("jaccard_est") >= min_jaccard_est)
+
+
+def simhash_buckets(docs: DataFrame, band_bits: int = 16) -> DataFrame:
+    """64-bit SimHash per doc + 16-bit band keys for near-dup blocking.
+
+    SimHash = sign of per-bit vote over token md5 hashes; computed with
+    array expressions (conv of md5 prefix → bit tests).  Output:
+    (doc_id, simhash, band, band_key).
+    """
+    toks = tokens_col("text")
+    h64 = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+        .cast("decimal(20,0)").cast("long"),
+    )
+    pow2 = F.array(*[F.lit(1 << k).cast("long") for k in range(60)])
+    # single pass: per-bit +1/-1 votes accumulated in one 60-wide array
+    votes = F.aggregate(
+        h64,
+        F.array_repeat(F.lit(0), 60),
+        lambda acc, h: F.zip_with(
+            acc, pow2,
+            lambda c, p: c + F.when(h.bitwiseAND(p) != F.lit(0).cast("long"), 1).otherwise(-1),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(votes, pow2,
+                   lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sigs = docs.select("doc_id", sim.alias("simhash"))
+    n_bands = 60 // band_bits + (1 if 60 % band_bits else 0)
+    banded = sigs.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright("simhash", b * band_bits).bitwiseAND(F.lit((1 << band_bits) - 1))
+            for b in range(n_bands)
+        ])).alias("band", "band_key"),
+    )
+    return banded
+
+
+def embedding_topk_pairs(
+    emb: DataFrame, top_k: int = 20, block_col: str = "label"
+) -> DataFrame:
+    """Top-k most-cosine-similar embedding pairs within each block.
+
+    Blocking on ``label`` keeps the self-join per-block quadratic; at
+    real scale the block key is an IVF/LSH bucket (see
+    :mod:`ner_spark.operators.similarity`).  Output (vec_a, vec_b,
+    cos_sim) ranked by (cos desc, vec_a, vec_b), deterministic.
+    """
+    v = emb.select(
+        "vec_id", F.col(block_col).alias("block"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    v = v.withColumn("nrm", norm)
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, (F.col("a.block") == F.col("b.block"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            stable_round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
+    return pairs.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= top_k).drop("rk")

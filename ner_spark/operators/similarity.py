@@ -1,0 +1,116 @@
+"""Similarity search over the ``embeddings`` table (array<float>).
+
+Two paths, per the training-data-pipeline brief:
+
+- :func:`cosine_topk` — exact brute-force cosine top-k vs a query
+  vector.  Pure Catalyst (``zip_with`` + ``aggregate`` dot product in
+  double precision), one narrow scan + one top-k (``row_number``) —
+  the correctness baseline and the right answer when the query set is
+  small and the corpus scan is already needed.
+
+- :func:`ann_lsh_topk` — random-hyperplane (sign) LSH bucketing: a
+  deterministic seeded hyperplane matrix is broadcast, each vector is
+  hashed to a ``2^planes``-bucket key, and the search runs only inside
+  the query's bucket (multi-probe: optionally flip 1 bit).  At 100 TB
+  this is the scale path: the bucket key is also the natural partition /
+  Z-order key for the stored table, so a probe touches one partition.
+
+Both return (vec_id, cos_sim) ranked deterministically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ner_spark.functions.text import stable_round
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col) -> F.Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec``.
+
+    The query is folded in as a literal array (broadcast-free); ranking
+    is (cos desc, vec_id asc) so ties are deterministic.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = _as_double(F.col("embedding"))
+    cos = _dot(v, q) / (_norm(v) * _norm(q))
+    # rank on the ROUNDED similarity: double-precision sum-order noise
+    # (~1e-16) must not flip ranks vs the SQL oracle; ties break on vec_id
+    scored = emb.select("vec_id", stable_round(cos, 4).alias("cos_sim"))
+    if exclude_vec_id is not None:
+        scored = scored.where(F.col("vec_id") != exclude_vec_id)
+    w = Window.orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("vec_id", "cos_sim", F.col("rk").alias("rank"))
+    )
+
+
+def hyperplanes(dim: int, planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplane matrix (planes × dim)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((planes, dim))
+
+
+def lsh_bucket_col(vec_col, planes_mat: np.ndarray) -> F.Column:
+    """Sign-LSH bucket id of a double-array column: bit b set iff
+    dot(vec, plane_b) > 0.  Pure expressions — the plane matrix is
+    folded in as literals (planes ≤ ~16 keeps the expr tree small)."""
+    bucket = F.lit(0)
+    for b, row in enumerate(planes_mat):
+        plane = F.array(*[F.lit(float(x)) for x in row])
+        bucket = bucket + F.when(_dot(vec_col, plane) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    planes: int = 4, seed: int = 42, multiprobe: bool = True,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: search only LSH bucket(s) near the query's.
+
+    With ``multiprobe`` the query also probes every bucket at Hamming
+    distance 1 (recall boost for vectors near a hyperplane).
+    """
+    dim = len(query_vec)
+    mat = hyperplanes(dim, planes, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    q_bucket = int(sum((1 << b) for b in range(planes) if float(mat[b] @ qv) > 0))
+    probe = [q_bucket] + ([q_bucket ^ (1 << b) for b in range(planes)] if multiprobe else [])
+
+    v = _as_double(F.col("embedding"))
+    bucketed = emb.select("vec_id", v.alias("v"), lsh_bucket_col(v, mat).alias("bucket"))
+    cand = bucketed.where(F.col("bucket").isin(probe))
+    if exclude_vec_id is not None:
+        cand = cand.where(F.col("vec_id") != exclude_vec_id)
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = _dot(F.col("v"), q) / (_norm(F.col("v")) * _norm(q))
+    scored = cand.select("vec_id", stable_round(cos, 4).alias("cos_sim"))
+    w = Window.orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("vec_id", "cos_sim", F.col("rk").alias("rank"))
+    )

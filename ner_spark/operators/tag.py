@@ -101,7 +101,10 @@ def extract_mentions(
                     out["context_window"].append(
                         [tagged[i][0][0].lower() for i in range(lo, hi + 1)]
                     )
-            yield pd.DataFrame(out)
+            # skip all-empty batches: an empty pandas frame gets float64
+            # dtypes that Arrow cannot convert to list<string>
+            if out["repo"]:
+                yield pd.DataFrame(out)
 
     return narrow.mapInPandas(run, schema=MENTIONS_SCHEMA)
 

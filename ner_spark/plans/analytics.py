@@ -1,0 +1,261 @@
+"""Declarative analytics queries: curation stats over ``documents``,
+relational demos over the TPC-H-ish tables, and the SQL-expressible
+reference operators (HMM counts H1, gazetteer compile S3, BIO→spans
+M2) over the annotated corpus.
+
+Everything here is DataFrame-API-only (no UDFs) so Catalyst gets full
+predicate pushdown / column pruning / whole-stage codegen; each query
+has a DuckDB oracle twin in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ner_spark.functions.text import (
+    EN_STOPWORDS,
+    stable_round,
+    PT_STOPWORDS,
+    lang_id_col,
+    quality_score,
+    shingles_col,
+    stopword_hits,
+    tokens_col,
+)
+
+# ---------------------------------------------------------------- documents
+
+def text_quality(docs: DataFrame) -> DataFrame:
+    """Per-doc curation features: token counts, diversity, stopword
+    ratio, composite quality score (all Catalyst expressions)."""
+    t = docs.select("doc_id", tokens_col("text").alias("toks"))
+    n = F.size("toks").cast("long")
+    nd = F.size(F.array_distinct("toks")).cast("long")
+    stop = stopword_hits(F.col("toks"), EN_STOPWORDS).cast("long")
+    return t.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        nd.alias("n_distinct"),
+        stable_round(nd.cast("double") / n, 4).alias("distinct_ratio"),
+        stable_round(stop.cast("double") / n, 4).alias("stopword_ratio"),
+        quality_score(n, nd.cast("double") / n, stop.cast("double") / n)
+        .alias("quality_score"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Corpus-level token accounting per source (map-side combinable)."""
+    t = docs.select("source", F.size(tokens_col("text")).cast("long").alias("n"))
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+            stable_round(F.avg("n"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-vote language ID per document."""
+    t = docs.select("doc_id", tokens_col("text").alias("toks"))
+    return t.select(
+        "doc_id",
+        stopword_hits(F.col("toks"), EN_STOPWORDS).cast("long").alias("en_hits"),
+        stopword_hits(F.col("toks"), PT_STOPWORDS).cast("long").alias("pt_hits"),
+        lang_id_col(F.col("toks")).alias("predicted_lang"),
+    )
+
+
+FINGERPRINT_SALTS = ("s0", "s1", "s2", "s3")
+
+
+def _salted_min_md5(salt: str) -> F.Column:
+    # NB: the lambda must take exactly ONE arg — a 2-arg lambda would be
+    # interpreted by F.transform as (element, index).
+    prefix = salt + "|"
+    return F.array_min(
+        F.transform(F.col("sh"), lambda g: F.md5(F.concat(F.lit(prefix), g)))
+    ).alias(f"mh_{salt}")
+
+
+def doc_fingerprint(docs: DataFrame, n: int = 3) -> DataFrame:
+    """MinHash-style 4-lane fingerprint per doc over word 3-shingles."""
+    sh = docs.select("doc_id", shingles_col(tokens_col("text"), n).alias("sh"))
+    return sh.where(F.size("sh") > 0).select(
+        "doc_id", *[_salted_min_md5(s) for s in FINGERPRINT_SALTS]
+    )
+
+
+# ---------------------------------------------------------------- relational
+
+def tpch_pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (filter pushdown + grouped aggs)."""
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            stable_round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            stable_round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            stable_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            stable_round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            stable_round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def top_customers(orders: DataFrame, customer: DataFrame,
+                  nation: DataFrame, region: DataFrame, k: int = 20) -> DataFrame:
+    """Revenue top-k with broadcast dims + deterministic window rank."""
+    rev = orders.groupBy("o_custkey").agg(
+        stable_round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    enriched = (
+        rev.join(customer, rev.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    w = Window.orderBy(F.desc("revenue"), "c_custkey")
+    return (
+        enriched.select("c_custkey", "c_name", F.col("r_name").alias("region_name"),
+                        "revenue", "n_orders")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def events_hourly(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour aggregate per event type (streaming-shaped agg,
+    runs identically under readStream + watermark)."""
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"),
+             stable_round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def events_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: per-user gap>30min session split via lag window."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # ts is TIMESTAMP_NTZ; route via timestamp (session tz = UTC) to get
+    # epoch seconds matching DuckDB's floor(epoch(ts))
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    marked = events.select(
+        "user_id", "ts",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0).alias("new_s"),
+    )
+    return (
+        marked.groupBy("user_id")
+        .agg(F.sum("new_s").cast("long").alias("n_sessions"),
+             F.count("*").alias("n_events"))
+    )
+
+
+# ------------------------------------------------------- corpus (reference ops)
+
+def corpus_tokens_df(spark: SparkSession) -> DataFrame:
+    """Annotated corpus as (sent_id, idx, word, tag) rows — the golden
+    fixture table (reference corpus.rs:36-463)."""
+    from ner_spark.data.corpus import CORPUS
+
+    rows = []
+    for sid, (_text, _domain, ann) in enumerate(CORPUS):
+        for i, (word, tag) in enumerate(ann):
+            rows.append((sid, i, word, tag))
+    return spark.createDataFrame(rows, "sent_id int, idx int, word string, tag string")
+
+
+def corpus_values_sql() -> str:
+    """The same corpus rows as a SQL VALUES list (DuckDB oracle input)."""
+    from ner_spark.data.corpus import CORPUS
+
+    vals = []
+    for sid, (_text, _domain, ann) in enumerate(CORPUS):
+        for i, (word, tag) in enumerate(ann):
+            w = word.replace("'", "''")
+            vals.append(f"({sid},{i},'{w}','{tag}')")
+    return ("(SELECT * FROM (VALUES " + ",".join(vals)
+            + ") AS t(sent_id, idx, word, tag))")
+
+
+def hmm_transition_counts(corpus: DataFrame) -> DataFrame:
+    """H1: BIO tag-bigram counts (the HMM transition-count groupBy;
+    reference hmm.rs:72-153).  '<S>' marks sentence start."""
+    w = Window.partitionBy("sent_id").orderBy("idx")
+    return (
+        corpus.select("sent_id", "idx", "tag",
+                      F.coalesce(F.lag("tag").over(w), F.lit("<S>")).alias("prev_tag"))
+        .groupBy("prev_tag", "tag")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _run_ids(corpus: DataFrame) -> DataFrame:
+    """Entity-run grouping over BIO tags: a run starts at B-* or at an
+    orphan I-* (previous tag absent or 'O')."""
+    w = Window.partitionBy("sent_id").orderBy("idx")
+    prev = F.lag("tag").over(w)
+    marked = corpus.select(
+        "sent_id", "idx", "word", "tag",
+        F.when(F.col("tag").startswith("B-"), 1)
+        .when(F.col("tag").startswith("I-") & (prev.isNull() | (prev == "O")), 1)
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    return marked.select(
+        "sent_id", "idx", "word", "tag",
+        F.sum("new_run").over(w).alias("run_id"),
+    )
+
+
+def gazetteer_surfaces(corpus: DataFrame) -> DataFrame:
+    """S3: compile gazetteer surfaces from corpus annotations — distinct
+    (category, surface) per contiguous B/I run (corpus.rs:473-574)."""
+    runs = _run_ids(corpus).where(F.col("tag") != "O")
+    return (
+        runs.groupBy("sent_id", "run_id")
+        .agg(
+            F.substring(F.min(F.struct("idx", "tag"))["tag"], 3, 10).alias("category"),
+            F.lower(_ordered_surface()).alias("surface"),
+        )
+        .select("category", "surface")
+        .distinct()
+    )
+
+
+def _ordered_surface() -> F.Column:
+    """Order-safe surface assembly: collect (idx, word) structs, sort by
+    idx, join — collect_list alone has no order guarantee under
+    parallel aggregation."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "word"))),
+            lambda s: s["word"],
+        ),
+        " ",
+    )
+
+
+def gold_bio_spans(corpus: DataFrame) -> DataFrame:
+    """M2: BIO→span assembly over the gold tags (tagger.rs:233-282
+    semantics: only B- starts a span; orphan I- runs are dropped)."""
+    runs = _run_ids(corpus).where(F.col("tag") != "O")
+    grouped = runs.groupBy("sent_id", "run_id").agg(
+        F.min("idx").alias("start_idx"),
+        F.max("idx").alias("end_idx"),
+        F.min(F.struct("idx", "tag"))["tag"].alias("first_tag"),
+        _ordered_surface().alias("surface"),
+    )
+    return (
+        grouped.where(F.col("first_tag").startswith("B-"))
+        .select("sent_id", "start_idx", "end_idx",
+                F.substring("first_tag", 3, 10).alias("category"), "surface")
+    )
