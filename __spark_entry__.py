@@ -56,11 +56,18 @@ def _ensure_pkg(spark: SparkSession) -> None:
 # --------------------------------------------------------------- helpers
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the test parquet is one small file → one input split; spread it
+    # across the cores (at real scale the table has many splits and
+    # this repartition is dropped)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -285,7 +292,8 @@ pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
     round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) + 1e-9, 6) AS jaccard
-  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) > 0)
 SELECT doc_a, doc_b, jaccard FROM (
   SELECT *, row_number() OVER (ORDER BY jaccard DESC, doc_a, doc_b) AS rk
   FROM pairs) WHERE rk <= 50

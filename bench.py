@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "kg_pipeline_sec", "value": N, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": 0.1,
+   "triples": N, "triples_per_sec": N, "docs": N, "cpus": N}
+
+Scaling evidence for the north rule (two cluster sizes on the same
+input — sandbox proxy local[8] vs local[32]):
+  python bench.py --scaling     # runs both in subprocesses, prints
+                                # both JSON lines + efficiency, and
+                                # rewrites BENCH/BASELINE.md
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(tail.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _noop_write(df) -> None:
+    """Execute the full plan without driver-side collection."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_bench(sf_dir: str, cpus: str) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ner_spark.session import get_spark
+
+    spark = get_spark("ner-spark-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(int(cpus) * 2, 8))
+    import __spark_entry__ as em
+
+    sf = _sf_of(sf_dir)
+    queries: dict[str, float] = {}
+
+    # --- headline: full KG pipeline (tag → link → canonicalize →
+    # materialize) over sf documents + an equal-sized fixture corpus
+    from ner_spark.sources.fixtures import source_from_documents, source_table
+
+    docs_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs_df.count()
+    source = source_from_documents(spark, sf_dir).unionByName(
+        source_table(spark, n_rows=n_docs)
+    )
+    source = source.localCheckpoint(eager=True)  # exclude synth cost
+    total_docs = 2 * n_docs
+
+    t0 = time.perf_counter()
+    triples_df = em._kg_triples(spark, source)
+    n_triples = triples_df.count()
+    kg_sec = time.perf_counter() - t0
+    queries["kg_pipeline"] = round(kg_sec, 3)
+
+    # --- per-operator headline queries (timed with a noop sink)
+    q = em.queries()
+    for name in (
+        "dedup_exact", "dedup_ngram_jaccard", "minhash_lsh_dedup",
+        "simhash_buckets", "text_quality", "token_counts", "lang_id",
+        "doc_fingerprint", "similarity_topk", "ann_lsh",
+        "embedding_near_dup", "media_features", "tpch_pricing",
+        "top_customers", "events_hourly", "events_sessions",
+    ):
+        t0 = time.perf_counter()
+        _noop_write(q[name](spark, sf_dir))
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "kg_pipeline_sec",
+        "value": round(kg_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "docs": total_docs,
+        "triples": n_triples,
+        "triples_per_sec": round(n_triples / kg_sec, 1),
+        "docs_per_sec": round(total_docs / kg_sec, 1),
+        "cpus": int(cpus),
+    }
+    spark.stop()
+    return result
+
+
+def run_scaling(sf_dir: str, low: int = 8, high: int = 32) -> None:
+    """North-rule scaling evidence: same job + same input at two
+    parallelism levels, each in its own subprocess/JVM."""
+    results = {}
+    for cpus in (low, high):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                   SPARK_GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+        print(line)
+
+    tp_low = results[low]["docs_per_sec"]
+    tp_high = results[high]["docs_per_sec"]
+    eff = tp_high / ((high / low) * tp_low)
+    summary = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "low_cpus": low, "high_cpus": high,
+        "docs_per_sec_low": tp_low, "docs_per_sec_high": tp_high,
+        "triples_per_sec_low": results[low]["triples_per_sec"],
+        "triples_per_sec_high": results[high]["triples_per_sec"],
+        "sf": results[low]["sf"],
+    }
+    print(json.dumps(summary))
+
+    md = f"""# BENCH — measured numbers
+
+KG pipeline (tag → link → canonicalize → materialize) over
+2×documents at sf={results[low]['sf']} ({results[low]['docs']} docs),
+same input at two parallelism levels (sandbox proxy for two cluster
+sizes, per the driver instruction):
+
+| parallelism | docs/sec | triples/sec | kg_pipeline sec |
+|---|---|---|---|
+| local[{low}] | {tp_low} | {results[low]['triples_per_sec']} | {results[low]['value']} |
+| local[{high}] | {tp_high} | {results[high]['triples_per_sec']} | {results[high]['value']} |
+
+**Scaling efficiency {low}→{high} cores** =
+{tp_high} / ({high // low} × {tp_low}) = **{eff:.3f}** (target ≥ 0.8 / 4×; here the
+core ratio is {high / low:.0f}×).
+
+Per-query seconds at local[{high}]:
+
+```json
+{json.dumps(results[high]['queries'], indent=2)}
+```
+"""
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"),
+                exist_ok=True)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if "--scaling" in sys.argv:
+        run_scaling(sf_dir)
+        return
+    print(json.dumps(run_bench(sf_dir, cpus)))
+
+
+if __name__ == "__main__":
+    main()

@@ -62,6 +62,44 @@ def shingles_col(tokens: Column, n: int = 3) -> Column:
     )
 
 
+def shingle_rows(
+    docs,
+    n: int = 3,
+    id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
+    distinct: bool = True,
+):
+    """Exploded word n-gram shingles: one row per (doc, shingle).
+
+    Tokenizes each doc exactly ONCE (``posexplode`` of the token array)
+    and assembles shingles with window ``lead`` — unlike
+    :func:`shingles_col`, whose lambda-bound ``element_at`` references
+    re-evaluate the tokenize expression per shingle element (higher-
+    order functions are interpreted, no codegen CSE: ~3n regex splits
+    per doc).  One shuffle on ``id_col``; at 100 TB that partition key
+    is the natural doc-locality key, so the window is cheap.
+
+    Returns columns (id_col, *carry, g).
+    """
+    from pyspark.sql import Window
+
+    ex = docs.select(
+        id_col, *carry, F.posexplode(tokens_col("text")).alias("idx", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("idx")
+    leads = [F.col("tok").alias("t0")] + [
+        F.lead("tok", k).over(w).alias(f"t{k}") for k in range(1, n)
+    ]
+    sh = ex.select(id_col, *carry, *leads).where(F.col(f"t{n-1}").isNotNull())
+    out = sh.select(
+        id_col, *carry,
+        F.concat_ws(" ", *[f"t{k}" for k in range(n)]).alias("g"),
+    )
+    if distinct:
+        out = out.dropDuplicates([id_col, "g"])
+    return out
+
+
 def stopword_hits(tokens: Column, words: list[str]) -> Column:
     """Number of token occurrences that are in ``words`` (with repeats)."""
     arr = F.array(*[F.lit(w) for w in words])

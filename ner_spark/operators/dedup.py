@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ner_spark.functions.text import shingles_col, stable_round, tokens_col
+from ner_spark.functions.text import (
+    shingle_rows,
+    shingles_col,
+    stable_round,
+    tokens_col,
+)
 
 
 def exact_dup_groups(docs: DataFrame) -> DataFrame:
@@ -45,22 +50,35 @@ def ngram_jaccard_pairs(
     (jaccard desc, doc_a, doc_b) — fully deterministic; jaccard is an
     exact int/int ratio so it hash-matches the DuckDB oracle.
     """
-    sh = docs.select(
-        F.col("doc_id"), F.col(block_col).alias("block"),
-        shingles_col(tokens_col("text"), n).alias("sh"),
-    ).where(F.size("sh") > 0)
-
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-    pairs = (
+    # shingle-join intersection counting instead of a pairwise
+    # array_intersect cross-join: explode distinct shingles, self-join
+    # on (block, shingle), count shared shingles per pair — linear in
+    # corpus size + per-shingle quadratic (bounded by shingle df), the
+    # only shape that survives 100×.  Pairs with zero overlap never
+    # materialize (jaccard 0 — excluded in the oracle too).
+    sh = shingle_rows(
+        docs.withColumnRenamed(block_col, "block") if block_col != "block" else docs,
+        n=n, carry=("block",), distinct=True,
+    ).localCheckpoint(eager=True)  # consumed twice (self-join) + sizes
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ex = sh.join(sizes, "doc_id")
+    a, b = ex.alias("a"), ex.alias("b")
+    shared = (
         a.join(b, (F.col("a.block") == F.col("b.block"))
+               & (F.col("a.g") == F.col("b.g"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            stable_round(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
         )
+        .agg(F.count("*").alias("inter"))
+    )
+    pairs = shared.select(
+        "doc_a", "doc_b",
+        stable_round(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"), 6
+        ).alias("jaccard"),
     )
     w = Window.orderBy(F.desc("jaccard"), "doc_a", "doc_b")
     return (
@@ -98,9 +116,21 @@ def minhash_lsh_dup_pairs(
     one bounded self-join per band bucket.
     """
     rows_per_band = num_hashes // bands
-    sig = docs.select(
-        "doc_id", minhash_signature(tokens_col("text"), n, num_hashes).alias("sig")
-    ).where(F.size("sig") > 0)
+    # aggregation-form signature: explode shingles once, take the min
+    # salted md5 per lane with a map-side-combinable groupBy.  (The
+    # expression-form minhash_signature() is equivalent but Catalyst's
+    # project-collapse re-evaluates the shingle expression per lane —
+    # 16× the work.)  min over duplicate shingles == min over the
+    # distinct set, so no shingle dedup is needed.
+    ex = shingle_rows(docs, n=n, distinct=False)
+    lanes = [
+        F.min(F.md5(F.concat(F.lit(f"h{i}|"), F.col("g")))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    sig = (
+        ex.groupBy("doc_id").agg(*lanes)
+        .select("doc_id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
+    )
 
     banded = sig.select(
         "doc_id", "sig",

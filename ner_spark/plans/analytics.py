@@ -19,7 +19,7 @@ from ner_spark.functions.text import (
     PT_STOPWORDS,
     lang_id_col,
     quality_score,
-    shingles_col,
+    shingle_rows,
     stopword_hits,
     tokens_col,
 )
@@ -71,21 +71,18 @@ def lang_id(docs: DataFrame) -> DataFrame:
 FINGERPRINT_SALTS = ("s0", "s1", "s2", "s3")
 
 
-def _salted_min_md5(salt: str) -> F.Column:
-    # NB: the lambda must take exactly ONE arg — a 2-arg lambda would be
-    # interpreted by F.transform as (element, index).
-    prefix = salt + "|"
-    return F.array_min(
-        F.transform(F.col("sh"), lambda g: F.md5(F.concat(F.lit(prefix), g)))
-    ).alias(f"mh_{salt}")
-
-
 def doc_fingerprint(docs: DataFrame, n: int = 3) -> DataFrame:
-    """MinHash-style 4-lane fingerprint per doc over word 3-shingles."""
-    sh = docs.select("doc_id", shingles_col(tokens_col("text"), n).alias("sh"))
-    return sh.where(F.size("sh") > 0).select(
-        "doc_id", *[_salted_min_md5(s) for s in FINGERPRINT_SALTS]
-    )
+    """MinHash-style 4-lane fingerprint per doc over word 3-shingles.
+
+    Aggregation form (explode + min per salt, map-side combinable):
+    tokenizes once per doc instead of once per lane reference, and min
+    over duplicate shingles equals min over the distinct set.
+    """
+    ex = shingle_rows(docs, n=n, distinct=False)
+    return ex.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat(F.lit(s + "|"), F.col("g")))).alias(f"mh_{s}")
+        for s in FINGERPRINT_SALTS
+    ])
 
 
 # ---------------------------------------------------------------- relational

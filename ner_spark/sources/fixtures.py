@@ -61,7 +61,9 @@ def source_table(spark: SparkSession, n_rows: int = 510, n_partitions: int | Non
 def source_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapt the driver's ``documents.parquet`` (doc_id, text, lang,
     source, n_chars) to the source-table shape."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return docs.select(
         F.col("source").alias("repo"),
         F.concat(F.lit("docs/"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
