@@ -40,19 +40,45 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 20,
     checkpoint_every: int = 1,
+    salt_buckets: int = 8,
 ) -> DataFrame:
     """nodes(node) + edges(src,dst) → (node, label) with label = min
-    node id in the component (min-label propagation)."""
+    node id in the component (min-label propagation).
+
+    ``salt_buckets > 1`` enables the north rule's *salted* iterative
+    hash join: hub nodes (a mega-repo entity with 10⁶+ edges) would
+    otherwise concentrate one join key on one task every iteration.
+    Each edge is deterministically salted by ``hash(dst) % K`` and the
+    label frontier is replicated ×K on ``(node, salt)``, so a hot
+    ``src`` fans out across K tasks.  The label-side blow-up is K× the
+    (small) frontier, not K× the edges.
+    """
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    sym = sym.distinct().localCheckpoint(eager=True)
+    sym = sym.distinct()
+    if salt_buckets > 1:
+        sym = sym.withColumn("salt", F.pmod(F.xxhash64("dst"), F.lit(salt_buckets)))
+    sym = sym.localCheckpoint(eager=True)
 
     labels = nodes.select(F.col("node"), F.col("node").alias("label"))
 
     for it in range(max_iter):
-        neighbor_labels = (
-            sym.join(labels, sym.src == labels.node)
-            .select(F.col("dst").alias("node"), F.col("label"))
-        )
+        if salt_buckets > 1:
+            exploded = labels.select(
+                "node", "label",
+                F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("salt"),
+            )
+            neighbor_labels = (
+                sym.join(
+                    exploded,
+                    (sym.src == exploded.node) & (sym.salt == exploded.salt),
+                )
+                .select(F.col("dst").alias("node"), F.col("label"))
+            )
+        else:
+            neighbor_labels = (
+                sym.join(labels, sym.src == labels.node)
+                .select(F.col("dst").alias("node"), F.col("label"))
+            )
         new_labels = (
             labels.unionByName(neighbor_labels)
             .groupBy("node")
