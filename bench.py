@@ -48,16 +48,23 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     queries: dict[str, float] = {}
 
     # --- headline: full KG pipeline (tag → link → canonicalize →
-    # materialize) over sf documents + an equal-sized fixture corpus
-    from ner_spark.sources.fixtures import source_from_documents, source_table
+    # materialize) over (sf documents ∪ fixture corpus) × MULT, every
+    # row a unique document (see fixtures.bench_source — exact-dup memo
+    # must not turn the bench into a cache-hit measurement)
+    from ner_spark.sources.fixtures import bench_source, source_table
 
-    docs_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n_docs = docs_df.count()
-    source = source_from_documents(spark, sf_dir).unionByName(
-        source_table(spark, n_rows=n_docs)
-    )
+    mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "64"))
+    # 4 partitions per core: single-wave scheduling exposes stragglers
+    # on heterogeneous doc lengths; finer tasks rebalance them
+    source = bench_source(spark, sf_dir, mult=mult).repartition(int(cpus) * 4)
     source = source.localCheckpoint(eager=True)  # exclude synth cost
-    total_docs = 2 * n_docs
+    total_docs = source.count()
+
+    # Untimed warmup on a small slice: pays the one-time Janino codegen
+    # compile + JVM JIT + Python-worker startup costs so the timed run
+    # measures steady-state throughput (what a long-running 100 TB job
+    # sees).  Identical at both parallelism levels.
+    em._kg_triples(spark, source_table(spark, n_rows=256)).count()
 
     t0 = time.perf_counter()
     triples_df = em._kg_triples(spark, source)
@@ -94,16 +101,23 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     return result
 
 
-def run_scaling(sf_dir: str, low: int = 8, high: int = 32) -> None:
+def run_scaling(sf_dir: str, low: int = 4, high: int = 16) -> None:
     """North-rule scaling evidence: same job + same input at two
-    parallelism levels, each in its own subprocess/JVM."""
+    parallelism levels (N and 4N cores), each in its own
+    subprocess/JVM pinned to exactly that many HW cores."""
     results = {}
     for cpus in (low, high):
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                    SPARK_GRAFT_SF_DIR=sf_dir)
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        # Pin the whole process tree (JVM + python workers) to `cpus`
+        # HW cores: a real N-core cluster pays serialization/scheduling
+        # *inside* its N cores; unpinned local[8] on a 32-core box would
+        # borrow spare cores and overstate small-cluster throughput.
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
+            cmd, env=env, capture_output=True, text=True, check=True,
         )
         line = out.stdout.strip().splitlines()[-1]
         results[cpus] = json.loads(line)
@@ -128,8 +142,10 @@ def run_scaling(sf_dir: str, low: int = 8, high: int = 32) -> None:
 
 KG pipeline (tag → link → canonicalize → materialize) over
 2×documents at sf={results[low]['sf']} ({results[low]['docs']} docs),
-same input at two parallelism levels (sandbox proxy for two cluster
-sizes, per the driver instruction):
+same input at two parallelism levels — each run pinned via taskset to
+exactly that many HW cores (sandbox proxy for two cluster sizes, per
+the driver instruction; pinning keeps the small "cluster" from
+borrowing spare cores for JVM serialization):
 
 | parallelism | docs/sec | triples/sec | kg_pipeline sec |
 |---|---|---|---|

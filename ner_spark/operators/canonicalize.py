@@ -101,14 +101,70 @@ def connected_components(
     return labels
 
 
-def canonicalize(links: DataFrame, max_iter: int = 20) -> DataFrame:
+def _local_components(edge_rows: list) -> list[tuple[str, str]]:
+    """Driver-side union-find over a collected edge list (small-graph
+    fast path).  Returns (node, label=min node in component)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for src, dst in edge_rows:
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            # union by min so the root IS the min label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(n, find(n)) for n in parent]
+
+
+def canonicalize(
+    links: DataFrame, max_iter: int = 20, local_threshold: int = 1_000_000
+) -> DataFrame:
     """links → entities(surface, entity_id).
 
     entity_id = ``ent:<min surface in component>`` (deterministic);
     surfaces with no KB link form singleton components.
+
+    Components over at most ``local_threshold`` edges run as driver-side
+    union-find on the collected (distinct, already-aggregated) edge list
+    — the same small-side cutoff reasoning as a broadcast join; larger
+    graphs run the distributed salted label-propagation loop
+    (:func:`connected_components`).  Both paths produce identical
+    labels; set ``local_threshold=0`` to force the distributed path.
     """
     surfaces = links.select("surface").where(F.col("surface").isNotNull()).distinct()
     edges = build_edges(links)
+
+    n_edges = edges.limit(local_threshold + 1).count() if local_threshold else None
+    if n_edges == 0:
+        return surfaces.select(
+            "surface", F.concat(F.lit("ent:"), "surface").alias("entity_id")
+        )
+
+    if n_edges is not None and n_edges <= local_threshold:
+        spark = links.sparkSession
+        pairs = _local_components(
+            [(r["src"], r["dst"]) for r in edges.collect()]
+        )
+        labels = spark.createDataFrame(pairs, "node string, label string")
+        # nodes absent from any edge keep themselves as label via the
+        # left join + coalesce below
+        surface_labels = (
+            surfaces.join(labels, surfaces.surface == labels.node, "left")
+            .select("surface", F.coalesce("label", "surface").alias("label"))
+        )
+        canon = surface_labels.groupBy("label").agg(
+            F.min("surface").alias("canon_surface")
+        )
+        return surface_labels.join(F.broadcast(canon), "label").select(
+            "surface", F.concat(F.lit("ent:"), "canon_surface").alias("entity_id")
+        )
 
     if edges.isEmpty():
         return surfaces.select(

@@ -63,8 +63,14 @@ def link_mentions(disambiguated: DataFrame) -> DataFrame:
     query = F.lower(F.col("mention_text"))
     tag = F.col("resolved_category")
 
+    # One small double expression per KB record, packed into an array;
+    # argmax = array_position of the max, which returns the FIRST max
+    # position — exactly the reference's first-record-wins strict '>'.
+    # (Keeping the generated code tiny matters: a greatest() over five
+    # struct/when chains compiled to a multi-second Janino unit that
+    # every task raced to codegen.)
     scored = []
-    for order, (kb_id, name, _desc, _url) in enumerate(KB_RECORDS):
+    for kb_id, name, _desc, _url in KB_RECORDS:
         name_lower = name.lower()
         base = (
             F.when(query == F.lit(name_lower), F.lit(0.8))
@@ -74,32 +80,26 @@ def link_mentions(disambiguated: DataFrame) -> DataFrame:
             )
             .otherwise(F.lit(0.0))
         )
-        bonus = (
-            F.when((tag == "PER") & F.lit(kb_id in KB_PER_IDS), F.lit(0.15))
-            .when((tag == "LOC") & F.lit(kb_id in KB_LOC_IDS), F.lit(0.15))
-            .when((tag == "ORG") & F.lit(kb_id in KB_ORG_IDS), F.lit(0.15))
+        type_ok = (
+            ((tag == "PER") & F.lit(kb_id in KB_PER_IDS))
+            | ((tag == "LOC") & F.lit(kb_id in KB_LOC_IDS))
+            | ((tag == "ORG") & F.lit(kb_id in KB_ORG_IDS))
+        )
+        scored.append(
+            F.when(base > 0.0, base + F.when(type_ok, 0.15).otherwise(0.0))
             .otherwise(F.lit(0.0))
         )
-        score = F.when(base > 0.0, base + bonus).otherwise(F.lit(0.0))
-        # greatest() on (score, -order, id, name): ties → lowest KB order,
-        # matching the reference's first-record-wins strict '>'.
-        scored.append(
-            F.struct(
-                score.alias("score"),
-                F.lit(-order).alias("neg_order"),
-                F.lit(kb_id).alias("kb_id"),
-                F.lit(name).alias("kb_name"),
-            )
-        )
 
-    best = F.greatest(*scored)
-    linked = best["score"] >= 0.5
+    ids = F.array(*[F.lit(r[0]) for r in KB_RECORDS])
+    names = F.array(*[F.lit(r[1]) for r in KB_RECORDS])
+    scores = F.array(*scored)
+    best_score = F.array_max(scores)
+    best_idx = F.array_position(scores, best_score)  # 1-based, first max
+    linked = best_score >= 0.5
     return (
-        disambiguated.withColumn("_best", best)
-        .withColumn("kb_id", F.when(linked, F.col("_best.kb_id")))
-        .withColumn("kb_name", F.when(linked, F.col("_best.kb_name")))
-        .withColumn("link_score", F.when(linked, F.col("_best.score")).otherwise(F.lit(0.0)))
-        .drop("_best")
+        disambiguated.withColumn("kb_id", F.when(linked, F.element_at(ids, best_idx.cast("int"))))
+        .withColumn("kb_name", F.when(linked, F.element_at(names, best_idx.cast("int"))))
+        .withColumn("link_score", F.when(linked, best_score).otherwise(F.lit(0.0)))
         .withColumn("surface", F.lower(F.col("mention_text")))
     )
 

@@ -59,6 +59,8 @@ def extract_mentions(
     narrow = source.select(*cols)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ner_spark.core.batch import analyze_batch
+
         memo: dict[Any, Any] = {}
         for pdf in batches:
             out: dict[str, list] = {f.name: [] for f in MENTIONS_SCHEMA.fields}
@@ -67,15 +69,29 @@ def extract_mentions(
             repos = pdf["repo"].tolist()
             paths = pdf["path"].tolist()
             commits = pdf["commit"].tolist()
+
+            # batched kernel over the batch's UNIQUE contents (exact-dup
+            # content is common in web/code corpora); worker-local memo
+            # for cross-batch repeats when memoize=True
+            if not memoize or len(memo) >= _MEMO_MAX:
+                memo = {}
+            seen = set()
+            unique = []
+            for content in contents:
+                if content is not None and content not in memo and content not in seen:
+                    seen.add(content)
+                    unique.append(content)
+            results = analyze_batch(unique, mode=mode, tokenizer_mode=tokenizer_mode)
+            if memoize:
+                memo.update(zip(unique, results))
+                lookup = memo
+            else:
+                lookup = dict(zip(unique, results))
+
             for repo, path, commit, content, sha in zip(repos, paths, commits, contents, shas):
                 if content is None:
                     continue
-                if memoize:
-                    tagged, entities = _analyze_cached(memo, content, mode, tokenizer_mode)
-                else:
-                    from ner_spark.core.pipeline import analyze
-
-                    tagged, entities = analyze(content, mode=mode, tokenizer_mode=tokenizer_mode)
+                tagged, entities = lookup[content]
                 sha_ok = (
                     None if sha is None
                     else hashlib.sha256(content.encode("utf-8")).hexdigest() == sha

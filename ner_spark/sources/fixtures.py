@@ -58,6 +58,35 @@ def source_table(spark: SparkSession, n_rows: int = 510, n_partitions: int | Non
     return df
 
 
+def bench_source(spark: SparkSession, sf_dir: str, mult: int = 1) -> DataFrame:
+    """Benchmark corpus: sf documents ∪ fixture corpus, each replicated
+    ``mult``× with a unique per-replica token appended to ``content``
+    (sha recomputed) so every row is a *distinct* document.
+
+    Rationale: web-scale corpora are mostly unique documents; without
+    uniquification the tag stage's exact-dup memo turns the benchmark
+    into a dictionary-lookup measurement.  Generation is fully
+    distributed (crossJoin with a range — no driver-side row list).
+    """
+    base = source_from_documents(spark, sf_dir).unionByName(
+        source_table(spark, n_rows=510)
+    )
+    if mult <= 1:
+        return base
+    reps = spark.range(mult).select(F.col("id").alias("rep"))
+    return (
+        base.crossJoin(reps)
+        .withColumn(
+            "content",
+            F.concat_ws(" ", "content", F.concat(F.lit("doc"), F.col("rep"))),
+        )
+        .withColumn("path", F.concat_ws("#", "path", F.col("rep").cast("string")))
+        .withColumn("content_sha256", F.sha2("content", 256))
+        .drop("rep")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 def source_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapt the driver's ``documents.parquet`` (doc_id, text, lang,
     source, n_chars) to the source-table shape."""

@@ -106,6 +106,13 @@ def test_canonicalize_merges_kb_linked_surfaces(links_df):
     assert len(ids) == n_surfaces
 
 
+def test_canonicalize_local_matches_distributed(links_df):
+    # small-graph union-find fast path vs salted label-propagation loop
+    local = sorted(map(tuple, canonicalize(links_df).collect()))
+    dist = sorted(map(tuple, canonicalize(links_df, local_threshold=0).collect()))
+    assert local == dist
+
+
 def test_triples_shape(links_df):
     entities = canonicalize(links_df)
     triples = materialize_triples(links_df, entities).cache()
