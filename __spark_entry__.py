@@ -194,6 +194,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_kg_triples(spark, sf):
         return _kg_triples(spark, _fixture_source(spark))
 
+    def q_sota_gliner(spark, sf):
+        from ner_spark.operators.sota import sota_predictions
+
+        return sota_predictions(_fixture_source(spark))
+
     def _with_pkg(fn):
         def wrapped(spark, sf):
             _ensure_pkg(spark)
@@ -225,6 +230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mentions_hybrid": q_mentions_hybrid,
         "mentions_crf": q_mentions_crf,
         "kg_triples": q_kg_triples,
+        "sota_gliner": q_sota_gliner,
     }.items()}
 
 

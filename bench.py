@@ -53,12 +53,15 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     # must not turn the bench into a cache-hit measurement)
     from ner_spark.sources.fixtures import bench_source, source_table
 
-    mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "64"))
-    # 4 partitions per core: single-wave scheduling exposes stragglers
-    # on heterogeneous doc lengths; finer tasks rebalance them
-    source = bench_source(spark, sf_dir, mult=mult).repartition(int(cpus) * 4)
-    source = source.localCheckpoint(eager=True)  # exclude synth cost
+    mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "384"))
+    source = bench_source(spark, sf_dir, mult=mult)
+    # data-proportional partitioning (the maxPartitionBytes principle):
+    # a fixed ~4k docs per task keeps Arrow batch shape — and therefore
+    # per-core throughput — identical across cluster sizes, and
+    # multi-wave scheduling rebalances heterogeneous doc lengths
     total_docs = source.count()
+    source = source.repartition(max(int(cpus), total_docs // 4096))
+    source = source.localCheckpoint(eager=True)  # exclude synth cost
 
     # Untimed warmup on a small slice: pays the one-time Janino codegen
     # compile + JVM JIT + Python-worker startup costs so the timed run

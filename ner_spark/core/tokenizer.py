@@ -36,56 +36,98 @@ def _blen(s: str) -> int:
     return len(s.encode("utf-8"))
 
 
+# char-class table (ASCII); the scanner below branches on these
+_ALNUM, _DOT, _APOS, _SPACE, _HYPHEN, _OTHER = range(6)
+_ASCII_CLASS = tuple(
+    _ALNUM if chr(c).isalnum()
+    else _DOT if c == 0x2E
+    else _APOS if c == 0x27
+    else _SPACE if chr(c).isspace()
+    else _HYPHEN if c == 0x2D
+    else _OTHER
+    for c in range(128)
+)
+
+
+def _char_class(ch: str) -> int:
+    o = ord(ch)
+    if o < 128:
+        return _ASCII_CLASS[o]
+    if ch.isalnum():
+        return _ALNUM
+    if ch == "’":
+        return _APOS
+    if ch.isspace():
+        return _SPACE
+    return _OTHER
+
+
 def tokenize_standard(text: str) -> list[Token]:
+    # Tokens are always contiguous slices of the input (chars are only
+    # ever appended in scan order), so the scanner tracks (start, len)
+    # instead of building per-char lists.  ASCII inputs skip the UTF-8
+    # byte-position table entirely (byte offset == char offset).
+    if text.isascii():
+        positions = None
+        total_bytes = len(text)
+    else:
+        import numpy as np
+
+        cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+        lens = 1 + (cp > 0x7F).astype(np.int64) + (cp > 0x7FF) + (cp > 0xFFFF)
+        ends = np.cumsum(lens)
+        total_bytes = int(ends[-1]) if len(ends) else 0
+        positions = np.concatenate(([0], ends[:-1]))
+
     tokens: list[Token] = []
-    cur: list[str] = []
-    cur_start = 0
-
-    # (byte_pos, char) pairs, like Rust char_indices over UTF-8.
-    positions: list[int] = []
-    bpos = 0
-    for ch in text:
-        positions.append(bpos)
-        bpos += len(ch.encode("utf-8"))
-    total_bytes = bpos
-
-    def flush(end: int) -> None:
-        if cur:
-            tokens.append(("".join(cur), cur_start, end))
-            cur.clear()
-
+    append = tokens.append
+    cls_ascii = _ASCII_CLASS
     n = len(text)
+    ci = 0          # char index where the current token starts
+    cur_len = 0     # chars in the current token
     i = 0
     while i < n:
         ch = text[i]
-        byte_pos = positions[i]
-        if ch.isalnum() or (ch == "-" and cur):
-            if not cur:
-                cur_start = byte_pos
-            cur.append(ch)
-        elif ch == "." and cur:
-            curtext = "".join(cur)
-            is_abbrev = curtext in ABBREVIATIONS
-            current_is_num = curtext.isnumeric()
-            next_is_num = i + 1 < n and text[i + 1].isnumeric()
-            if is_abbrev or (current_is_num and next_is_num):
-                cur.append(".")
+        o = ord(ch)
+        c = cls_ascii[o] if o < 128 else _char_class(ch)
+        if c == _ALNUM or (c == _HYPHEN and cur_len):
+            if not cur_len:
+                ci = i
+            cur_len += 1
+        elif c == _DOT and cur_len:
+            curtext = text[ci:ci + cur_len]
+            if curtext in ABBREVIATIONS or (
+                curtext.isnumeric() and i + 1 < n and text[i + 1].isnumeric()
+            ):
+                cur_len += 1
             else:
-                flush(byte_pos)
-                tokens.append((".", byte_pos, byte_pos + 1))
-        elif ch == "'" or ch == "’":
-            if not cur:
-                cur_start = byte_pos
-            cur.append(ch)
-        elif ch.isspace():
-            flush(byte_pos)
+                bp = i if positions is None else int(positions[i])
+                append((curtext, ci if positions is None else int(positions[ci]), bp))
+                cur_len = 0
+                append((".", bp, bp + 1))
+        elif c == _APOS:
+            if not cur_len:
+                ci = i
+            cur_len += 1
+        elif c == _SPACE:
+            if cur_len:
+                bp = i if positions is None else int(positions[i])
+                append((text[ci:ci + cur_len],
+                        ci if positions is None else int(positions[ci]), bp))
+                cur_len = 0
         else:
-            flush(byte_pos)
-            ch_len = len(ch.encode("utf-8"))
-            tokens.append((ch, byte_pos, byte_pos + ch_len))
+            bp = i if positions is None else int(positions[i])
+            if cur_len:
+                append((text[ci:ci + cur_len],
+                        ci if positions is None else int(positions[ci]), bp))
+                cur_len = 0
+            ch_blen = 1 if o < 128 else len(ch.encode("utf-8"))
+            append((ch, bp, bp + ch_blen))
         i += 1
 
-    flush(total_bytes)
+    if cur_len:
+        append((text[ci:ci + cur_len],
+                ci if positions is None else int(positions[ci]), total_bytes))
     return tokens
 
 

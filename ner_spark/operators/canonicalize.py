@@ -141,29 +141,37 @@ def canonicalize(
     surfaces = links.select("surface").where(F.col("surface").isNotNull()).distinct()
     edges = build_edges(links)
 
-    n_edges = edges.limit(local_threshold + 1).count() if local_threshold else None
-    if n_edges == 0:
+    # one job: take() both probes the threshold AND collects the edge
+    # sample we need for the local path
+    edge_rows = edges.take(local_threshold + 1) if local_threshold else None
+
+    if edge_rows is not None and len(edge_rows) == 0:
         return surfaces.select(
             "surface", F.concat(F.lit("ent:"), "surface").alias("entity_id")
         )
 
-    if n_edges is not None and n_edges <= local_threshold:
+    if edge_rows is not None and len(edge_rows) <= local_threshold:
         spark = links.sparkSession
-        pairs = _local_components(
-            [(r["src"], r["dst"]) for r in edges.collect()]
-        )
-        labels = spark.createDataFrame(pairs, "node string, label string")
-        # nodes absent from any edge keep themselves as label via the
-        # left join + coalesce below
-        surface_labels = (
-            surfaces.join(labels, surfaces.surface == labels.node, "left")
-            .select("surface", F.coalesce("label", "surface").alias("label"))
-        )
-        canon = surface_labels.groupBy("label").agg(
-            F.min("surface").alias("canon_surface")
-        )
-        return surface_labels.join(F.broadcast(canon), "label").select(
-            "surface", F.concat(F.lit("ent:"), "canon_surface").alias("entity_id")
+        pairs = _local_components([(r["src"], r["dst"]) for r in edge_rows])
+        # component → canonical surface (min over surface nodes, kb:
+        # nodes excluded) computed driver-side; only edge-connected
+        # surfaces need mapping rows — singletons coalesce to themselves
+        roots: dict[str, str] = {}
+        for node, label in pairs:
+            if node.startswith("kb:"):
+                continue
+            cur = roots.get(label)
+            if cur is None or node < cur:
+                roots[label] = node
+        mapping = [
+            (node, "ent:" + roots[label])
+            for node, label in pairs
+            if not node.startswith("kb:")
+        ]
+        mapped = spark.createDataFrame(mapping, "surface string, mapped_id string")
+        return surfaces.join(F.broadcast(mapped), "surface", "left").select(
+            "surface",
+            F.coalesce("mapped_id", F.concat(F.lit("ent:"), "surface")).alias("entity_id"),
         )
 
     if edges.isEmpty():
