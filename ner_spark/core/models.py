@@ -4,8 +4,9 @@ Trained driver-side on the 41-sentence fixture corpus (it is tiny; a
 distributed trainer would be pure overhead) and applied at scale as
 broadcast weight tables inside vectorized UDF batches.  The HMM counts
 are *also* exposed as a genuine DataFrame training job in
-:mod:`ner_spark.operators.hmm_train` — groupBy counts on the exploded
-corpus — matching these driver-side numbers.
+:mod:`ner_spark.plans.analytics` (``hmm_transition_counts`` /
+``hmm_emission_counts`` — groupBy counts on the exploded corpus,
+DuckDB-oracled) matching these driver-side numbers.
 
 Reference semantics:
 - HMM: ner-core/src/hmm.rs:72-235 (add-1 smoothing, log-space, <UNK>).
