@@ -94,8 +94,14 @@ def _kg_triples(spark: SparkSession, source: DataFrame) -> DataFrame:
     from ner_spark.operators.tag import extract_mentions
 
     links = link_mentions(disambiguate(extract_mentions(source)))
-    links = links.localCheckpoint(eager=True)  # reused by 2 downstream stages
-    return materialize_triples(links, canonicalize(links))
+    # checkpoint only the columns the downstream stages read: the
+    # in-memory checkpoint is row-oriented (no column pruning), so
+    # carrying mention_text/context_window/offsets through it would
+    # multiply the bytes re-scanned by canonicalize + materialize
+    slim = links.select(
+        "repo", "path", "surface", "kb_id", "resolved_category", "link_score"
+    ).localCheckpoint(eager=True)  # reused by 2 downstream stages
+    return materialize_triples(slim, canonicalize(slim))
 
 
 # --------------------------------------------------------------- contract
@@ -175,6 +181,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_hmm_transitions(spark, sf):
         return A.hmm_transition_counts(A.corpus_tokens_df(spark))
 
+    def q_hmm_emissions(spark, sf):
+        return A.hmm_emission_counts(A.corpus_tokens_df(spark))
+
     def q_gazetteer_compile(spark, sf):
         return A.gazetteer_surfaces(A.corpus_tokens_df(spark))
 
@@ -225,6 +234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "hmm_transitions": q_hmm_transitions,
+        "hmm_emissions": q_hmm_emissions,
         "gazetteer_compile": q_gazetteer_compile,
         "bio_gold_spans": q_bio_gold_spans,
         "mentions_hybrid": q_mentions_hybrid,
@@ -413,6 +423,10 @@ p AS (
     coalesce(lag(tag) OVER (PARTITION BY sent_id ORDER BY idx), '<S>') AS prev_tag
   FROM c)
 SELECT prev_tag, tag, count(*) AS n FROM p GROUP BY prev_tag, tag
+""",
+        "hmm_emissions": f"""
+WITH c AS (SELECT * FROM {_corpus_cte()})
+SELECT tag, word, count(*) AS n FROM c GROUP BY tag, word
 """,
         "gazetteer_compile": _runs_cte() + """
 SELECT DISTINCT substr(first_tag, 3) AS category, lower(surface) AS surface FROM g

@@ -8,13 +8,14 @@ canonicalized mentions:
 - ``(<entity_id>, LINKED_TO, <kb_id>)``          evidence = #linked mentions
 - ``(<entity_id>, INSTANCE_OF, <category>)``     evidence = #mentions
 
-Scale design: DECLARES/LINKED_TO/INSTANCE_OF are single groupBy
-aggregations (map-side combine).  MENTIONED_WITH is a per-document
-self-pairing done *without* a self-join: distinct entities per doc are
-collected (capped, sorted) and pairs generated with array transforms —
-one shuffle to group, one to count pairs, no quadratic join.  Docs with
-more than ``max_entities_per_doc`` distinct entities are truncated
-(logged via the metrics layer) to bound the pair blow-up.
+Scale design: the fat mentions table is scanned and shuffled exactly
+once into :func:`mention_counts` (a map-side-combinable pre-agg over a
+narrow column slice); all four predicate branches aggregate that far
+smaller table.  MENTIONED_WITH is a per-document self-pairing done
+*without* a self-join: distinct entities per doc are collected (capped,
+sorted) and pairs generated with array transforms — no quadratic join.
+Docs with more than ``max_entities_per_doc`` distinct entities are
+truncated (logged via the metrics layer) to bound the pair blow-up.
 """
 
 from __future__ import annotations
@@ -32,24 +33,34 @@ def with_entities(links: DataFrame, entities: DataFrame) -> DataFrame:
     )
 
 
-def declares_triples(mentions_ent: DataFrame) -> DataFrame:
+def mention_counts(mentions_ent: DataFrame) -> DataFrame:
+    """One map-side-combinable pre-aggregation all four triple branches
+    consume: the fat mentions table is scanned and shuffled ONCE; the
+    branches then aggregate this (far smaller) count table."""
+    return mentions_ent.groupBy(
+        "repo", "path", "entity_id", "kb_id", "resolved_category",
+        (F.col("kb_id").isNotNull() & (F.col("link_score") >= 0.5)).alias("kb_linked"),
+    ).agg(F.count("*").alias("c"))
+
+
+def declares_triples(base: DataFrame) -> DataFrame:
     return (
-        mentions_ent.groupBy("repo", "entity_id")
-        .count()
+        base.groupBy("repo", "entity_id")
+        .agg(F.sum("c").alias("evidence_count"))
         .select(
             F.concat(F.lit("repo:"), "repo").alias("subj"),
             F.lit("DECLARES").alias("pred"),
             F.col("entity_id").alias("obj"),
-            F.col("count").alias("evidence_count"),
+            "evidence_count",
         )
     )
 
 
 def mentioned_with_triples(
-    mentions_ent: DataFrame, max_entities_per_doc: int = 64
+    base: DataFrame, max_entities_per_doc: int = 64
 ) -> DataFrame:
     per_doc = (
-        mentions_ent.groupBy("repo", "path")
+        base.groupBy("repo", "path")
         .agg(F.slice(F.sort_array(F.collect_set("entity_id")), 1, max_entities_per_doc).alias("ents"))
         .where(F.size("ents") >= 2)
     )
@@ -78,29 +89,29 @@ def mentioned_with_triples(
     )
 
 
-def linked_to_triples(mentions_ent: DataFrame) -> DataFrame:
+def linked_to_triples(base: DataFrame) -> DataFrame:
     return (
-        mentions_ent.where(F.col("kb_id").isNotNull() & (F.col("link_score") >= 0.5))
+        base.where(F.col("kb_linked"))
         .groupBy("entity_id", "kb_id")
-        .count()
+        .agg(F.sum("c").alias("evidence_count"))
         .select(
             F.col("entity_id").alias("subj"),
             F.lit("LINKED_TO").alias("pred"),
             F.col("kb_id").alias("obj"),
-            F.col("count").alias("evidence_count"),
+            "evidence_count",
         )
     )
 
 
-def instance_of_triples(mentions_ent: DataFrame) -> DataFrame:
+def instance_of_triples(base: DataFrame) -> DataFrame:
     return (
-        mentions_ent.groupBy("entity_id", "resolved_category")
-        .count()
+        base.groupBy("entity_id", "resolved_category")
+        .agg(F.sum("c").alias("evidence_count"))
         .select(
             F.col("entity_id").alias("subj"),
             F.lit("INSTANCE_OF").alias("pred"),
             F.col("resolved_category").alias("obj"),
-            F.col("count").alias("evidence_count"),
+            "evidence_count",
         )
     )
 
@@ -108,10 +119,15 @@ def instance_of_triples(mentions_ent: DataFrame) -> DataFrame:
 def materialize_triples(
     links: DataFrame, entities: DataFrame, max_entities_per_doc: int = 64
 ) -> DataFrame:
-    m = with_entities(links, entities)
+    # only the columns the branches need — keeps the scan narrow even
+    # when ``links`` is a row-oriented in-memory checkpoint
+    slim = links.select(
+        "repo", "path", "surface", "kb_id", "resolved_category", "link_score"
+    )
+    base = mention_counts(with_entities(slim, entities)).localCheckpoint(eager=True)
     return (
-        declares_triples(m)
-        .unionByName(mentioned_with_triples(m, max_entities_per_doc))
-        .unionByName(linked_to_triples(m))
-        .unionByName(instance_of_triples(m))
+        declares_triples(base)
+        .unionByName(mentioned_with_triples(base, max_entities_per_doc))
+        .unionByName(linked_to_triples(base))
+        .unionByName(instance_of_triples(base))
     )

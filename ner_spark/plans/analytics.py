@@ -195,6 +195,13 @@ def hmm_transition_counts(corpus: DataFrame) -> DataFrame:
     )
 
 
+def hmm_emission_counts(corpus: DataFrame) -> DataFrame:
+    """H1: (tag, word) raw emission counts — the other half of the HMM
+    training aggregation (reference hmm.rs:93-94 counts emissions per
+    tag over raw, case-preserved words)."""
+    return corpus.groupBy("tag", "word").agg(F.count("*").alias("n"))
+
+
 def _run_ids(corpus: DataFrame) -> DataFrame:
     """Entity-run grouping over BIO tags: a run starts at B-* or at an
     orphan I-* (previous tag absent or 'O')."""
