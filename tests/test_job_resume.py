@@ -66,3 +66,32 @@ def test_stage_partial_run(spark, out_dir):
     assert mentions.count() > 0
     # downstream stages not produced yet
     assert not job._committed("link")
+
+
+def test_midstage_partial_write_is_recomputed(spark, out_dir):
+    """Executor loss MID-stage: the stage dir has partial part-files but
+    no _SUCCESS commit marker — the relaunch must recompute the stage
+    from its input, never trust partial output."""
+    import glob
+    import os
+
+    src = source_table(spark, n_rows=30)
+    t1 = _triples_set(KgJob(spark, out_dir, run_id="a").run(src))
+
+    os.remove(f"{out_dir}/link/_SUCCESS")
+    parts = glob.glob(f"{out_dir}/link/part-*")
+    assert parts
+    os.remove(parts[0])  # partial data left behind
+    shutil.rmtree(f"{out_dir}/canonicalize")
+    shutil.rmtree(f"{out_dir}/materialize")
+
+    job2 = KgJob(spark, out_dir, run_id="b")
+    t2 = _triples_set(job2.run(src))
+    assert t1 == t2
+
+    m = job2.metrics()
+    skipped = {
+        r.stage
+        for r in m.where((F.col("run_id") == "b") & (F.col("partition_id") == -1)).collect()
+    }
+    assert "tokenize_tag" in skipped and "link" not in skipped
