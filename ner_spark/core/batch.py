@@ -84,12 +84,9 @@ def _build_plan():
 _MAPS, _FLAGS = _build_plan()
 
 
-def _first_upper(s: str) -> bool:
-    return bool(s) and s[0].isupper()
-
-
-def _blen(s: str) -> int:
-    return len(s.encode("utf-8"))
+# the parity-sensitive predicates come from the oracle module itself so
+# the two kernels can never drift apart
+from ner_spark.core.features import _blen, _first_upper  # noqa: E402
 
 
 # word-level passes, in oracle order, up to the last pre-positional one
@@ -154,11 +151,20 @@ def _word_level(vlist: list[str], cfg: RuleConfig | None):
         elif kind == "is_mixed_case":
             add_flag("is_mixed_case", lambda v: any(c.isupper() for c in vlist[v][1:]))
         elif kind in ("prefix2", "prefix3", "prefix4"):
+            # slice THEN lowercase (oracle features.py order): for words
+            # whose lowercasing changes length ("İ" → "i̇") the two
+            # orders produce different keys
             nn = int(kind[-1])
-            add_map(kind, [lowers[v][:nn] if len(vlist[v]) >= nn else None for v in range(V)])
+            add_map(kind, [
+                vlist[v][:nn].lower() if len(vlist[v]) >= nn else None
+                for v in range(V)
+            ])
         elif kind in ("suffix2", "suffix3", "suffix4"):
             nn = int(kind[-1])
-            add_map(kind, [lowers[v][-nn:] if len(vlist[v]) >= nn else None for v in range(V)])
+            add_map(kind, [
+                vlist[v][len(vlist[v]) - nn:].lower() if len(vlist[v]) >= nn else None
+                for v in range(V)
+            ])
         elif kind == "is_digit":
             add_flag("is_digit", lambda v: vlist[v].isnumeric())
         elif kind == "has_hyphen":
@@ -295,9 +301,10 @@ def _emission_flat(
                 mid = has_prev & has_next
                 idx, rows = [], []
                 lowers_tok = None
+                lowers_v = [w.lower() for w in vlist]
                 for t in np.nonzero(mid)[0]:
                     if lowers_tok is None:
-                        lowers_tok = [vlist[v].lower() for v in vid]
+                        lowers_tok = [lowers_v[v] for v in vid]
                     r = get(f"{lowers_tok[t - 1]}_{lowers_tok[t + 1]}")
                     if r is not None:
                         idx.append(t)

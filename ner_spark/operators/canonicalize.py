@@ -38,7 +38,7 @@ def build_edges(links: DataFrame) -> DataFrame:
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
-    max_iter: int = 20,
+    max_iter: int = 50,
     checkpoint_every: int = 1,
     salt_buckets: int = 8,
 ) -> DataFrame:
@@ -96,9 +96,15 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
+            return labels
 
-    return labels
+    # fail loudly rather than return silently-split components: a graph
+    # whose diameter exceeds max_iter would otherwise canonicalize
+    # differently from the (always-exact) local union-find path
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations; "
+        "raise max_iter (component diameter exceeds it)"
+    )
 
 
 def _local_components(edge_rows: list) -> list[tuple[str, str]]:
@@ -124,7 +130,7 @@ def _local_components(edge_rows: list) -> list[tuple[str, str]]:
 
 
 def canonicalize(
-    links: DataFrame, max_iter: int = 20, local_threshold: int = 1_000_000
+    links: DataFrame, max_iter: int = 50, local_threshold: int = 1_000_000
 ) -> DataFrame:
     """links → entities(surface, entity_id).
 
@@ -174,7 +180,9 @@ def canonicalize(
             F.coalesce("mapped_id", F.concat(F.lit("ent:"), "surface")).alias("entity_id"),
         )
 
-    if edges.isEmpty():
+    # (edge_rows is None here — local_threshold=0 forced the distributed
+    # path; when take() ran, emptiness was already decided above)
+    if edge_rows is None and edges.isEmpty():
         return surfaces.select(
             "surface", F.concat(F.lit("ent:"), "surface").alias("entity_id")
         )

@@ -156,7 +156,23 @@ def tag_tokens(
 
 
 def sha_integrity(mentions: DataFrame) -> DataFrame:
-    """Aggregate per-row sha256 equality to one boolean per (repo, path)."""
+    """Aggregate per-row sha256 equality to one boolean per (repo, path).
+
+    Only covers files that produced at least one mention — use
+    :func:`sha_check` on the SOURCE table for the full per-row
+    invariant (a corrupted file with zero entities has no mentions
+    row)."""
     return mentions.groupBy("repo", "path").agg(
         F.min(F.coalesce(F.col("sha_ok"), F.lit(True))).alias("content_sha_ok")
+    )
+
+
+def sha_check(source: DataFrame) -> DataFrame:
+    """Per-row integrity over the FULL source table (north-rule
+    invariant: sha256(content) equality for every row, including
+    documents that yield no mentions).  Pure Catalyst — one narrow
+    scan, no Python."""
+    return source.select(
+        "repo", "path",
+        (F.sha2("content", 256) == F.col("content_sha256")).alias("sha_ok"),
     )

@@ -108,11 +108,32 @@ class KgJob:
 
     # -- stages ---------------------------------------------------------------
 
+    def _log_source_integrity(self, source: DataFrame) -> None:
+        """North-rule per-row invariant over the FULL source (docs with
+        zero mentions included): one metrics row
+        (rows_in=total, rows_out=#sha-ok, sha_ok=all-ok)."""
+        from ner_spark.operators.tag import sha_check
+
+        started = _utcnow()
+        agg = sha_check(source).agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("sha_ok"), 1).otherwise(0)).alias("ok"),
+        ).collect()[0]
+        n, ok = int(agg["n"]), int(agg["ok"] or 0)
+        rows = [(self.run_id, "source_integrity", -1, n, ok, ok == n,
+                 started, _utcnow(), self.out)]
+        self.spark.createDataFrame(rows, METRICS_SCHEMA).write.mode("append").parquet(
+            f"{self.out}/metrics"
+        )
+
     def run(self, source: DataFrame, last_stage: str = "materialize") -> DataFrame:
         from ner_spark.operators.canonicalize import canonicalize
         from ner_spark.operators.link import disambiguate, link_mentions
         from ner_spark.operators.materialize import materialize_triples
         from ner_spark.operators.tag import extract_mentions
+
+        if "content_sha256" in source.columns:
+            self._log_source_integrity(source)
 
         mentions = self._run_stage(
             "tokenize_tag", source,

@@ -30,6 +30,9 @@ EDGE_TEXTS = [
     "presidente Lula visitou Brasília-DF em 12.345.678/0001-90 hoje",
     "PETROBRAS S.A. anunciou; Dra. Áurea chegou à capital.",
     "word " * 300,  # long doc crossing sub-batch padding
+    # length-changing lowercase: "İ".lower() == "i̇" (2 codepoints), so
+    # slice-then-lower vs lower-then-slice produce different prefix keys
+    "İstanbul İİgür Lula İx",
 ]
 
 

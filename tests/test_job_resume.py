@@ -41,7 +41,7 @@ def test_full_run_then_resume_is_identical(spark, out_dir):
     skipped = {
         r.stage
         for r in m.where((F.col("run_id") == "run2") & (F.col("partition_id") == -1)).collect()
-    }
+    } - {"source_integrity"}  # informational row, logged every run
     assert skipped == {"tokenize_tag", "link"}
     recomputed = {
         r.stage
@@ -95,3 +95,22 @@ def test_midstage_partial_write_is_recomputed(spark, out_dir):
         for r in m.where((F.col("run_id") == "b") & (F.col("partition_id") == -1)).collect()
     }
     assert "tokenize_tag" in skipped and "link" not in skipped
+
+
+def test_source_integrity_covers_zero_mention_docs(spark, out_dir):
+    """A corrupted doc that yields no mentions must still fail the
+    source-level integrity metric (the mentions-derived sha_ok cannot
+    see it)."""
+    src = source_table(spark, n_rows=12)
+    corrupted = src.withColumn(
+        "content",
+        F.when(F.col("path").endswith("/0.txt"), F.lit("zzz qqq"))  # no entities
+        .otherwise(F.col("content")),
+    )
+    job = KgJob(spark, out_dir, run_id="integ")
+    job.run(corrupted, last_stage="tokenize_tag")
+    m = job.metrics().where(F.col("stage") == "source_integrity").collect()
+    assert len(m) == 1
+    row = m[0]
+    assert row.rows_in == 12 and row.rows_out == 11
+    assert row.content_sha_ok is False
