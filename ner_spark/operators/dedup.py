@@ -80,9 +80,27 @@ def ngram_jaccard_pairs(
             / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"), 6
         ).alias("jaccard"),
     )
-    w = Window.orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+    return _global_topk(pairs, "jaccard", top_k, block_keys=("doc_a",))
+
+
+def _global_topk(
+    pairs: DataFrame, score_col: str, top_k: int, block_keys: tuple[str, ...]
+) -> DataFrame:
+    """Deterministic global top-k without funneling every row through
+    one task: a per-block ``row_number`` prunes to ≤ top_k rows per
+    block first (distributed), so the final global window sees at most
+    blocks × top_k rows.  The global top-k is necessarily a subset of
+    the per-block top-k, so results are identical."""
+    order = [F.desc(score_col)] + [F.col(c) for c in pairs.columns if c != score_col]
+    per_block = Window.partitionBy(*block_keys).orderBy(*order)
+    pruned = (
+        pairs.withColumn("_brk", F.row_number().over(per_block))
+        .where(F.col("_brk") <= top_k)
+        .drop("_brk")
+    )
+    w = Window.orderBy(*order)
     return (
-        pairs.withColumn("rk", F.row_number().over(w))
+        pruned.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= top_k)
         .drop("rk")
     )
@@ -236,5 +254,4 @@ def embedding_topk_pairs(
             stable_round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4).alias("cos_sim"),
         )
     )
-    w = Window.orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
-    return pairs.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= top_k).drop("rk")
+    return _global_topk(pairs, "cos_sim", top_k, block_keys=("vec_a",))

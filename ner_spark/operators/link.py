@@ -213,7 +213,15 @@ def _fuzzy_fill(linked: DataFrame, aliases: DataFrame, threshold: float) -> Data
 
 
 def _char_shingles(col: str, n: int = 3) -> F.Column:
-    """Distinct character n-grams of a string column (built-in only)."""
+    """Distinct character n-grams of a string column (built-in only).
+
+    Guarded for short strings: Spark's ``sequence(1, 0)`` counts DOWN
+    (yielding [1, 0]), so without the ``length >= n`` guard a 1-char
+    surface would produce spurious degenerate shingles that pass the
+    emptiness filters."""
     s = F.col(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(0)))
-    return F.array_distinct(F.transform(idx, lambda i: s.substr(i, F.lit(n))))
+    idx = F.sequence(F.lit(1), F.length(s) - (n - 1))
+    return F.when(
+        F.length(s) >= n,
+        F.array_distinct(F.transform(idx, lambda i: s.substr(i, F.lit(n)))),
+    ).otherwise(F.array().cast("array<string>"))

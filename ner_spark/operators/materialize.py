@@ -15,7 +15,9 @@ smaller table.  MENTIONED_WITH is a per-document self-pairing done
 *without* a self-join: distinct entities per doc are collected (capped,
 sorted) and pairs generated with array transforms — no quadratic join.
 Docs with more than ``max_entities_per_doc`` distinct entities are
-truncated (logged via the metrics layer) to bound the pair blow-up.
+truncated to bound the pair blow-up; :func:`truncation_stats` reports
+which docs were affected (the KG job logs its count to the metrics
+table).
 """
 
 from __future__ import annotations
@@ -86,6 +88,23 @@ def mentioned_with_triples(
             F.col("b").alias("obj"),
             F.col("count").alias("evidence_count"),
         )
+    )
+
+
+def truncation_stats(
+    links: DataFrame, entities: DataFrame, max_entities_per_doc: int = 64
+) -> DataFrame:
+    """Docs whose distinct-entity count exceeds the MENTIONED_WITH cap
+    (their co-occurrence evidence is undercounted): (repo, path,
+    n_entities)."""
+    m = with_entities(
+        links.select("repo", "path", "surface", "kb_id", "resolved_category", "link_score"),
+        entities,
+    )
+    return (
+        m.groupBy("repo", "path")
+        .agg(F.countDistinct("entity_id").alias("n_entities"))
+        .where(F.col("n_entities") > max_entities_per_doc)
     )
 
 

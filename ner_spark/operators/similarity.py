@@ -20,6 +20,8 @@ Both return (vec_id, cos_sim) ranked deterministically.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from ner_spark.functions.text import stable_round
@@ -52,7 +54,12 @@ def cosine_topk(
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     v = _as_double(F.col("embedding"))
-    cos = _dot(v, q) / (_norm(v) * _norm(q))
+    # query norm folded to a scalar driver-side: higher-order functions
+    # are interpreted per row, so _norm(q) over a constant literal would
+    # re-pay a dim-length fold on every row.  Python's left-assoc sum
+    # matches aggregate()'s fold order, so the value is bitwise equal.
+    q_norm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    cos = _dot(v, q) / (_norm(v) * F.lit(q_norm))
     # rank on the ROUNDED similarity: double-precision sum-order noise
     # (~1e-16) must not flip ranks vs the SQL oracle; ties break on vec_id
     scored = emb.select("vec_id", stable_round(cos, 4).alias("cos_sim"))
@@ -106,7 +113,8 @@ def ann_lsh_topk(
         cand = cand.where(F.col("vec_id") != exclude_vec_id)
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cos = _dot(F.col("v"), q) / (_norm(F.col("v")) * _norm(q))
+    q_norm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    cos = _dot(F.col("v"), q) / (_norm(F.col("v")) * F.lit(q_norm))
     scored = cand.select("vec_id", stable_round(cos, 4).alias("cos_sim"))
     w = Window.orderBy(F.desc("cos_sim"), "vec_id")
     return (

@@ -62,6 +62,31 @@ class KgJob:
         p = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
         return p.getFileSystem(conf).exists(p)
 
+    def _check_manifest(self) -> None:
+        """Stage checkpoints are only valid for the parameters that
+        produced them: a resume with a different mode/tokenizer_mode
+        must not silently reuse them.  The manifest (one parquet row)
+        records the parameters of the first run into this output."""
+        import json
+
+        params = {"mode": self.mode, "tokenizer_mode": self.tokenizer_mode}
+        path = f"{self.out}/manifest"
+        jvm = self.spark.sparkContext._jvm
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+        if p.getFileSystem(conf).exists(p):
+            prev = json.loads(self.spark.read.parquet(path).first()["params"])
+            if prev == params:
+                return
+            if not self.force:
+                raise ValueError(
+                    f"output {self.out} holds checkpoints for {prev}, but this "
+                    f"run uses {params}; pass force=True/--force to recompute"
+                )
+        self.spark.createDataFrame(
+            [(json.dumps(params),)], "params string"
+        ).write.mode("overwrite").parquet(path)
+
     def _log_metrics(
         self, stage: str, df_out: DataFrame, rows_in: int, sha_ok: bool | None,
         started: dt.datetime, skipped: bool = False,
@@ -132,7 +157,13 @@ class KgJob:
         from ner_spark.operators.materialize import materialize_triples
         from ner_spark.operators.tag import extract_mentions
 
-        if "content_sha256" in source.columns:
+        self._check_manifest()
+        # the full-source integrity scan runs once per output, not per
+        # relaunch — a resume over a 100 TB source must not pay a
+        # corpus scan before the checkpoint-skip logic even starts
+        if "content_sha256" in source.columns and not (
+            not self.force and self._committed("tokenize_tag")
+        ):
             self._log_source_integrity(source)
 
         mentions = self._run_stage(
@@ -152,9 +183,22 @@ class KgJob:
         if last_stage == "canonicalize":
             return entities
 
-        return self._run_stage(
+        triples = self._run_stage(
             "materialize", links, lambda: materialize_triples(links, entities)
         )
+
+        # audit the MENTIONED_WITH entity cap (silent truncation would
+        # read as complete co-occurrence evidence)
+        from ner_spark.operators.materialize import truncation_stats
+
+        started = _utcnow()
+        truncated = truncation_stats(links, entities).count()
+        rows = [(self.run_id, "mentioned_with_truncation", -1, -1, truncated,
+                 None, started, _utcnow(), self.out)]
+        self.spark.createDataFrame(rows, METRICS_SCHEMA).write.mode("append").parquet(
+            f"{self.out}/metrics"
+        )
+        return triples
 
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.out}/metrics")

@@ -10,11 +10,13 @@ mentions table exactly-once via the streaming checkpoint.
 
 Design:
 - file-source ``readStream`` with ``maxFilesPerTrigger`` back-pressure;
-- the per-microbatch work reuses :func:`extract_mentions` via
-  ``foreachBatch`` (same narrow mapInPandas plan — no duplicate logic);
-- sink is an append-mode parquet table; the checkpoint directory gives
-  at-least-once file tracking + idempotent commits (exactly-once for
-  the file source + parquet sink pair);
+- the tag stage (:func:`extract_mentions`) is stateless/narrow, so it
+  applies directly to the streaming DataFrame — no duplicate logic;
+- sink is the NATIVE parquet file sink: its ``_spark_metadata``
+  transaction log makes batch commits atomic, so the file source +
+  file sink pair is exactly-once end-to-end (a ``foreachBatch`` +
+  plain append would only be at-least-once: a crash between the
+  append and the checkpoint commit would replay the batch);
 - ``trigger(availableNow=True)`` drains the backlog and stops — the
   batch-job twin used by tests; omit it for a long-running stream.
 
@@ -48,16 +50,11 @@ def stream_mentions(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
-
-    def process(batch_df, batch_id: int) -> None:
-        (
-            extract_mentions(batch_df, mode=mode, tokenizer_mode=tokenizer_mode)
-            .write.mode("append")
-            .parquet(output_dir)
-        )
+    mentions = extract_mentions(stream, mode=mode, tokenizer_mode=tokenizer_mode)
 
     writer = (
-        stream.writeStream.foreachBatch(process)
+        mentions.writeStream.format("parquet")
+        .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )

@@ -41,7 +41,7 @@ def test_full_run_then_resume_is_identical(spark, out_dir):
     skipped = {
         r.stage
         for r in m.where((F.col("run_id") == "run2") & (F.col("partition_id") == -1)).collect()
-    } - {"source_integrity"}  # informational row, logged every run
+    } - {"source_integrity", "mentioned_with_truncation"}  # informational rows
     assert skipped == {"tokenize_tag", "link"}
     recomputed = {
         r.stage
@@ -114,3 +114,17 @@ def test_source_integrity_covers_zero_mention_docs(spark, out_dir):
     row = m[0]
     assert row.rows_in == 12 and row.rows_out == 11
     assert row.content_sha_ok is False
+
+
+def test_resume_with_different_mode_refuses(spark, out_dir):
+    src = source_table(spark, n_rows=12)
+    KgJob(spark, out_dir, run_id="m1", mode="hybrid").run(src, last_stage="tokenize_tag")
+    with pytest.raises(ValueError, match="checkpoints for"):
+        KgJob(spark, out_dir, run_id="m2", mode="rules_only").run(
+            src, last_stage="tokenize_tag"
+        )
+    # same params resume fine; --force with new params recomputes
+    KgJob(spark, out_dir, run_id="m3", mode="hybrid").run(src, last_stage="tokenize_tag")
+    KgJob(spark, out_dir, run_id="m4", mode="rules_only", force=True).run(
+        src, last_stage="tokenize_tag"
+    )
