@@ -28,7 +28,7 @@ from __future__ import annotations
 import numpy as np
 
 from ner_spark.core import crf
-from ner_spark.core.pipeline import TaggedToken, analyze
+from ner_spark.core.pipeline import TaggedToken, analyze, merge_hybrid
 from ner_spark.core.rules import apply_rules, is_cnpj
 from ner_spark.core.spans import EntitySpan, tokens_to_spans
 from ner_spark.core.tags import N_TAGS, TAG_LABELS, VALID_TRANSITIONS
@@ -451,22 +451,5 @@ def analyze_batch(
             results.append(([], []))
             continue
         probs = crf.scores_to_probs(score_table)
-        tagged: list[TaggedToken] = []
-        for i, tok in enumerate(tokens):
-            if mode == "hybrid" and rules[i] is not None:
-                tag_label, _rule_name, conf = rules[i]
-                tagged.append((tok, tag_label, conf))
-            else:
-                t_idx = int(seq[i])
-                tagged.append((tok, TAG_LABELS[t_idx], float(probs[i, t_idx])))
-        entities = tokens_to_spans(
-            tokens, [t[1] for t in tagged], [t[2] for t in tagged], text
-        )
-        if mode == "hybrid":
-            entities = [
-                span if rules[span[2]] is None
-                else span[:7] + (rules[span[2]][1],)
-                for span in entities
-            ]
-        results.append((tagged, entities))
+        results.append(merge_hybrid(text, tokens, rules, seq, probs, mode))
     return results

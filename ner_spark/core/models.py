@@ -184,10 +184,14 @@ class MaxEntModel:
         tag_set = {tag for _t, _d, ann in corpus for _w, tag in ann}
         self.tags = sorted(tag_set)
 
+        # features are deterministic per sentence — extract once, not
+        # once per epoch
+        per_sentence = [
+            (ann, extract_features([w for w, _t in ann], None))
+            for _text, _domain, ann in corpus
+        ]
         for _epoch in range(iterations):
-            for _text, _domain, annotations in corpus:
-                words = [w for w, _t in annotations]
-                fvs = extract_features(words, None)
+            for annotations, fvs in per_sentence:
                 for i, fv in enumerate(fvs):
                     true_tag = annotations[i][1]
                     scores = {t: _score(self.weights, fv, t) for t in self.tags}
@@ -231,10 +235,12 @@ class PerceptronModel:
         tag_set = {tag for _t, _d, ann in corpus for _w, tag in ann}
         self.tags = sorted(tag_set)
 
+        per_sentence = [
+            (ann, extract_features([w for w, _t in ann], None))
+            for _text, _domain, ann in corpus
+        ]
         for _ in range(iterations):
-            for _text, _domain, annotations in corpus:
-                words = [w for w, _t in annotations]
-                fvs = extract_features(words, None)
+            for annotations, fvs in per_sentence:
                 for i, fv in enumerate(fvs):
                     true_tag = annotations[i][1]
                     pred_tag = _predict_best(self.weights, fv, self.tags, self.tags[0])
@@ -313,13 +319,20 @@ class SpanModel:
                     tag_set.add(tag[2:] if tag[:2] in ("B-", "I-") else tag)
         self.tags = sorted(tag_set)
 
+        per_sentence = []
+        for _text, _domain, annotations in corpus:
+            words = [w for w, _t in annotations]
+            bio_tags = [t for _w, t in annotations]
+            gold = {(s, e): lbl for s, e, lbl in bio_to_spans(bio_tags)}
+            cands = [
+                (start, end, self.span_features(words, start, end))
+                for start, end in self._candidates(len(words))
+            ]
+            per_sentence.append((gold, cands))
+
         for _ in range(iterations):
-            for _text, _domain, annotations in corpus:
-                words = [w for w, _t in annotations]
-                bio_tags = [t for _w, t in annotations]
-                gold = {(s, e): lbl for s, e, lbl in bio_to_spans(bio_tags)}
-                for start, end in self._candidates(len(words)):
-                    fv = self.span_features(words, start, end)
+            for gold, cands in per_sentence:
+                for start, end, fv in cands:
                     true_label = gold.get((start, end), "O")
                     pred_label = self._predict_single(fv)
                     if pred_label != true_label:

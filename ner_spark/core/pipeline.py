@@ -78,7 +78,15 @@ def _analyze_standard(text, tokens, mode, cfg):
     E = crf.emission_matrix(fvs)
     seq, _best_score, score_table = crf.viterbi_decode(E)
     probs = crf.scores_to_probs(score_table)
+    return merge_hybrid(text, tokens, rule_tags, seq, probs, mode)
 
+
+def merge_hybrid(text, tokens, rule_tags, seq, probs, mode):
+    """Fuse rule matches over CRF decode into (tagged, entities) —
+    rules win per token in hybrid (pipeline.rs:341-356), and the span
+    ``source`` is rewritten to the rule name iff the B- token was
+    rule-tagged (pipeline.rs:373-381).  Shared by the per-doc and
+    batched kernels so the precedence quirks cannot drift apart."""
     tagged: list[TaggedToken] = []
     for i, tok in enumerate(tokens):
         if mode == "hybrid" and rule_tags[i] is not None:

@@ -50,12 +50,17 @@ def _build_ngram_index(entries: tuple[tuple[str, ...], ...]) -> dict[str, list[t
     return idx
 
 
-_NGRAM_CACHE: dict[int, tuple[dict, dict]] = {}
+# keyed on the entry tuples themselves (hashable, content-identity):
+# an id(cfg) key would serve a stale index when a new config reuses a
+# garbage-collected config's address
+_NGRAM_CACHE: dict[tuple, tuple[dict, dict]] = {}
 
 
 def _ngram_indexes(cfg: RuleConfig) -> tuple[dict, dict]:
-    key = id(cfg)
+    key = (cfg.rule_orgs, cfg.rule_misc)
     if key not in _NGRAM_CACHE:
+        if len(_NGRAM_CACHE) > 64:
+            _NGRAM_CACHE.clear()
         _NGRAM_CACHE[key] = (_build_ngram_index(cfg.rule_orgs), _build_ngram_index(cfg.rule_misc))
     return _NGRAM_CACHE[key]
 
