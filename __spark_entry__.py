@@ -324,6 +324,30 @@ SELECT vec_a, vec_b, cos_sim FROM (
   SELECT *, row_number() OVER (ORDER BY cos_sim DESC, vec_a, vec_b) AS rk
   FROM pairs) WHERE rk <= 20
 """,
+        "minhash_lsh_dedup": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id, u.g
+  FROM toks, UNNEST(list_transform(generate_series(1, len(t)-2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(g)
+  WHERE len(t) >= 3),
+sig AS (
+  SELECT doc_id,
+    [{", ".join(f"min(md5('h{i}|' || g))" for i in range(16))}] AS s
+  FROM sh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, s, b,
+    md5(CAST(b AS VARCHAR) || '|' || s[4*b+1] || '|' || s[4*b+2]
+        || '|' || s[4*b+3] || '|' || s[4*b+4]) AS band_hash
+  FROM sig, UNNEST([0,1,2,3]) AS ub(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(len(list_filter(generate_series(1,16), i -> a.s[i] = b.s[i])) AS DOUBLE)
+      / 16.0 AS jaccard_est
+  FROM banded a JOIN banded b
+    ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, jaccard_est FROM cand WHERE jaccard_est >= 0.5
+""",
         "text_quality": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
 SELECT doc_id,
