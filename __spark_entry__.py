@@ -293,8 +293,61 @@ g AS (
 """
 
 
+def _plane_sql(row) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in row) + "]"
+
+
+def _ann_lsh_oracle() -> str:
+    """SQL twin of similarity.ann_lsh_topk: the deterministic seeded
+    hyperplane matrix is folded in as literal arrays; the query bucket
+    and Hamming-1 multiprobe set are computed in-query."""
+    from ner_spark.operators.similarity import hyperplanes
+
+    mat = hyperplanes(64, 4, seed=42)
+    dot = ("list_sum(list_transform(generate_series(1, 64), "
+           "i -> {v}[i]::DOUBLE * ({p}[i])))")
+    bucket = " + ".join(
+        f"(CASE WHEN {dot.format(v='{v}', p=_plane_sql(mat[b]))} > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(4)
+    )
+    cos = _COS.format(a="e.embedding", b="q.v")
+    return f"""
+WITH q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT ({bucket.format(v="q.v")}) AS b FROM q),
+probes AS (SELECT unnest([b, xor(b,1), xor(b,2), xor(b,4), xor(b,8)]) AS p FROM qb),
+cand AS (
+  SELECT e.vec_id, round({cos} + 1e-9, 4) AS cos_sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+    AND ({bucket.format(v="e.embedding")}) IN (SELECT p FROM probes))
+SELECT vec_id, cos_sim, CAST(rk AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rk FROM cand)
+WHERE rk <= 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "ann_lsh": _ann_lsh_oracle(),
+        "simhash_buckets": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+h AS (
+  SELECT doc_id,
+    list_transform(t, x -> CAST(('0x' || substr(md5(x), 1, 15)) AS UBIGINT)) AS hs
+  FROM toks),
+s AS (
+  SELECT doc_id,
+    list_sum(list_transform(generate_series(0, 59),
+      k -> CASE WHEN 2 * len(list_filter(hs, v -> (v >> k) & 1 = 1)) > len(hs)
+           THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END))
+    AS simhash
+  FROM h)
+SELECT doc_id, CAST(coalesce(simhash, 0) AS BIGINT) AS simhash,
+  CAST(ub.b AS INT) AS band,
+  CAST((coalesce(simhash, 0) >> (ub.b * 16)) & 65535 AS BIGINT) AS band_key
+FROM s, UNNEST([0, 1, 2, 3]) AS ub(b)
+""",
         "dedup_exact": """
 SELECT md5(text) AS content_hash,
        count(*) AS dup_count,
