@@ -327,9 +327,25 @@ WHERE rk <= 10
 """
 
 
+_MEDIA_FEATS = ", ".join(
+    f"CAST(CAST(len(list_filter(cs, c -> c = '{ch}')) AS DOUBLE) / nb AS REAL)"
+    for ch in "0123456789abcdef"
+)
+_MEDIA_ZEROS = ", ".join(["CAST(0.0 AS REAL)"] * 16)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "ann_lsh": _ann_lsh_oracle(),
+        "media_features": f"""
+WITH h AS (SELECT doc_id AS media_id, lower(hex(encode(text))) AS hx FROM documents),
+n AS (SELECT media_id, hx, len(hx) // 2 AS nb FROM h),
+nib AS (SELECT media_id, nb,
+  list_transform(generate_series(1, nb), i -> hx[2*i-1]) AS cs FROM n)
+SELECT media_id, 'image' AS modality, CAST(nb AS BIGINT) AS n_bytes,
+  CASE WHEN nb = 0 THEN [{_MEDIA_ZEROS}] ELSE [{_MEDIA_FEATS}] END AS features
+FROM nib
+""",
         "simhash_buckets": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 h AS (
