@@ -21,6 +21,7 @@ import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 FIXTURE_ROWS = 102  # 2× the 51 reference fixture texts
@@ -159,8 +160,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_media_features(spark, sf):
-        return multimodal.extract_media_features(
+        # serialize the 16-d feature vector for the contract surface:
+        # the driver canonicalizer sorts columns, which raw arrays break.
+        # Quantized to 1e-4 ints (floor(x·10⁴ + .5) — identical double
+        # arithmetic on both engines since float32→double is exact).
+        mf = multimodal.extract_media_features(
             multimodal.docs_as_media(_docs(spark, sf))
+        )
+        quant = F.transform(
+            "features",
+            lambda x: F.floor(x.cast("double") * 10000 + F.lit(0.5)).cast("string"),
+        )
+        return mf.select(
+            "media_id", "modality", "n_bytes",
+            F.concat_ws(",", quant).alias("features_q"),
         )
 
     def q_tpch_pricing(spark, sf):
@@ -190,23 +203,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_bio_gold_spans(spark, sf):
         return A.gold_bio_spans(A.corpus_tokens_df(spark))
 
-    def q_mentions_hybrid(spark, sf):
+    def _mentions(spark, mode):
+        # context_window is array<string> inside the pipeline (NED
+        # consumes it); the contract projection joins it to one string
+        # so the driver canonicalizer can sort/hash the rows.
         from ner_spark.operators.tag import extract_mentions
 
-        return extract_mentions(_fixture_source(spark), mode="hybrid")
+        return extract_mentions(_fixture_source(spark), mode=mode).withColumn(
+            "context_window", F.concat_ws(" ", "context_window")
+        )
+
+    def q_mentions_hybrid(spark, sf):
+        return _mentions(spark, "hybrid")
 
     def q_mentions_crf(spark, sf):
-        from ner_spark.operators.tag import extract_mentions
-
-        return extract_mentions(_fixture_source(spark), mode="crf_only")
+        return _mentions(spark, "crf_only")
 
     def q_kg_triples(spark, sf):
+        # gold-span-driven variant: real NED/NEL/canonicalize/
+        # materialize operators, fully value-checked by the DuckDB twin
+        from ner_spark.plans.kg_gold import kg_triples_gold
+
+        return kg_triples_gold(spark)
+
+    def q_kg_triples_tagged(spark, sf):
+        # full pipeline from the vectorized NER tagger (rows-only check:
+        # the tagger kernel is not SQL-expressible; parity is pinned by
+        # tests/goldens + the Rust differential test)
         return _kg_triples(spark, _fixture_source(spark))
 
     def q_sota_gliner(spark, sf):
-        from ner_spark.operators.sota import sota_predictions
+        from ner_spark.plans.kg_gold import sota_gold
 
-        return sota_predictions(_fixture_source(spark))
+        return sota_gold(spark)
 
     def _with_pkg(fn):
         def wrapped(spark, sf):
@@ -240,6 +269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mentions_hybrid": q_mentions_hybrid,
         "mentions_crf": q_mentions_crf,
         "kg_triples": q_kg_triples,
+        "kg_triples_tagged": q_kg_triples_tagged,
         "sota_gliner": q_sota_gliner,
     }.items()}
 
@@ -327,23 +357,215 @@ WHERE rk <= 10
 """
 
 
+# per-channel quantized feature string: the float32 histogram value is
+# promoted to double (exact) and floor(x·10⁴ + .5)-quantized — the same
+# arithmetic the Spark contract projection applies, so strings match.
 _MEDIA_FEATS = ", ".join(
-    f"CAST(CAST(len(list_filter(cs, c -> c = '{ch}')) AS DOUBLE) / nb AS REAL)"
+    "CAST(CAST(floor(CAST(CAST(CAST(len(list_filter(cs, c -> c = "
+    f"'{ch}')) AS DOUBLE) / nb AS REAL) AS DOUBLE) * 10000 + 0.5) "
+    "AS BIGINT) AS VARCHAR)"
     for ch in "0123456789abcdef"
 )
-_MEDIA_ZEROS = ", ".join(["CAST(0.0 AS REAL)"] * 16)
+_MEDIA_ZEROS = ",".join(["0"] * 16)
+
+
+def _kg_gold_oracle() -> str:
+    """SQL twin of plans.kg_gold.kg_triples_gold: gold spans → NED →
+    NEL (KB folded in as literals) → connected components (recursive
+    closure over the surface–surface adjacency induced by shared KB
+    ids) → the four triple branches."""
+    from ner_spark.data.kb import KB_LOC_IDS, KB_ORG_IDS, KB_PER_IDS, KB_RECORDS
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    s_selects, picks = [], []
+    for i, (kb_id, name, _d, _u) in enumerate(KB_RECORDS):
+        nl = esc(name.lower())
+        base = (
+            f"CASE WHEN q = '{nl}' THEN 0.8 "
+            f"WHEN contains('{nl}', q) OR contains(q, '{nl}') THEN 0.5 "
+            f"ELSE 0.0 END"
+        )
+        tok = []
+        if kb_id in KB_PER_IDS:
+            tok.append("rc = 'PER'")
+        if kb_id in KB_LOC_IDS:
+            tok.append("rc = 'LOC'")
+        if kb_id in KB_ORG_IDS:
+            tok.append("rc = 'ORG'")
+        type_ok = " OR ".join(tok) if tok else "FALSE"
+        s_selects.append(
+            f"CASE WHEN ({base}) > 0.0 THEN ({base}) + "
+            f"(CASE WHEN {type_ok} THEN 0.15 ELSE 0.0 END) ELSE 0.0 END AS s{i}"
+        )
+        picks.append(f"WHEN s{i} = best THEN '{esc(kb_id)}'")
+
+    runs = _runs_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    return runs + f""",
+sp AS (
+  SELECT sent_id, start_idx, end_idx, substr(first_tag, 3) AS category, surface
+  FROM g WHERE first_tag LIKE 'B-%'),
+sw AS (SELECT sent_id, array_agg(word ORDER BY idx) AS words FROM c GROUP BY sent_id),
+men AS (
+  SELECT
+    CASE WHEN sp.sent_id % 2 = 0 THEN 'repo0'
+         ELSE 'repo' || CAST(1 + sp.sent_id % 19 AS VARCHAR) END AS repo,
+    'docs/' || CAST(sp.sent_id AS VARCHAR) || '.txt' AS path,
+    sp.surface AS mention_text, sp.category,
+    list_transform(
+      list_slice(sw.words, greatest(sp.start_idx - 3, 0) + 1, sp.end_idx + 4),
+      w -> lower(w)) AS ctx
+  FROM sp JOIN sw ON sp.sent_id = sw.sent_id),
+ned AS (
+  SELECT repo, path, mention_text,
+    CASE WHEN contains(lower(mention_text), 'paris')
+              AND len(list_intersect(ctx, ['hilton','socialite','atriz'])) > 0 THEN 'PER'
+         WHEN contains(lower(mention_text), 'paris') THEN 'LOC'
+         ELSE category END AS rc
+  FROM men),
+sc AS (
+  SELECT repo, path, rc, lower(mention_text) AS q,
+    {", ".join(s_selects)}
+  FROM ned),
+nel AS (
+  SELECT repo, path, rc AS resolved_category, q AS surface,
+    CASE WHEN best >= 0.5 THEN CASE {" ".join(picks)} END END AS kb_id,
+    CASE WHEN best >= 0.5 THEN best ELSE 0.0 END AS link_score
+  FROM (SELECT *, greatest(s0, s1, s2, s3, s4) AS best FROM sc)),
+ed AS (SELECT DISTINCT surface AS s, kb_id AS k FROM nel WHERE kb_id IS NOT NULL),
+adj AS (SELECT DISTINCT a.s AS x, b.s AS y FROM ed a JOIN ed b ON a.k = b.k),
+reach AS (
+  SELECT x, y FROM adj
+  UNION
+  SELECT r.x, a.y FROM reach r JOIN adj a ON r.y = a.x),
+comp AS (SELECT x AS surface, 'ent:' || min(y) AS eid FROM reach GROUP BY x),
+ent AS (
+  SELECT n.surface, coalesce(comp.eid, 'ent:' || n.surface) AS entity_id
+  FROM (SELECT DISTINCT surface FROM nel) n LEFT JOIN comp ON n.surface = comp.surface),
+base AS (
+  SELECT nel.repo, nel.path, ent.entity_id, nel.kb_id, nel.resolved_category,
+         (nel.kb_id IS NOT NULL AND nel.link_score >= 0.5) AS kb_linked,
+         count(*) AS cnt
+  FROM nel JOIN ent ON nel.surface = ent.surface
+  GROUP BY ALL),
+dd AS (SELECT DISTINCT repo, path, entity_id FROM base),
+tr AS (
+  SELECT 'repo:' || repo AS subj, 'DECLARES' AS pred, entity_id AS obj, sum(cnt) AS ev
+  FROM base GROUP BY repo, entity_id
+  UNION ALL
+  SELECT a.entity_id, 'MENTIONED_WITH', b.entity_id, count(*)
+  FROM dd a JOIN dd b
+    ON a.repo = b.repo AND a.path = b.path AND a.entity_id < b.entity_id
+  GROUP BY a.entity_id, b.entity_id
+  UNION ALL
+  SELECT entity_id, 'LINKED_TO', kb_id, sum(cnt)
+  FROM base WHERE kb_linked GROUP BY entity_id, kb_id
+  UNION ALL
+  SELECT entity_id, 'INSTANCE_OF', resolved_category, sum(cnt)
+  FROM base GROUP BY entity_id, resolved_category)
+SELECT subj, pred, obj, CAST(ev AS BIGINT) AS evidence_count FROM tr
+"""
+
+
+def _sota_gold_oracle(threshold: float = 0.5, max_span_length: int = 4) -> str:
+    """SQL twin of plans.kg_gold.sota_gold: span enumeration over the
+    corpus token stream, trigger-table membership, the 16 possible
+    (trigger × class) f32 dot/clamp scores folded in as literals
+    (computed with the same sequential-f32 loop as the kernel), and
+    greedy score-ordered token-occupancy NMS as a recursive CTE."""
+    import numpy as np
+
+    from ner_spark.core.sota import _CLASS_EMB, _SPAN_TRIGGERS
+
+    classes = ["Pessoa", "Local", "Organizacao", "Data"]
+    score_rows = []
+    for t_idx, (_kws, emb) in enumerate(_SPAN_TRIGGERS, start=1):
+        v1 = np.asarray(emb, dtype=np.float32)
+        for c_idx, cname in enumerate(classes, start=1):
+            v2 = np.asarray(_CLASS_EMB[cname.upper()], dtype=np.float32)
+            dot = np.float32(0.0)
+            for k in range(5):
+                dot = np.float32(dot + v1[k] * v2[k])
+            score = min(max(dot, np.float32(0.0)) / np.float32(1.5), np.float32(1.0))
+            if float(score) > threshold:
+                score_rows.append((t_idx, c_idx, float(score)))
+    score_vals = ", ".join(f"({t}, {c}, {s!r})" for t, c, s in score_rows)
+    trig_case = "CASE " + " ".join(
+        "WHEN " + " OR ".join(f"contains(lt, '{k}')" for k in kws) + f" THEN {i}"
+        for i, (kws, _e) in enumerate(_SPAN_TRIGGERS, start=1)
+    ) + " ELSE 0 END"
+    cls_vals = ", ".join(f"({i}, '{c}')" for i, c in enumerate(classes, start=1))
+
+    return f"""
+WITH RECURSIVE
+c AS (SELECT * FROM {_corpus_cte()}),
+pos AS (
+  SELECT sent_id, idx, word,
+    CAST(coalesce(sum(len(word) + 1) OVER (PARTITION BY sent_id ORDER BY idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS ts
+  FROM c),
+sw AS (
+  SELECT sent_id,
+    array_agg(word ORDER BY idx) AS words,
+    array_agg(ts ORDER BY idx) AS starts,
+    array_agg(ts + len(word) ORDER BY idx) AS ends,
+    count(*) AS n
+  FROM pos GROUP BY sent_id),
+spans AS (
+  SELECT sent_id, ui.i, uj.j,
+    array_to_string(list_slice(words, ui.i, uj.j), ' ') AS txt,
+    starts[ui.i] AS sb, ends[uj.j] AS eb
+  FROM sw,
+    UNNEST(generate_series(1, n)) AS ui(i),
+    UNNEST(generate_series(1, n)) AS uj(j)
+  WHERE uj.j >= ui.i AND uj.j <= least(ui.i + {max_span_length - 1}, n)),
+trig AS (SELECT *, {trig_case} AS tg FROM (SELECT *, lower(txt) AS lt FROM spans)),
+cand0 AS (
+  SELECT t.sent_id, t.i, t.j, t.txt, t.sb, t.eb, cls.c_idx, cls.cname, s.score
+  FROM trig t
+  CROSS JOIN (VALUES {cls_vals}) AS cls(c_idx, cname)
+  JOIN (VALUES {score_vals}) AS s(tg, c_idx, score)
+    ON s.tg = t.tg AND s.c_idx = cls.c_idx),
+cand AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY sent_id ORDER BY score DESC, i, j, c_idx) AS INT) AS rk
+  FROM cand0),
+ns AS (SELECT sent_id, max(rk) AS mx FROM cand GROUP BY sent_id),
+nms(sent_id, rk, used, kept) AS (
+  SELECT sent_id, 0, CAST([] AS BIGINT[]), CAST([] AS INTEGER[]) FROM ns
+  UNION ALL
+  SELECT n.sent_id, n.rk + 1,
+    CASE WHEN len(list_intersect(n.used, generate_series(CAST(c.i AS BIGINT), CAST(c.j AS BIGINT)))) > 0
+         THEN n.used
+         ELSE list_concat(n.used, generate_series(CAST(c.i AS BIGINT), CAST(c.j AS BIGINT))) END,
+    CASE WHEN len(list_intersect(n.used, generate_series(CAST(c.i AS BIGINT), CAST(c.j AS BIGINT)))) > 0
+         THEN n.kept ELSE list_append(n.kept, c.rk) END
+  FROM nms n JOIN cand c ON c.sent_id = n.sent_id AND c.rk = n.rk + 1),
+fin AS (
+  SELECT nms.sent_id, nms.kept FROM nms
+  JOIN ns ON nms.sent_id = ns.sent_id AND nms.rk = ns.mx)
+SELECT c.sent_id, c.txt AS mention_text, c.cname AS category,
+  CAST(c.i - 1 AS INT) AS start_token, CAST(c.j - 1 AS INT) AS end_token,
+  CAST(c.sb AS INT) AS start, CAST(c.eb AS INT) AS "end",
+  CAST(c.score AS DOUBLE) AS confidence
+FROM cand c JOIN fin f ON c.sent_id = f.sent_id AND list_contains(f.kept, c.rk)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         "ann_lsh": _ann_lsh_oracle(),
+        "kg_triples": _kg_gold_oracle(),
+        "sota_gliner": _sota_gold_oracle(),
         "media_features": f"""
 WITH h AS (SELECT doc_id AS media_id, lower(hex(encode(text))) AS hx FROM documents),
 n AS (SELECT media_id, hx, len(hx) // 2 AS nb FROM h),
 nib AS (SELECT media_id, nb,
   list_transform(generate_series(1, nb), i -> hx[2*i-1]) AS cs FROM n)
 SELECT media_id, 'image' AS modality, CAST(nb AS BIGINT) AS n_bytes,
-  CASE WHEN nb = 0 THEN [{_MEDIA_ZEROS}] ELSE [{_MEDIA_FEATS}] END AS features
+  CASE WHEN nb = 0 THEN '{_MEDIA_ZEROS}'
+       ELSE concat_ws(',', {_MEDIA_FEATS}) END AS features_q
 FROM nib
 """,
         "simhash_buckets": f"""
@@ -372,7 +594,14 @@ FROM documents GROUP BY md5(text)
 """,
         "dedup_ngram_jaccard": f"""
 WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
-sh AS (SELECT doc_id, source, {_SHINGLES} AS s FROM toks WHERE len(t) >= 3),
+shr AS (
+  SELECT doc_id, source, u.g
+  FROM toks, UNNEST({_SHINGLES}) AS u(g) WHERE len(t) >= 3),
+flt AS (
+  SELECT doc_id, source, g FROM (
+    SELECT *, count(*) OVER (PARTITION BY source, g) AS df FROM shr)
+  WHERE df <= 64),
+sh AS (SELECT doc_id, source, list(g) AS s FROM flt GROUP BY doc_id, source),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
     round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)

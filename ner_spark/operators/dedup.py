@@ -42,7 +42,8 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, top_k: int = 50, block_col: str = "source"
+    docs: DataFrame, n: int = 3, top_k: int = 50, block_col: str = "source",
+    df_cap: int = 64,
 ) -> DataFrame:
     """Top-k most-similar doc pairs by word n-gram Jaccard, blocked.
 
@@ -59,7 +60,23 @@ def ngram_jaccard_pairs(
     sh = shingle_rows(
         docs.withColumnRenamed(block_col, "block") if block_col != "block" else docs,
         n=n, carry=("block",), distinct=True,
-    ).localCheckpoint(eager=True)  # consumed twice (self-join) + sizes
+    )
+    # frequent-shingle guard: a stop-shingle shared by f docs in one
+    # block would contribute f² rows to the self-join (quadratic in its
+    # posting list — the one unbounded term at 10⁶ docs/block).  Drop
+    # (block, shingle) groups with document frequency > df_cap from the
+    # shingle SETS (sizes and intersections both see the filtered set,
+    # so jaccard stays a consistent exact ratio) — standard MinHash
+    # stop-shingle practice; near-dup pairs share plenty of rare
+    # shingles, so recall is unaffected.  The window shuffle partitions
+    # by the same (block, g) key the self-join needs.
+    df_w = Window.partitionBy("block", "g")
+    sh = (
+        sh.withColumn("_df", F.count("*").over(df_w))
+        .where(F.col("_df") <= df_cap)
+        .drop("_df")
+        .localCheckpoint(eager=True)  # consumed twice (self-join) + sizes
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     ex = sh.join(sizes, "doc_id")
     a, b = ex.alias("a"), ex.alias("b")
@@ -84,26 +101,15 @@ def ngram_jaccard_pairs(
 
 
 def _global_topk(
-    pairs: DataFrame, score_col: str, top_k: int, block_keys: tuple[str, ...]
+    pairs: DataFrame, score_col: str, top_k: int, block_keys: tuple[str, ...] = ()
 ) -> DataFrame:
-    """Deterministic global top-k without funneling every row through
-    one task: a per-block ``row_number`` prunes to ≤ top_k rows per
-    block first (distributed), so the final global window sees at most
-    blocks × top_k rows.  The global top-k is necessarily a subset of
-    the per-block top-k, so results are identical."""
+    """Deterministic global top-k: ``orderBy(...).limit(k)`` compiles to
+    ``TakeOrderedAndProject`` — each task keeps a bounded k-row heap and
+    the driver merges the per-partition heaps — so no shuffle and no
+    single-task global sort/window ever materializes.  (``block_keys``
+    kept for signature stability; the heap plan needs no pre-prune.)"""
     order = [F.desc(score_col)] + [F.col(c) for c in pairs.columns if c != score_col]
-    per_block = Window.partitionBy(*block_keys).orderBy(*order)
-    pruned = (
-        pairs.withColumn("_brk", F.row_number().over(per_block))
-        .where(F.col("_brk") <= top_k)
-        .drop("_brk")
-    )
-    w = Window.orderBy(*order)
-    return (
-        pruned.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= top_k)
-        .drop("rk")
-    )
+    return pairs.orderBy(*order).limit(top_k)
 
 
 def minhash_signature(tokens, n: int = 3, num_hashes: int = 16) -> F.Column:

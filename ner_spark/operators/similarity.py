@@ -65,11 +65,24 @@ def cosine_topk(
     scored = emb.select("vec_id", stable_round(cos, 4).alias("cos_sim"))
     if exclude_vec_id is not None:
         scored = scored.where(F.col("vec_id") != exclude_vec_id)
-    w = Window.orderBy(F.desc("cos_sim"), "vec_id")
+    return _ranked_topk(scored, k)
+
+
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Distributed deterministic top-k with a rank column.
+
+    ``orderBy(...).limit(k)`` compiles to ``TakeOrderedAndProject`` —
+    a per-partition bounded heap merged at the driver — so no row
+    outside the top k ever moves, and there is no single-task global
+    sort/window (the scale-killer an unpartitioned ``row_number``
+    window would be).  Only the ≤ k survivors are then numbered; the
+    constant partition key keeps WindowExec's input to those k rows.
+    """
+    top = scored.orderBy(F.desc("cos_sim"), "vec_id").limit(k)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("cos_sim"), "vec_id")
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select("vec_id", "cos_sim", F.col("rk").alias("rank"))
+        top.withColumn("rank", F.row_number().over(w))
+        .select("vec_id", "cos_sim", "rank")
     )
 
 
@@ -116,9 +129,4 @@ def ann_lsh_topk(
     q_norm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
     cos = _dot(F.col("v"), q) / (_norm(F.col("v")) * F.lit(q_norm))
     scored = cand.select("vec_id", stable_round(cos, 4).alias("cos_sim"))
-    w = Window.orderBy(F.desc("cos_sim"), "vec_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select("vec_id", "cos_sim", F.col("rk").alias("rank"))
-    )
+    return _ranked_topk(scored, k)

@@ -1,0 +1,133 @@
+"""Gold-span-driven contract variants of the KG pipeline and the
+GLiNER simulator.
+
+The full pipeline (``operators.tag`` → link → canonicalize →
+materialize) starts from the vectorized NER tagger, whose output is not
+SQL-expressible — the driver can only rows-check it.  These variants
+start from the *annotated corpus spans* (gold BIO tags, reference
+ner-core/src/corpus.rs:36-463) instead of the tagger, so every
+downstream stage — NED context disambiguation, NEL KB scoring,
+connected-components canonicalization, triple materialization, span
+enumeration + NMS — runs through the exact production operators while
+the whole computation has a DuckDB twin (``__spark_entry__.oracle_sql``
+keys ``kg_triples`` / ``sota_gliner``) that value-checks it end-to-end.
+
+Scale note: these are correctness-gate variants over the fixture
+corpus; the production path is :func:`__spark_entry__._kg_triples` /
+:class:`ner_spark.plans.job.KgJob`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ner_spark.plans.analytics import corpus_tokens_df, gold_bio_spans
+
+N_REPOS = 20  # mirrors sources.fixtures repo assignment shape
+
+SOTA_GOLD_SCHEMA = (
+    "sent_id int, mention_text string, category string, "
+    "start_token int, end_token int, start int, end int, confidence double"
+)
+
+
+def _sentence_words(corpus: DataFrame) -> DataFrame:
+    """(sent_id, words) with words in token order (order-safe collect)."""
+    return (
+        corpus.groupBy("sent_id")
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "word"))).alias("ws"))
+        .select("sent_id", F.transform("ws", lambda s: s["word"]).alias("words"))
+    )
+
+
+def gold_mentions(spark: SparkSession) -> DataFrame:
+    """Annotated corpus spans shaped like ``operators.tag`` output:
+    (repo, path, mention_text, category, context_window).
+
+    repo/path are derived deterministically from ``sent_id`` (even
+    sentences pile onto repo0 — same skew shape as the fixture source);
+    context_window is the ±3-token lowercased window the NED stage
+    consumes (reference ned.rs:49-51).
+    """
+    corpus = corpus_tokens_df(spark)
+    spans = gold_bio_spans(corpus)
+    words = _sentence_words(corpus)
+    lo = F.greatest(F.col("start_idx") - 3, F.lit(0))
+    ctx = F.transform(
+        F.slice(F.col("words"), lo + 1, F.col("end_idx") + 3 - lo + 1),
+        lambda w: F.lower(w),
+    )
+    repo = F.when(F.col("sent_id") % 2 == 0, F.lit("repo0")).otherwise(
+        F.concat(F.lit("repo"), (1 + F.col("sent_id") % (N_REPOS - 1)).cast("string"))
+    )
+    return spans.join(F.broadcast(words), "sent_id").select(
+        repo.alias("repo"),
+        F.concat(F.lit("docs/"), F.col("sent_id").cast("string"), F.lit(".txt")).alias("path"),
+        F.col("surface").alias("mention_text"),
+        "category",
+        ctx.alias("context_window"),
+    )
+
+
+def kg_triples_gold(spark: SparkSession) -> DataFrame:
+    """KG triples with the tag stage replaced by gold spans: the real
+    NED → NEL → canonicalize → materialize operators end-to-end,
+    value-checkable against the ``kg_triples`` DuckDB oracle."""
+    from ner_spark.operators.canonicalize import canonicalize
+    from ner_spark.operators.link import disambiguate, link_mentions
+    from ner_spark.operators.materialize import materialize_triples
+
+    links = link_mentions(disambiguate(gold_mentions(spark)))
+    slim = links.select(
+        "repo", "path", "surface", "kb_id", "resolved_category", "link_score"
+    ).localCheckpoint(eager=True)  # consumed by canonicalize + materialize
+    return materialize_triples(slim, canonicalize(slim))
+
+
+def sota_gold(
+    spark: SparkSession,
+    user_classes: tuple[str, ...] = ("Pessoa", "Local", "Organizacao", "Data"),
+    threshold: float = 0.5,
+    max_span_length: int = 4,
+) -> DataFrame:
+    """GLiNER simulator over the corpus token stream (pre-tokenized —
+    byte offsets are positions in the space-joined token text, computed
+    identically in the SQL twin).  Runs the real
+    :func:`ner_spark.core.sota.simulate_gliner` kernel per sentence."""
+    sents = _sentence_words(corpus_tokens_df(spark))
+    classes = list(user_classes)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ner_spark.core.sota import simulate_gliner
+
+        cols = ("sent_id", "mention_text", "category", "start_token",
+                "end_token", "start", "end", "confidence")
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+            for sid, words in zip(pdf["sent_id"], pdf["words"]):
+                toks, pos = [], 0
+                for w in words:
+                    toks.append((w, pos, pos + len(w)))
+                    pos += len(w) + 1
+                preds = simulate_gliner(
+                    toks, classes, threshold=threshold,
+                    max_span_length=max_span_length,
+                )
+                for text, cat, st, et, sb, eb, conf in preds:
+                    out["sent_id"].append(int(sid))
+                    out["mention_text"].append(text)
+                    out["category"].append(cat)
+                    out["start_token"].append(st)
+                    out["end_token"].append(et)
+                    out["start"].append(sb)
+                    out["end"].append(eb)
+                    out["confidence"].append(conf)
+            if out["sent_id"]:
+                yield pd.DataFrame(out)
+
+    return sents.mapInPandas(run, schema=SOTA_GOLD_SCHEMA)

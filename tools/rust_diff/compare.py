@@ -1,0 +1,148 @@
+#!/usr/bin/env python3
+"""Differential test: the COMPILED Rust reference vs this engine.
+
+Builds tools/rust_diff (which links the actual /root/reference/ner-core
+crate), feeds it the 51 fixture texts, and diffs its tokens / per-token
+tags / entity spans against ``tests/goldens/goldens.json`` (the pinned
+outputs of ner_spark.core).  Reports exact-match counts and span-level
+precision/recall per algorithm mode; writes BENCH/RUST_DIFF.md.
+
+Usage:  python tools/rust_diff/compare.py
+Exit 0 iff span P/R == 1.0 for every mode and all tokens/tags match.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from collections import defaultdict
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[2]
+GOLDENS = REPO / "tests" / "goldens" / "goldens.json"
+CRATE = REPO / "tools" / "rust_diff"
+TARGET = os.environ.get("CARGO_TARGET_DIR", "/tmp/ner_target")
+CONF_TOL = 1e-9
+
+
+def esc(s: str) -> str:
+    return s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+
+
+def unesc(s: str) -> str:
+    out, it = [], iter(s)
+    for c in it:
+        if c == "\\":
+            n = next(it, None)
+            out.append({"n": "\n", "t": "\t", "\\": "\\"}.get(n, "\\" + (n or "")))
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def build_and_run(texts: list[str]) -> str:
+    env = dict(os.environ, CARGO_TARGET_DIR=TARGET)
+    subprocess.run(
+        ["cargo", "build", "--release", "--offline"],
+        cwd=CRATE, env=env, check=True, capture_output=True,
+    )
+    inp = Path(TARGET) / "fixture_texts.txt"
+    inp.write_text("\n".join(esc(t) for t in texts), encoding="utf-8")
+    res = subprocess.run(
+        [str(Path(TARGET) / "release" / "ner-dump"), str(inp)],
+        check=True, capture_output=True, text=True,
+    )
+    return res.stdout
+
+
+def parse_dump(out: str):
+    tokens = defaultdict(list)   # (tid, tokmode) -> [(idx, start, end, text)]
+    tags = defaultdict(list)     # (tid, algmode) -> [(idx, label, conf)]
+    spans = defaultdict(list)    # (tid, algmode) -> [(st, et, sb, eb, cat, conf, src, text)]
+    for line in out.splitlines():
+        f = line.split("\t")
+        if f[0] == "TOKEN":
+            tokens[(int(f[1]), f[2])].append((int(f[3]), int(f[4]), int(f[5]), unesc(f[6])))
+        elif f[0] == "TAG":
+            tags[(int(f[1]), f[2])].append((int(f[3]), f[4], float(f[5])))
+        elif f[0] == "SPAN":
+            spans[(int(f[1]), f[2])].append(
+                (int(f[3]), int(f[4]), int(f[5]), int(f[6]), f[7], float(f[8]), f[9], unesc(f[10]))
+            )
+    return tokens, tags, spans
+
+
+def main() -> int:
+    goldens = json.loads(GOLDENS.read_text(encoding="utf-8"))
+    texts = [r["text"] for r in goldens]
+    r_tokens, r_tags, r_spans = parse_dump(build_and_run(texts))
+
+    tok_ok = tok_n = 0
+    tag_ok = tag_n = 0
+    per_mode = defaultdict(lambda: [0, 0, 0])  # mode -> [match, ours, ref]
+    mismatches: list[str] = []
+
+    for tid, rec in enumerate(goldens):
+        for tmode, toks in rec["tokens"].items():
+            ours = [(i, int(s), int(e), t) for i, (t, s, e) in enumerate(toks)]
+            ref = sorted(r_tokens.get((tid, tmode), []))
+            tok_n += max(len(ours), len(ref))
+            tok_ok += sum(1 for a, b in zip(ours, ref) if a == b)
+            if ours != ref and len(mismatches) < 20:
+                mismatches.append(f"TOKEN tid={tid} mode={tmode}: {ours[:3]} vs {ref[:3]}")
+        for mode, md in rec["modes"].items():
+            ours_tags = [(i, t, round(c, 9)) for i, (t, c) in enumerate(md["tags"])]
+            ref_tags = sorted(r_tags.get((tid, mode), []))
+            tag_n += max(len(ours_tags), len(ref_tags))
+            for a, b in zip(ours_tags, ref_tags):
+                if a[0] == b[0] and a[1] == b[1] and abs(a[2] - b[2]) <= CONF_TOL:
+                    tag_ok += 1
+                elif len(mismatches) < 40:
+                    mismatches.append(f"TAG tid={tid} mode={mode}: {a} vs {b}")
+            ours_sp = {
+                (st, et, sb, eb, cat, src, t)
+                for t, cat, st, et, sb, eb, _c, src in md["spans"]
+            }
+            ref_sp = {
+                (st, et, sb, eb, cat, src, t)
+                for st, et, sb, eb, cat, _c, src, t in r_spans.get((tid, mode), [])
+            }
+            m = per_mode[mode]
+            m[0] += len(ours_sp & ref_sp)
+            m[1] += len(ours_sp)
+            m[2] += len(ref_sp)
+            for d in sorted(ours_sp ^ ref_sp):
+                if len(mismatches) < 60:
+                    side = "ours-only" if d in ours_sp else "ref-only"
+                    mismatches.append(f"SPAN tid={tid} mode={mode} {side}: {d}")
+
+    lines = ["# RUST_DIFF — engine vs compiled Rust reference", ""]
+    lines.append(f"- texts: {len(goldens)} (41 corpus + 10 demo), tokenizer modes: 5, algorithm modes: 8")
+    lines.append(f"- tokens exact-match: {tok_ok}/{tok_n}")
+    lines.append(f"- per-token tags exact-match (label + conf@1e-9): {tag_ok}/{tag_n}")
+    lines.append("")
+    lines.append("| mode | matched spans | ours | reference | precision | recall |")
+    lines.append("|---|---|---|---|---|---|")
+    all_ok = tok_ok == tok_n and tag_ok == tag_n
+    for mode in sorted(per_mode):
+        m, o, r = per_mode[mode]
+        p = m / o if o else 1.0
+        rc = m / r if r else 1.0
+        all_ok = all_ok and p == 1.0 and rc == 1.0
+        lines.append(f"| {mode} | {m} | {o} | {r} | {p:.4f} | {rc:.4f} |")
+    lines.append("")
+    if mismatches:
+        lines.append("## Mismatches (first 60)")
+        lines += [f"- {m}" for m in mismatches]
+    else:
+        lines.append("No mismatches: every token, tag and span is identical to the compiled reference binary.")
+    report = "\n".join(lines) + "\n"
+    (REPO / "BENCH" / "RUST_DIFF.md").write_text(report, encoding="utf-8")
+    print(report)
+    return 0 if all_ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
