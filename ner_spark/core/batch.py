@@ -15,8 +15,10 @@ documents at once, bit-identically:
   the batch axis (reference: ner-core/src/viterbi.rs:84-203; SURVEY
   §2.5 C4 batch plan), sub-batched under a cell budget with docs
   sorted by length so padding waste stays bounded;
-- tokenization, the 7-pass rule cascade, and span assembly remain
-  per-document (inherently sequential, ~25% of kernel time).
+- the 7-pass rule cascade runs batched with vocab dedup + sparse
+  candidate loops (:func:`ner_spark.core.rules.apply_rules_batch`);
+- tokenization and span assembly remain per-document (inherently
+  sequential).
 
 The north rule's "no per-row Python" holds at the Spark layer: one
 ``mapInPandas`` call per Arrow batch lands here, and the math runs as
@@ -29,7 +31,7 @@ import numpy as np
 
 from ner_spark.core import crf
 from ner_spark.core.pipeline import TaggedToken, analyze, merge_hybrid
-from ner_spark.core.rules import apply_rules, is_cnpj
+from ner_spark.core.rules import apply_rules_batch
 from ner_spark.core.spans import EntitySpan, tokens_to_spans
 from ner_spark.core.tags import N_TAGS, TAG_LABELS, VALID_TRANSITIONS
 from ner_spark.data.crf_weights import FEATURE_NAMES, T_TRANS, W_EMIT
@@ -365,29 +367,42 @@ def _viterbi_batch(
         score[:, 0] = v
         backptr[:, 0] = tags
 
+        # (next, prev) layout so the per-step argmax runs over the
+        # contiguous last axis; M[b, j, i] = v[b, i] + T[i, j] — same
+        # values, same first-max tie rule, ~2× less strided traffic
+        Tt = np.ascontiguousarray(T.T)
+        bidx = np.arange(B)[:, None]
         for i in range(1, L):
-            M = v[:, :, None] + T                    # (B, prev, next)
-            best_prev = M.argmax(axis=1)             # first max wins
-            bidx = np.arange(B)[:, None]
-            best_prev_score = M[bidx, best_prev, tags]
+            M = v[:, None, :] + Tt                   # (B, next, prev)
+            best_prev = M.argmax(axis=2)             # first max wins
+            best_prev_score = M[bidx, tags, best_prev]
             invalid = ~VALID_TRANSITIONS[best_prev, tags]
             v = best_prev_score + Epad[:, i] - 10.0 * invalid
             score[:, i] = v
             backptr[:, i] = best_prev
+
+        # batch backtrack: one (B,) gather per timestep instead of a
+        # per-doc per-token Python loop.  Docs shorter than L hold their
+        # own last tag until their active range begins (the where-mask
+        # keeps cur frozen at lastt while i+1 > n-1), so each doc's
+        # slice is exactly its sequential backtrack.
+        ar = np.arange(B)
+        final_rows = score[ar, np.maximum(lens - 1, 0)]       # (B, 9)
+        lastt = N_TAGS - 1 - np.argmax(final_rows[:, ::-1], axis=1)  # last max wins
+        seq_full = np.empty((B, L), dtype=np.int64)
+        seq_full[ar, np.maximum(lens - 1, 0)] = lastt
+        cur = lastt.copy()
+        for i in range(L - 2, -1, -1):
+            stepped = backptr[ar, i + 1, cur]
+            cur = np.where(i + 1 <= lens - 1, stepped, cur)
+            seq_full[:, i] = cur
 
         for b, d in enumerate(sub):
             n = int(lens[b])
             if n == 0:
                 out[d] = (np.zeros(0, dtype=np.int64), np.zeros((0, N_TAGS)))
                 continue
-            vb = score[b, n - 1]
-            lastt = N_TAGS - 1 - int(np.argmax(vb[::-1]))  # last max wins
-            seq = np.empty(n, dtype=np.int64)
-            seq[n - 1] = lastt
-            bp = backptr[b]
-            for i in range(n - 2, -1, -1):
-                seq[i] = bp[i + 1, seq[i + 1]]
-            out[d] = (seq, score[b, :n])
+            out[d] = (seq_full[b, :n], score[b, :n])
         start = end
 
     return out  # type: ignore[return-value]
@@ -410,12 +425,16 @@ def analyze_batch(
 
     from ner_spark.core.tokenizer import tokenize
 
+    # NOTE: tokenization stays per-doc scalar deliberately — a
+    # vectorized run-based batch scanner was measured 1.0-2.0× SLOWER
+    # than this tight per-char loop (numpy per-call overhead on short
+    # docs, run-tuple overhead on long ones)
     doc_tokens = [tokenize(t, tokenizer_mode) for t in texts]
     doc_words = [[tok[0] for tok in toks] for toks in doc_tokens]
 
     doc_rules: list[list] = [[None] * len(ws) for ws in doc_words]
     if mode not in ("crf_only", "features_only"):
-        doc_rules = [apply_rules(ws, cfg) for ws in doc_words]
+        doc_rules = apply_rules_batch(doc_words, cfg)
 
     results: list[tuple[list[TaggedToken], list[EntitySpan]]] = []
 
@@ -444,12 +463,22 @@ def analyze_batch(
 
     decoded = _viterbi_batch(E_list)
 
+    # one softmax over every doc's score table (row-wise math, so
+    # batching is exact) instead of one numpy call per doc
+    tables = [st for _seq, st in decoded]
+    probs_flat = crf.scores_to_probs(
+        np.concatenate(tables) if tables else np.zeros((0, N_TAGS))
+    )
+
+    k = 0
     for text, tokens, rules, (seq, score_table) in zip(
         texts, doc_tokens, doc_rules, decoded
     ):
+        n = score_table.shape[0]
+        probs = probs_flat[k:k + n]
+        k += n
         if not tokens:
             results.append(([], []))
             continue
-        probs = crf.scores_to_probs(score_table)
         results.append(merge_hybrid(text, tokens, rules, seq, probs, mode))
     return results

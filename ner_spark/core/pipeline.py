@@ -20,6 +20,8 @@ Quirks kept:
 
 from __future__ import annotations
 
+import numpy as np
+
 from ner_spark.core import crf
 from ner_spark.core.features import extract_features
 from ner_spark.core.models import default_models
@@ -87,14 +89,19 @@ def merge_hybrid(text, tokens, rule_tags, seq, probs, mode):
     ``source`` is rewritten to the rule name iff the B- token was
     rule-tagged (pipeline.rs:373-381).  Shared by the per-doc and
     batched kernels so the precedence quirks cannot drift apart."""
+    # resolve numpy scalars to Python values in two vectorized calls
+    # (per-element ndarray indexing dominates this loop otherwise)
+    n = len(tokens)
+    seq_l = seq.tolist() if hasattr(seq, "tolist") else list(seq)
+    conf_l = probs[np.arange(n), seq_l].tolist() if n else []
+
     tagged: list[TaggedToken] = []
     for i, tok in enumerate(tokens):
         if mode == "hybrid" and rule_tags[i] is not None:
             tag_label, _rule_name, conf = rule_tags[i]
             tagged.append((tok, tag_label, conf))
         else:
-            t_idx = int(seq[i])
-            tagged.append((tok, TAG_LABELS[t_idx], float(probs[i, t_idx])))
+            tagged.append((tok, TAG_LABELS[seq_l[i]], conf_l[i]))
 
     entities = tokens_to_spans(tokens, [t[1] for t in tagged], [t[2] for t in tagged], text)
     if mode == "hybrid":

@@ -25,12 +25,21 @@ from pyspark.sql import functions as F
 
 
 def build_edges(links: DataFrame) -> DataFrame:
-    """Similarity edges between distinct surfaces: src=surface,
-    dst=kb:<id> for every linked mention (bipartite star per KB id).
-    Exact-equal surfaces are already one node by construction."""
+    """Similarity edges between distinct surfaces: src=s:<surface>,
+    dst=k:<kb_id> for every linked mention (bipartite star per KB id).
+    Exact-equal surfaces are already one node by construction.
+
+    BOTH node kinds carry an engine-added namespace prefix ("s:" /
+    "k:"), so node type is decided structurally — a mention surface
+    whose text literally starts with "kb:" (or "k:") can never be
+    mistaken for a KB node, keeping the local and distributed
+    canonicalization paths label-identical on any input."""
     return (
         links.where(F.col("kb_id").isNotNull())
-        .select(F.col("surface").alias("src"), F.concat(F.lit("kb:"), "kb_id").alias("dst"))
+        .select(
+            F.concat(F.lit("s:"), "surface").alias("src"),
+            F.concat(F.lit("k:"), "kb_id").alias("dst"),
+        )
         .distinct()
     )
 
@@ -84,6 +93,25 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("label"))
         )
+        # pointer jumping (path doubling): each node also adopts its
+        # label's own label.  Labels only ever decrease and every label
+        # is a node id inside the same component, so correctness is
+        # unchanged — but a chain of diameter d now converges in
+        # O(log d) rounds instead of O(d), which keeps deep KB-star
+        # chains from exhausting max_iter at scale.
+        jump = new_labels.select(
+            F.col("node").alias("jn"), F.col("label").alias("jl")
+        )
+        new_labels = (
+            new_labels.alias("a")
+            .join(jump, F.col("a.label") == F.col("jn"), "left")
+            .select(
+                F.col("a.node").alias("node"),
+                F.least(
+                    F.coalesce(F.col("jl"), F.col("a.label")), F.col("a.label")
+                ).alias("label"),
+            )
+        )
         if checkpoint_every and it % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=True)
 
@@ -130,7 +158,7 @@ def _local_components(edge_rows: list) -> list[tuple[str, str]]:
 
 
 def canonicalize(
-    links: DataFrame, max_iter: int = 50, local_threshold: int = 1_000_000
+    links: DataFrame, max_iter: int = 50, local_threshold: int = 100_000
 ) -> DataFrame:
     """links → entities(surface, entity_id).
 
@@ -139,8 +167,10 @@ def canonicalize(
 
     Components over at most ``local_threshold`` edges run as driver-side
     union-find on the collected (distinct, already-aggregated) edge list
-    — the same small-side cutoff reasoning as a broadcast join; larger
-    graphs run the distributed salted label-propagation loop
+    — the same small-side cutoff reasoning as a broadcast join.  The
+    default (100k edges ≈ a few MB of Row objects) is sized so the
+    probing ``take()`` can never strain driver memory; larger graphs run
+    the distributed salted label-propagation loop
     (:func:`connected_components`).  Both paths produce identical
     labels; set ``local_threshold=0`` to force the distributed path.
     """
@@ -148,7 +178,8 @@ def canonicalize(
     edges = build_edges(links)
 
     # one job: take() both probes the threshold AND collects the edge
-    # sample we need for the local path
+    # sample we need for the local path (bounded by local_threshold+1
+    # rows — the threshold default keeps this a broadcast-sized pull)
     edge_rows = edges.take(local_threshold + 1) if local_threshold else None
 
     if edge_rows is not None and len(edge_rows) == 0:
@@ -159,20 +190,24 @@ def canonicalize(
     if edge_rows is not None and len(edge_rows) <= local_threshold:
         spark = links.sparkSession
         pairs = _local_components([(r["src"], r["dst"]) for r in edge_rows])
-        # component → canonical surface (min over surface nodes, kb:
-        # nodes excluded) computed driver-side; only edge-connected
-        # surfaces need mapping rows — singletons coalesce to themselves
+        # component → canonical surface (min over "s:" nodes; "k:" KB
+        # nodes excluded structurally — both kinds are namespace-
+        # prefixed by build_edges, so the startswith test cannot
+        # misclassify a surface whose text begins with "k:").  The
+        # shared "s:" prefix makes min-over-nodes == min-over-surfaces.
+        # Only edge-connected surfaces need mapping rows — singletons
+        # coalesce to themselves.
         roots: dict[str, str] = {}
         for node, label in pairs:
-            if node.startswith("kb:"):
+            if node.startswith("k:"):
                 continue
             cur = roots.get(label)
             if cur is None or node < cur:
                 roots[label] = node
         mapping = [
-            (node, "ent:" + roots[label])
+            (node[2:], "ent:" + roots[label][2:])
             for node, label in pairs
-            if not node.startswith("kb:")
+            if not node.startswith("k:")
         ]
         mapped = spark.createDataFrame(mapping, "surface string, mapped_id string")
         return surfaces.join(F.broadcast(mapped), "surface", "left").select(
@@ -188,14 +223,19 @@ def canonicalize(
         )
 
     kb_nodes = edges.select(F.col("dst").alias("node")).distinct()
-    nodes = surfaces.select(F.col("surface").alias("node")).union(kb_nodes).distinct()
+    nodes = (
+        surfaces.select(F.concat(F.lit("s:"), "surface").alias("node"))
+        .union(kb_nodes)
+        .distinct()
+    )
 
     labels = connected_components(nodes, edges, max_iter=max_iter)
 
-    # canonical surface per component = min *surface* (kb: nodes excluded)
-    surface_labels = labels.join(
-        surfaces, labels.node == surfaces.surface, "inner"
-    ).select("surface", "label")
+    # canonical surface per component = min *surface* ("k:" KB nodes
+    # excluded by their structural namespace prefix)
+    surface_labels = labels.where(F.col("node").startswith("s:")).select(
+        F.expr("substring(node, 3)").alias("surface"), "label"
+    )
     canon = surface_labels.groupBy("label").agg(F.min("surface").alias("canon_surface"))
     return surface_labels.join(canon, "label").select(
         "surface", F.concat(F.lit("ent:"), "canon_surface").alias("entity_id")

@@ -129,18 +129,44 @@ def tag_tokens(
     source: DataFrame,
     mode: str = "hybrid",
     tokenizer_mode: str = "standard",
+    debug_features: bool = False,
+    top_k_features: int = 10,
 ) -> DataFrame:
-    """Per-token tagging output (debug/inspection surface)."""
+    """Per-token tagging output (debug/inspection surface).
+
+    ``debug_features=True`` adds a ``top_features`` column — the top-k
+    feature attributions per token as "name=value" strings (parity with
+    the reference's FeaturesComputed event, ner-core/src/pipeline.rs:
+    236-242).  The reference sorts a HashMap by value, so its tie order
+    is nondeterministic; here ties break on feature name for a stable
+    output.  Debug path only — it runs the per-doc oracle feature
+    extractor, not the vectorized kernel.
+    """
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    schema = TAGGED_TOKENS_SCHEMA
+    if debug_features:
+        schema = StructType(
+            list(TAGGED_TOKENS_SCHEMA.fields)
+            + [StructField("top_features", ArrayType(StringType()))]
+        )
     narrow = source.select("repo", "path", "content")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if debug_features:
+            from ner_spark.core.features import extract_features
+            from ner_spark.data.gazetteers import default_rule_config
+
+            cfg = default_rule_config()
         memo: dict[Any, Any] = {}
         for pdf in batches:
-            out: dict[str, list] = {f.name: [] for f in TAGGED_TOKENS_SCHEMA.fields}
+            out: dict[str, list] = {f.name: [] for f in schema.fields}
             for repo, path, content in zip(pdf["repo"], pdf["path"], pdf["content"]):
                 if content is None:
                     continue
                 tagged, _entities = _analyze_cached(memo, content, mode, tokenizer_mode)
+                if debug_features:
+                    fvs = extract_features([t[0][0] for t in tagged], cfg)
                 for i, ((text, start, end), tag, conf) in enumerate(tagged):
                     out["repo"].append(repo)
                     out["path"].append(path)
@@ -150,9 +176,16 @@ def tag_tokens(
                     out["end"].append(end)
                     out["tag"].append(tag)
                     out["confidence"].append(conf)
+                    if debug_features:
+                        top = sorted(
+                            fvs[i].items(), key=lambda kv: (-kv[1], kv[0])
+                        )[:top_k_features]
+                        out["top_features"].append(
+                            [f"{k}={v:g}" for k, v in top]
+                        )
             yield pd.DataFrame(out)
 
-    return narrow.mapInPandas(run, schema=TAGGED_TOKENS_SCHEMA)
+    return narrow.mapInPandas(run, schema=schema)
 
 
 def sha_integrity(mentions: DataFrame) -> DataFrame:

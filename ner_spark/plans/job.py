@@ -42,6 +42,7 @@ class KgJob:
         tokenizer_mode: str = "standard",
         run_id: str | None = None,
         force: bool = False,
+        cc_max_iter: int = 50,
     ) -> None:
         self.spark = spark
         self.out = output_dir.rstrip("/")
@@ -49,6 +50,9 @@ class KgJob:
         self.tokenizer_mode = tokenizer_mode
         self.run_id = run_id or uuid.uuid4().hex[:12]
         self.force = force
+        # surfaced so an operator can raise the connected-components
+        # iteration cap for deep graphs without code changes
+        self.cc_max_iter = cc_max_iter
 
     # -- checkpoint plumbing -------------------------------------------------
 
@@ -74,7 +78,8 @@ class KgJob:
         jvm = self.spark.sparkContext._jvm
         conf = self.spark.sparkContext._jsc.hadoopConfiguration()
         p = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
-        if p.getFileSystem(conf).exists(p):
+        fs = p.getFileSystem(conf)
+        if fs.exists(p):
             prev = json.loads(self.spark.read.parquet(path).first()["params"])
             if prev == params:
                 return
@@ -83,6 +88,19 @@ class KgJob:
                     f"output {self.out} holds checkpoints for {prev}, but this "
                     f"run uses {params}; pass force=True/--force to recompute"
                 )
+            # force + different params: every existing stage checkpoint
+            # is stale for the NEW params.  Invalidate them (delete the
+            # _SUCCESS commit markers) BEFORE rewriting the manifest —
+            # otherwise a crash/partial run (e.g. last_stage='tokenize_tag')
+            # would leave downstream checkpoints from the OLD params
+            # committed under a manifest recording the NEW params, and a
+            # later resume would silently reuse them.
+            for stage in STAGES:
+                marker = jvm.org.apache.hadoop.fs.Path(
+                    self._path(stage) + "/_SUCCESS"
+                )
+                if fs.exists(marker):
+                    fs.delete(marker, False)
         self.spark.createDataFrame(
             [(json.dumps(params),)], "params string"
         ).write.mode("overwrite").parquet(path)
@@ -179,7 +197,10 @@ class KgJob:
         if last_stage == "link":
             return links
 
-        entities = self._run_stage("canonicalize", links, lambda: canonicalize(links))
+        entities = self._run_stage(
+            "canonicalize", links,
+            lambda: canonicalize(links, max_iter=self.cc_max_iter),
+        )
         if last_stage == "canonicalize":
             return entities
 

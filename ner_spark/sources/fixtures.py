@@ -76,11 +76,14 @@ def bench_source(spark: SparkSession, sf_dir: str, mult: int = 1) -> DataFrame:
     reps = spark.range(mult).select(F.col("id").alias("rep"))
     return (
         base.crossJoin(reps)
+        # F.concat (unlike concat_ws) propagates NULL, so a null source
+        # document stays null in every replica instead of becoming the
+        # non-null string "docN"
         .withColumn(
             "content",
-            F.concat_ws(" ", "content", F.concat(F.lit("doc"), F.col("rep"))),
+            F.concat("content", F.lit(" doc"), F.col("rep").cast("string")),
         )
-        .withColumn("path", F.concat_ws("#", "path", F.col("rep").cast("string")))
+        .withColumn("path", F.concat("path", F.lit("#"), F.col("rep").cast("string")))
         .withColumn("content_sha256", F.sha2("content", 256))
         .drop("rep")
         .repartition(spark.sparkContext.defaultParallelism)

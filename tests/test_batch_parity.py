@@ -90,3 +90,42 @@ def test_hypothesis_random_parity():
             assert analyze_batch(texts, mode=mode) == expected
 
     check()
+
+
+def test_rules_batch_parity_edge_cases():
+    """apply_rules_batch == per-doc apply_rules on cascade-quirk cases:
+    person B/I chains, n-gram inside-overwrites blocking later starts,
+    consecutive org indicators, titles at doc edges, CNPJ, and doc
+    boundaries between every pair."""
+    from ner_spark.core.rules import apply_rules, apply_rules_batch
+    from ner_spark.data.gazetteers import default_rule_config
+
+    cfg = default_rule_config()
+    docs = [
+        [],
+        ["Lula"],
+        ["Lula", "Silva", "Lula"],                      # B/I person chain
+        ["presidente"],                                  # title at doc end
+        ["presidente", "Lula"],                          # title + person overlap
+        ["presidente", "lula"],                          # title, lowercase next
+        ["Banco", "do", "Brasil", "S.A."],               # ngram + org indicator
+        ["Acme", "S.A.", "Ltda"],                        # consecutive indicators
+        ["12.345.678/0001-95"],                          # CNPJ
+        ["Copa", "do", "Mundo", "Copa", "do", "Mundo"],  # back-to-back ngrams
+        ["São", "Paulo", "e", "Rio", "de", "Janeiro"],
+        ["supremo", "tribunal", "federal"],
+    ]
+    # every doc also split across boundaries with its neighbor
+    want = [apply_rules(ws, cfg) for ws in docs]
+    got = apply_rules_batch(docs, cfg)
+    assert got == want
+
+
+def test_rules_batch_parity_fixture_corpus():
+    from ner_spark.core.rules import apply_rules, apply_rules_batch
+    from ner_spark.core.tokenizer import tokenize
+    from ner_spark.data.gazetteers import default_rule_config
+
+    cfg = default_rule_config()
+    docs = [[t[0] for t in tokenize(text)] for _d, text in fixture_texts()]
+    assert apply_rules_batch(docs, cfg) == [apply_rules(ws, cfg) for ws in docs]

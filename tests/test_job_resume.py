@@ -128,3 +128,25 @@ def test_resume_with_different_mode_refuses(spark, out_dir):
     KgJob(spark, out_dir, run_id="m4", mode="rules_only", force=True).run(
         src, last_stage="tokenize_tag"
     )
+
+
+def test_force_param_change_invalidates_stale_checkpoints(spark, out_dir):
+    """A forced run with different params that stops early must not
+    leave downstream checkpoints from the OLD params committed under
+    the NEW manifest (they would be silently reused on resume)."""
+    src = source_table(spark, n_rows=24)
+    KgJob(spark, out_dir, run_id="f1", mode="hybrid").run(src)  # full run
+
+    job2 = KgJob(spark, out_dir, run_id="f2", mode="rules_only", force=True)
+    job2.run(src, last_stage="tokenize_tag")  # stops before link
+    # stale hybrid-mode downstream checkpoints were invalidated
+    assert not job2._committed("link")
+    assert not job2._committed("canonicalize")
+    assert not job2._committed("materialize")
+
+    # the resume (no force, new params in manifest) recomputes
+    # downstream from the rules_only mentions — byte-identical to a
+    # fresh rules_only run
+    resumed = KgJob(spark, out_dir, run_id="f3", mode="rules_only").run(src)
+    fresh = KgJob(spark, out_dir + "_fresh", run_id="ff", mode="rules_only").run(src)
+    assert _triples_set(resumed) == _triples_set(fresh)

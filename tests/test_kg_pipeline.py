@@ -139,3 +139,52 @@ def test_mentions_with_entity_coalesce(links_df):
     entities = canonicalize(links_df)
     m = with_entities(links_df, entities)
     assert m.where(F.col("entity_id").isNull()).isEmpty()
+
+
+def test_canonicalize_kb_like_surface_is_structural(spark):
+    """A surface whose text literally starts with 'k:'/'kb:' is still a
+    surface (node kinds are namespace-prefixed, not sniffed), and the
+    local and distributed paths agree on it."""
+    rows = [
+        ("r", "p", "kb:weird", "Q90", "LOC", 0.95),
+        ("r", "p", "paris", "Q90", "LOC", 0.95),
+        ("r", "q", "k: thing", None, "ORG", 0.0),
+    ]
+    schema = ("repo string, path string, surface string, kb_id string, "
+              "resolved_category string, link_score double")
+    links = spark.createDataFrame(rows, schema)
+    local = sorted(map(tuple, canonicalize(links).collect()))
+    dist = sorted(map(tuple, canonicalize(links, local_threshold=0).collect()))
+    assert local == dist
+    ids = dict(local)
+    # kb:weird and paris share Q90 → one component; canonical = min surface
+    assert ids["kb:weird"] == "ent:kb:weird"
+    assert ids["paris"] == "ent:kb:weird"
+    # unlinked surface stays a singleton mapped to itself
+    assert ids["k: thing"] == "ent:k: thing"
+
+
+def test_tag_tokens_debug_features(spark):
+    """debug_features=True surfaces the reference's per-token top-10
+    feature attributions (pipeline.rs:236-242), matching the oracle
+    feature extractor exactly (ties broken by name — the reference's
+    HashMap tie order is nondeterministic)."""
+    from ner_spark.core.features import extract_features
+    from ner_spark.core.tokenizer import tokenize
+    from ner_spark.data.gazetteers import default_rule_config
+    from ner_spark.operators.tag import tag_tokens
+
+    src = source_table(spark, n_rows=3)
+    rows = (
+        tag_tokens(src, debug_features=True)
+        .where(F.col("path").endswith("/0.txt"))
+        .orderBy("token_index")
+        .collect()
+    )
+    text = [t for _d, t in fixture_texts()][0]
+    words = [t[0] for t in tokenize(text)]
+    fvs = extract_features(words, default_rule_config())
+    assert len(rows) == len(words)
+    for r in rows:
+        top = sorted(fvs[r.token_index].items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert list(r.top_features) == [f"{k}={v:g}" for k, v in top]

@@ -1,0 +1,100 @@
+"""Watermarked windowed aggregation + stateful sessionization over a
+streaming events landing zone (append-mode exactly-once semantics)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from ner_spark.streaming.events import (  # noqa: E402
+    stream_events_hourly,
+    stream_user_sessions,
+)
+
+EVENTS_DDL = "ts timestamp, user_id long, event_type string, value double"
+
+
+def _land(spark, in_dir, rows):
+    df = spark.createDataFrame(rows, EVENTS_DDL)
+    df.coalesce(1).write.mode("append").parquet(in_dir)
+
+
+def _drain(fn, spark, tmp, name):
+    q = fn(spark, f"{tmp}/in_{name}", f"{tmp}/out_{name}", f"{tmp}/ckpt_{name}")
+    q.awaitTermination(120)
+
+
+def test_hourly_window_with_late_data(spark, tmp_path):
+    import datetime as dt
+
+    tmp = str(tmp_path)
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+
+    # batch 1: two events in the 10:00 window, one in 11:00
+    _land(spark, f"{tmp}/in_h", [
+        (t(10, 5), 1, "a", 1.0),
+        (t(10, 20), 1, "a", 2.0),
+        (t(11, 10), 2, "a", 4.0),
+    ])
+    _drain(stream_events_hourly, spark, tmp, "h")
+    # watermark 09:10 — nothing finalized yet
+
+    # batch 2: a LATE event for the 10:00 window (within the 2h bound,
+    # so it still counts) plus an event at 14:00 that advances the
+    # watermark to 12:00, finalizing the 10:00 and 11:00 windows
+    _land(spark, f"{tmp}/in_h", [
+        (t(10, 40), 3, "a", 8.0),
+        (t(14, 0), 1, "a", 16.0),
+    ])
+    _drain(stream_events_hourly, spark, tmp, "h")
+
+    got = {
+        (r.hour, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(f"{tmp}/out_h").collect()
+    }
+    assert got == {
+        ("2024-01-01 10", "a"): (3, 11.0),  # late 10:40 row included
+        ("2024-01-01 11", "a"): (1, 4.0),
+    }
+
+
+def test_stateful_sessionization(spark, tmp_path):
+    import datetime as dt
+
+    tmp = str(tmp_path)
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+
+    # run 1: open sessions for users 1 and 2
+    _land(spark, f"{tmp}/in_s", [
+        (t(10, 0), 1, "x", 0.0),
+        (t(10, 10), 1, "x", 0.0),
+        (t(10, 0), 2, "x", 0.0),
+    ])
+    _drain(stream_user_sessions, spark, tmp, "s")
+
+    # run 2: user 1 returns after > 30 min → first session closes
+    # in-batch; watermark advances to 12:00
+    _land(spark, f"{tmp}/in_s", [(t(12, 0), 1, "x", 0.0)])
+    _drain(stream_user_sessions, spark, tmp, "s")
+
+    # run 3: watermark (12:00) has passed user 2's timeout (10:30) →
+    # the event-time timeout emits their session
+    _land(spark, f"{tmp}/in_s", [(t(15, 0), 3, "x", 0.0)])
+    _drain(stream_user_sessions, spark, tmp, "s")
+
+    # run 4: watermark (15:00) has passed user 1's second timeout
+    # (12:30) → that session emits too; user 3's stays open
+    _land(spark, f"{tmp}/in_s", [(t(15, 5), 3, "x", 0.0)])
+    _drain(stream_user_sessions, spark, tmp, "s")
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(f"{tmp}/out_s").collect()
+    }
+    assert got == {
+        (1, t(10, 0), t(10, 10), 2),
+        (2, t(10, 0), t(10, 0), 1),
+        (1, t(12, 0), t(12, 0), 1),
+    }

