@@ -89,13 +89,21 @@ def viterbi_decode(
 
 def scores_to_probs(scores: np.ndarray) -> np.ndarray:
     """Max-shifted softmax rows; uniform fallback on zero sum
-    (reference viterbi.rs:225-236).  Accepts (…, 9) arrays."""
+    (reference viterbi.rs:225-236).  Accepts (…, 9) arrays.
+
+    After the max shift every row contains exp(0) = 1, so ``sums`` is
+    ≥ 1 for every non-empty row and the zero-sum fallback is
+    unreachable on finite input — the hot path therefore skips the
+    full-size ``uniform`` allocation and the double ``where`` pass
+    (bitwise-identical division), keeping the reference fallback only
+    behind a cheap guard."""
     if scores.size == 0:
         return scores
     shifted = scores - scores.max(axis=-1, keepdims=True)
-    exps = np.exp(shifted)
+    exps = np.exp(shifted, out=shifted)
     sums = exps.sum(axis=-1, keepdims=True)
+    if sums.all():  # always true on finite input
+        return np.divide(exps, sums, out=exps)
     uniform = np.full_like(exps, 1.0 / scores.shape[-1])
     with np.errstate(invalid="ignore", divide="ignore"):
-        probs = np.where(sums == 0.0, uniform, exps / np.where(sums == 0.0, 1.0, sums))
-    return probs
+        return np.where(sums == 0.0, uniform, exps / np.where(sums == 0.0, 1.0, sums))

@@ -95,13 +95,14 @@ def merge_hybrid(text, tokens, rule_tags, seq, probs, mode):
     seq_l = seq.tolist() if hasattr(seq, "tolist") else list(seq)
     conf_l = probs[np.arange(n), seq_l].tolist() if n else []
 
-    tagged: list[TaggedToken] = []
-    for i, tok in enumerate(tokens):
-        if mode == "hybrid" and rule_tags[i] is not None:
-            tag_label, _rule_name, conf = rule_tags[i]
-            tagged.append((tok, tag_label, conf))
-        else:
-            tagged.append((tok, TAG_LABELS[seq_l[i]], conf_l[i]))
+    labels = TAG_LABELS
+    if mode == "hybrid":
+        tagged: list[TaggedToken] = [
+            (tok, rt[0], rt[2]) if rt is not None else (tok, labels[s], c)
+            for tok, rt, s, c in zip(tokens, rule_tags, seq_l, conf_l)
+        ]
+    else:
+        tagged = [(tok, labels[s], c) for tok, s, c in zip(tokens, seq_l, conf_l)]
 
     entities = tokens_to_spans(tokens, [t[1] for t in tagged], [t[2] for t in tagged], text)
     if mode == "hybrid":

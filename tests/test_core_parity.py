@@ -258,3 +258,69 @@ def test_default_config_smoke():
     assert "tiradentes" in cfg.rule_persons  # corpus-derived
     assert "brasília" in cfg.rule_locations
     assert ("banco", "do", "brasil") in cfg.rule_orgs
+
+
+def test_tokenize_standard_chunk_fast_path_parity():
+    """The ASCII space-chunked fast path inside tokenize_standard must
+    equal a straight per-char transcription of the reference scanner
+    (tokenizer.rs:140-379) on adversarial + random inputs."""
+    from ner_spark.core import tokenizer as TK
+    from ner_spark.data.gazetteers import ABBREVIATIONS
+
+    A, D, AP, SP, H, O = range(6)
+    CLS = TK._ASCII_CLASS
+
+    def ref(text):
+        tokens, ci, cur, i, n = [], 0, 0, 0, len(text)
+        while i < n:
+            ch = text[i]
+            o = ord(ch)
+            c = CLS[o] if o < 128 else TK._char_class(ch)
+            if c == A or (c == H and cur):
+                if not cur:
+                    ci = i
+                cur += 1
+            elif c == D and cur:
+                curtext = text[ci:ci + cur]
+                if curtext in ABBREVIATIONS or (
+                    curtext.isnumeric() and i + 1 < n and text[i + 1].isnumeric()
+                ):
+                    cur += 1
+                else:
+                    tokens.append((curtext, ci, i))
+                    cur = 0
+                    tokens.append((".", i, i + 1))
+            elif c == AP:
+                if not cur:
+                    ci = i
+                cur += 1
+            elif c == SP:
+                if cur:
+                    tokens.append((text[ci:ci + cur], ci, i))
+                    cur = 0
+            else:
+                if cur:
+                    tokens.append((text[ci:ci + cur], ci, i))
+                    cur = 0
+                tokens.append((ch, i, i + 1))
+            i += 1
+        if cur:
+            tokens.append((text[ci:ci + cur], ci, n))
+        return tokens
+
+    cases = [
+        "", " ", "a b", "Dr. Silva chegou", "3.14 e 1.234.567",
+        "a-b -a a- ", "d'agua 'x'", "x  y", " lead", "trail ",
+        "a,b c.", "12.345.678/0001-95 ok", "Sr. . ..", "a\tb c",
+        "3. 14", "abc.", "A.B.C. fim", "e-mail: a-b@c.d",
+    ]
+    for t in cases:
+        assert TK.tokenize_standard(t) == ref(t), repr(t)
+
+    import random
+
+    rng = random.Random(7)
+    chars = "abA1 .-'\t,/"
+    for _ in range(3000):
+        t = "".join(rng.choice(chars) for _ in range(rng.randrange(0, 40)))
+        assert TK.tokenize_standard(t) == ref(t), repr(t)
