@@ -159,6 +159,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(spark, sf), _query_vec(spark, sf), k=10, exclude_vec_id=0
         )
 
+    def q_ann_ivf(spark, sf):
+        return similarity.ann_ivf_topk(
+            _emb(spark, sf), _query_vec(spark, sf), k=10, exclude_vec_id=0
+        )
+
     def q_media_features(spark, sf):
         # serialize the 16-d feature vector for the contract surface:
         # the driver canonicalizer sorts columns, which raw arrays break.
@@ -257,6 +262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "similarity_topk": q_similarity_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "media_features": q_media_features,
         "tpch_pricing": q_tpch_pricing,
         "top_customers": q_top_customers,
@@ -360,6 +366,53 @@ WHERE rk <= 10
 # per-channel quantized feature string: the float32 histogram value is
 # promoted to double (exact) and floor(x·10⁴ + .5)-quantized — the same
 # arithmetic the Spark contract projection applies, so strings match.
+def _ann_ivf_oracle(n_centroids: int = 16, nprobe: int = 2, k: int = 10) -> str:
+    """SQL twin of similarity.ann_ivf_topk: the seeded pseudo-centroid
+    matrix is folded in as literals; per-row cell assignment uses the
+    same quantize(6)-then-first-max rule; the query's nprobe best cells
+    are ranked in-query (dot desc, cell index asc)."""
+    from ner_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(64, n_centroids, seed=7)
+    dot = ("round(list_sum(list_transform(generate_series(1, 64), "
+           "i -> {v}[i]::DOUBLE * ({c}[i]))) + 1e-9, 6)")
+    e_dots = ", ".join(
+        f"({dot.format(v='e.embedding', c=_plane_sql(cents[ci]))}) AS s{ci}"
+        for ci in range(n_centroids)
+    )
+    q_dots = ", ".join(
+        f"({dot.format(v='q.v', c=_plane_sql(cents[ci]))}) AS s{ci}"
+        for ci in range(n_centroids)
+    )
+    all_s = ", ".join(f"s{ci}" for ci in range(n_centroids))
+    cell_case = "CASE " + " ".join(
+        f"WHEN s{ci} = greatest({all_s}) THEN {ci}" for ci in range(n_centroids)
+    ) + " END"
+    q_structs = ", ".join(
+        f"{{'ci': {ci}, 's': s{ci}}}" for ci in range(n_centroids)
+    )
+    cos = _COS.format(a="e.embedding", b="q.v")
+    return f"""
+WITH q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+qs AS (SELECT {q_dots} FROM q),
+qcells AS (
+  SELECT u.c.ci AS ci FROM (
+    SELECT c, row_number() OVER (ORDER BY c.s DESC, c.ci) AS rk
+    FROM qs, UNNEST([{q_structs}]) AS u2(c)) u(c, rk)
+  WHERE rk <= {nprobe}),
+ass AS (
+  SELECT e.vec_id, e.embedding, {cell_case} AS cell
+  FROM (SELECT vec_id, embedding, {e_dots} FROM embeddings e) e),
+cand AS (
+  SELECT a.vec_id, round({_COS.format(a="a.embedding", b="q.v")} + 1e-9, 4) AS cos_sim
+  FROM ass a, q
+  WHERE a.vec_id <> 0 AND a.cell IN (SELECT ci FROM qcells))
+SELECT vec_id, cos_sim, CAST(rk AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rk FROM cand)
+WHERE rk <= {k}
+"""
+
+
 _MEDIA_FEATS = ", ".join(
     "CAST(CAST(floor(CAST(CAST(CAST(len(list_filter(cs, c -> c = "
     f"'{ch}')) AS DOUBLE) / nb AS REAL) AS DOUBLE) * 10000 + 0.5) "
@@ -556,6 +609,7 @@ FROM cand c JOIN fin f ON c.sent_id = f.sent_id AND list_contains(f.kept, c.rk)
 def oracle_sql() -> dict[str, str]:
     return {
         "ann_lsh": _ann_lsh_oracle(),
+        "ann_ivf": _ann_ivf_oracle(),
         "kg_triples": _kg_gold_oracle(),
         "sota_gliner": _sota_gold_oracle(),
         "media_features": f"""

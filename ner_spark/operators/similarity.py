@@ -79,7 +79,11 @@ def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
     constant partition key keeps WindowExec's input to those k rows.
     """
     top = scored.orderBy(F.desc("cos_sim"), "vec_id").limit(k)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("cos_sim"), "vec_id")
+    # constant partition key for the k-row numbering; derived from a
+    # column so Catalyst cannot constant-fold the partition spec away
+    # (a folded spec re-triggers the global-window warning path)
+    zero = F.coalesce(F.col("vec_id") * 0, F.lit(0))
+    w = Window.partitionBy(zero).orderBy(F.desc("cos_sim"), "vec_id")
     return (
         top.withColumn("rank", F.row_number().over(w))
         .select("vec_id", "cos_sim", "rank")
@@ -101,6 +105,62 @@ def lsh_bucket_col(vec_col, planes_mat: np.ndarray) -> F.Column:
         plane = F.array(*[F.lit(float(x)) for x in row])
         bucket = bucket + F.when(_dot(vec_col, plane) > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return bucket
+
+
+def ivf_centroids(dim: int, n_centroids: int, seed: int = 7) -> np.ndarray:
+    """Deterministic pseudo-centroid matrix (n_centroids × dim).
+
+    Production IVF trains these with k-means and persists them next to
+    the table; the fixed seeded matrix keeps the operator — and its
+    SQL oracle — fully deterministic in this repo."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_centroids, dim))
+
+
+def ivf_cell_col(vec_col, cents: np.ndarray) -> F.Column:
+    """IVF cell id of a double-array column: argmax over centroid dot
+    products, first-max-wins, on dots quantized to 6 decimals (the
+    quantization pins the Spark-vs-SQL float fold order so both
+    engines assign identical cells)."""
+    dots = F.array(*[
+        stable_round(_dot(vec_col, F.array(*[F.lit(float(x)) for x in c])), 6)
+        for c in cents
+    ])
+    return F.array_position(dots, F.array_max(dots)).cast("int") - 1
+
+
+def ann_ivf_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    n_centroids: int = 16, nprobe: int = 2, seed: int = 7,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) cells.
+
+    Each vector is assigned to its nearest pseudo-centroid (max dot);
+    the query probes its ``nprobe`` best cells and ranks exact cosine
+    only inside them.  At 100 TB the cell id is the table's partition /
+    clustering key, so a probe reads nprobe/n_centroids of the data —
+    the classic IVF pruning — and assignment happens once at write
+    time, not per query."""
+    dim = len(query_vec)
+    cents = ivf_centroids(dim, n_centroids, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    # same quantize-then-first-max rule as the per-row assignment
+    qdots = np.round(cents @ qv + 1e-9, 6)
+    order = sorted(range(n_centroids), key=lambda c: (-qdots[c], c))
+    probes = [int(c) for c in order[:nprobe]]
+
+    v = _as_double(F.col("embedding"))
+    assigned = emb.select("vec_id", v.alias("v"), ivf_cell_col(v, cents).alias("cell"))
+    cand = assigned.where(F.col("cell").isin(probes))
+    if exclude_vec_id is not None:
+        cand = cand.where(F.col("vec_id") != exclude_vec_id)
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q_norm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    cos = _dot(F.col("v"), q) / (_norm(F.col("v")) * F.lit(q_norm))
+    scored = cand.select("vec_id", stable_round(cos, 4).alias("cos_sim"))
+    return _ranked_topk(scored, k)
 
 
 def ann_lsh_topk(

@@ -130,7 +130,8 @@ class KgJob:
         )
 
     def _run_stage(
-        self, stage: str, rows_in_df: DataFrame, compute: Callable[[], DataFrame]
+        self, stage: str, rows_in_df: DataFrame, compute: Callable[[], DataFrame],
+        partition_by: tuple[str, ...] = (),
     ) -> DataFrame:
         path = self._path(stage)
         started = _utcnow()
@@ -141,7 +142,14 @@ class KgJob:
             return cached
         rows_in = rows_in_df.count()
         out = compute()
-        out.write.mode("overwrite").parquet(path)
+        # Iceberg-style layout: the checkpoint table is partitioned by
+        # its natural query key (predicate for triples), so downstream
+        # readers prune partitions.  At deploy time the same spec moves
+        # to `.writeTo(tbl).using("iceberg").partitionedBy(...)`.
+        writer = out.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
         written = self.spark.read.parquet(path)
         sha_ok = None
         if "sha_ok" in written.columns:
@@ -205,7 +213,8 @@ class KgJob:
             return entities
 
         triples = self._run_stage(
-            "materialize", links, lambda: materialize_triples(links, entities)
+            "materialize", links, lambda: materialize_triples(links, entities),
+            partition_by=("pred",),
         )
 
         # audit the MENTIONED_WITH entity cap (silent truncation would
