@@ -137,6 +137,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_embedding_near_dup(spark, sf):
         return dedup.embedding_topk_pairs(_emb(spark, sf), top_k=20)
 
+    def q_embedding_near_dup_ivf(spark, sf):
+        return dedup.embedding_topk_pairs_ivf(_emb(spark, sf), top_k=20)
+
     def q_text_quality(spark, sf):
         return A.text_quality(_docs(spark, sf))
 
@@ -256,6 +259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash_buckets": q_simhash_buckets,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
@@ -366,6 +370,38 @@ WHERE rk <= 10
 # per-channel quantized feature string: the float32 histogram value is
 # promoted to double (exact) and floor(x·10⁴ + .5)-quantized — the same
 # arithmetic the Spark contract projection applies, so strings match.
+def _embedding_ivf_pairs_oracle(n_centroids: int = 16, top_k: int = 20) -> str:
+    """SQL twin of dedup.embedding_topk_pairs_ivf: per-row IVF cell
+    assignment (centroid literals, quantize-then-first-max), pairs
+    within a cell, global top-k."""
+    from ner_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(64, n_centroids, seed=7)
+    dot = ("round(list_sum(list_transform(generate_series(1, 64), "
+           "i -> e.embedding[i]::DOUBLE * ({c}[i]))) + 1e-9, 6)")
+    e_dots = ", ".join(
+        f"({dot.format(c=_plane_sql(cents[ci]))}) AS s{ci}"
+        for ci in range(n_centroids)
+    )
+    all_s = ", ".join(f"s{ci}" for ci in range(n_centroids))
+    cell_case = "CASE " + " ".join(
+        f"WHEN s{ci} = greatest({all_s}) THEN {ci}" for ci in range(n_centroids)
+    ) + " END"
+    return f"""
+WITH ass AS (
+  SELECT vec_id, embedding, {cell_case} AS cell
+  FROM (SELECT vec_id, embedding, {e_dots} FROM embeddings e) t),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    round({_COS.format(a="a.embedding", b="b.embedding")} + 1e-9, 4) AS cos_sim
+  FROM ass a JOIN ass b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, cos_sim FROM (
+  SELECT *, row_number() OVER (ORDER BY cos_sim DESC, vec_a, vec_b) AS rk
+  FROM pairs)
+WHERE rk <= {top_k}
+"""
+
+
 def _ann_ivf_oracle(n_centroids: int = 16, nprobe: int = 2, k: int = 10) -> str:
     """SQL twin of similarity.ann_ivf_topk: the seeded pseudo-centroid
     matrix is folded in as literals; per-row cell assignment uses the
@@ -454,6 +490,7 @@ def _kg_gold_oracle() -> str:
         )
         picks.append(f"WHEN s{i} = best THEN '{esc(kb_id)}'")
 
+    all_s = ", ".join(f"s{i}" for i in range(len(KB_RECORDS)))
     runs = _runs_cte().replace("WITH ", "WITH RECURSIVE ", 1)
     return runs + f""",
 sp AS (
@@ -485,7 +522,7 @@ nel AS (
   SELECT repo, path, rc AS resolved_category, q AS surface,
     CASE WHEN best >= 0.5 THEN CASE {" ".join(picks)} END END AS kb_id,
     CASE WHEN best >= 0.5 THEN best ELSE 0.0 END AS link_score
-  FROM (SELECT *, greatest(s0, s1, s2, s3, s4) AS best FROM sc)),
+  FROM (SELECT *, greatest({all_s}) AS best FROM sc)),
 ed AS (SELECT DISTINCT surface AS s, kb_id AS k FROM nel WHERE kb_id IS NOT NULL),
 adj AS (SELECT DISTINCT a.s AS x, b.s AS y FROM ed a JOIN ed b ON a.k = b.k),
 reach AS (
@@ -610,6 +647,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ann_lsh": _ann_lsh_oracle(),
         "ann_ivf": _ann_ivf_oracle(),
+        "embedding_near_dup_ivf": _embedding_ivf_pairs_oracle(),
         "kg_triples": _kg_gold_oracle(),
         "sota_gliner": _sota_gold_oracle(),
         "media_features": f"""

@@ -129,6 +129,21 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     return result
 
 
+def _rust_diff_summary() -> str:
+    """Measured accuracy lines from BENCH/RUST_DIFF.md — never
+    hardcoded, so a goldens/corpus change can't leave stale claims in
+    the generated report."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH", "RUST_DIFF.md")
+    try:
+        with open(path, encoding="utf-8") as f:
+            keep = [ln.rstrip() for ln in f
+                    if ln.startswith("- ") or ln.startswith("|")]
+        return "\n".join(keep) if keep else "(RUST_DIFF.md empty)"
+    except OSError:
+        return "(not yet measured — run `python tools/rust_diff/compare.py`)"
+
+
 def run_scaling(sf_dir: str, low: int = 2, high: int = 8) -> None:
     """North-rule scaling evidence: same job + same input at two
     parallelism levels (N and 4N cores), each in its own
@@ -199,11 +214,10 @@ Per-query seconds at local[{high}]:
 (external deps shimmed; no semantic change — see its Cargo.toml) and
 diffs the binary's output for all 51 fixture texts against the
 engine's pinned goldens (`python tools/rust_diff/compare.py`, also run
-as `tests/test_rust_differential.py`).  Full table in
-`BENCH/RUST_DIFF.md`: tokens 18,819/18,819 exact (5 tokenizer modes),
-per-token tags 11,352/11,352 exact (8 algorithm modes), and entity
-spans at **precision 1.0000 / recall 1.0000 in every mode** (north-star
-target P/R ≥ 0.95).
+as `tests/test_rust_differential.py`).  Measured result, copied from
+`BENCH/RUST_DIFF.md` at report time (north-star target P/R ≥ 0.95):
+
+{_rust_diff_summary()}
 """
     os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"),
                 exist_ok=True)

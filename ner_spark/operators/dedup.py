@@ -97,17 +97,14 @@ def ngram_jaccard_pairs(
             / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"), 6
         ).alias("jaccard"),
     )
-    return _global_topk(pairs, "jaccard", top_k, block_keys=("doc_a",))
+    return _global_topk(pairs, "jaccard", top_k)
 
 
-def _global_topk(
-    pairs: DataFrame, score_col: str, top_k: int, block_keys: tuple[str, ...] = ()
-) -> DataFrame:
+def _global_topk(pairs: DataFrame, score_col: str, top_k: int) -> DataFrame:
     """Deterministic global top-k: ``orderBy(...).limit(k)`` compiles to
     ``TakeOrderedAndProject`` — each task keeps a bounded k-row heap and
     the driver merges the per-partition heaps — so no shuffle and no
-    single-task global sort/window ever materializes.  (``block_keys``
-    kept for signature stability; the heap plan needs no pre-prune.)"""
+    single-task global sort/window ever materializes."""
     order = [F.desc(score_col)] + [F.col(c) for c in pairs.columns if c != score_col]
     return pairs.orderBy(*order).limit(top_k)
 
@@ -235,15 +232,42 @@ def embedding_topk_pairs(
 ) -> DataFrame:
     """Top-k most-cosine-similar embedding pairs within each block.
 
-    Blocking on ``label`` keeps the self-join per-block quadratic; at
-    real scale the block key is an IVF/LSH bucket (see
-    :mod:`ner_spark.operators.similarity`).  Output (vec_a, vec_b,
-    cos_sim) ranked by (cos desc, vec_a, vec_b), deterministic.
+    Blocking on ``label`` keeps the self-join per-block quadratic; the
+    content-derived scale path is :func:`embedding_topk_pairs_ivf`.
+    Output (vec_a, vec_b, cos_sim) ranked by (cos desc, vec_a, vec_b),
+    deterministic.
     """
     v = emb.select(
         "vec_id", F.col(block_col).alias("block"),
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
+    return _topk_cosine_pairs(v, top_k)
+
+
+def embedding_topk_pairs_ivf(
+    emb: DataFrame, top_k: int = 20, n_centroids: int = 16,
+    seed: int = 7, dim: int = 64,
+) -> DataFrame:
+    """Near-dup pairs blocked by IVF cell instead of a metadata label:
+    the block key is derived from the vector itself (nearest seeded
+    pseudo-centroid, :func:`ner_spark.operators.similarity.ivf_cell_col`),
+    so the self-join is per-cell quadratic — ~N²/n_centroids at uniform
+    fill — with no reliance on any labeling.  At 100 TB the cell id is
+    the stored table's partition key, so each block join is
+    partition-local."""
+    from ner_spark.operators.similarity import ivf_cell_col, ivf_centroids
+
+    cents = ivf_centroids(dim, n_centroids, seed)
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    v = emb.select(
+        "vec_id", ivf_cell_col(dv, cents).alias("block"), dv.alias("v")
+    )
+    return _topk_cosine_pairs(v, top_k)
+
+
+def _topk_cosine_pairs(v: DataFrame, top_k: int) -> DataFrame:
+    """(vec_id, block, v) → top-k (vec_a, vec_b, cos_sim) pairs within
+    each block, ranked globally (cos desc, vec_a, vec_b)."""
     norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
     v = v.withColumn("nrm", norm)
     a, b = v.alias("a"), v.alias("b")
@@ -260,4 +284,4 @@ def embedding_topk_pairs(
             stable_round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4).alias("cos_sim"),
         )
     )
-    return _global_topk(pairs, "cos_sim", top_k, block_keys=("vec_a",))
+    return _global_topk(pairs, "cos_sim", top_k)

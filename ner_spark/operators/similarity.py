@@ -145,8 +145,12 @@ def ann_ivf_topk(
     dim = len(query_vec)
     cents = ivf_centroids(dim, n_centroids, seed)
     qv = np.asarray(query_vec, dtype=np.float64)
-    # same quantize-then-first-max rule as the per-row assignment
-    qdots = np.round(cents @ qv + 1e-9, 6)
+    # same quantize-then-first-max rule as the per-row assignment; the
+    # SQL oracle ranks the query's cells with round(x+1e-9, 6) (half
+    # away from zero), so emulate exactly that — np.round's banker's
+    # rounding would disagree at .5e-6 boundaries
+    raw = cents @ qv + 1e-9
+    qdots = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5), raw) / 1e6
     order = sorted(range(n_centroids), key=lambda c: (-qdots[c], c))
     probes = [int(c) for c in order[:nprobe]]
 

@@ -134,12 +134,33 @@ def stream_user_sessions(
                 start, last, n = state.get
             else:
                 start, last, n = ts[0], ts[0], 0
-            for t in ts:
-                if t - last > gap:
+            # with lateness > 0 events may arrive out of order relative
+            # to the open session — three cases per (sorted) event:
+            # earlier than start-gap → a separate, already-closed
+            # earlier session; inside [start-gap, last] → absorbed
+            # (possibly extending start downward); after last → the
+            # usual extend-or-split walk.
+            pre = [t for t in ts if t < start - gap]
+            if pre:
+                p_start = p_last = pre[0]
+                p_n = 0
+                for t in pre:
+                    if t - p_last > gap:
+                        out.append((user_id, p_start, p_last, p_n))
+                        p_start, p_n = t, 0
+                    p_last = t
+                    p_n += 1
+                out.append((user_id, p_start, p_last, p_n))
+            for t in ts[len(pre):]:
+                if t <= last:
+                    start = min(start, t)
+                    n += 1
+                elif t - last > gap:
                     out.append((user_id, start, last, n))
-                    start, n = t, 0
-                last = t
-                n += 1
+                    start, last, n = t, t, 1
+                else:
+                    last = t
+                    n += 1
             state.update((start, last, n))
             state.setTimeoutTimestamp((last + gap) * 1000)
 

@@ -98,3 +98,42 @@ def test_stateful_sessionization(spark, tmp_path):
         (2, t(10, 0), t(10, 0), 1),
         (1, t(12, 0), t(12, 0), 1),
     }
+
+
+def test_sessionization_absorbs_late_events(spark, tmp_path):
+    """With a lateness bound, an out-of-order event inside the open
+    session's span must be absorbed (counted, start extended) — not
+    regress the session end or split it."""
+    import datetime as dt
+    from functools import partial
+
+    from ner_spark.streaming.events import stream_user_sessions
+
+    fn = partial(stream_user_sessions, lateness="2 hours")
+    tmp = str(tmp_path)
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+
+    _land(spark, f"{tmp}/in_l", [
+        (t(10, 0), 1, "x", 0.0),
+        (t(10, 20), 1, "x", 0.0),
+    ])
+    _drain(fn, spark, tmp, "l")
+    # late arrivals: one inside the open session's span, one slightly
+    # before its start but within the gap (start extends downward)
+    _land(spark, f"{tmp}/in_l", [
+        (t(10, 10), 1, "x", 0.0),
+        (t(9, 50), 1, "x", 0.0),
+    ])
+    _drain(fn, spark, tmp, "l")
+    # close the session by a > gap jump, then advance the watermark far
+    # enough (lateness 2h + gap) for the event-time timeout to fire
+    _land(spark, f"{tmp}/in_l", [(t(14, 0), 1, "x", 0.0)])
+    _drain(fn, spark, tmp, "l")
+    _land(spark, f"{tmp}/in_l", [(t(20, 0), 2, "x", 0.0)])
+    _drain(fn, spark, tmp, "l")
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(f"{tmp}/out_l").collect()
+    }
+    assert (1, t(9, 50), t(10, 20), 4) in got
