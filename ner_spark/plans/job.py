@@ -133,10 +133,24 @@ class KgJob:
         self, stage: str, rows_in_df: DataFrame, compute: Callable[[], DataFrame],
         partition_by: tuple[str, ...] = (),
     ) -> DataFrame:
+        import json
+
+        from pyspark.errors import AnalysisException
+        from pyspark.sql.types import StructType
+
         path = self._path(stage)
         started = _utcnow()
         if not self.force and self._committed(stage):
-            cached = self.spark.read.parquet(path)
+            try:
+                cached = self.spark.read.parquet(path)
+            except AnalysisException:
+                # an empty PARTITIONED checkpoint has a _SUCCESS marker
+                # but zero data files, so schema inference fails —
+                # recover it from the sidecar written below
+                sj = self.spark.read.parquet(path + "_schema").first()["schema_json"]
+                cached = self.spark.read.schema(
+                    StructType.fromJson(json.loads(sj))
+                ).parquet(path)
             self._log_metrics(stage, cached, rows_in=-1, sha_ok=None,
                               started=started, skipped=True)
             return cached
@@ -149,8 +163,13 @@ class KgJob:
         writer = out.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
+            # partitioned writes of empty data emit no files at all —
+            # persist the schema so a resume can still read the table
+            self.spark.createDataFrame(
+                [(out.schema.json(),)], "schema_json string"
+            ).write.mode("overwrite").parquet(path + "_schema")
         writer.parquet(path)
-        written = self.spark.read.parquet(path)
+        written = self.spark.read.schema(out.schema).parquet(path)
         sha_ok = None
         if "sha_ok" in written.columns:
             sha_ok = written.where(F.col("sha_ok") == False).isEmpty()  # noqa: E712

@@ -188,3 +188,40 @@ def test_tag_tokens_debug_features(spark):
     for r in rows:
         top = sorted(fvs[r.token_index].items(), key=lambda kv: (-kv[1], kv[0]))[:10]
         assert list(r.top_features) == [f"{k}={v:g}" for k, v in top]
+
+
+def test_frame_sample_plan(spark):
+    """Video frame-sampling plumbing: one row per sampled timestamp,
+    only for media with positive duration, repartitioned for decode
+    parallelism."""
+    from ner_spark.operators.multimodal import MEDIA_SCHEMA, frame_sample_plan
+
+    rows = [
+        (1, "video", "video/mp4", bytearray(b"x"), 320, 240, 2500),
+        (2, "image", "image/png", bytearray(b"y"), 64, 64, 0),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = sorted(
+        (r.media_id, r.frame_no, r.ts_ms)
+        for r in frame_sample_plan(media, every_ms=1000).collect()
+    )
+    # 0, 1000, 2000 ms for the 2.5 s video; nothing for the image
+    assert got == [(1, 0, 0), (1, 1, 1000), (1, 2, 2000)]
+
+
+def test_empty_source_pipeline(spark, tmp_path):
+    """Zero input documents flow through every stage (tag → link →
+    canonicalize → materialize) without errors and produce zero
+    triples — executor-loss recovery can land on empty partitions."""
+    from ner_spark.plans.job import KgJob
+    from ner_spark.schemas import SOURCE_SCHEMA
+
+    empty = spark.createDataFrame([], SOURCE_SCHEMA)
+    job = KgJob(spark, str(tmp_path / "kg_empty"), run_id="e1")
+    out = job.run(empty)
+    assert out.count() == 0
+    # resume over the empty (partitioned) checkpoint: the schema
+    # sidecar lets the skipped-stage read succeed with zero data files
+    out2 = KgJob(spark, str(tmp_path / "kg_empty"), run_id="e2").run(empty)
+    assert out2.count() == 0
+    assert out2.schema == out.schema

@@ -50,8 +50,9 @@ def main() -> int:
     def check(name: str, label: str, ok: bool, note: str = "") -> None:
         checks.append((name, label, ok, note))
 
-    topk_queries = ("similarity_topk", "ann_lsh", "dedup_ngram_jaccard",
-                    "embedding_near_dup")
+    topk_queries = ("similarity_topk", "ann_lsh", "ann_ivf",
+                    "dedup_ngram_jaccard", "embedding_near_dup",
+                    "embedding_near_dup_ivf")
     for name in topk_queries:
         p = plans[name] = plan_of(q[name](spark, SF_DIR))
         check(name, "TakeOrderedAndProject (distributed heap top-k)",
