@@ -104,8 +104,9 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     for name in () if os.environ.get("SPARK_GRAFT_BENCH_QUERIES") == "0" else (
         "dedup_exact", "dedup_ngram_jaccard", "minhash_lsh_dedup",
         "simhash_buckets", "text_quality", "token_counts", "lang_id",
-        "doc_fingerprint", "similarity_topk", "ann_lsh",
-        "embedding_near_dup", "media_features", "tpch_pricing",
+        "doc_fingerprint", "similarity_topk", "ann_lsh", "ann_ivf",
+        "embedding_near_dup", "embedding_near_dup_ivf",
+        "media_features", "tpch_pricing",
         "top_customers", "events_hourly", "events_sessions",
     ):
         t0 = time.perf_counter()

@@ -225,3 +225,23 @@ def test_empty_source_pipeline(spark, tmp_path):
     out2 = KgJob(spark, str(tmp_path / "kg_empty"), run_id="e2").run(empty)
     assert out2.count() == 0
     assert out2.schema == out.schema
+
+
+def test_fuzzy_alias_linking(spark):
+    """MinHashLSH candidate blocking (north-star scale path): a surface
+    that misses the alias dictionary exactly still links via char
+    3-gram Jaccard similarity; dissimilar surfaces stay unlinked."""
+    rows = [
+        ("r", "a", "Paris Hiltonn", "PER"),   # typo → fuzzy match
+        ("r", "b", "paris hilton", "PER"),    # exact dictionary hit
+        ("r", "c", "zzqqxxyyww", "ORG"),      # no candidate at all
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, mention_text string, resolved_category string"
+    )
+    linked = link_mentions_alias(df, fuzzy=True, fuzzy_threshold=0.4)
+    got = {r.surface: (r.kb_id, r.link_score) for r in linked.collect()}
+    assert got["paris hilton"] == ("Q47454", 0.95)
+    kb, score = got["paris hiltonn"]
+    assert kb == "Q47454" and 0.4 <= score < 0.95
+    assert got["zzqqxxyyww"][0] is None
