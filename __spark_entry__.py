@@ -3,9 +3,15 @@
 ``entry(spark)`` runs the flagship KG-construction pipeline; ``queries()``
 exposes one callable per implemented operator family (SURVEY.md §2 plus
 the training-data curation layer); ``oracle_sql()`` gives the DuckDB
-twin for every SQL-expressible query (the rest get rows-only checks:
-the NER tagging kernels are vectorized-numpy pandas UDFs and the LSH /
-SimHash / media operators hash with engine-specific functions).
+twin for every SQL-expressible query — 24 of the 27 keys, including
+the full KG triple pipeline and the GLiNER simulator via gold-span
+variants (``ner_spark.plans.kg_gold``) whose oracles fold the KB /
+trigger tables in as literals and express connected components and
+greedy NMS as recursive CTEs.  The 3 rows-only keys
+(``mentions_hybrid``, ``mentions_crf``, ``kg_triples_tagged``) run the
+vectorized NER tagger, which is not SQL-expressible; those paths are
+value-pinned instead by ``tests/goldens`` and the compiled-Rust
+differential (``tools/rust_diff``, P/R 1.0).
 
 Column names and rounding are kept in lockstep between each Spark query
 and its oracle — the driver hash-compares values after sorting columns
