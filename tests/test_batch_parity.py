@@ -129,3 +129,26 @@ def test_rules_batch_parity_fixture_corpus():
     cfg = default_rule_config()
     docs = [[t[0] for t in tokenize(text)] for _d, text in fixture_texts()]
     assert apply_rules_batch(docs, cfg) == [apply_rules(ws, cfg) for ws in docs]
+
+
+def test_rules_batch_parity_hypothesis():
+    pytest.importorskip("hypothesis")
+    from hypothesis import given, settings, strategies as st
+
+    from ner_spark.core.rules import apply_rules, apply_rules_batch
+    from ner_spark.data.gazetteers import default_rule_config
+
+    cfg = default_rule_config()
+    pool = [
+        "Lula", "lula", "Silva", "Brasil", "São", "Paulo", "presidente",
+        "Presidente", "S.A.", "Ltda", "Banco", "do", "Copa", "Mundo",
+        "12.345.678/0001-95", "casa", "x", "-", ".", "dr.", "STF",
+        "Supremo", "Tribunal", "Federal", "ministra", "Apple",
+    ]
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.lists(st.sampled_from(pool), max_size=12), max_size=5))
+    def check(docs):
+        assert apply_rules_batch(docs, cfg) == [apply_rules(ws, cfg) for ws in docs]
+
+    check()

@@ -245,3 +245,23 @@ def test_fuzzy_alias_linking(spark):
     kb, score = got["paris hiltonn"]
     assert kb == "Q47454" and 0.4 <= score < 0.95
     assert got["zzqqxxyyww"][0] is None
+
+
+def test_canonicalize_deep_chain_converges(spark):
+    """A 60-link surface–KB chain has graph diameter ≈ 120; plain
+    min-label propagation needs ~diameter iterations, but the
+    pointer-jumping (path-doubling) step converges in O(log d) — so
+    max_iter=15 must suffice and every node must take the chain-min
+    label."""
+    rows = []
+    for i in range(60):
+        rows.append(("r", "p", f"s{i:03d}", f"Q{i:03d}", "LOC", 0.95))
+        rows.append(("r", "p", f"s{i + 1:03d}", f"Q{i:03d}", "LOC", 0.95))
+    schema = ("repo string, path string, surface string, kb_id string, "
+              "resolved_category string, link_score double")
+    links = spark.createDataFrame(rows, schema)
+    ents = dict(
+        map(tuple, canonicalize(links, local_threshold=0, max_iter=15).collect())
+    )
+    assert len(ents) == 61
+    assert set(ents.values()) == {"ent:s000"}
