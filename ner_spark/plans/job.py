@@ -264,6 +264,9 @@ def main() -> None:
     parser.add_argument("--stage", default="materialize", choices=list(STAGES))
     parser.add_argument("--force", action="store_true", help="recompute committed stages")
     parser.add_argument("--run-id", default=None)
+    parser.add_argument("--cc-max-iter", type=int, default=50,
+                        help="connected-components iteration cap (raise for "
+                             "very deep entity graphs)")
     args = parser.parse_args()
 
     from ner_spark.session import get_spark
@@ -279,7 +282,8 @@ def main() -> None:
         parser.error("one of --input / --fixture-rows is required")
 
     job = KgJob(spark, args.output, mode=args.mode,
-                tokenizer_mode=args.tokenizer_mode, run_id=args.run_id, force=args.force)
+                tokenizer_mode=args.tokenizer_mode, run_id=args.run_id,
+                force=args.force, cc_max_iter=args.cc_max_iter)
     out = job.run(source, last_stage=args.stage)
     print(f"stage={args.stage} rows={out.count()} output={job._path(args.stage)}")
 
