@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship KG-construction pipeline; ``queries()``
 exposes one callable per implemented operator family (SURVEY.md §2 plus
 the training-data curation layer); ``oracle_sql()`` gives the DuckDB
-twin for every SQL-expressible query — 24 of the 27 keys, including
+twin for every SQL-expressible query — 25 of the 28 keys, including
 the full KG triple pipeline and the GLiNER simulator via gold-span
 variants (``ner_spark.plans.kg_gold``) whose oracles fold the KB /
 trigger tables in as literals and express connected components and
@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_simhash_buckets(spark, sf):
         return dedup.simhash_buckets(_docs(spark, sf))
 
+    def q_dedup_clusters(spark, sf):
+        return dedup.dedup_clusters(_docs(spark, sf))
+
     def q_embedding_near_dup(spark, sf):
         return dedup.embedding_topk_pairs(_emb(spark, sf), top_k=20)
 
@@ -263,6 +266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_buckets": q_simhash_buckets,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
@@ -306,6 +310,31 @@ _COS = (
     "(sqrt(list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE))) * "
     "sqrt(list_sum(list_transform(generate_series(1, len({b})), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))))"
 )
+
+
+# MinHash+LSH candidate-pair CTE chain, shared by the pair oracle and
+# the cluster oracle (kept in lockstep with dedup.minhash_lsh_dup_pairs)
+_MINHASH_CAND_CTE = f"""toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id, u.g
+  FROM toks, UNNEST(list_transform(generate_series(1, len(t)-2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(g)
+  WHERE len(t) >= 3),
+sig AS (
+  SELECT doc_id,
+    [{", ".join(f"min(md5('h{i}|' || g))" for i in range(16))}] AS s
+  FROM sh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, s, b,
+    md5(CAST(b AS VARCHAR) || '|' || s[4*b+1] || '|' || s[4*b+2]
+        || '|' || s[4*b+3] || '|' || s[4*b+4]) AS band_hash
+  FROM sig, UNNEST([0,1,2,3]) AS ub(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(len(list_filter(generate_series(1,16), i -> a.s[i] = b.s[i])) AS DOUBLE)
+      / 16.0 AS jaccard_est
+  FROM banded a JOIN banded b
+    ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)"""
 
 
 def _corpus_cte() -> str:
@@ -720,30 +749,29 @@ SELECT vec_a, vec_b, cos_sim FROM (
   SELECT *, row_number() OVER (ORDER BY cos_sim DESC, vec_a, vec_b) AS rk
   FROM pairs) WHERE rk <= 20
 """,
-        "minhash_lsh_dedup": f"""
-WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-sh AS (
-  SELECT doc_id, u.g
-  FROM toks, UNNEST(list_transform(generate_series(1, len(t)-2),
-                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(g)
-  WHERE len(t) >= 3),
-sig AS (
-  SELECT doc_id,
-    [{", ".join(f"min(md5('h{i}|' || g))" for i in range(16))}] AS s
-  FROM sh GROUP BY doc_id),
-banded AS (
-  SELECT doc_id, s, b,
-    md5(CAST(b AS VARCHAR) || '|' || s[4*b+1] || '|' || s[4*b+2]
-        || '|' || s[4*b+3] || '|' || s[4*b+4]) AS band_hash
-  FROM sig, UNNEST([0,1,2,3]) AS ub(b)),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-    CAST(len(list_filter(generate_series(1,16), i -> a.s[i] = b.s[i])) AS DOUBLE)
-      / 16.0 AS jaccard_est
-  FROM banded a JOIN banded b
-    ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
-SELECT doc_a, doc_b, jaccard_est FROM cand WHERE jaccard_est >= 0.5
-""",
+        "minhash_lsh_dedup": (
+            "WITH " + _MINHASH_CAND_CTE
+            + "\nSELECT doc_a, doc_b, jaccard_est FROM cand WHERE jaccard_est >= 0.5\n"
+        ),
+        "dedup_clusters": (
+            "WITH RECURSIVE " + _MINHASH_CAND_CTE + """,
+e AS (SELECT doc_a, doc_b FROM cand WHERE jaccard_est >= 0.5),
+adj AS (
+  SELECT doc_a AS x, doc_b AS y FROM e
+  UNION SELECT doc_b, doc_a FROM e
+  UNION SELECT doc_a, doc_a FROM e
+  UNION SELECT doc_b, doc_b FROM e),
+reach AS (
+  SELECT x, y FROM adj
+  UNION
+  SELECT r.x, a.y FROM reach r JOIN adj a ON r.y = a.x),
+comp AS (SELECT x AS doc_id, min(y) AS cluster_id FROM reach GROUP BY x)
+SELECT d.doc_id,
+  CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+  (d.doc_id = coalesce(c.cluster_id, d.doc_id)) AS is_canonical
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+        ),
         "text_quality": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
 SELECT doc_id,

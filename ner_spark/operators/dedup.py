@@ -186,6 +186,59 @@ def minhash_lsh_dup_pairs(
     return cand.where(F.col("jaccard_est") >= min_jaccard_est)
 
 
+def dedup_clusters(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard_est: float = 0.5,
+    max_iter: int = 30,
+) -> DataFrame:
+    """End of the dedup story: near-dup pairs → connected components →
+    one canonical document per cluster.
+
+    Output (doc_id, cluster_id, is_canonical): ``cluster_id`` is the
+    min doc_id of the MinHash+LSH duplicate component (transitive —
+    A≈B≈C clusters together even if A,C never collide directly);
+    singletons are their own cluster.  A curation pipeline keeps
+    ``is_canonical`` rows and drops the rest.
+
+    Scale shape: the pair graph is tiny relative to the corpus (only
+    near-dups), so the label-propagation loop runs on it alone and the
+    full table joins the labels once at the end.
+    """
+    from ner_spark.operators.canonicalize import connected_components
+
+    pairs = minhash_lsh_dup_pairs(
+        docs, n=n, num_hashes=num_hashes, bands=bands,
+        min_jaccard_est=min_jaccard_est,
+    )
+    # checkpoint the (small) pair-edge list: nodes and the CC loop both
+    # derive from it, and truncating the shared MinHash lineage here
+    # avoids re-evaluating it per iteration (and the attribute-reuse
+    # conflicts a self-referencing un-checkpointed plan can hit)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).localCheckpoint(eager=True)
+    # explode instead of a self-union: two selects over the SAME parent
+    # unioned under renamed columns trip Union constraint rewriting in
+    # Spark's optimizer (key-not-found on the aliased attribute)
+    nodes = edges.select(
+        F.explode(F.array("src", "dst")).alias("node")
+    ).distinct()
+    labels = connected_components(nodes, edges, max_iter=max_iter)
+    out = (
+        docs.select("doc_id")
+        .join(labels, docs["doc_id"] == labels["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", "doc_id").alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )
+    return out
+
+
 def simhash_buckets(docs: DataFrame, band_bits: int = 16) -> DataFrame:
     """64-bit SimHash per doc + 16-bit band keys for near-dup blocking.
 
