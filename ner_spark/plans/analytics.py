@@ -116,12 +116,23 @@ def top_customers(orders: DataFrame, customer: DataFrame,
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
-    w = Window.orderBy(F.desc("revenue"), "c_custkey")
-    return (
+    # distributed top-k: orderBy().limit(k) compiles to
+    # TakeOrderedAndProject (per-partition bounded heap, driver merge) —
+    # no single-task global sort/window.  Only the ≤ k survivors are
+    # numbered; the column-derived constant partition key keeps
+    # WindowExec's input to those k rows (same shape as
+    # similarity._ranked_topk).
+    top = (
         enriched.select("c_custkey", "c_name", F.col("r_name").alias("region_name"),
                         "revenue", "n_orders")
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(k)
+    )
+    zero = F.coalesce(F.col("c_custkey") * 0, F.lit(0))
+    w = Window.partitionBy(zero).orderBy(F.desc("revenue"), "c_custkey")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("c_custkey", "c_name", "region_name", "revenue", "n_orders", "rank")
     )
 
 

@@ -87,6 +87,10 @@ def main() -> int:
     p = plans["top_customers"] = plan_of(q["top_customers"](spark, SF_DIR))
     check("top_customers", "dimension joins broadcast",
           "BroadcastHashJoin" in p)
+    check("top_customers", "TakeOrderedAndProject (distributed heap top-k)",
+          "TakeOrderedAndProject" in p)
+    check("top_customers", "no SinglePartition exchange",
+          "SinglePartition" not in p)
 
     p = plans["media_features"] = plan_of(q["media_features"](spark, SF_DIR))
     check("media_features", "narrow mapInPandas (no Exchange before it)",
