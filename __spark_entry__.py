@@ -3,15 +3,17 @@
 ``entry(spark)`` runs the flagship KG-construction pipeline; ``queries()``
 exposes one callable per implemented operator family (SURVEY.md §2 plus
 the training-data curation layer); ``oracle_sql()`` gives the DuckDB
-twin for every SQL-expressible query — 25 of the 28 keys, including
-the full KG triple pipeline and the GLiNER simulator via gold-span
-variants (``ner_spark.plans.kg_gold``) whose oracles fold the KB /
-trigger tables in as literals and express connected components and
-greedy NMS as recursive CTEs.  The 3 rows-only keys
+twin for ALL 28 keys.  SQL-expressible queries get direct oracles —
+including the full KG triple pipeline and the GLiNER simulator via
+gold-span variants (``ner_spark.plans.kg_gold``) whose oracles fold the
+KB / trigger tables in as literals and express connected components and
+greedy NMS as recursive CTEs.  The 3 tagger-driven keys
 (``mentions_hybrid``, ``mentions_crf``, ``kg_triples_tagged``) run the
-vectorized NER tagger, which is not SQL-expressible; those paths are
-value-pinned instead by ``tests/goldens`` and the compiled-Rust
-differential (``tools/rust_diff``, P/R 1.0).
+vectorized NER kernel, which is not SQL-expressible — their oracles
+instead fold ``tests/goldens/goldens.json`` in as VALUES: the goldens
+are certified against the compiled Rust reference binary
+(``tools/rust_diff``, P/R 1.0000 every mode), so the oracle's
+provenance is the reference, not the engine under test.
 
 Column names and rounding are kept in lockstep between each Spark query
 and its oracle — the driver hash-compares values after sorting columns
@@ -224,10 +226,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # context_window is array<string> inside the pipeline (NED
         # consumes it); the contract projection joins it to one string
         # so the driver canonicalizer can sort/hash the rows.
+        # confidence goes through stable_round(·, 6) so the goldens
+        # oracle (which quantizes with the identical BigDecimal-HALF_UP
+        # arithmetic) hash-matches bit-for-bit.
         from ner_spark.operators.tag import extract_mentions
 
-        return extract_mentions(_fixture_source(spark), mode=mode).withColumn(
-            "context_window", F.concat_ws(" ", "context_window")
+        return (
+            extract_mentions(_fixture_source(spark), mode=mode)
+            .withColumn("context_window", F.concat_ws(" ", "context_window"))
+            .withColumn("confidence", F.round(F.col("confidence") + F.lit(1e-9), 6))
         )
 
     def q_mentions_hybrid(spark, sf):
@@ -493,16 +500,20 @@ _MEDIA_FEATS = ", ".join(
 _MEDIA_ZEROS = ",".join(["0"] * 16)
 
 
-def _kg_gold_oracle() -> str:
-    """SQL twin of plans.kg_gold.kg_triples_gold: gold spans → NED →
-    NEL (KB folded in as literals) → connected components (recursive
-    closure over the surface–surface adjacency induced by shared KB
-    ids) → the four triple branches."""
+def _sql_esc(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _kg_chain_sql() -> str:
+    """NED → NEL (KB folded in as literals) → connected components
+    (recursive closure over the surface–surface adjacency induced by
+    shared KB ids) → the four triple branches; reads a preceding
+    ``men(repo, path, mention_text, category, ctx)`` CTE.  Shared by
+    the gold-span oracle (``kg_triples``) and the goldens-driven
+    tagged oracle (``kg_triples_tagged``)."""
     from ner_spark.data.kb import KB_LOC_IDS, KB_ORG_IDS, KB_PER_IDS, KB_RECORDS
 
-    def esc(s: str) -> str:
-        return s.replace("'", "''")
-
+    esc = _sql_esc
     s_selects, picks = [], []
     for i, (kb_id, name, _d, _u) in enumerate(KB_RECORDS):
         nl = esc(name.lower())
@@ -526,22 +537,7 @@ def _kg_gold_oracle() -> str:
         picks.append(f"WHEN s{i} = best THEN '{esc(kb_id)}'")
 
     all_s = ", ".join(f"s{i}" for i in range(len(KB_RECORDS)))
-    runs = _runs_cte().replace("WITH ", "WITH RECURSIVE ", 1)
-    return runs + f""",
-sp AS (
-  SELECT sent_id, start_idx, end_idx, substr(first_tag, 3) AS category, surface
-  FROM g WHERE first_tag LIKE 'B-%'),
-sw AS (SELECT sent_id, array_agg(word ORDER BY idx) AS words FROM c GROUP BY sent_id),
-men AS (
-  SELECT
-    CASE WHEN sp.sent_id % 2 = 0 THEN 'repo0'
-         ELSE 'repo' || CAST(1 + sp.sent_id % 19 AS VARCHAR) END AS repo,
-    'docs/' || CAST(sp.sent_id AS VARCHAR) || '.txt' AS path,
-    sp.surface AS mention_text, sp.category,
-    list_transform(
-      list_slice(sw.words, greatest(sp.start_idx - 3, 0) + 1, sp.end_idx + 4),
-      w -> lower(w)) AS ctx
-  FROM sp JOIN sw ON sp.sent_id = sw.sent_id),
+    return f""",
 ned AS (
   SELECT repo, path, mention_text,
     CASE WHEN contains(lower(mention_text), 'paris')
@@ -591,6 +587,134 @@ tr AS (
   FROM base GROUP BY entity_id, resolved_category)
 SELECT subj, pred, obj, CAST(ev AS BIGINT) AS evidence_count FROM tr
 """
+
+
+def _kg_gold_oracle() -> str:
+    """SQL twin of plans.kg_gold.kg_triples_gold: gold spans → the
+    shared NED/NEL/CC/triples chain (:func:`_kg_chain_sql`)."""
+    runs = _runs_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    return runs + """,
+sp AS (
+  SELECT sent_id, start_idx, end_idx, substr(first_tag, 3) AS category, surface
+  FROM g WHERE first_tag LIKE 'B-%'),
+sw AS (SELECT sent_id, array_agg(word ORDER BY idx) AS words FROM c GROUP BY sent_id),
+men AS (
+  SELECT
+    CASE WHEN sp.sent_id % 2 = 0 THEN 'repo0'
+         ELSE 'repo' || CAST(1 + sp.sent_id % 19 AS VARCHAR) END AS repo,
+    'docs/' || CAST(sp.sent_id AS VARCHAR) || '.txt' AS path,
+    sp.surface AS mention_text, sp.category,
+    list_transform(
+      list_slice(sw.words, greatest(sp.start_idx - 3, 0) + 1, sp.end_idx + 4),
+      w -> lower(w)) AS ctx
+  FROM sp JOIN sw ON sp.sent_id = sw.sent_id)""" + _kg_chain_sql()
+
+
+# ------------------------------------------------- goldens-based oracles
+#
+# The tagger kernel (tokenize → features → rules → CRF → Viterbi) is not
+# SQL-expressible, but its OUTPUTS over the deterministic fixture source
+# are: tests/goldens/goldens.json pins tokens/tags/spans for all 51
+# fixture texts, and the compiled Rust reference binary reproduces them
+# exactly (BENCH/RUST_DIFF.md, P/R 1.0000 every mode).  Folding those
+# goldens in as VALUES gives the three tagger-driven contract keys full
+# rows+schema+hash oracles whose provenance is the reference binary,
+# not the engine under test.
+
+_GOLDENS_CACHE: list | None = None
+
+
+def _goldens() -> list:
+    global _GOLDENS_CACHE
+    if _GOLDENS_CACHE is None:
+        import json
+
+        path = os.path.join(_REPO_ROOT, "tests", "goldens", "goldens.json")
+        with open(path, encoding="utf-8") as f:
+            _GOLDENS_CACHE = json.load(f)
+    return _GOLDENS_CACHE
+
+
+def _stable_round6(x: float) -> float:
+    """Python twin of functions.text.stable_round(col, 6): Spark's
+    Round is BigDecimal HALF_UP on the double — replicated with
+    decimal so the oracle literal is bitwise the Spark output."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(x + 1e-9).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def _golden_span_rows(mode: str) -> list[tuple]:
+    """(text_id, mention_text, category, start_token, end_token, start,
+    end, confidence_q6, source, ctx_words) per golden span — ctx is the
+    ±3-token lowercased window exactly as operators.tag emits it."""
+    rows = []
+    for rec in _goldens():
+        toks = rec["tokens"]["standard"]
+        n = len(toks)
+        for text, cat, st, et, sb, eb, conf, src in rec["modes"][mode]["spans"]:
+            lo, hi = max(st - 3, 0), min(et + 3, n - 1)
+            ctx = [toks[i][0].lower() for i in range(lo, hi + 1)]
+            rows.append((rec["text_id"], text, cat, st, et, sb, eb,
+                         _stable_round6(conf), src, ctx))
+    return rows
+
+
+def _fixture_src_values() -> str:
+    """The 102-row fixture source as a VALUES CTE keyed by text_id —
+    the same rows sources.fixtures.build_source_rows produces."""
+    from ner_spark.sources.fixtures import build_source_rows, fixture_texts
+
+    n_texts = len(fixture_texts())
+    vals = []
+    for i, (repo, path, commit, _lang, _text, sha) in enumerate(
+        build_source_rows(FIXTURE_ROWS)
+    ):
+        vals.append(f"({i % n_texts},'{repo}','{_sql_esc(path)}','{commit}','{sha}')")
+    return ("src(text_id, repo, path, commit, content_sha256) AS (VALUES "
+            + ", ".join(vals) + ")")
+
+
+def _mentions_oracle(mode: str) -> str:
+    """SQL twin of the ``mentions_*`` contract queries: Rust-certified
+    golden spans × the deterministic fixture replication."""
+    sp_vals = []
+    for tid, text, cat, st, et, sb, eb, conf, src, ctx in _golden_span_rows(mode):
+        ctx_s = _sql_esc(" ".join(ctx))
+        sp_vals.append(
+            f"({tid},'{_sql_esc(text)}','{cat}',{st},{et},{sb},{eb},"
+            f"{conf!r},'{_sql_esc(src)}','{ctx_s}')"
+        )
+    return f"""
+WITH sp(text_id, mention_text, category, start_token, end_token, sb, eb,
+        confidence, source, ctx) AS (VALUES {", ".join(sp_vals)}),
+{_fixture_src_values()}
+SELECT src.repo, src.path, src.commit, src.content_sha256, TRUE AS sha_ok,
+  sp.mention_text, sp.category,
+  CAST(sp.start_token AS INT) AS start_token,
+  CAST(sp.end_token AS INT) AS end_token,
+  CAST(sp.sb AS INT) AS start, CAST(sp.eb AS INT) AS "end",
+  CAST(sp.confidence AS DOUBLE) AS confidence, sp.source,
+  sp.ctx AS context_window
+FROM src JOIN sp USING (text_id)
+"""
+
+
+def _kg_tagged_oracle() -> str:
+    """SQL twin of ``kg_triples_tagged``: golden hybrid-mode spans over
+    the fixture replication feed the shared NED/NEL/CC/triples chain —
+    the same chain the value-checked ``kg_triples`` oracle uses."""
+    sp_vals = []
+    for tid, text, cat, _st, _et, _sb, _eb, _conf, _src, ctx in _golden_span_rows("hybrid"):
+        ctx_sql = "[" + ",".join(f"'{_sql_esc(w)}'" for w in ctx) + "]"
+        sp_vals.append(f"({tid},'{_sql_esc(text)}','{cat}',{ctx_sql})")
+    return f"""
+WITH RECURSIVE
+sp(text_id, mention_text, category, ctx) AS (VALUES {", ".join(sp_vals)}),
+{_fixture_src_values()},
+men AS (
+  SELECT src.repo, src.path, sp.mention_text, sp.category, sp.ctx
+  FROM src JOIN sp USING (text_id))""" + _kg_chain_sql()
 
 
 def _sota_gold_oracle(threshold: float = 0.5, max_span_length: int = 4) -> str:
@@ -684,6 +808,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ann_ivf_oracle(),
         "embedding_near_dup_ivf": _embedding_ivf_pairs_oracle(),
         "kg_triples": _kg_gold_oracle(),
+        "kg_triples_tagged": _kg_tagged_oracle(),
+        "mentions_hybrid": _mentions_oracle("hybrid"),
+        "mentions_crf": _mentions_oracle("crf_only"),
         "sota_gliner": _sota_gold_oracle(),
         "media_features": f"""
 WITH h AS (SELECT doc_id AS media_id, lower(hex(encode(text))) AS hx FROM documents),
