@@ -32,6 +32,80 @@ from ner_spark.schemas import MENTIONS_SCHEMA, TAGGED_TOKENS_SCHEMA
 
 _MEMO_MAX = 200_000
 
+# _BatchMemo sizing: the cached analysis payload (token tuples + tags +
+# spans) is ≈60 bytes per content character, so capping the cached
+# *content* characters at 4M bounds the worker cache near 256 MB.
+_MEMO_MAX_CHARS = 4_000_000
+_MEMO_WARMUP_ROWS = 5_000
+_MEMO_MIN_RATIO = 1.05
+
+
+class _BatchMemo:
+    """Worker-local analysis cache keyed by content sha256.
+
+    Bounded by total cached content characters (a stable proxy for the
+    result payload — see ``_MEMO_MAX_CHARS``) instead of entry count:
+    an entry-count cap over unique ~KB documents could grow to
+    multiple GB per worker.  The memo also disables itself when the
+    stream turns out to be mostly unique (observed rows/analyzed ratio
+    below ``min_ratio`` after ``warmup_rows``): caching then buys
+    nothing and only costs memory.  Batch-level dedup stays on always.
+    """
+
+    def __init__(self, enabled: bool = True, max_chars: int = _MEMO_MAX_CHARS,
+                 warmup_rows: int = _MEMO_WARMUP_ROWS,
+                 min_ratio: float = _MEMO_MIN_RATIO) -> None:
+        self.enabled = enabled
+        self.max_chars = max_chars
+        self.warmup_rows = warmup_rows
+        self.min_ratio = min_ratio
+        self.rows = 0
+        self.analyzed = 0
+        self._memo: dict[str, Any] = {}
+        self._chars = 0
+
+    @property
+    def cached_chars(self) -> int:
+        return self._chars
+
+    @property
+    def cached_entries(self) -> int:
+        return len(self._memo)
+
+    def process(self, keys: list[str], contents: list[str], analyze_fn):
+        """Analyze the batch's unseen unique contents; return a dict
+        covering every key in ``keys`` (aligned with ``contents``)."""
+        use = self.enabled and (
+            self.rows < self.warmup_rows
+            or self.rows >= self.min_ratio * max(self.analyzed, 1)
+        )
+        if not use and self._memo:
+            self._memo.clear()
+            self._chars = 0
+        seen: set[str] = set()
+        todo_k: list[str] = []
+        todo_c: list[str] = []
+        for k, c in zip(keys, contents):
+            if k in self._memo or k in seen:
+                continue
+            seen.add(k)
+            todo_k.append(k)
+            todo_c.append(c)
+        out = dict(zip(todo_k, analyze_fn(todo_c)))
+        self.rows += len(keys)
+        self.analyzed += len(todo_k)
+        if not use:
+            return out
+        self._memo.update(out)
+        self._chars += sum(len(c) for c in todo_c)
+        if self._chars > self.max_chars:
+            # serve this batch from a (shallow) copy, then evict
+            lookup = dict(self._memo)
+            self._memo.clear()
+            self._chars = 0
+            return lookup
+        return self._memo
+
 
 def _analyze_cached(memo: dict, text: str, mode: str, tokenizer_mode: str):
     key = (text, mode, tokenizer_mode)
@@ -61,7 +135,13 @@ def extract_mentions(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ner_spark.core.batch import analyze_batch
 
-        memo: dict[Any, Any] = {}
+        # batched kernel over each batch's UNIQUE contents (exact-dup
+        # content is common in web/code corpora) + a byte-bounded,
+        # adaptively-disabled worker memo for cross-batch repeats.
+        # Keys are the RECOMPUTED sha256 (needed for sha_ok anyway):
+        # small fixed-size keys instead of full document texts, and no
+        # aliasing through a corrupted content_sha256 column.
+        memo = _BatchMemo(enabled=memoize)
         for pdf in batches:
             out: dict[str, list] = {f.name: [] for f in MENTIONS_SCHEMA.fields}
             contents = pdf["content"].tolist()
@@ -70,32 +150,25 @@ def extract_mentions(
             paths = pdf["path"].tolist()
             commits = pdf["commit"].tolist()
 
-            # batched kernel over the batch's UNIQUE contents (exact-dup
-            # content is common in web/code corpora); worker-local memo
-            # for cross-batch repeats when memoize=True
-            if not memoize or len(memo) >= _MEMO_MAX:
-                memo = {}
-            seen = set()
-            unique = []
-            for content in contents:
-                if content is not None and content not in memo and content not in seen:
-                    seen.add(content)
-                    unique.append(content)
-            results = analyze_batch(unique, mode=mode, tokenizer_mode=tokenizer_mode)
-            if memoize:
-                memo.update(zip(unique, results))
-                lookup = memo
-            else:
-                lookup = dict(zip(unique, results))
+            real_shas = [
+                None if c is None
+                else hashlib.sha256(c.encode("utf-8")).hexdigest()
+                for c in contents
+            ]
+            keys = [k for k in real_shas if k is not None]
+            nonnull = [c for c in contents if c is not None]
+            lookup = memo.process(
+                keys, nonnull,
+                lambda cs: analyze_batch(cs, mode=mode, tokenizer_mode=tokenizer_mode),
+            )
 
-            for repo, path, commit, content, sha in zip(repos, paths, commits, contents, shas):
+            for repo, path, commit, content, sha, real in zip(
+                repos, paths, commits, contents, shas, real_shas
+            ):
                 if content is None:
                     continue
-                tagged, entities = lookup[content]
-                sha_ok = (
-                    None if sha is None
-                    else hashlib.sha256(content.encode("utf-8")).hexdigest() == sha
-                )
+                tagged, entities = lookup[real]
+                sha_ok = None if sha is None else real == sha
                 n = len(tagged)
                 for text, cat, st, et, sb, eb, conf, src in entities:
                     out["repo"].append(repo)
