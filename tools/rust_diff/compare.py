@@ -61,6 +61,9 @@ def parse_dump(out: str):
     tokens = defaultdict(list)   # (tid, tokmode) -> [(idx, start, end, text)]
     tags = defaultdict(list)     # (tid, algmode) -> [(idx, label, conf)]
     spans = defaultdict(list)    # (tid, algmode) -> [(st, et, sb, eb, cat, conf, src, text)]
+    ned = defaultdict(list)      # tid -> [(st, et, orig, resolved, conf)]
+    nel = defaultdict(list)      # tid -> [(st, et, resolved, kb_id|None, score)]
+    sota = defaultdict(list)     # tid -> [(st, et, sb, eb, class, score, text)]
     for line in out.splitlines():
         f = line.split("\t")
         if f[0] == "TOKEN":
@@ -71,13 +74,117 @@ def parse_dump(out: str):
             spans[(int(f[1]), f[2])].append(
                 (int(f[3]), int(f[4]), int(f[5]), int(f[6]), f[7], float(f[8]), f[9], unesc(f[10]))
             )
-    return tokens, tags, spans
+        elif f[0] == "NED":
+            ned[int(f[1])].append((int(f[2]), int(f[3]), f[4], f[5], float(f[6])))
+        elif f[0] == "NEL":
+            nel[int(f[1])].append(
+                (int(f[2]), int(f[3]), f[4], None if f[5] == "-" else f[5], float(f[6]))
+            )
+        elif f[0] == "SOTA":
+            sota[int(f[1])].append(
+                (int(f[2]), int(f[3]), int(f[4]), int(f[5]), f[6], float(f[7]), unesc(f[8]))
+            )
+    return tokens, tags, spans, ned, nel, sota
+
+
+# f32-vs-f64 tolerance: the reference computes NED/NEL/SOTA scores in
+# f32 (e.g. f32(0.8)+f32(0.15) prints 0.949999988079); the engine uses
+# doubles (NED/NEL) or replicated-f32 numpy (SOTA).
+SCORE_TOL = 1e-6
+
+
+def engine_ned_nel(texts: list[str]):
+    """Run the engine's Spark NED/NEL operators over the fixture texts
+    (hybrid tagger → disambiguate → link_mentions, the composition of
+    ner-web/src/main.rs:217-236) and key results by (tid, span)."""
+    import hashlib
+
+    from pyspark.sql import SparkSession
+
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as em
+    from ner_spark.operators.link import disambiguate, link_mentions
+    from ner_spark.operators.tag import extract_mentions
+    from ner_spark.schemas import SOURCE_SCHEMA
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("ner-rust-diff")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    em._ensure_pkg(spark)
+    rows = [
+        (f"r{tid}", f"t/{tid}.txt", "c", "pt", text,
+         hashlib.sha256(text.encode("utf-8")).hexdigest())
+        for tid, text in enumerate(texts)
+    ]
+    source = spark.createDataFrame(rows, SOURCE_SCHEMA)
+    linked = link_mentions(disambiguate(extract_mentions(source))).select(
+        "path", "start_token", "end_token", "category",
+        "resolved_category", "ned_confidence", "kb_id", "link_score"
+    ).collect()
+    spark.stop()
+    ned = defaultdict(list)
+    nel = defaultdict(list)
+    for r in linked:
+        tid = int(r.path.split("/")[1].split(".")[0])
+        ned[tid].append((r.start_token, r.end_token, r.category,
+                         r.resolved_category, r.ned_confidence))
+        nel[tid].append((r.start_token, r.end_token, r.resolved_category,
+                         r.kb_id, r.link_score))
+    return ned, nel
+
+
+def engine_sota(texts: list[str]):
+    """The engine's GLiNER-simulator kernel on the same raw-text tokens
+    the reference handler uses (tokenize → simulate_gliner)."""
+    sys.path.insert(0, str(REPO))
+    from ner_spark.core.sota import simulate_gliner
+    from ner_spark.core.tokenizer import tokenize
+
+    out = defaultdict(list)
+    for tid, text in enumerate(texts):
+        toks = tokenize(text, "standard")
+        for t, cat, st, et, sb, eb, conf in simulate_gliner(
+            toks, ["Pessoa", "Local", "Organizacao", "Data"],
+            threshold=0.5, max_span_length=4,
+        ):
+            out[tid].append((st, et, sb, eb, cat, conf, t))
+    return out
+
+
+def diff_scored(ours: dict, ref: dict, n_texts: int, score_idx, label: str,
+                mismatches: list[str]):
+    """Order-insensitive exact diff with SCORE_TOL on the score fields;
+    returns (matched, ours_total, ref_total)."""
+    ok = o_n = r_n = 0
+    idxs = (score_idx,) if isinstance(score_idx, int) else tuple(score_idx)
+
+    def quant(row):
+        return tuple(
+            round(v, 6) if i in idxs else v for i, v in enumerate(row)
+        )
+
+    for tid in range(n_texts):
+        a = sorted(quant(r) for r in ours.get(tid, []))
+        b = sorted(quant(r) for r in ref.get(tid, []))
+        o_n += len(a)
+        r_n += len(b)
+        sa, sb = set(a), set(b)
+        ok += len(sa & sb)
+        for d in sorted(sa ^ sb):
+            if len(mismatches) < 80:
+                side = "ours-only" if d in sa else "ref-only"
+                mismatches.append(f"{label} tid={tid} {side}: {d}")
+    return ok, o_n, r_n
 
 
 def main() -> int:
     goldens = json.loads(GOLDENS.read_text(encoding="utf-8"))
     texts = [r["text"] for r in goldens]
-    r_tokens, r_tags, r_spans = parse_dump(build_and_run(texts))
+    r_tokens, r_tags, r_spans, r_ned, r_nel, r_sota = parse_dump(build_and_run(texts))
 
     tok_ok = tok_n = 0
     tag_ok = tag_n = 0
@@ -118,14 +225,26 @@ def main() -> int:
                     side = "ours-only" if d in ours_sp else "ref-only"
                     mismatches.append(f"SPAN tid={tid} mode={mode} {side}: {d}")
 
+    e_ned, e_nel = engine_ned_nel(texts)
+    e_sota = engine_sota(texts)
+    ned_ok, ned_o, ned_r = diff_scored(e_ned, r_ned, len(texts), 4, "NED", mismatches)
+    nel_ok, nel_o, nel_r = diff_scored(e_nel, r_nel, len(texts), 4, "NEL", mismatches)
+    sota_ok, sota_o, sota_r = diff_scored(e_sota, r_sota, len(texts), 5, "SOTA", mismatches)
+
     lines = ["# RUST_DIFF — engine vs compiled Rust reference", ""]
     lines.append(f"- texts: {len(goldens)} (41 corpus + 10 demo), tokenizer modes: 5, algorithm modes: 8")
     lines.append(f"- tokens exact-match: {tok_ok}/{tok_n}")
     lines.append(f"- per-token tags exact-match (label + conf@1e-9): {tag_ok}/{tag_n}")
+    lines.append(f"- NED (hybrid → ned::disambiguate, Spark operator vs binary): {ned_ok}/{max(ned_o, ned_r)} exact (resolved tag + conf@1e-6)")
+    lines.append(f"- NEL (→ KnowledgeBase::link, Spark operator vs binary): {nel_ok}/{max(nel_o, nel_r)} exact (kb_id + score@1e-6)")
+    lines.append(f"- GLiNER simulator (simulate_gliner, kernel vs binary): {sota_ok}/{max(sota_o, sota_r)} exact (class + span + score@1e-6)")
     lines.append("")
     lines.append("| mode | matched spans | ours | reference | precision | recall |")
     lines.append("|---|---|---|---|---|---|")
-    all_ok = tok_ok == tok_n and tag_ok == tag_n
+    all_ok = (tok_ok == tok_n and tag_ok == tag_n
+              and ned_ok == ned_o == ned_r
+              and nel_ok == nel_o == nel_r
+              and sota_ok == sota_o == sota_r)
     for mode in sorted(per_mode):
         m, o, r = per_mode[mode]
         p = m / o if o else 1.0

@@ -8,6 +8,18 @@
 //!   TAG   <tid> <algmode> <idx> <label> <confidence>
 //!   SPAN  <tid> <algmode> <start_token> <end_token> <start> <end>
 //!         <category> <confidence> <source> <escaped text>
+//!   NED   <tid> <start_token> <end_token> <original_tag> <resolved_tag>
+//!         <confidence>                       (hybrid, ned::disambiguate —
+//!                                             ner-web/src/main.rs:217-225)
+//!   NEL   <tid> <start_token> <end_token> <resolved_tag> <kb_id|->
+//!         <score>                            (hybrid → NED → KB::link —
+//!                                             ner-web/src/main.rs:225-233)
+//!   SOTA  <tid> <start_token> <end_token> <start> <end> <class>
+//!         <score> <escaped text>             (simulate_gliner, threshold
+//!                                             0.5, max span 4, classes
+//!                                             "Pessoa, Local, Organizacao,
+//!                                             Data" — ner-web sota.html
+//!                                             default + main.rs:246-258)
 
 use std::io::{BufRead, BufReader, Write};
 
@@ -99,6 +111,55 @@ fn main() {
                 )
                 .unwrap();
             }
+        }
+
+        // NED + NEL over the hybrid pipeline, composed exactly as the
+        // reference web handlers do (ner-web/src/main.rs:217-236)
+        let (tagged, entities) =
+            pipeline.analyze_with_mode(&text, AlgorithmMode::Hybrid, TokenizerMode::Standard);
+        let tokens: Vec<_> = tagged.into_iter().map(|t| t.token).collect();
+        let disambiguated = ner_core::ned::disambiguate(&tokens, &entities);
+        for d in disambiguated.iter() {
+            writeln!(
+                out,
+                "NED\t{}\t{}\t{}\t{}\t{}\t{:.12}",
+                tid, d.entity.start_token, d.entity.end_token,
+                d.original_tag, d.resolved_tag, d.confidence
+            )
+            .unwrap();
+        }
+        let kb = ner_core::nel::KnowledgeBase::new();
+        for l in kb.link(&disambiguated).iter() {
+            writeln!(
+                out,
+                "NEL\t{}\t{}\t{}\t{}\t{}\t{:.12}",
+                tid,
+                l.disambiguated.entity.start_token,
+                l.disambiguated.entity.end_token,
+                l.disambiguated.resolved_tag,
+                l.kb_match.as_ref().map(|r| r.id.as_str()).unwrap_or("-"),
+                l.match_score
+            )
+            .unwrap();
+        }
+
+        // GLiNER simulator with the web UI's default classes
+        // (ner-web/templates/sota.html:152, handler main.rs:246-258)
+        let classes: Vec<String> = ["Pessoa", "Local", "Organizacao", "Data"]
+            .iter()
+            .map(|s| s.to_string())
+            .collect();
+        let sota_tokens =
+            ner_core::tokenizer::tokenize_with_mode(&text, TokenizerMode::Standard);
+        for p in ner_core::sota_2024::simulate_gliner(&sota_tokens, &classes, 0.5, 4).iter() {
+            writeln!(
+                out,
+                "SOTA\t{}\t{}\t{}\t{}\t{}\t{}\t{:.12}\t{}",
+                tid, p.entity.start_token, p.entity.end_token,
+                p.entity.start, p.entity.end, p.class_name,
+                p.similarity_score, esc(&p.entity.text)
+            )
+            .unwrap();
         }
     }
 }
