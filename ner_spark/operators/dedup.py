@@ -75,8 +75,14 @@ def ngram_jaccard_pairs(
         sh.withColumn("_df", F.count("*").over(df_w))
         .where(F.col("_df") <= df_cap)
         .drop("_df")
-        .localCheckpoint(eager=True)  # consumed twice (self-join) + sizes
     )
+    # sh is consumed three times (sizes + both self-join sides) but is
+    # deliberately NOT materialized: shingling is a cheap projection off
+    # the pruned scan, so re-deriving it costs far less than writing a
+    # ~10×-corpus shingle table to executor storage (an eager
+    # localCheckpoint here measured 2-4× slower at sf0.1 and would be
+    # the dominant disk write at 100 TB; Spark's exchange reuse also
+    # dedupes the window shuffle when plans allow).
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     ex = sh.join(sizes, "doc_id")
     a, b = ex.alias("a"), ex.alias("b")
