@@ -63,11 +63,33 @@ def docs_as_media(docs: DataFrame) -> DataFrame:
 
 
 def decode_stub(payload: bytes, mime: str) -> np.ndarray:
-    """Real decoder hook (PIL/libav at deploy time). Stubbed here."""
-    raise NotImplementedError(
-        "media decode requires image/audio libraries not present in this "
-        "container; production wires PIL/torchaudio here"
-    )
+    """Real decoder hook, wired behind import availability.
+
+    When PIL is installed (deploy time) this decodes the image and
+    returns a 16-bin luminance histogram, L1-normed — the same feature
+    shape and normalization as :func:`fake_decode_features`, so the
+    two paths are drop-in interchangeable.  In this container (no
+    media libraries) it raises ``NotImplementedError``; the
+    deterministic stand-in remains the test path.
+    """
+    try:
+        from PIL import Image  # optional deploy-time dependency
+    except ImportError as exc:
+        raise NotImplementedError(
+            "media decode requires image/audio libraries not present in "
+            "this container; install Pillow (images) / torchaudio (audio) "
+            "to enable this path"
+        ) from exc
+
+    import io
+
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    arr = np.asarray(img, dtype=np.uint8)
+    hist = np.bincount((arr >> 4).ravel(), minlength=16).astype(np.float64)
+    s = hist.sum()
+    if s == 0:
+        return np.zeros(16, dtype=np.float32)
+    return (hist / s).astype(np.float32)
 
 
 def fake_decode_features(payloads: pd.Series) -> np.ndarray:

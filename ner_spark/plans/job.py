@@ -59,12 +59,14 @@ class KgJob:
     def _path(self, stage: str) -> str:
         return f"{self.out}/{stage}"
 
-    def _committed(self, stage: str) -> bool:
-        path = self._path(stage)
+    def _exists(self, path: str) -> bool:
         jvm = self.spark.sparkContext._jvm
         conf = self.spark.sparkContext._jsc.hadoopConfiguration()
-        p = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+        p = jvm.org.apache.hadoop.fs.Path(path)
         return p.getFileSystem(conf).exists(p)
+
+    def _committed(self, stage: str) -> bool:
+        return self._exists(self._path(stage) + "/_SUCCESS")
 
     def _check_manifest(self) -> None:
         """Stage checkpoints are only valid for the parameters that
@@ -135,22 +137,26 @@ class KgJob:
     ) -> DataFrame:
         import json
 
-        from pyspark.errors import AnalysisException
         from pyspark.sql.types import StructType
 
         path = self._path(stage)
         started = _utcnow()
         if not self.force and self._committed(stage):
-            try:
-                cached = self.spark.read.parquet(path)
-            except AnalysisException:
-                # an empty PARTITIONED checkpoint has a _SUCCESS marker
-                # but zero data files, so schema inference fails —
-                # recover it from the sidecar written below
+            if partition_by and self._exists(path + "_schema/_SUCCESS"):
+                # partitioned stages: read with the schema sidecar so
+                # (a) the partition column keeps its original position —
+                # an inferred read appends it last, making resumed runs
+                # return a different column order than fresh ones — and
+                # (b) an EMPTY partitioned checkpoint (zero data files,
+                # inference would fail) still resumes
                 sj = self.spark.read.parquet(path + "_schema").first()["schema_json"]
                 cached = self.spark.read.schema(
                     StructType.fromJson(json.loads(sj))
                 ).parquet(path)
+            else:
+                # non-partitioned: plain read; a corrupt checkpoint
+                # raises its real error (no sidecar exists to mask it)
+                cached = self.spark.read.parquet(path)
             self._log_metrics(stage, cached, rows_in=-1, sha_ok=None,
                               started=started, skipped=True)
             return cached
@@ -211,15 +217,31 @@ class KgJob:
         ):
             self._log_source_integrity(source)
 
+        # NED (disambiguate) is a pure column expression over the
+        # ±3-token context_window, so it runs INSIDE stage 1's output
+        # projection and the token-array column is dropped before the
+        # checkpoint: the tag stage dominates wall clock and is
+        # Arrow/IO-bound at high core counts, and context_window is the
+        # fattest mentions column with exactly one consumer (NED).
         mentions = self._run_stage(
             "tokenize_tag", source,
-            lambda: extract_mentions(source, mode=self.mode, tokenizer_mode=self.tokenizer_mode),
+            lambda: disambiguate(
+                extract_mentions(source, mode=self.mode,
+                                 tokenizer_mode=self.tokenizer_mode)
+            ).drop("context_window"),
         )
         if last_stage == "tokenize_tag":
             return mentions
 
         links = self._run_stage(
-            "link", mentions, lambda: link_mentions(disambiguate(mentions))
+            "link", mentions,
+            # pre-NED checkpoints (written before this change) still
+            # carry context_window and lack resolved_category — apply
+            # NED on read so old outputs stay resumable
+            lambda: link_mentions(
+                mentions if "resolved_category" in mentions.columns
+                else disambiguate(mentions).drop("context_window")
+            ),
         )
         if last_stage == "link":
             return links

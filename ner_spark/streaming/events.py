@@ -35,7 +35,10 @@ HOURLY_SCHEMA = ("hour string, event_type string, n_events long, "
                  "sum_value double")
 SESSIONS_SCHEMA = ("user_id long, session_start timestamp, "
                    "session_end timestamp, n_events long")
-_SESSION_STATE_SCHEMA = "start long, last long, n long"
+# per-user state: ALL sessions the watermark has not yet sealed,
+# column-wise (starts[i], lasts[i], ns[i]) sorted by start
+_SESSION_STATE_SCHEMA = ("starts array<long>, lasts array<long>, "
+                         "ns array<long>")
 
 
 def _event_stream(spark: SparkSession, input_dir: str, max_files: int):
@@ -101,12 +104,18 @@ def stream_user_sessions(
 ) -> StreamingQuery:
     """Gap-based sessionization via ``applyInPandasWithState``.
 
-    State per user = the open session (start, last, count), all epoch
-    seconds.  Within a micro-batch, gaps > ``gap_minutes`` close and
-    emit sessions immediately; the trailing session stays in state with
-    an event-time timeout at ``last + gap``, so it is emitted exactly
-    once when the watermark passes it (or merged if more events
-    arrive first).  Batch twin: ``analytics.events_sessions``.
+    State per user = EVERY session the watermark has not yet sealed
+    (column-wise arrays of (start, last, n), epoch seconds) — not just
+    the open one.  Each invocation interval-merges the stored sessions
+    with the batch's events (events are singleton intervals; intervals
+    whose boundary gap is ≤ ``gap_minutes`` coalesce), which is exactly
+    the batch twin's transitive gap rule — so a late event arriving in
+    a later micro-batch can still extend, bridge, or be absorbed by any
+    unsealed session.  A session is emitted exactly once, when the
+    watermark passes ``last + gap`` (it is then immutable: every
+    not-yet-dropped future event starts a new session); the event-time
+    timeout re-fires this seal check when no new events arrive.
+    Batch twin: ``analytics.events_sessions``.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -116,12 +125,11 @@ def stream_user_sessions(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        out: list[tuple[int, int, int, int]] = []  # (uid, start, last, n)
+        wm_s = state.getCurrentWatermarkMs() // 1000
 
         if state.hasTimedOut:
-            start, last, n = state.get
-            out.append((user_id, start, last, n))
-            state.remove()
+            starts, lasts, ns = state.get
+            sessions = [tuple(map(int, s)) for s in zip(starts, lasts, ns)]
         else:
             ts: list[int] = []
             for pdf in pdfs:
@@ -129,40 +137,34 @@ def stream_user_sessions(
                     int(v) for v in
                     (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
                 )
-            ts.sort()
+            stored = []
             if state.exists:
-                start, last, n = state.get
-            else:
-                start, last, n = ts[0], ts[0], 0
-            # with lateness > 0 events may arrive out of order relative
-            # to the open session — three cases per (sorted) event:
-            # earlier than start-gap → a separate, already-closed
-            # earlier session; inside [start-gap, last] → absorbed
-            # (possibly extending start downward); after last → the
-            # usual extend-or-split walk.
-            pre = [t for t in ts if t < start - gap]
-            if pre:
-                p_start = p_last = pre[0]
-                p_n = 0
-                for t in pre:
-                    if t - p_last > gap:
-                        out.append((user_id, p_start, p_last, p_n))
-                        p_start, p_n = t, 0
-                    p_last = t
-                    p_n += 1
-                out.append((user_id, p_start, p_last, p_n))
-            for t in ts[len(pre):]:
-                if t <= last:
-                    start = min(start, t)
-                    n += 1
-                elif t - last > gap:
-                    out.append((user_id, start, last, n))
-                    start, last, n = t, t, 1
+                starts, lasts, ns = state.get
+                stored = [tuple(map(int, s)) for s in zip(starts, lasts, ns)]
+            sessions = []
+            for s in sorted(stored + [(t, t, 1) for t in ts]):
+                if sessions and s[0] - sessions[-1][1] <= gap:
+                    p = sessions[-1]
+                    sessions[-1] = (p[0], max(p[1], s[1]), p[2] + s[2])
                 else:
-                    last = t
-                    n += 1
-            state.update((start, last, n))
-            state.setTimeoutTimestamp((last + gap) * 1000)
+                    sessions.append(s)
+
+        # seal: watermark past last+gap ⇒ no remaining event can join
+        # (rows at exactly last+gap still pass the watermark filter and
+        # would extend, hence the strict <)
+        out = [(user_id, s, e, n) for s, e, n in sessions if e + gap < wm_s]
+        keep = [x for x in sessions if x[1] + gap >= wm_s]
+        if keep:
+            state.update((
+                [x[0] for x in keep],
+                [x[1] for x in keep],
+                [x[2] for x in keep],
+            ))
+            # +1s: the seal is strict, and setTimeoutTimestamp must be
+            # strictly beyond the current watermark
+            state.setTimeoutTimestamp((min(x[1] for x in keep) + gap) * 1000 + 1000)
+        elif state.exists:
+            state.remove()
 
         if out:
             yield pd.DataFrame(

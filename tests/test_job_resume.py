@@ -50,6 +50,17 @@ def test_full_run_then_resume_is_identical(spark, out_dir):
     assert recomputed == {"canonicalize", "materialize"}
 
 
+def test_resume_preserves_column_order(spark, out_dir):
+    # the materialize checkpoint is partitioned by pred; an inferred
+    # resume read would move pred to the last column — the sidecar
+    # schema read must pin the fresh-run order
+    src = source_table(spark, n_rows=20)
+    t1 = KgJob(spark, out_dir, run_id="r1").run(src)
+    t2 = KgJob(spark, out_dir, run_id="r2").run(src)  # all stages skipped
+    assert t2.columns == t1.columns
+    assert _triples_set(t1) == _triples_set(t2)
+
+
 def test_metrics_records_sha_ok(spark, out_dir):
     src = source_table(spark, n_rows=20)
     job = KgJob(spark, out_dir)

@@ -137,3 +137,43 @@ def test_sessionization_absorbs_late_events(spark, tmp_path):
         for r in spark.read.parquet(f"{tmp}/out_l").collect()
     }
     assert (1, t(9, 50), t(10, 20), 4) in got
+
+
+def test_cross_batch_late_events_merge(spark, tmp_path):
+    """Two late events within gap of each other, arriving in DIFFERENT
+    micro-batches and both earlier than the open session's start-gap,
+    must still merge into one session (the batch twin's semantics) —
+    not emit as two singleton rows."""
+    import datetime as dt
+    from functools import partial
+
+    from ner_spark.streaming.events import stream_user_sessions
+
+    fn = partial(stream_user_sessions, lateness="2 hours")
+    tmp = str(tmp_path)
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+
+    # open session at 12:00 (watermark after this run: 10:00)
+    _land(spark, f"{tmp}/in_x", [(t(12, 0), 1, "x", 0.0)])
+    _drain(fn, spark, tmp, "x")
+    # two late events < start-gap (11:30), in separate batches, 20min
+    # apart (≤ gap) — the old single-session state emitted each
+    # immediately as its own closed "pre" session
+    _land(spark, f"{tmp}/in_x", [(t(10, 30), 1, "x", 0.0)])
+    _drain(fn, spark, tmp, "x")
+    _land(spark, f"{tmp}/in_x", [(t(10, 50), 1, "x", 0.0)])
+    _drain(fn, spark, tmp, "x")
+    # advance the watermark past 10:50 + gap (11:20): 14:00 − 2h = 12:00
+    _land(spark, f"{tmp}/in_x", [(t(14, 0), 1, "x", 0.0)])
+    _drain(fn, spark, tmp, "x")
+    # one more batch so the event-time timeout runs under wm 12:00
+    _land(spark, f"{tmp}/in_x", [(t(20, 0), 2, "x", 0.0)])
+    _drain(fn, spark, tmp, "x")
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(f"{tmp}/out_x").collect()
+    }
+    assert (1, t(10, 30), t(10, 50), 2) in got
+    assert (1, t(10, 30), t(10, 30), 1) not in got
+    assert (1, t(10, 50), t(10, 50), 1) not in got
