@@ -177,3 +177,77 @@ def test_cross_batch_late_events_merge(spark, tmp_path):
     assert (1, t(10, 30), t(10, 50), 2) in got
     assert (1, t(10, 30), t(10, 30), 1) not in got
     assert (1, t(10, 50), t(10, 50), 1) not in got
+
+
+def test_sessionizer_randomized_differential(spark, tmp_path):
+    """Property test: for a random event set arriving in random order
+    across random micro-batch splits, the streaming sessionizer (with a
+    lateness bound covering all the disorder) must emit exactly the
+    sessions of the batch transitive gap rule — same starts, ends and
+    event counts, no session split or double-emitted by the cross-batch
+    state merge."""
+    import datetime as dt
+    import random
+    from functools import partial
+
+    from ner_spark.streaming.events import stream_user_sessions
+
+    rng = random.Random(20260817)
+    base = dt.datetime(2024, 1, 1)
+    gap_min = 30
+
+    events = []
+    for user in (1, 2, 3, 4):
+        for _ in range(rng.randint(10, 30)):
+            # minute-granularity over 12h: dense enough to force merges,
+            # sparse enough to force multiple sessions per user
+            events.append(
+                (base + dt.timedelta(minutes=rng.randint(0, 720)),
+                 user, "x", 0.0)
+            )
+
+    # independent reference model: per-user sort + interval gap-merge
+    # (the transitive rule the batch lag-window query implements)
+    expected = set()
+    for user in (1, 2, 3, 4):
+        ts = sorted(t for t, u, _, _ in events if u == user)
+        sessions = []
+        for t in ts:
+            if sessions and (t - sessions[-1][1]) <= dt.timedelta(
+                    minutes=gap_min):
+                s, _, n = sessions[-1]
+                sessions[-1] = (s, t, n + 1)
+            else:
+                sessions.append((t, t, 1))
+        expected |= {(user, s, e, n) for s, e, n in sessions}
+
+    # arrival order is unrelated to event time; random micro-batches
+    rng.shuffle(events)
+    cuts = sorted(rng.sample(range(1, len(events)), 4))
+    batches = [events[a:b]
+               for a, b in zip([0] + cuts, cuts + [len(events)])]
+
+    # lateness covers the full 12h disorder window → nothing dropped,
+    # so streaming must equal batch exactly
+    fn = partial(stream_user_sessions, gap_minutes=gap_min,
+                 lateness="26 hours")
+    for batch in batches:
+        _land(spark, f"{tmp_path}/in_r", batch)
+        _drain(fn, spark, str(tmp_path), "r")
+
+    # sentinel user advances the watermark past every real session's
+    # seal point (base+3d − 26h ≫ base+12h+gap); second sentinel batch
+    # runs the event-time timeouts under that watermark
+    _land(spark, f"{tmp_path}/in_r",
+          [(base + dt.timedelta(days=3), 99, "x", 0.0)])
+    _drain(fn, spark, str(tmp_path), "r")
+    _land(spark, f"{tmp_path}/in_r",
+          [(base + dt.timedelta(days=3, hours=1), 99, "x", 0.0)])
+    _drain(fn, spark, str(tmp_path), "r")
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(f"{tmp_path}/out_r").collect()
+        if r.user_id != 99
+    }
+    assert got == expected
