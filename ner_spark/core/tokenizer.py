@@ -63,29 +63,56 @@ def _char_class(ch: str) -> int:
 
 
 def tokenize_standard(text: str) -> list[Token]:
-    # Fast path for ASCII text: the scanner's token state NEVER crosses
-    # a space (space always flushes), so the text decomposes exactly
-    # into space-separated chunks.  Pure-alphanumeric chunks — the
-    # overwhelming majority of words in natural text — are each one
-    # token and emit at C speed (str.isalnum + slice); only chunks
-    # carrying punctuation run the per-char scanner.  Byte offset ==
-    # char offset for ASCII, so offsets are just running positions.
-    # Fuzz-tested identical to the scalar scanner below.
-    if text.isascii() and " " in text:
+    # Fast path: the scanner's token state NEVER crosses a space (space
+    # always flushes), so ANY text — non-ASCII included — decomposes
+    # exactly into its space-separated chunks, with the running byte
+    # position advanced by each chunk's UTF-8 length.  Pure-alphanumeric
+    # chunks — the overwhelming majority of words in natural text — are
+    # each one token and emit at C speed (str.isalnum + slice); a chunk
+    # that is a word plus ONE trailing punctuation mark ("Paris,",
+    # "Inc.", "fim.") short-circuits likewise; only chunks with interior
+    # punctuation recurse into the per-char scanner (the dot lookahead
+    # agrees — past the chunk end the full text has a space, which is
+    # not numeric either way).  Fuzz-tested identical to the scalar
+    # scanner below (test_core_parity, ASCII and non-ASCII).
+    if " " in text:
+        ascii_all = text.isascii()
         tokens: list[Token] = []
+        append = tokens.append
         base = 0
         for chunk in text.split(" "):
-            if chunk:
-                if chunk.isalnum():
-                    tokens.append((chunk, base, base + len(chunk)))
+            if not chunk:
+                base += 1
+                continue
+            clen = len(chunk) if ascii_all else _blen(chunk)
+            if chunk.isalnum():
+                append((chunk, base, base + clen))
+            else:
+                head = chunk[:-1]
+                last = chunk[-1]
+                o = ord(last)
+                c = _ASCII_CLASS[o] if o < 128 else _char_class(last)
+                if head and c != _ALNUM and head.isalnum():
+                    lb = 1 if o < 128 else len(last.encode("utf-8"))
+                    if c == _OTHER:
+                        append((head, base, base + clen - lb))
+                        append((last, base + clen - lb, base + clen))
+                    elif c == _DOT:
+                        if head in ABBREVIATIONS:
+                            append((chunk, base, base + clen))
+                        else:
+                            append((head, base, base + clen - 1))
+                            append((".", base + clen - 1, base + clen))
+                    elif c == _SPACE:
+                        # a non-" " whitespace char just flushes
+                        append((head, base, base + clen - lb))
+                    else:
+                        # trailing hyphen/apostrophe absorbs
+                        append((chunk, base, base + clen))
                 else:
-                    # recurse: a spaceless ASCII chunk takes the scalar
-                    # scanner branch below (the dot lookahead agrees —
-                    # past the chunk end the full text has a space,
-                    # which is not numeric either way)
                     for t, s, e in tokenize_standard(chunk):
-                        tokens.append((t, base + s, base + e))
-            base += len(chunk) + 1
+                        append((t, base + s, base + e))
+            base += clen + 1
         return tokens
     if text.isascii():
         positions = None

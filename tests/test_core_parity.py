@@ -261,9 +261,11 @@ def test_default_config_smoke():
 
 
 def test_tokenize_standard_chunk_fast_path_parity():
-    """The ASCII space-chunked fast path inside tokenize_standard must
-    equal a straight per-char transcription of the reference scanner
-    (tokenizer.rs:140-379) on adversarial + random inputs."""
+    """The space-chunked fast path inside tokenize_standard (alnum
+    chunks, word+single-trailing-punct chunks, non-ASCII byte
+    accounting) must equal a straight per-char transcription of the
+    reference scanner (tokenizer.rs:140-379) — UTF-8 byte offsets —
+    on adversarial + random inputs."""
     from ner_spark.core import tokenizer as TK
     from ner_spark.data.gazetteers import ABBREVIATIONS
 
@@ -271,6 +273,10 @@ def test_tokenize_standard_chunk_fast_path_parity():
     CLS = TK._ASCII_CLASS
 
     def ref(text):
+        # byte position of each char boundary
+        bp = [0]
+        for ch in text:
+            bp.append(bp[-1] + len(ch.encode("utf-8")))
         tokens, ci, cur, i, n = [], 0, 0, 0, len(text)
         while i < n:
             ch = text[i]
@@ -287,25 +293,25 @@ def test_tokenize_standard_chunk_fast_path_parity():
                 ):
                     cur += 1
                 else:
-                    tokens.append((curtext, ci, i))
+                    tokens.append((curtext, bp[ci], bp[i]))
                     cur = 0
-                    tokens.append((".", i, i + 1))
+                    tokens.append((".", bp[i], bp[i] + 1))
             elif c == AP:
                 if not cur:
                     ci = i
                 cur += 1
             elif c == SP:
                 if cur:
-                    tokens.append((text[ci:ci + cur], ci, i))
+                    tokens.append((text[ci:ci + cur], bp[ci], bp[i]))
                     cur = 0
             else:
                 if cur:
-                    tokens.append((text[ci:ci + cur], ci, i))
+                    tokens.append((text[ci:ci + cur], bp[ci], bp[i]))
                     cur = 0
-                tokens.append((ch, i, i + 1))
+                tokens.append((ch, bp[i], bp[i + 1]))
             i += 1
         if cur:
-            tokens.append((text[ci:ci + cur], ci, n))
+            tokens.append((text[ci:ci + cur], bp[ci], bp[n]))
         return tokens
 
     cases = [
@@ -313,6 +319,10 @@ def test_tokenize_standard_chunk_fast_path_parity():
         "a-b -a a- ", "d'agua 'x'", "x  y", " lead", "trail ",
         "a,b c.", "12.345.678/0001-95 ok", "Sr. . ..", "a\tb c",
         "3. 14", "abc.", "A.B.C. fim", "e-mail: a-b@c.d",
+        # non-ASCII: multi-byte words, punct tails, curly apostrophe,
+        # NBSP tail, guillemets, chunk-interior multi-byte
+        "São Paulo fim.", "Amazônia, é lá", "d’água x’ «a» b c",
+        "José. Sr. Á celebração", "café-com-leite açaí…",
     ]
     for t in cases:
         assert TK.tokenize_standard(t) == ref(t), repr(t)
@@ -323,4 +333,9 @@ def test_tokenize_standard_chunk_fast_path_parity():
     chars = "abA1 .-'\t,/"
     for _ in range(3000):
         t = "".join(rng.choice(chars) for _ in range(rng.randrange(0, 40)))
+        assert TK.tokenize_standard(t) == ref(t), repr(t)
+
+    chars_na = "abA1é São .-'’ «,…"
+    for _ in range(3000):
+        t = "".join(rng.choice(chars_na) for _ in range(rng.randrange(0, 40)))
         assert TK.tokenize_standard(t) == ref(t), repr(t)
