@@ -265,3 +265,24 @@ def test_canonicalize_deep_chain_converges(spark):
     )
     assert len(ents) == 61
     assert set(ents.values()) == {"ent:s000"}
+
+
+def test_canonicalize_hot_hub_star(spark):
+    """Repo-level skew shape: one KB id linked from 5,000 distinct
+    surfaces concentrates a single join key (the salted-join case the
+    north rule calls out). The star has diameter 2, so convergence must
+    be immediate, every spoke must land in the hub's component, and an
+    unrelated pair must stay its own entity."""
+    rows = [("r", "p", f"spoke{i:05d}", "QHUB", "ORG", 0.95)
+            for i in range(5000)]
+    rows.append(("r", "p", "loner", "QX", "LOC", 0.95))
+    schema = ("repo string, path string, surface string, kb_id string, "
+              "resolved_category string, link_score double")
+    links = spark.createDataFrame(rows, schema).repartition(8)
+    ents = dict(
+        map(tuple, canonicalize(links, local_threshold=0, max_iter=6).collect())
+    )
+    assert len(ents) == 5001
+    star = {v for k, v in ents.items() if k != "loner"}
+    assert len(star) == 1
+    assert ents["loner"] not in star
