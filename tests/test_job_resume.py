@@ -161,3 +161,19 @@ def test_force_param_change_invalidates_stale_checkpoints(spark, out_dir):
     resumed = KgJob(spark, out_dir, run_id="f3", mode="rules_only").run(src)
     fresh = KgJob(spark, out_dir + "_fresh", run_id="ff", mode="rules_only").run(src)
     assert _triples_set(resumed) == _triples_set(fresh)
+
+
+def test_prewarm_cleans_up_and_noops_on_resume(spark, out_dir):
+    import os
+
+    job = KgJob(spark, out_dir, run_id="pw")
+    job.prewarm()
+    # the warmup slice's parquet output must not survive
+    assert not os.path.exists(f"{out_dir}/_prewarm")
+
+    job.run(source_table(spark, n_rows=32), last_stage="tokenize_tag")
+    # with stage 1 committed, prewarm is a no-op (resume skips the
+    # stage, so there is nothing to warm) — it must not write anything
+    job2 = KgJob(spark, out_dir, run_id="pw")
+    job2.prewarm()
+    assert not os.path.exists(f"{out_dir}/_prewarm")
