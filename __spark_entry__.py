@@ -229,12 +229,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # confidence goes through stable_round(·, 6) so the goldens
         # oracle (which quantizes with the identical BigDecimal-HALF_UP
         # arithmetic) hash-matches bit-for-bit.
+        from ner_spark.functions.text import stable_round
         from ner_spark.operators.tag import extract_mentions
 
         return (
             extract_mentions(_fixture_source(spark), mode=mode)
             .withColumn("context_window", F.concat_ws(" ", "context_window"))
-            .withColumn("confidence", F.round(F.col("confidence") + F.lit(1e-9), 6))
+            .withColumn("confidence", stable_round(F.col("confidence"), 6))
         )
 
     def q_mentions_hybrid(spark, sf):
@@ -251,9 +252,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return kg_triples_gold(spark)
 
     def q_kg_triples_tagged(spark, sf):
-        # full pipeline from the vectorized NER tagger (rows-only check:
-        # the tagger kernel is not SQL-expressible; parity is pinned by
-        # tests/goldens + the Rust differential test)
+        # full pipeline from the vectorized NER tagger; value-checked
+        # by _kg_tagged_oracle(), which feeds the Rust-certified golden
+        # mentions through the same DuckDB kg chain
         return _kg_triples(spark, _fixture_source(spark))
 
     def q_sota_gliner(spark, sf):

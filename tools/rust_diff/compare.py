@@ -157,27 +157,44 @@ def engine_sota(texts: list[str]):
 
 def diff_scored(ours: dict, ref: dict, n_texts: int, score_idx, label: str,
                 mismatches: list[str]):
-    """Order-insensitive exact diff with SCORE_TOL on the score fields;
-    returns (matched, ours_total, ref_total)."""
+    """Order-insensitive diff: score fields match within ``SCORE_TOL``,
+    everything else exactly; returns (matched, ours_total, ref_total).
+
+    Rows may carry None fields (an unlinked NEL mention has
+    kb_id=None), so sorting uses a None-safe key, and scores compare
+    by |delta| <= tol rather than fixed-decimal quantization (which
+    would flag two scores a nano apart that straddle a bucket edge)."""
     ok = o_n = r_n = 0
     idxs = (score_idx,) if isinstance(score_idx, int) else tuple(score_idx)
 
-    def quant(row):
-        return tuple(
-            round(v, 6) if i in idxs else v for i, v in enumerate(row)
+    def nkey(row):
+        return tuple((v is None, v) for v in row)
+
+    def close(x, y):
+        if len(x) != len(y):
+            return False
+        return all(
+            (a is not None and b is not None and abs(a - b) <= SCORE_TOL)
+            if i in idxs else a == b
+            for i, (a, b) in enumerate(zip(x, y))
         )
 
     for tid in range(n_texts):
-        a = sorted(quant(r) for r in ours.get(tid, []))
-        b = sorted(quant(r) for r in ref.get(tid, []))
+        a = sorted(ours.get(tid, []), key=nkey)
+        b = sorted(ref.get(tid, []), key=nkey)
         o_n += len(a)
         r_n += len(b)
-        sa, sb = set(a), set(b)
-        ok += len(sa & sb)
-        for d in sorted(sa ^ sb):
+        rest = list(b)
+        for r in a:
+            hit = next((j for j, s in enumerate(rest) if close(r, s)), None)
+            if hit is not None:
+                rest.pop(hit)
+                ok += 1
+            elif len(mismatches) < 80:
+                mismatches.append(f"{label} tid={tid} ours-only: {r}")
+        for s in rest:
             if len(mismatches) < 80:
-                side = "ours-only" if d in sa else "ref-only"
-                mismatches.append(f"{label} tid={tid} {side}: {d}")
+                mismatches.append(f"{label} tid={tid} ref-only: {s}")
     return ok, o_n, r_n
 
 
