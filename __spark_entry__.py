@@ -642,7 +642,13 @@ def _stable_round6(x: float) -> float:
     decimal so the oracle literal is bitwise the Spark output."""
     from decimal import ROUND_HALF_UP, Decimal
 
-    return float(Decimal(x + 1e-9).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+    # Decimal(repr(...)) mirrors BigDecimal.valueOf(d) (shortest
+    # round-trip repr), NOT Decimal(float) (exact binary expansion) —
+    # the two diverge for doubles within half an ULP of a 7th-decimal
+    # .5 boundary, and Spark quantizes the repr.
+    return float(
+        Decimal(repr(x + 1e-9)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+    )
 
 
 def _golden_span_rows(mode: str) -> list[tuple]:

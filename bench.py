@@ -44,7 +44,9 @@ class _StealSampler:
     def _read():
         with open("/proc/stat") as f:
             vals = [int(x) for x in f.readline().split()[1:]]
-        return sum(vals), vals[7] if len(vals) > 7 else 0
+        # denominator = user..steal only: fields 9-10 (guest/guest_nice)
+        # are already folded into user/nice on Linux and would double-count
+        return sum(vals[:8]), vals[7] if len(vals) > 7 else 0
 
     def _run(self):
         try:

@@ -72,13 +72,18 @@ def decode_stub(payload: bytes, mime: str) -> np.ndarray:
     media libraries) it raises ``NotImplementedError``; the
     deterministic stand-in remains the test path.
     """
+    if not mime.startswith("image/"):
+        # only the image branch is wired; audio/video decode stays a
+        # NotImplementedError hook regardless of installed libraries
+        raise NotImplementedError(
+            f"decode for mime {mime!r} is not wired; only image/* decode "
+            "is implemented (requires Pillow)"
+        )
     try:
         from PIL import Image  # optional deploy-time dependency
     except ImportError as exc:
         raise NotImplementedError(
-            "media decode requires image/audio libraries not present in "
-            "this container; install Pillow (images) / torchaudio (audio) "
-            "to enable this path"
+            "image decode requires Pillow, not present in this container"
         ) from exc
 
     import io

@@ -63,6 +63,10 @@ class KgJob:
         on resume: a committed stage 1 is skipped, so there is nothing
         to warm.  Long-lived cluster executors amortize the warmup
         anyway; this matters for one-shot / benchmark launches."""
+        # validate the resume BEFORE paying the warmup slice: a
+        # mode/tokenizer mismatch against an existing checkpoint must
+        # fail fast, not after ~26 s of JIT and a write under out/
+        self._check_manifest()
         if not self.force and self._committed("tokenize_tag"):
             return
         from ner_spark.operators.link import disambiguate

@@ -36,7 +36,12 @@ HOURLY_SCHEMA = ("hour string, event_type string, n_events long, "
 SESSIONS_SCHEMA = ("user_id long, session_start timestamp, "
                    "session_end timestamp, n_events long")
 # per-user state: ALL sessions the watermark has not yet sealed,
-# column-wise (starts[i], lasts[i], ns[i]) sorted by start
+# column-wise (starts[i], lasts[i], ns[i]) sorted by start.
+# State-schema v2 (arrays; v1 held one scalar session) — Spark's state
+# store rejects a scalar->array change, so a checkpointLocation written
+# by the v1 build cannot be resumed by this one: restart the query with
+# a fresh checkpoint dir (unsealed v1 sessions are re-derived from the
+# replayed file source, which this exactly-once source/sink pair keeps).
 _SESSION_STATE_SCHEMA = ("starts array<long>, lasts array<long>, "
                          "ns array<long>")
 

@@ -88,3 +88,27 @@ def test_entry_runs(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert {"subj", "pred", "obj", "evidence_count"} <= set(df.columns)
+
+
+def test_stable_round6_python_twin_matches_spark(spark):
+    """The goldens-oracle quantizer (`_stable_round6`) must be an exact
+    twin of `functions.text.stable_round(col, 6)`.  Spark's Round is
+    BigDecimal.valueOf(d) — the SHORTEST double repr — so the twin must
+    quantize Decimal(repr(x)), not Decimal(x): the two diverge for
+    doubles within half an ULP of a 7th-decimal .5 boundary, like the
+    crafted value below (exact binary 0.12345649999..., repr
+    0.1234565 → HALF_UP gives 0.123457)."""
+    from pyspark.sql import functions as F
+
+    from ner_spark.functions.text import stable_round
+
+    vals = [0.1234565 - 1e-9, 0.9999995 - 1e-9, 0.0, 1.0,
+            0.123456, 0.1234564, 0.1234566, 0.87, 1e-7, 0.5 - 1e-9]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [
+        r.q for r in df.select(
+            stable_round(F.col("x"), 6).alias("q")
+        ).collect()
+    ]
+    expect = [entrymod._stable_round6(v) for v in vals]
+    assert got == expect

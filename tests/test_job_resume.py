@@ -177,3 +177,17 @@ def test_prewarm_cleans_up_and_noops_on_resume(spark, out_dir):
     job2 = KgJob(spark, out_dir, run_id="pw")
     job2.prewarm()
     assert not os.path.exists(f"{out_dir}/_prewarm")
+
+
+def test_prewarm_fails_fast_on_manifest_mismatch(spark, out_dir):
+    """An invalid resume (different mode, no force) must be rejected
+    BEFORE the warmup slice runs, not ~26 s later in run()."""
+    import os
+
+    src = source_table(spark, n_rows=12)
+    KgJob(spark, out_dir, run_id="pm1", mode="hybrid").run(
+        src, last_stage="tokenize_tag"
+    )
+    with pytest.raises(ValueError, match="checkpoints for"):
+        KgJob(spark, out_dir, run_id="pm2", mode="rules_only").prewarm()
+    assert not os.path.exists(f"{out_dir}/_prewarm")

@@ -26,6 +26,14 @@ def test_decode_stub_raises_without_pil():
         decode_stub(b"\x89PNG...", "image/png")
 
 
+def test_decode_stub_non_image_mime_raises_regardless_of_pil():
+    # the contract is NotImplementedError = "path not wired"; a wav
+    # payload must not fall through to the image decoder when Pillow
+    # happens to be installed (it would raise UnidentifiedImageError)
+    with pytest.raises(NotImplementedError, match="audio/wav"):
+        decode_stub(b"RIFF....WAVE", "audio/wav")
+
+
 def test_decode_stub_real_path_matches_feature_shape():
     if not _pil_available():
         pytest.skip("PIL not installed in this container")
