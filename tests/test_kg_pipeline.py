@@ -286,3 +286,31 @@ def test_canonicalize_hot_hub_star(spark):
     star = {v for k, v in ents.items() if k != "loner"}
     assert len(star) == 1
     assert ents["loner"] not in star
+
+
+def test_pipeline_partition_invariance(spark):
+    """Distributed-correctness property: the triple set must not depend
+    on how the input is partitioned or how many shuffle partitions the
+    relational stages use — per-partition kernels (tag memo, Arrow
+    batching) and the salted CC loop may see arbitrary row groupings
+    at scale."""
+
+    def run(src, shuffle_parts):
+        with_conf = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_parts))
+        try:
+            links = link_mentions(disambiguate(extract_mentions(src)))
+            slim = links.select(
+                "repo", "path", "surface", "kb_id",
+                "resolved_category", "link_score",
+            )
+            return sorted(
+                map(tuple, materialize_triples(slim, canonicalize(slim)).collect())
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", with_conf)
+
+    src = source_table(spark, n_rows=60)
+    base = run(src.coalesce(1), 4)
+    assert run(src.repartition(7), 13) == base
+    assert run(src.repartition(32), 32) == base
