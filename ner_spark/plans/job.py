@@ -54,7 +54,7 @@ class KgJob:
         # iteration cap for deep graphs without code changes
         self.cc_max_iter = cc_max_iter
 
-    def prewarm(self) -> None:
+    def prewarm(self, even_if_committed: bool = False) -> None:
         """Untimed tiny-slice evaluation of the stage-1 plan shape:
         pays the one-time per-process JVM codegen/JIT + Python-worker
         startup (~26 s measured at 8 pinned cores — BENCH/STAGES.md
@@ -67,7 +67,11 @@ class KgJob:
         # mode/tokenizer mismatch against an existing checkpoint must
         # fail fast, not after ~26 s of JIT and a write under out/
         self._check_manifest()
-        if not self.force and self._committed("tokenize_tag"):
+        # even_if_committed: an incremental update tags its delta even
+        # though the BASE stage 1 is committed, so it still wants the warmup
+        if not even_if_committed and not self.force and self._committed(
+            "tokenize_tag"
+        ):
             return
         from ner_spark.operators.link import disambiguate
         from ner_spark.operators.tag import extract_mentions
@@ -142,9 +146,9 @@ class KgJob:
 
     def _log_metrics(
         self, stage: str, df_out: DataFrame, rows_in: int, sha_ok: bool | None,
-        started: dt.datetime, skipped: bool = False,
+        started: dt.datetime, skipped: bool = False, path: str | None = None,
     ) -> None:
-        path = self._path(stage)
+        path = path or self._path(stage)
         finished = _utcnow()
         if skipped:
             rows = [(self.run_id, stage, -1, rows_in, df_out.count(), sha_ok,
@@ -167,14 +171,15 @@ class KgJob:
     def _run_stage(
         self, stage: str, rows_in_df: DataFrame, compute: Callable[[], DataFrame],
         partition_by: tuple[str, ...] = (),
+        path: str | None = None,
     ) -> DataFrame:
         import json
 
         from pyspark.sql.types import StructType
 
-        path = self._path(stage)
+        path = path or self._path(stage)
         started = _utcnow()
-        if not self.force and self._committed(stage):
+        if not self.force and self._exists(path + "/_SUCCESS"):
             if partition_by and self._exists(path + "_schema/_SUCCESS"):
                 # partitioned stages: read with the schema sidecar so
                 # (a) the partition column keeps its original position —
@@ -191,7 +196,7 @@ class KgJob:
                 # raises its real error (no sidecar exists to mask it)
                 cached = self.spark.read.parquet(path)
             self._log_metrics(stage, cached, rows_in=-1, sha_ok=None,
-                              started=started, skipped=True)
+                              started=started, skipped=True, path=path)
             return cached
         rows_in = rows_in_df.count()
         out = compute()
@@ -212,7 +217,7 @@ class KgJob:
         sha_ok = None
         if "sha_ok" in written.columns:
             sha_ok = written.where(F.col("sha_ok") == False).isEmpty()  # noqa: E712
-        self._log_metrics(stage, written, rows_in, sha_ok, started)
+        self._log_metrics(stage, written, rows_in, sha_ok, started, path=path)
         return written
 
     # -- stages ---------------------------------------------------------------
@@ -290,7 +295,10 @@ class KgJob:
             "materialize", links, lambda: materialize_triples(links, entities),
             partition_by=("pred",),
         )
+        self._log_truncation(links, entities)
+        return triples
 
+    def _log_truncation(self, links: DataFrame, entities: DataFrame) -> None:
         # audit the MENTIONED_WITH entity cap (silent truncation would
         # read as complete co-occurrence evidence)
         from ner_spark.operators.materialize import truncation_stats
@@ -302,6 +310,155 @@ class KgJob:
         self.spark.createDataFrame(rows, METRICS_SCHEMA).write.mode("append").parquet(
             f"{self.out}/metrics"
         )
+
+    # -- incremental maintenance ---------------------------------------------
+
+    def _update_ids(self) -> list[str]:
+        """Update ids with a COMMITTED link delta under {out}/updates."""
+        jvm = self.spark.sparkContext._jvm
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(f"{self.out}/updates")
+        fs = root.getFileSystem(conf)
+        if not fs.exists(root):
+            return []
+        return sorted(
+            s.getPath().getName()
+            for s in fs.listStatus(root)
+            if s.isDirectory()
+            and fs.exists(jvm.org.apache.hadoop.fs.Path(
+                f"{self.out}/updates/{s.getPath().getName()}/link/_SUCCESS"
+            ))
+        )
+
+    def _read_links(self, path: str) -> DataFrame:
+        """Read a link checkpoint, upgrading pre-NED outputs on the fly
+        (they carry context_window and lack resolved_category)."""
+        df = self.spark.read.parquet(path)
+        if "resolved_category" not in df.columns:
+            from ner_spark.operators.link import disambiguate
+
+            df = disambiguate(df).drop("context_window")
+        return df
+
+    def all_links(self) -> DataFrame:
+        """The canonical link table: base run ∪ every committed update
+        delta.  This is what canonicalize/materialize derive from once
+        updates exist."""
+        links = self._read_links(self._path("link"))
+        for uid in self._update_ids():
+            links = links.unionByName(
+                self._read_links(f"{self.out}/updates/{uid}/link"),
+                allowMissingColumns=False,
+            )
+        return links
+
+    def update(
+        self,
+        delta_source: DataFrame,
+        update_id: str | None = None,
+        check_overlap: bool = True,
+    ) -> DataFrame:
+        """Incremental maintenance: fold a NEW batch of documents into a
+        completed run without re-tagging the existing corpus.
+
+        The expensive stages (tokenize_tag, link — linear in corpus
+        size) run over the DELTA ONLY and commit their checkpoints
+        under ``{out}/updates/{update_id}/`` (the base checkpoints are
+        immutable, so a crashed update resumes idempotently); the cheap
+        derived stages (canonicalize, materialize — linear in the
+        mention/link table, orders of magnitude smaller) recompute over
+        base ∪ deltas, because a delta document can merge two existing
+        entities, so connected components is inherently global.
+        ``update(delta)`` after ``run(base)`` produces exactly the
+        triples of a fresh ``run(base ∪ delta)`` (pinned by
+        tests/test_job_update.py).
+
+        Delta documents must be NEW ``(repo, path)`` keys — parquet
+        checkpoints cannot delete superseded rows, so replacing an
+        existing document's content needs an Iceberg/Delta MERGE at
+        deploy time.  ``check_overlap`` guards this with one
+        column-pruned scan of the mention table (broadcast semi-join
+        against the delta keys); documents whose OLD version produced
+        zero mentions are invisible to the guard, and harmlessly so —
+        they contributed nothing the new version could double-count.
+        """
+        self._check_manifest()
+        if not (self._committed("tokenize_tag") and self._committed("link")):
+            raise ValueError(
+                f"update() needs a completed base run in {self.out}; "
+                "run() first"
+            )
+        from ner_spark.operators.canonicalize import canonicalize
+        from ner_spark.operators.link import disambiguate, link_mentions
+        from ner_spark.operators.materialize import materialize_triples
+        from ner_spark.operators.tag import extract_mentions
+
+        uid = update_id or self.run_id
+        uroot = f"{self.out}/updates/{uid}"
+        resumed = self._exists(f"{uroot}/tokenize_tag/_SUCCESS")
+
+        if check_overlap and not resumed:
+            existing = self.spark.read.parquet(self._path("tokenize_tag"))
+            for prev in self._update_ids():
+                existing = existing.unionByName(
+                    self.spark.read.parquet(
+                        f"{self.out}/updates/{prev}/tokenize_tag"
+                    ),
+                    allowMissingColumns=True,
+                )
+            delta_keys = delta_source.select("repo", "path").distinct()
+            clash = (
+                existing.select("repo", "path")
+                .join(F.broadcast(delta_keys), ["repo", "path"], "left_semi")
+                .limit(1)
+                .count()
+            )
+            if clash:
+                raise ValueError(
+                    "delta contains (repo, path) keys already present in "
+                    f"{self.out}; incremental update is append-only — "
+                    "replacing documents needs a MERGE-capable table "
+                    "format (pass check_overlap=False to override)"
+                )
+
+        if "content_sha256" in delta_source.columns and not resumed:
+            self._log_source_integrity(delta_source)
+
+        mentions = self._run_stage(
+            "tokenize_tag", delta_source,
+            lambda: disambiguate(
+                extract_mentions(delta_source, mode=self.mode,
+                                 tokenizer_mode=self.tokenizer_mode)
+            ).drop("context_window"),
+            path=f"{uroot}/tokenize_tag",
+        )
+        self._run_stage(
+            "link", mentions, lambda: link_mentions(mentions),
+            path=f"{uroot}/link",
+        )
+
+        # derived stages are stale the moment a delta commits: drop
+        # their markers so _run_stage recomputes over base ∪ deltas
+        jvm = self.spark.sparkContext._jvm
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        for stage in ("canonicalize", "materialize"):
+            marker = jvm.org.apache.hadoop.fs.Path(
+                self._path(stage) + "/_SUCCESS"
+            )
+            fs = marker.getFileSystem(conf)
+            if fs.exists(marker):
+                fs.delete(marker, False)
+
+        links = self.all_links()
+        entities = self._run_stage(
+            "canonicalize", links,
+            lambda: canonicalize(links, max_iter=self.cc_max_iter),
+        )
+        triples = self._run_stage(
+            "materialize", links, lambda: materialize_triples(links, entities),
+            partition_by=("pred",),
+        )
+        self._log_truncation(links, entities)
         return triples
 
     def metrics(self) -> DataFrame:
@@ -325,6 +482,15 @@ def main() -> None:
     parser.add_argument("--no-prewarm", action="store_true",
                         help="skip the untimed JVM/worker warmup slice "
                              "before stage 1")
+    parser.add_argument("--update", action="store_true",
+                        help="treat --input/--fixture-rows as a DELTA of "
+                             "new documents folded into a completed run: "
+                             "tag/link the delta only, recompute the "
+                             "derived canonicalize/materialize stages")
+    parser.add_argument("--update-id", default=None,
+                        help="stable id for this delta under "
+                             "{output}/updates/ (pass the same id to "
+                             "resume a crashed update; default: run id)")
     args = parser.parse_args()
 
     from ner_spark.session import get_spark
@@ -343,7 +509,11 @@ def main() -> None:
                 tokenizer_mode=args.tokenizer_mode, run_id=args.run_id,
                 force=args.force, cc_max_iter=args.cc_max_iter)
     if not args.no_prewarm:
-        job.prewarm()
+        job.prewarm(even_if_committed=args.update)
+    if args.update:
+        out = job.update(source, update_id=args.update_id)
+        print(f"stage=update rows={out.count()} output={job._path('materialize')}")
+        return
     out = job.run(source, last_stage=args.stage)
     print(f"stage={args.stage} rows={out.count()} output={job._path(args.stage)}")
 

@@ -1,0 +1,99 @@
+"""Incremental KG maintenance: KgJob.update(delta) folds new documents
+into a completed run — tag/link over the delta only, derived stages
+recomputed over base ∪ deltas — and must equal a fresh run over the
+union (the property a daily-crawl pipeline at corpus scale relies on)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from ner_spark.plans.job import KgJob
+from ner_spark.schemas import SOURCE_SCHEMA
+from ner_spark.sources.fixtures import build_source_rows
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    d = str(tmp_path / "kg")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _triples_set(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _slices(spark, n_base=60, n_delta=24):
+    """(base, delta, full) source tables with disjoint (repo, path)
+    keys — build_source_rows paths are indexed, so row slices of one
+    build are disjoint documents."""
+    rows = build_source_rows(n_base + n_delta)
+    base = spark.createDataFrame(rows[:n_base], SOURCE_SCHEMA)
+    delta = spark.createDataFrame(rows[n_base:], SOURCE_SCHEMA)
+    full = spark.createDataFrame(rows, SOURCE_SCHEMA)
+    return base, delta, full
+
+
+def test_update_equals_fresh_full_run(spark, out_dir):
+    base, delta, full = _slices(spark)
+    KgJob(spark, out_dir, run_id="b1").run(base)
+    updated = KgJob(spark, out_dir, run_id="u1").update(delta, update_id="d1")
+
+    fresh = KgJob(spark, out_dir + "_full", run_id="f1").run(full)
+    assert _triples_set(updated) == _triples_set(fresh)
+
+    # a later plain resume reads the recomputed derived stages
+    resumed = KgJob(spark, out_dir, run_id="r1").run(base)
+    assert _triples_set(resumed) == _triples_set(fresh)
+
+
+def test_two_updates_accumulate(spark, out_dir):
+    rows = build_source_rows(84)
+    base = spark.createDataFrame(rows[:36], SOURCE_SCHEMA)
+    d1 = spark.createDataFrame(rows[36:60], SOURCE_SCHEMA)
+    d2 = spark.createDataFrame(rows[60:], SOURCE_SCHEMA)
+    full = spark.createDataFrame(rows, SOURCE_SCHEMA)
+
+    job = KgJob(spark, out_dir, run_id="b2")
+    job.run(base)
+    job.update(d1, update_id="d1")
+    updated = job.update(d2, update_id="d2")
+
+    fresh = KgJob(spark, out_dir + "_full", run_id="f2").run(full)
+    assert _triples_set(updated) == _triples_set(fresh)
+
+
+def test_update_requires_completed_base(spark, out_dir):
+    base, delta, _ = _slices(spark, n_base=12, n_delta=6)
+    with pytest.raises(ValueError, match="completed base run"):
+        KgJob(spark, out_dir, run_id="u0").update(delta)
+    # a base stopped before link is also not updatable
+    KgJob(spark, out_dir, run_id="b0").run(base, last_stage="tokenize_tag")
+    with pytest.raises(ValueError, match="completed base run"):
+        KgJob(spark, out_dir, run_id="u0b").update(delta)
+
+
+def test_update_rejects_overlapping_documents(spark, out_dir):
+    base, delta, _ = _slices(spark, n_base=24, n_delta=12)
+    KgJob(spark, out_dir, run_id="b3").run(base)
+    with pytest.raises(ValueError, match="append-only"):
+        KgJob(spark, out_dir, run_id="u3").update(base, update_id="dup")
+    # and the rejected update leaves no committed delta behind
+    assert KgJob(spark, out_dir, run_id="chk")._update_ids() == []
+
+
+def test_update_resume_is_idempotent(spark, out_dir):
+    base, delta, full = _slices(spark, n_base=36, n_delta=12)
+    KgJob(spark, out_dir, run_id="b4").run(base)
+    job = KgJob(spark, out_dir, run_id="u4")
+    first = _triples_set(job.update(delta, update_id="d4"))
+    # same update re-launched (crash-recovery path): the committed
+    # delta checkpoints are reused, nothing is double-appended
+    again = _triples_set(
+        KgJob(spark, out_dir, run_id="u4b").update(delta, update_id="d4")
+    )
+    assert first == again
+    fresh = KgJob(spark, out_dir + "_full", run_id="f4").run(full)
+    assert again == _triples_set(fresh)
