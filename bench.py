@@ -271,7 +271,8 @@ max steal {results[low].get('kg_repeat_steal_max_pct')} and
 {results[high].get('kg_repeat_steal_max_pct')}.
 History: efficiency measured 0.805–0.874 (r1), 0.845/0.866 (r2 clean
 runs; one 0.465 steal-storm outlier discarded after its own 8-core leg
-re-ran normal), so ≥ 0.8 holds across every clean run of the build.
+re-ran normal), 0.871/0.909 (r3), so ≥ 0.8 holds across every clean
+run of the build.
 
 Per-query seconds at local[{high}]:
 

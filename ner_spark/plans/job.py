@@ -313,8 +313,11 @@ class KgJob:
 
     # -- incremental maintenance ---------------------------------------------
 
-    def _update_ids(self) -> list[str]:
-        """Update ids with a COMMITTED link delta under {out}/updates."""
+    def _update_ids(self, stage: str = "link") -> list[str]:
+        """Update ids with a COMMITTED ``stage`` delta under
+        {out}/updates.  ``link`` (default) lists the deltas all_links
+        folds in; the overlap guard lists ``tokenize_tag`` so even a
+        half-finished (crashed) update's mentions are visible to it."""
         jvm = self.spark.sparkContext._jvm
         conf = self.spark.sparkContext._jsc.hadoopConfiguration()
         root = jvm.org.apache.hadoop.fs.Path(f"{self.out}/updates")
@@ -326,7 +329,7 @@ class KgJob:
             for s in fs.listStatus(root)
             if s.isDirectory()
             and fs.exists(jvm.org.apache.hadoop.fs.Path(
-                f"{self.out}/updates/{s.getPath().getName()}/link/_SUCCESS"
+                f"{self.out}/updates/{s.getPath().getName()}/{stage}/_SUCCESS"
             ))
         )
 
@@ -399,7 +402,7 @@ class KgJob:
 
         if check_overlap and not resumed:
             existing = self.spark.read.parquet(self._path("tokenize_tag"))
-            for prev in self._update_ids():
+            for prev in self._update_ids(stage="tokenize_tag"):
                 existing = existing.unionByName(
                     self.spark.read.parquet(
                         f"{self.out}/updates/{prev}/tokenize_tag"

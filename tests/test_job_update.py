@@ -97,3 +97,21 @@ def test_update_resume_is_idempotent(spark, out_dir):
     assert first == again
     fresh = KgJob(spark, out_dir + "_full", run_id="f4").run(full)
     assert again == _triples_set(fresh)
+
+
+def test_overlap_guard_sees_half_finished_update(spark, out_dir):
+    """A crashed update (tag delta committed, link not) must still make
+    its documents visible to the overlap guard — starting a NEW update
+    with the same delta instead of resuming would otherwise duplicate
+    mentions once the crashed one is resumed."""
+    base, delta, _ = _slices(spark, n_base=24, n_delta=12)
+    KgJob(spark, out_dir, run_id="b5").run(base)
+    job = KgJob(spark, out_dir, run_id="u5")
+    job.update(delta, update_id="d5")
+    # simulate the crash: d5's link stage never committed
+    job._delete(f"{out_dir}/updates/d5/link/_SUCCESS")
+    with pytest.raises(ValueError, match="append-only"):
+        KgJob(spark, out_dir, run_id="u5b").update(delta, update_id="d5-retry")
+    # resuming under the original id remains the supported path
+    resumed = KgJob(spark, out_dir, run_id="u5c").update(delta, update_id="d5")
+    assert len(_triples_set(resumed)) > 0
