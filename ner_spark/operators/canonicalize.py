@@ -44,6 +44,52 @@ def build_edges(links: DataFrame) -> DataFrame:
     )
 
 
+def fuzzy_surface_edges(links: DataFrame, threshold: float = 0.85) -> DataFrame:
+    """Opt-in surface↔surface similarity edges: character 3-gram
+    Jaccard ≥ ``threshold`` via MinHashLSH candidate blocking (never an
+    all-pairs join), so near-identical spellings that share no KB link
+    ("sao paulo" / "são paulo") land in one component.
+
+    Runs on the DISTINCT surface table — orders of magnitude smaller
+    than the mention table — and returns namespaced ("s:") edges in the
+    same shape as :func:`build_edges`, so both canonicalization paths
+    (local union-find and distributed label propagation) consume them
+    identically."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from ner_spark.operators.link import _char_shingles
+
+    surfaces = (
+        links.select("surface")
+        .where(F.col("surface").isNotNull())
+        .distinct()
+        .withColumn("shingles", _char_shingles("surface"))
+        .where(F.size("shingles") > 0)
+    )
+    if surfaces.isEmpty():
+        return links.sparkSession.createDataFrame([], "src string, dst string")
+
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    # localCheckpoint pins the size()>0 filter BEFORE the LSH hash UDF:
+    # both are deterministic predicates, so Catalyst may otherwise
+    # evaluate the hash first and crash on the empty vectors of sub-3-
+    # char surfaces ("Must have at least 1 non zero entry")
+    feats = tf.transform(surfaces).localCheckpoint(eager=True)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
+                     numHashTables=4, seed=42)
+    model = lsh.fit(feats)
+    return (
+        model.approxSimilarityJoin(feats, feats, 1.0 - threshold, distCol="dist")
+        # one direction only; connected_components symmetrizes
+        .where(F.col("datasetA.surface") < F.col("datasetB.surface"))
+        .select(
+            F.concat(F.lit("s:"), "datasetA.surface").alias("src"),
+            F.concat(F.lit("s:"), "datasetB.surface").alias("dst"),
+        )
+        .distinct()
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -158,12 +204,22 @@ def _local_components(edge_rows: list) -> list[tuple[str, str]]:
 
 
 def canonicalize(
-    links: DataFrame, max_iter: int = 50, local_threshold: int = 100_000
+    links: DataFrame,
+    max_iter: int = 50,
+    local_threshold: int = 100_000,
+    fuzzy: bool = False,
+    fuzzy_threshold: float = 0.85,
 ) -> DataFrame:
     """links → entities(surface, entity_id).
 
     entity_id = ``ent:<min surface in component>`` (deterministic);
     surfaces with no KB link form singleton components.
+
+    ``fuzzy=True`` additionally merges surfaces whose character-3-gram
+    Jaccard similarity is ≥ ``fuzzy_threshold``
+    (:func:`fuzzy_surface_edges`, MinHashLSH-blocked) — off by default
+    because it changes entity identity semantics: the KG pipeline keeps
+    exact+KB-linked canonicalization unless the operator opts in.
 
     Components over at most ``local_threshold`` edges run as driver-side
     union-find on the collected (distinct, already-aggregated) edge list
@@ -176,6 +232,8 @@ def canonicalize(
     """
     surfaces = links.select("surface").where(F.col("surface").isNotNull()).distinct()
     edges = build_edges(links)
+    if fuzzy:
+        edges = edges.unionByName(fuzzy_surface_edges(links, fuzzy_threshold))
 
     # one job: take() both probes the threshold AND collects the edge
     # sample we need for the local path (bounded by local_threshold+1

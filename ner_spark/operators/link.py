@@ -183,8 +183,11 @@ def _fuzzy_fill(linked: DataFrame, aliases: DataFrame, threshold: float) -> Data
         return linked
 
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
-    a = tf.transform(misses)
-    b = tf.transform(cands)
+    # localCheckpoint pins the size()>0 filters before the LSH hash UDF
+    # (Catalyst may reorder the two deterministic predicates, feeding
+    # the hash an all-zero vector — same guard as fuzzy_surface_edges)
+    a = tf.transform(misses).localCheckpoint(eager=True)
+    b = tf.transform(cands).localCheckpoint(eager=True)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
     model = lsh.fit(a)
     pairs = (

@@ -43,6 +43,8 @@ class KgJob:
         run_id: str | None = None,
         force: bool = False,
         cc_max_iter: int = 50,
+        fuzzy_canon: bool = False,
+        fuzzy_threshold: float = 0.85,
     ) -> None:
         self.spark = spark
         self.out = output_dir.rstrip("/")
@@ -53,6 +55,10 @@ class KgJob:
         # surfaced so an operator can raise the connected-components
         # iteration cap for deep graphs without code changes
         self.cc_max_iter = cc_max_iter
+        # opt-in fuzzy surface merging (canonicalize.fuzzy_surface_edges);
+        # manifest-gated: it changes entity identity semantics
+        self.fuzzy_canon = fuzzy_canon
+        self.fuzzy_threshold = fuzzy_threshold
 
     def prewarm(self, even_if_committed: bool = False) -> None:
         """Untimed tiny-slice evaluation of the stage-1 plan shape:
@@ -112,7 +118,9 @@ class KgJob:
         records the parameters of the first run into this output."""
         import json
 
-        params = {"mode": self.mode, "tokenizer_mode": self.tokenizer_mode}
+        params = {"mode": self.mode, "tokenizer_mode": self.tokenizer_mode,
+                  "fuzzy_canon": self.fuzzy_canon,
+                  "fuzzy_threshold": self.fuzzy_threshold}
         path = f"{self.out}/manifest"
         jvm = self.spark.sparkContext._jvm
         conf = self.spark.sparkContext._jsc.hadoopConfiguration()
@@ -120,6 +128,9 @@ class KgJob:
         fs = p.getFileSystem(conf)
         if fs.exists(p):
             prev = json.loads(self.spark.read.parquet(path).first()["params"])
+            # manifests written before a parameter existed carry that
+            # parameter's default (pre-fuzzy outputs stay resumable)
+            prev = {"fuzzy_canon": False, "fuzzy_threshold": 0.85, **prev}
             if prev == params:
                 return
             if not self.force:
@@ -286,7 +297,9 @@ class KgJob:
 
         entities = self._run_stage(
             "canonicalize", links,
-            lambda: canonicalize(links, max_iter=self.cc_max_iter),
+            lambda: canonicalize(links, max_iter=self.cc_max_iter,
+                                 fuzzy=self.fuzzy_canon,
+                                 fuzzy_threshold=self.fuzzy_threshold),
         )
         if last_stage == "canonicalize":
             return entities
@@ -455,7 +468,9 @@ class KgJob:
         links = self.all_links()
         entities = self._run_stage(
             "canonicalize", links,
-            lambda: canonicalize(links, max_iter=self.cc_max_iter),
+            lambda: canonicalize(links, max_iter=self.cc_max_iter,
+                                 fuzzy=self.fuzzy_canon,
+                                 fuzzy_threshold=self.fuzzy_threshold),
         )
         triples = self._run_stage(
             "materialize", links, lambda: materialize_triples(links, entities),
@@ -490,6 +505,12 @@ def main() -> None:
                              "new documents folded into a completed run: "
                              "tag/link the delta only, recompute the "
                              "derived canonicalize/materialize stages")
+    parser.add_argument("--fuzzy-canon", action="store_true",
+                        help="also merge near-identical surfaces "
+                             "(char-3-gram Jaccard, MinHashLSH-blocked) "
+                             "during canonicalization")
+    parser.add_argument("--fuzzy-threshold", type=float, default=0.85,
+                        help="Jaccard similarity cutoff for --fuzzy-canon")
     parser.add_argument("--update-id", default=None,
                         help="stable id for this delta under "
                              "{output}/updates/ (pass the same id to "
@@ -510,7 +531,9 @@ def main() -> None:
 
     job = KgJob(spark, args.output, mode=args.mode,
                 tokenizer_mode=args.tokenizer_mode, run_id=args.run_id,
-                force=args.force, cc_max_iter=args.cc_max_iter)
+                force=args.force, cc_max_iter=args.cc_max_iter,
+                fuzzy_canon=args.fuzzy_canon,
+                fuzzy_threshold=args.fuzzy_threshold)
     if not args.no_prewarm:
         job.prewarm(even_if_committed=args.update)
     if args.update:

@@ -191,3 +191,28 @@ def test_prewarm_fails_fast_on_manifest_mismatch(spark, out_dir):
     with pytest.raises(ValueError, match="checkpoints for"):
         KgJob(spark, out_dir, run_id="pm2", mode="rules_only").prewarm()
     assert not os.path.exists(f"{out_dir}/_prewarm")
+
+
+def test_fuzzy_canon_is_manifest_gated(spark, out_dir):
+    """Flipping fuzzy canonicalization on a resume must not silently
+    reuse checkpoints computed under the other identity semantics —
+    and pre-fuzzy manifests (without the key) resume as fuzzy=False."""
+    src = source_table(spark, n_rows=12)
+    KgJob(spark, out_dir, run_id="fz1").run(src, last_stage="tokenize_tag")
+    with pytest.raises(ValueError, match="checkpoints for"):
+        KgJob(spark, out_dir, run_id="fz2", fuzzy_canon=True).run(
+            src, last_stage="tokenize_tag"
+        )
+    # legacy manifest without the fuzzy keys: rewrite it the old way
+    import json as _json
+
+    spark.createDataFrame(
+        [(_json.dumps({"mode": "hybrid", "tokenizer_mode": "standard"}),)],
+        "params string",
+    ).write.mode("overwrite").parquet(f"{out_dir}/manifest")
+    # default (fuzzy=False) resumes; fuzzy=True still refuses
+    KgJob(spark, out_dir, run_id="fz3").run(src, last_stage="tokenize_tag")
+    with pytest.raises(ValueError, match="checkpoints for"):
+        KgJob(spark, out_dir, run_id="fz4", fuzzy_canon=True).run(
+            src, last_stage="tokenize_tag"
+        )

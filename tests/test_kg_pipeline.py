@@ -314,3 +314,36 @@ def test_pipeline_partition_invariance(spark):
     base = run(src.coalesce(1), 4)
     assert run(src.repartition(7), 13) == base
     assert run(src.repartition(32), 32) == base
+
+
+def test_fuzzy_canonicalize_merges_similar_surfaces(spark):
+    rows = [
+        ("r1", "p1", "sao paulo", None, "LOC", 0.0),
+        ("r1", "p2", "sao paulo!", None, "LOC", 0.0),
+        ("r1", "p3", "rio de janeiro", None, "LOC", 0.0),
+    ]
+    schema = ("repo string, path string, surface string, kb_id string, "
+              "resolved_category string, link_score double")
+    links = spark.createDataFrame(rows, schema)
+
+    # default semantics unchanged: no KB links → all singletons
+    off = {r.surface: r.entity_id for r in canonicalize(links).collect()}
+    assert len(set(off.values())) == 3
+
+    on = {
+        r.surface: r.entity_id
+        for r in canonicalize(links, fuzzy=True, fuzzy_threshold=0.8).collect()
+    }
+    # char-3-gram Jaccard("sao paulo", "sao paulo!") = 7/8
+    assert on["sao paulo"] == on["sao paulo!"] == "ent:sao paulo"
+    assert on["rio de janeiro"] != on["sao paulo"]
+
+    # local union-find and distributed label propagation agree on the
+    # fuzzy edge set too
+    dist = {
+        r.surface: r.entity_id
+        for r in canonicalize(
+            links, fuzzy=True, fuzzy_threshold=0.8, local_threshold=0
+        ).collect()
+    }
+    assert dist == on
