@@ -102,6 +102,22 @@ def main() -> int:
     check("mentions_hybrid", "tag stage is a narrow map (no shuffle)",
           "Exchange hashpartitioning" not in p)
 
+    # fuzzy canonicalization edges: LSH-blocked similarity self-join
+    # over the distinct surface table — must never degrade to an
+    # all-pairs cartesian/nested-loop join
+    from ner_spark.operators.canonicalize import fuzzy_surface_edges
+
+    links = spark.createDataFrame(
+        [("r", "p", s, None, "LOC", 0.0) for s in
+         ("sao paulo", "sao paulo!", "rio de janeiro", "brasilia")],
+        "repo string, path string, surface string, kb_id string, "
+        "resolved_category string, link_score double",
+    )
+    p = plans["fuzzy_surface_edges"] = plan_of(fuzzy_surface_edges(links))
+    check("fuzzy_surface_edges", "LSH-blocked (no cartesian/nested-loop join)",
+          "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p)
+
     ok_all = all(ok for _q, _l, ok, _n in checks)
     lines = ["# PLANS — physical-plan audit", "",
              f"`python tools/plan_audit.py` at {SF_DIR} (local[4]).", "",
