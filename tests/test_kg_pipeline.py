@@ -347,3 +347,26 @@ def test_fuzzy_canonicalize_merges_similar_surfaces(spark):
         ).collect()
     }
     assert dist == on
+
+
+def test_fuzzy_canonicalize_handles_short_surfaces(spark):
+    """Regression: surfaces under 3 chars produce EMPTY shingle sets,
+    and Catalyst may evaluate the LSH hash UDF before the size()>0
+    filter — the fixture corpus crashed the first fuzzy implementation
+    with 'Must have at least 1 non zero entry'."""
+    rows = [
+        ("r1", "p1", "xp", None, "ORG", 0.0),       # 2 chars: no shingles
+        ("r1", "p2", "b3", None, "ORG", 0.0),       # 2 chars: no shingles
+        ("r1", "p3", "sao paulo", None, "LOC", 0.0),
+        ("r1", "p4", "sao paulo!", None, "LOC", 0.0),
+    ]
+    schema = ("repo string, path string, surface string, kb_id string, "
+              "resolved_category string, link_score double")
+    links = spark.createDataFrame(rows, schema)
+    on = {
+        r.surface: r.entity_id
+        for r in canonicalize(links, fuzzy=True, fuzzy_threshold=0.8).collect()
+    }
+    # short surfaces stay singletons; the similar pair still merges
+    assert on["xp"] == "ent:xp" and on["b3"] == "ent:b3"
+    assert on["sao paulo"] == on["sao paulo!"]
