@@ -262,6 +262,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return sota_gold(spark)
 
+    def q_kg_entities_fuzzy(spark, sf):
+        # fuzzy canonicalization over the gold link table: exact
+        # Jaccard pair finder, so the oracle's shingle-join pair
+        # enumeration is an exhaustive value check
+        from ner_spark.plans.kg_gold import entities_fuzzy_gold
+
+        return entities_fuzzy_gold(spark)
+
     def _with_pkg(fn):
         def wrapped(spark, sf):
             _ensure_pkg(spark)
@@ -298,6 +306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mentions_crf": q_mentions_crf,
         "kg_triples": q_kg_triples,
         "kg_triples_tagged": q_kg_triples_tagged,
+        "kg_entities_fuzzy": q_kg_entities_fuzzy,
         "sota_gliner": q_sota_gliner,
     }.items()}
 
@@ -505,13 +514,12 @@ def _sql_esc(s: str) -> str:
     return s.replace("'", "''")
 
 
-def _kg_chain_sql() -> str:
-    """NED → NEL (KB folded in as literals) → connected components
-    (recursive closure over the surface–surface adjacency induced by
-    shared KB ids) → the four triple branches; reads a preceding
-    ``men(repo, path, mention_text, category, ctx)`` CTE.  Shared by
-    the gold-span oracle (``kg_triples``) and the goldens-driven
-    tagged oracle (``kg_triples_tagged``)."""
+def _kg_nel_sql() -> str:
+    """NED → NEL (KB folded in as literals); reads a preceding
+    ``men(repo, path, mention_text, category, ctx)`` CTE and leaves a
+    ``nel(repo, path, resolved_category, surface, kb_id, link_score)``
+    CTE for the caller.  Shared by the triples chain
+    (:func:`_kg_chain_sql`) and the fuzzy-entities oracle."""
     from ner_spark.data.kb import KB_LOC_IDS, KB_ORG_IDS, KB_PER_IDS, KB_RECORDS
 
     esc = _sql_esc
@@ -554,7 +562,16 @@ nel AS (
   SELECT repo, path, rc AS resolved_category, q AS surface,
     CASE WHEN best >= 0.5 THEN CASE {" ".join(picks)} END END AS kb_id,
     CASE WHEN best >= 0.5 THEN best ELSE 0.0 END AS link_score
-  FROM (SELECT *, greatest({all_s}) AS best FROM sc)),
+  FROM (SELECT *, greatest({all_s}) AS best FROM sc))"""
+
+
+def _kg_chain_sql() -> str:
+    """:func:`_kg_nel_sql` + connected components (recursive closure
+    over the surface–surface adjacency induced by shared KB ids) + the
+    four triple branches.  Shared by the gold-span oracle
+    (``kg_triples``) and the goldens-driven tagged oracle
+    (``kg_triples_tagged``)."""
+    return _kg_nel_sql() + """,
 ed AS (SELECT DISTINCT surface AS s, kb_id AS k FROM nel WHERE kb_id IS NOT NULL),
 adj AS (SELECT DISTINCT a.s AS x, b.s AS y FROM ed a JOIN ed b ON a.k = b.k),
 reach AS (
@@ -590,9 +607,10 @@ SELECT subj, pred, obj, CAST(ev AS BIGINT) AS evidence_count FROM tr
 """
 
 
-def _kg_gold_oracle() -> str:
-    """SQL twin of plans.kg_gold.kg_triples_gold: gold spans → the
-    shared NED/NEL/CC/triples chain (:func:`_kg_chain_sql`)."""
+def _kg_gold_men_sql() -> str:
+    """Gold-span ``men`` CTE prefix (annotated corpus → BIO spans →
+    repo/path/ctx), shared by the gold triples and fuzzy-entities
+    oracles."""
     runs = _runs_cte().replace("WITH ", "WITH RECURSIVE ", 1)
     return runs + """,
 sp AS (
@@ -608,7 +626,52 @@ men AS (
     list_transform(
       list_slice(sw.words, greatest(sp.start_idx - 3, 0) + 1, sp.end_idx + 4),
       w -> lower(w)) AS ctx
-  FROM sp JOIN sw ON sp.sent_id = sw.sent_id)""" + _kg_chain_sql()
+  FROM sp JOIN sw ON sp.sent_id = sw.sent_id)"""
+
+
+def _kg_gold_oracle() -> str:
+    """SQL twin of plans.kg_gold.kg_triples_gold: gold spans → the
+    shared NED/NEL/CC/triples chain (:func:`_kg_chain_sql`)."""
+    return _kg_gold_men_sql() + _kg_chain_sql()
+
+
+def _kg_entities_fuzzy_oracle(threshold: float = 0.5) -> str:
+    """SQL twin of plans.kg_gold.entities_fuzzy_gold: the gold NEL
+    table's surfaces canonicalized over shared-KB-id edges PLUS exact
+    char-3-gram-Jaccard ≥ threshold pairs (enumerated by the same
+    shingle equi-join the Spark exact path uses), closed transitively
+    by a recursive CTE."""
+    return _kg_gold_men_sql() + _kg_nel_sql() + f""",
+surf AS (SELECT DISTINCT surface FROM nel),
+shg AS (
+  SELECT DISTINCT s.surface, substr(s.surface, CAST(u.i AS INT), 3) AS g
+  FROM surf s, UNNEST(generate_series(1, len(s.surface) - 2)) AS u(i)
+  WHERE len(s.surface) >= 3),
+sz AS (SELECT surface, count(*) AS n FROM shg GROUP BY surface),
+it AS (
+  SELECT a.surface AS sa, b.surface AS sb, count(*) AS i
+  FROM shg a JOIN shg b ON a.g = b.g AND a.surface < b.surface
+  GROUP BY 1, 2),
+fz AS (
+  SELECT it.sa AS x, it.sb AS y FROM it
+  JOIN sz za ON za.surface = it.sa
+  JOIN sz zb ON zb.surface = it.sb
+  WHERE CAST(it.i AS DOUBLE) / (za.n + zb.n - it.i) >= {threshold!r}),
+ed AS (SELECT DISTINCT surface AS s, kb_id AS k FROM nel WHERE kb_id IS NOT NULL),
+adj AS (
+  SELECT DISTINCT x, y FROM (
+    SELECT a.s AS x, b.s AS y FROM ed a JOIN ed b ON a.k = b.k
+    UNION SELECT x, y FROM fz
+    UNION SELECT y, x FROM fz
+    UNION SELECT surface AS x, surface AS y FROM surf)),
+reach AS (
+  SELECT x, y FROM adj
+  UNION
+  SELECT r.x, a.y FROM reach r JOIN adj a ON r.y = a.x),
+comp AS (SELECT x AS surface, 'ent:' || min(y) AS eid FROM reach GROUP BY x)
+SELECT surf.surface, coalesce(comp.eid, 'ent:' || surf.surface) AS entity_id
+FROM surf LEFT JOIN comp USING (surface)
+"""
 
 
 # ------------------------------------------------- goldens-based oracles
@@ -816,6 +879,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup_ivf": _embedding_ivf_pairs_oracle(),
         "kg_triples": _kg_gold_oracle(),
         "kg_triples_tagged": _kg_tagged_oracle(),
+        "kg_entities_fuzzy": _kg_entities_fuzzy_oracle(),
         "mentions_hybrid": _mentions_oracle("hybrid"),
         "mentions_crf": _mentions_oracle("crf_only"),
         "sota_gliner": _sota_gold_oracle(),

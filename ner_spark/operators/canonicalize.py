@@ -90,6 +90,46 @@ def fuzzy_surface_edges(links: DataFrame, threshold: float = 0.85) -> DataFrame:
     )
 
 
+def fuzzy_surface_edges_exact(links: DataFrame, threshold: float = 0.85) -> DataFrame:
+    """EXACT char-3-gram Jaccard pairs via a shingle equi-join — the
+    oracle-checkable twin of :func:`fuzzy_surface_edges` (which blocks
+    candidates with MinHashLSH and may therefore miss a pair whose
+    hashes never collide).  Same blocked-join shape as the dedup
+    layer's ``ngram_jaccard_pairs``: explode distinct surfaces to
+    (surface, gram), self-join on gram, count the intersection, and
+    derive Jaccard from the per-surface gram counts — never an
+    all-pairs comparison."""
+    from ner_spark.operators.link import _char_shingles
+
+    grams = (
+        links.select("surface")
+        .where(F.col("surface").isNotNull())
+        .distinct()
+        .select("surface", F.explode(_char_shingles("surface")).alias("g"))
+    )
+    sizes = grams.groupBy("surface").agg(F.count("*").alias("n"))
+    inter = (
+        grams.alias("a")
+        .join(grams.alias("b"),
+              (F.col("a.g") == F.col("b.g"))
+              & (F.col("a.surface") < F.col("b.surface")))
+        .groupBy(F.col("a.surface").alias("sa"), F.col("b.surface").alias("sb"))
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sizes.select(F.col("surface").alias("sa"),
+                                F.col("n").alias("na")), "sa")
+        .join(sizes.select(F.col("surface").alias("sb"),
+                           F.col("n").alias("nb")), "sb")
+        .where(F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+               >= F.lit(threshold))
+        .select(
+            F.concat(F.lit("s:"), "sa").alias("src"),
+            F.concat(F.lit("s:"), "sb").alias("dst"),
+        )
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -209,6 +249,7 @@ def canonicalize(
     local_threshold: int = 100_000,
     fuzzy: bool = False,
     fuzzy_threshold: float = 0.85,
+    fuzzy_method: str = "lsh",
 ) -> DataFrame:
     """links → entities(surface, entity_id).
 
@@ -216,10 +257,14 @@ def canonicalize(
     surfaces with no KB link form singleton components.
 
     ``fuzzy=True`` additionally merges surfaces whose character-3-gram
-    Jaccard similarity is ≥ ``fuzzy_threshold``
-    (:func:`fuzzy_surface_edges`, MinHashLSH-blocked) — off by default
+    Jaccard similarity is ≥ ``fuzzy_threshold`` — off by default
     because it changes entity identity semantics: the KG pipeline keeps
     exact+KB-linked canonicalization unless the operator opts in.
+    ``fuzzy_method`` picks the pair finder: ``"lsh"``
+    (:func:`fuzzy_surface_edges`, MinHashLSH candidate blocking — the
+    scale path) or ``"exact"`` (:func:`fuzzy_surface_edges_exact`,
+    shingle equi-join — exhaustive above the threshold and
+    SQL-oracle-checkable; both are blocked joins, never all-pairs).
 
     Components over at most ``local_threshold`` edges run as driver-side
     union-find on the collected (distinct, already-aggregated) edge list
@@ -233,7 +278,9 @@ def canonicalize(
     surfaces = links.select("surface").where(F.col("surface").isNotNull()).distinct()
     edges = build_edges(links)
     if fuzzy:
-        edges = edges.unionByName(fuzzy_surface_edges(links, fuzzy_threshold))
+        builder = (fuzzy_surface_edges_exact if fuzzy_method == "exact"
+                   else fuzzy_surface_edges)
+        edges = edges.unionByName(builder(links, fuzzy_threshold))
 
     # one job: take() both probes the threshold AND collects the edge
     # sample we need for the local path (bounded by local_threshold+1

@@ -89,6 +89,29 @@ def kg_triples_gold(spark: SparkSession) -> DataFrame:
     return materialize_triples(slim, canonicalize(slim))
 
 
+def entities_fuzzy_gold(
+    spark: SparkSession, threshold: float = 0.5
+) -> DataFrame:
+    """Fuzzy canonicalization over the gold-span link table:
+    (surface, entity_id) with char-3-gram-Jaccard ≥ ``threshold``
+    surface pairs merged in addition to the shared-KB-id edges.  The
+    0.5 default is chosen so the gold surface set actually exercises
+    merging ("estado do rio de janeiro"/"rio de janeiro" at J=0.6,
+    "banco central do brasil"/"banco do brasil" at J=0.545 — the
+    cleanest gold surfaces have no pairs above 0.8).  Uses
+    the EXACT pair finder so the DuckDB oracle (which enumerates the
+    same pairs by shingle join) is an exhaustive value check; the LSH
+    scale path is pinned against this exact path by
+    ``tests/test_kg_pipeline.py::test_fuzzy_lsh_matches_exact_on_gold``."""
+    from ner_spark.operators.canonicalize import canonicalize
+    from ner_spark.operators.link import disambiguate, link_mentions
+
+    links = link_mentions(disambiguate(gold_mentions(spark)))
+    return canonicalize(
+        links, fuzzy=True, fuzzy_threshold=threshold, fuzzy_method="exact"
+    ).select("surface", "entity_id")
+
+
 def sota_gold(
     spark: SparkSession,
     user_classes: tuple[str, ...] = ("Pessoa", "Local", "Organizacao", "Data"),

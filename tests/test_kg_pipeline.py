@@ -370,3 +370,22 @@ def test_fuzzy_canonicalize_handles_short_surfaces(spark):
     # short surfaces stay singletons; the similar pair still merges
     assert on["xp"] == "ent:xp" and on["b3"] == "ent:b3"
     assert on["sao paulo"] == on["sao paulo!"]
+
+
+def test_fuzzy_lsh_matches_exact_on_gold(spark):
+    """The MinHashLSH scale path must find the same ≥-threshold pairs
+    as the exhaustive shingle-join on the gold surface set (LSH output
+    is always a SUBSET of exact — candidates share ≥1 hash band, then
+    filter by true distance — so equality means zero missed pairs
+    here; deterministic under seed=42)."""
+    from ner_spark.operators.canonicalize import (
+        fuzzy_surface_edges,
+        fuzzy_surface_edges_exact,
+    )
+    from ner_spark.plans.kg_gold import gold_mentions
+
+    links = link_mentions(disambiguate(gold_mentions(spark)))
+    exact = sorted(map(tuple, fuzzy_surface_edges_exact(links, 0.5).collect()))
+    lsh = sorted(map(tuple, fuzzy_surface_edges(links, 0.5).collect()))
+    assert exact == lsh
+    assert ("s:estado do rio de janeiro", "s:rio de janeiro") in exact
