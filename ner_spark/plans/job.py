@@ -179,33 +179,50 @@ class KgJob:
             f"{self.out}/metrics"
         )
 
-    def _run_stage(
-        self, stage: str, rows_in_df: DataFrame, compute: Callable[[], DataFrame],
-        partition_by: tuple[str, ...] = (),
-        path: str | None = None,
-    ) -> DataFrame:
+    def _read_committed(self, path: str, partitioned: bool = False) -> DataFrame:
+        """Read a committed stage checkpoint.  Partitioned stages read
+        with the schema sidecar so (a) the partition column keeps its
+        original position — an inferred read appends it last, making
+        resumed runs return a different column order than fresh ones —
+        and (b) an EMPTY partitioned checkpoint (zero data files,
+        inference would fail) still reads.  Non-partitioned: plain
+        read; a corrupt checkpoint raises its real error."""
         import json
 
         from pyspark.sql.types import StructType
 
+        if partitioned and self._exists(path + "_schema/_SUCCESS"):
+            sj = self.spark.read.parquet(path + "_schema").first()["schema_json"]
+            return self.spark.read.schema(
+                StructType.fromJson(json.loads(sj))
+            ).parquet(path)
+        return self.spark.read.parquet(path)
+
+    def _sidecar_meta(self, path: str) -> dict | None:
+        """The meta dict stored in a stage's schema sidecar, or None
+        for legacy sidecars written before meta existed."""
+        import json
+
+        if not self._exists(path + "_schema/_SUCCESS"):
+            return None
+        row = self.spark.read.parquet(path + "_schema").first()
+        try:
+            return json.loads(row["meta_json"])
+        except (KeyError, ValueError, TypeError, AttributeError):
+            return None
+
+    def _run_stage(
+        self, stage: str, rows_in_df: DataFrame, compute: Callable[[], DataFrame],
+        partition_by: tuple[str, ...] = (),
+        path: str | None = None,
+        meta: dict | None = None,
+    ) -> DataFrame:
+        import json
+
         path = path or self._path(stage)
         started = _utcnow()
         if not self.force and self._exists(path + "/_SUCCESS"):
-            if partition_by and self._exists(path + "_schema/_SUCCESS"):
-                # partitioned stages: read with the schema sidecar so
-                # (a) the partition column keeps its original position —
-                # an inferred read appends it last, making resumed runs
-                # return a different column order than fresh ones — and
-                # (b) an EMPTY partitioned checkpoint (zero data files,
-                # inference would fail) still resumes
-                sj = self.spark.read.parquet(path + "_schema").first()["schema_json"]
-                cached = self.spark.read.schema(
-                    StructType.fromJson(json.loads(sj))
-                ).parquet(path)
-            else:
-                # non-partitioned: plain read; a corrupt checkpoint
-                # raises its real error (no sidecar exists to mask it)
-                cached = self.spark.read.parquet(path)
+            cached = self._read_committed(path, partitioned=bool(partition_by))
             self._log_metrics(stage, cached, rows_in=-1, sha_ok=None,
                               started=started, skipped=True, path=path)
             return cached
@@ -219,9 +236,15 @@ class KgJob:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
             # partitioned writes of empty data emit no files at all —
-            # persist the schema so a resume can still read the table
+            # persist the schema so a resume can still read the table.
+            # The sidecar also carries the stage's meta (e.g. which
+            # update deltas the triples cover); it is written BEFORE
+            # the data, so the data dir's _SUCCESS remains the single
+            # commit point — a crash between the two leaves an
+            # uncommitted stage, never a committed stage with stale meta
             self.spark.createDataFrame(
-                [(out.schema.json(),)], "schema_json string"
+                [(out.schema.json(), json.dumps(meta) if meta is not None else None)],
+                "schema_json string, meta_json string",
             ).write.mode("overwrite").parquet(path + "_schema")
         writer.parquet(path)
         written = self.spark.read.schema(out.schema).parquet(path)
@@ -307,6 +330,7 @@ class KgJob:
         triples = self._run_stage(
             "materialize", links, lambda: materialize_triples(links, entities),
             partition_by=("pred",),
+            meta={"applied_updates": []},  # run() materializes base links only
         )
         self._log_truncation(links, entities)
         return triples
@@ -373,6 +397,7 @@ class KgJob:
         delta_source: DataFrame,
         update_id: str | None = None,
         check_overlap: bool = True,
+        merge_materialize: bool = True,
     ) -> DataFrame:
         """Incremental maintenance: fold a NEW batch of documents into a
         completed run without re-tagging the existing corpus.
@@ -388,6 +413,17 @@ class KgJob:
         ``update(delta)`` after ``run(base)`` produces exactly the
         triples of a fresh ``run(base ∪ delta)`` (pinned by
         tests/test_job_update.py).
+
+        ``merge_materialize=True`` (default) takes a fast path when no
+        existing surface changed entity assignment: the four triple
+        branches are additive over documents, so the delta's triples
+        merge into the committed table by summing evidence counts —
+        the materialize cost becomes delta-proportional too.  The
+        sidecar meta of the materialize checkpoint records which
+        deltas it covers (written before the data commit, so a crash
+        can never leave committed triples with stale coverage); any
+        mismatch, reassignment, or legacy checkpoint falls back to the
+        full recompute, which is always safe.
 
         Delta documents must be NEW ``(repo, path)`` keys — parquet
         checkpoints cannot delete superseded rows, so replacing an
@@ -453,6 +489,41 @@ class KgJob:
             path=f"{uroot}/link",
         )
 
+        derived_ok = (self._committed("canonicalize")
+                      and self._committed("materialize"))
+        meta = self._sidecar_meta(self._path("materialize"))
+        applied = (set(meta.get("applied_updates", []))
+                   if meta and "applied_updates" in meta else None)
+
+        # a completed re-invocation of this update id is a no-op: its
+        # links are already folded into the committed triples
+        if derived_ok and applied is not None and uid in applied:
+            return self._read_committed(self._path("materialize"),
+                                        partitioned=True)
+
+        # merge fast path: the committed triples cover exactly base +
+        # every OTHER committed delta (sidecar meta proves it — legacy
+        # checkpoints without meta fall back to the full recompute,
+        # which writes the new-format sidecar)
+        can_merge = (
+            merge_materialize
+            and derived_ok
+            and applied is not None
+            and applied == set(self._update_ids()) - {uid}
+        )
+        old_entities = old_triples = None
+        if can_merge:
+            # pin the previous tables to executor storage BEFORE their
+            # checkpoints are overwritten (a table cannot read itself
+            # while being overwritten); an Iceberg/Delta snapshot read
+            # replaces this pin at deploy time
+            old_entities = self._read_committed(
+                self._path("canonicalize")
+            ).localCheckpoint(eager=True)
+            old_triples = self._read_committed(
+                self._path("materialize"), partitioned=True
+            ).localCheckpoint(eager=True)
+
         # derived stages are stale the moment a delta commits: drop
         # their markers so _run_stage recomputes over base ∪ deltas
         jvm = self.spark.sparkContext._jvm
@@ -472,10 +543,54 @@ class KgJob:
                                  fuzzy=self.fuzzy_canon,
                                  fuzzy_threshold=self.fuzzy_threshold),
         )
-        triples = self._run_stage(
-            "materialize", links, lambda: materialize_triples(links, entities),
-            partition_by=("pred",),
-        )
+
+        # all four triple branches are ADDITIVE over documents when no
+        # existing surface changed entity: delta docs are new (repo,
+        # path) keys, so old evidence counts merge with delta counts by
+        # summing on (subj, pred, obj).  A delta CAN reassign existing
+        # surfaces (a new KB edge merging two components, or a new
+        # component-minimum surface) — detected below, falling back to
+        # the full recompute.
+        stable = False
+        if can_merge:
+            stable = (
+                old_entities.alias("o")
+                .join(entities.alias("n"), "surface")
+                .where(F.col("o.entity_id") != F.col("n.entity_id"))
+                .limit(1)
+                .count()
+            ) == 0
+        if stable:
+            delta_links = self._read_links(f"{uroot}/link")
+            new_applied = sorted(applied | {uid})
+
+            def compute_merged() -> DataFrame:
+                delta_triples = materialize_triples(delta_links, entities)
+                return (
+                    old_triples.unionByName(delta_triples)
+                    .groupBy("subj", "pred", "obj")
+                    .agg(F.sum("evidence_count").alias("evidence_count"))
+                    .select("subj", "pred", "obj", "evidence_count")
+                )
+
+            triples = self._run_stage(
+                "materialize", delta_links, compute_merged,
+                partition_by=("pred",),
+                meta={"applied_updates": new_applied},
+            )
+            started = _utcnow()
+            rows = [(self.run_id, "materialize_merge", -1, -1,
+                     len(new_applied), None, started, _utcnow(), self.out)]
+            self.spark.createDataFrame(rows, METRICS_SCHEMA).write.mode(
+                "append"
+            ).parquet(f"{self.out}/metrics")
+        else:
+            triples = self._run_stage(
+                "materialize", links,
+                lambda: materialize_triples(links, entities),
+                partition_by=("pred",),
+                meta={"applied_updates": sorted(self._update_ids())},
+            )
         self._log_truncation(links, entities)
         return triples
 

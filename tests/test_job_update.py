@@ -115,3 +115,63 @@ def test_overlap_guard_sees_half_finished_update(spark, out_dir):
     # resuming under the original id remains the supported path
     resumed = KgJob(spark, out_dir, run_id="u5c").update(delta, update_id="d5")
     assert len(_triples_set(resumed)) > 0
+
+
+def test_merge_fast_path_taken_and_correct(spark, out_dir):
+    """With stable entity assignments the update merges delta triples
+    into the committed table (materialize_merge metrics row) and the
+    result still equals a fresh run over the union."""
+    from pyspark.sql import functions as F
+
+    base, delta, full = _slices(spark, n_base=48, n_delta=18)
+    KgJob(spark, out_dir, run_id="mb").run(base)
+    job = KgJob(spark, out_dir, run_id="mu")
+    merged = _triples_set(job.update(delta, update_id="dm"))
+
+    m = job.metrics()
+    assert m.where(
+        (F.col("run_id") == "mu") & (F.col("stage") == "materialize_merge")
+    ).count() == 1
+
+    fresh = KgJob(spark, out_dir + "_full", run_id="mf").run(full)
+    assert merged == _triples_set(fresh)
+
+
+def test_merge_disabled_recomputes_and_matches(spark, out_dir):
+    from pyspark.sql import functions as F
+
+    base, delta, full = _slices(spark, n_base=48, n_delta=18)
+    KgJob(spark, out_dir, run_id="nb").run(base)
+    job = KgJob(spark, out_dir, run_id="nu")
+    out = _triples_set(job.update(delta, update_id="dn", merge_materialize=False))
+    assert job.metrics().where(F.col("stage") == "materialize_merge").count() == 0
+    fresh = KgJob(spark, out_dir + "_full", run_id="nf").run(full)
+    assert out == _triples_set(fresh)
+
+
+def test_merge_falls_back_when_assignments_changed(spark, out_dir):
+    """If the stability check sees a reassigned surface, the update
+    must take the full-recompute path — and still produce the
+    fresh-union result (the check uses the OLD checkpoint, so
+    tampering it simulates a delta that merged two components)."""
+    from pyspark.sql import functions as F
+
+    base, delta, full = _slices(spark, n_base=48, n_delta=18)
+    KgJob(spark, out_dir, run_id="tb").run(base)
+
+    # tamper one surface's entity assignment in the committed
+    # canonicalize checkpoint (collect → modify → overwrite)
+    path = f"{out_dir}/canonicalize"
+    rows = [(r.surface, r.entity_id) for r in spark.read.parquet(path).collect()]
+    rows[0] = (rows[0][0], "ent:__tampered__")
+    spark.createDataFrame(rows, "surface string, entity_id string").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+    job = KgJob(spark, out_dir, run_id="tu")
+    out = _triples_set(job.update(delta, update_id="dt"))
+    assert job.metrics().where(
+        (F.col("run_id") == "tu") & (F.col("stage") == "materialize_merge")
+    ).count() == 0
+    fresh = KgJob(spark, out_dir + "_full", run_id="tf").run(full)
+    assert out == _triples_set(fresh)
