@@ -78,8 +78,17 @@ def fuzzy_surface_edges(links: DataFrame, threshold: float = 0.85) -> DataFrame:
     lsh = MinHashLSH(inputCol="features", outputCol="hashes",
                      numHashTables=4, seed=42)
     model = lsh.fit(feats)
+    # approxSimilarityJoin keeps dist STRICTLY below its cutoff, which
+    # would drop pairs at exactly J = threshold (the exact path and the
+    # oracle keep >=): join marginally looser, then filter inclusively
+    # on the returned exact distance.  Caveat vs the exact path: dist
+    # is Jaccard over HASHED gram sets (2^18 buckets), so a hash
+    # collision can nudge J — inherent to the approximate path.
     return (
-        model.approxSimilarityJoin(feats, feats, 1.0 - threshold, distCol="dist")
+        model.approxSimilarityJoin(
+            feats, feats, min(1.0, 1.0 - threshold + 1e-9), distCol="dist"
+        )
+        .where((F.lit(1.0) - F.col("dist")) >= F.lit(threshold))
         # one direction only; connected_components symmetrizes
         .where(F.col("datasetA.surface") < F.col("datasetB.surface"))
         .select(

@@ -191,7 +191,12 @@ def _fuzzy_fill(linked: DataFrame, aliases: DataFrame, threshold: float) -> Data
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
     model = lsh.fit(a)
     pairs = (
-        model.approxSimilarityJoin(a, b, 1.0 - threshold, distCol="dist")
+        # inclusive ≥-threshold semantics (approxSimilarityJoin alone
+        # is strict-<; same boundary fix as fuzzy_surface_edges)
+        model.approxSimilarityJoin(
+            a, b, min(1.0, 1.0 - threshold + 1e-9), distCol="dist"
+        )
+        .where((F.lit(1.0) - F.col("dist")) >= F.lit(threshold))
         .select(
             F.col("datasetA.surface").alias("surface"),
             F.col("datasetB.kb_id").alias("fuzzy_kb_id"),

@@ -119,12 +119,16 @@ def extract_media_features(media: DataFrame, use_stub: bool = True) -> DataFrame
     Narrow ``mapInPandas`` stage: no shuffle, Arrow-batched binary
     transfer, per-batch vectorized feature extraction.
     """
-    narrow = media.select("media_id", "modality", "payload")
+    # mime rides along so the real decoder can dispatch per payload
+    # (decode_stub gates on it; passing a dummy would dead-end the
+    # non-stub path at the image/* check)
+    narrow = media.select("media_id", "modality", "payload", "mime")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = (fake_decode_features(pdf["payload"]) if use_stub
-                     else np.stack([decode_stub(p, "?") for p in pdf["payload"]]))
+                     else np.stack([decode_stub(p, m) for p, m in
+                                    zip(pdf["payload"], pdf["mime"])]))
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "modality": pdf["modality"],

@@ -60,7 +60,8 @@ class KgJob:
         self.fuzzy_canon = fuzzy_canon
         self.fuzzy_threshold = fuzzy_threshold
 
-    def prewarm(self, even_if_committed: bool = False) -> None:
+    def prewarm(self, even_if_committed: bool = False,
+                update_id: str | None = None) -> None:
         """Untimed tiny-slice evaluation of the stage-1 plan shape:
         pays the one-time per-process JVM codegen/JIT + Python-worker
         startup (~26 s measured at 8 pinned cores — BENCH/STAGES.md
@@ -72,12 +73,19 @@ class KgJob:
         # validate the resume BEFORE paying the warmup slice: a
         # mode/tokenizer mismatch against an existing checkpoint must
         # fail fast, not after ~26 s of JIT and a write under out/
-        self._check_manifest()
+        # (validation only — stamping a manifest into a fresh dir
+        # before any stage runs would poison it for later params)
+        self._check_manifest(write=False)
         # even_if_committed: an incremental update tags its delta even
-        # though the BASE stage 1 is committed, so it still wants the warmup
-        if not even_if_committed and not self.force and self._committed(
-            "tokenize_tag"
-        ):
+        # though the BASE stage 1 is committed, so it still wants the
+        # warmup — unless THAT DELTA's tag stage is itself committed
+        # (update resume / completed-update no-op)
+        if even_if_committed:
+            if update_id and self._exists(
+                f"{self.out}/updates/{update_id}/tokenize_tag/_SUCCESS"
+            ):
+                return
+        elif not self.force and self._committed("tokenize_tag"):
             return
         from ner_spark.operators.link import disambiguate
         from ner_spark.operators.tag import extract_mentions
@@ -111,11 +119,14 @@ class KgJob:
     def _committed(self, stage: str) -> bool:
         return self._exists(self._path(stage) + "/_SUCCESS")
 
-    def _check_manifest(self) -> None:
+    def _check_manifest(self, write: bool = True) -> None:
         """Stage checkpoints are only valid for the parameters that
         produced them: a resume with a different mode/tokenizer_mode
         must not silently reuse them.  The manifest (one parquet row)
-        records the parameters of the first run into this output."""
+        records the parameters of the first run into this output.
+        ``write=False`` validates an existing manifest without creating
+        one — validation-only callers (prewarm) must not stamp a fresh
+        output dir with params before any stage has actually run."""
         import json
 
         params = {"mode": self.mode, "tokenizer_mode": self.tokenizer_mode,
@@ -151,6 +162,8 @@ class KgJob:
                 )
                 if fs.exists(marker):
                     fs.delete(marker, False)
+        elif not write:
+            return
         self.spark.createDataFrame(
             [(json.dumps(params),)], "params string"
         ).write.mode("overwrite").parquet(path)
@@ -318,9 +331,16 @@ class KgJob:
         if last_stage == "link":
             return links
 
+        # committed update deltas must never be dropped by a plain
+        # resume (the documented recovery command after a crashed
+        # update() is the same run() invocation): the derived stages
+        # always cover base ∪ every committed delta
+        applied = self._update_ids()
+        full_links = self.all_links() if applied else links
+
         entities = self._run_stage(
-            "canonicalize", links,
-            lambda: canonicalize(links, max_iter=self.cc_max_iter,
+            "canonicalize", full_links,
+            lambda: canonicalize(full_links, max_iter=self.cc_max_iter,
                                  fuzzy=self.fuzzy_canon,
                                  fuzzy_threshold=self.fuzzy_threshold),
         )
@@ -328,11 +348,12 @@ class KgJob:
             return entities
 
         triples = self._run_stage(
-            "materialize", links, lambda: materialize_triples(links, entities),
+            "materialize", full_links,
+            lambda: materialize_triples(full_links, entities),
             partition_by=("pred",),
-            meta={"applied_updates": []},  # run() materializes base links only
+            meta={"applied_updates": applied},
         )
-        self._log_truncation(links, entities)
+        self._log_truncation(full_links, entities)
         return triples
 
     def _log_truncation(self, links: DataFrame, entities: DataFrame) -> None:
@@ -513,10 +534,18 @@ class KgJob:
         )
         old_entities = old_triples = None
         if can_merge:
-            # pin the previous tables to executor storage BEFORE their
-            # checkpoints are overwritten (a table cannot read itself
-            # while being overwritten); an Iceberg/Delta snapshot read
-            # replaces this pin at deploy time
+            # pin the previous tables BEFORE their checkpoints are
+            # overwritten (a table cannot read itself while being
+            # overwritten).  MUST be localCheckpoint, not persist():
+            # overwriting a path triggers Spark's recacheByPath, which
+            # silently REFRESHES a persisted plan that still reads that
+            # path — the stability check would then compare the new
+            # entities against themselves and always merge.
+            # localCheckpoint truncates the plan to materialized RDD
+            # blocks, immune to the refresh; the blocks are released by
+            # the ContextCleaner once these references drop at method
+            # exit (an Iceberg/Delta snapshot read replaces the pin
+            # entirely at deploy time).
             old_entities = self._read_committed(
                 self._path("canonicalize")
             ).localCheckpoint(eager=True)
@@ -551,47 +580,58 @@ class KgJob:
         # surfaces (a new KB edge merging two components, or a new
         # component-minimum surface) — detected below, falling back to
         # the full recompute.
-        stable = False
-        if can_merge:
-            stable = (
-                old_entities.alias("o")
-                .join(entities.alias("n"), "surface")
-                .where(F.col("o.entity_id") != F.col("n.entity_id"))
-                .limit(1)
-                .count()
-            ) == 0
-        if stable:
-            delta_links = self._read_links(f"{uroot}/link")
-            new_applied = sorted(applied | {uid})
+        try:
+            stable = False
+            if can_merge:
+                stable = (
+                    old_entities.alias("o")
+                    .join(entities.alias("n"), "surface")
+                    .where(F.col("o.entity_id") != F.col("n.entity_id"))
+                    .limit(1)
+                    .count()
+                ) == 0
+            if stable:
+                delta_links = self._read_links(f"{uroot}/link")
+                new_applied = sorted(applied | {uid})
 
-            def compute_merged() -> DataFrame:
-                delta_triples = materialize_triples(delta_links, entities)
-                return (
-                    old_triples.unionByName(delta_triples)
-                    .groupBy("subj", "pred", "obj")
-                    .agg(F.sum("evidence_count").alias("evidence_count"))
-                    .select("subj", "pred", "obj", "evidence_count")
+                def compute_merged() -> DataFrame:
+                    delta_triples = materialize_triples(delta_links, entities)
+                    return (
+                        old_triples.unionByName(delta_triples)
+                        .groupBy("subj", "pred", "obj")
+                        .agg(F.sum("evidence_count").alias("evidence_count"))
+                        .select("subj", "pred", "obj", "evidence_count")
+                    )
+
+                triples = self._run_stage(
+                    "materialize", delta_links, compute_merged,
+                    partition_by=("pred",),
+                    meta={"applied_updates": new_applied},
                 )
-
-            triples = self._run_stage(
-                "materialize", delta_links, compute_merged,
-                partition_by=("pred",),
-                meta={"applied_updates": new_applied},
-            )
-            started = _utcnow()
-            rows = [(self.run_id, "materialize_merge", -1, -1,
-                     len(new_applied), None, started, _utcnow(), self.out)]
-            self.spark.createDataFrame(rows, METRICS_SCHEMA).write.mode(
-                "append"
-            ).parquet(f"{self.out}/metrics")
-        else:
-            triples = self._run_stage(
-                "materialize", links,
-                lambda: materialize_triples(links, entities),
-                partition_by=("pred",),
-                meta={"applied_updates": sorted(self._update_ids())},
-            )
-        self._log_truncation(links, entities)
+                started = _utcnow()
+                rows = [(self.run_id, "materialize_merge", -1, -1,
+                         len(new_applied), None, started, _utcnow(), self.out)]
+                self.spark.createDataFrame(rows, METRICS_SCHEMA).write.mode(
+                    "append"
+                ).parquet(f"{self.out}/metrics")
+                # stability means no base doc changed entity sets, so
+                # the base truncation audit (already logged by the
+                # previous run/update) still holds — audit the DELTA
+                # docs only, keeping the fast path delta-proportional
+                self._log_truncation(delta_links, entities)
+            else:
+                triples = self._run_stage(
+                    "materialize", links,
+                    lambda: materialize_triples(links, entities),
+                    partition_by=("pred",),
+                    meta={"applied_updates": sorted(self._update_ids())},
+                )
+                self._log_truncation(links, entities)
+        finally:
+            # drop the pin references so the ContextCleaner can release
+            # the checkpointed blocks — repeated updates in one session
+            # must not accumulate copies of the old tables
+            old_entities = old_triples = None  # noqa: F841
         return triples
 
     def metrics(self) -> DataFrame:
@@ -650,7 +690,7 @@ def main() -> None:
                 fuzzy_canon=args.fuzzy_canon,
                 fuzzy_threshold=args.fuzzy_threshold)
     if not args.no_prewarm:
-        job.prewarm(even_if_committed=args.update)
+        job.prewarm(even_if_committed=args.update, update_id=args.update_id)
     if args.update:
         out = job.update(source, update_id=args.update_id)
         print(f"stage=update rows={out.count()} output={job._path('materialize')}")

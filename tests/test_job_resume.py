@@ -216,3 +216,14 @@ def test_fuzzy_canon_is_manifest_gated(spark, out_dir):
         KgJob(spark, out_dir, run_id="fz4", fuzzy_canon=True).run(
             src, last_stage="tokenize_tag"
         )
+
+
+def test_prewarm_does_not_stamp_a_fresh_output_dir(spark, out_dir):
+    """prewarm validates the manifest but must not WRITE one into a
+    dir no stage has run in — that would force --force on the first
+    real run if it uses different params."""
+    KgJob(spark, out_dir, run_id="pf1", mode="hybrid").prewarm()
+    # different params into the still-stageless dir: no refusal
+    KgJob(spark, out_dir, run_id="pf2", mode="rules_only").run(
+        source_table(spark, n_rows=12), last_stage="tokenize_tag"
+    )

@@ -175,3 +175,19 @@ def test_merge_falls_back_when_assignments_changed(spark, out_dir):
     ).count() == 0
     fresh = KgJob(spark, out_dir + "_full", run_id="tf").run(full)
     assert out == _triples_set(fresh)
+
+
+def test_plain_run_resume_preserves_committed_deltas(spark, out_dir):
+    """The documented recovery command after ANY crash is the plain
+    run() relaunch — if an update's delta committed but the derived
+    stages did not, that relaunch must still fold the delta in."""
+    base, delta, full = _slices(spark)
+    KgJob(spark, out_dir, run_id="b6").run(base)
+    KgJob(spark, out_dir, run_id="u6").update(delta, update_id="d6")
+    # crash window: delta committed, derived-stage markers lost
+    job = KgJob(spark, out_dir, run_id="r6")
+    job._delete(f"{out_dir}/canonicalize/_SUCCESS")
+    job._delete(f"{out_dir}/materialize/_SUCCESS")
+    resumed = job.run(base)
+    fresh = KgJob(spark, out_dir + "_full", run_id="f6").run(full)
+    assert _triples_set(resumed) == _triples_set(fresh)

@@ -389,3 +389,24 @@ def test_fuzzy_lsh_matches_exact_on_gold(spark):
     lsh = sorted(map(tuple, fuzzy_surface_edges(links, 0.5).collect()))
     assert exact == lsh
     assert ("s:estado do rio de janeiro", "s:rio de janeiro") in exact
+
+
+def test_fuzzy_threshold_boundary_is_inclusive(spark):
+    """J exactly at the threshold must merge on BOTH pair finders:
+    approxSimilarityJoin alone is strict-<, so the LSH path joins
+    marginally looser and re-filters inclusively.  'abcde'/'bcdef'
+    share 2 of 4 distinct 3-grams → J = 0.5 exactly."""
+    from ner_spark.operators.canonicalize import (
+        fuzzy_surface_edges,
+        fuzzy_surface_edges_exact,
+    )
+
+    rows = [("r", "p1", "abcde", None, "ORG", 0.0),
+            ("r", "p2", "bcdef", None, "ORG", 0.0)]
+    schema = ("repo string, path string, surface string, kb_id string, "
+              "resolved_category string, link_score double")
+    links = spark.createDataFrame(rows, schema)
+    exact = sorted(map(tuple, fuzzy_surface_edges_exact(links, 0.5).collect()))
+    lsh = sorted(map(tuple, fuzzy_surface_edges(links, 0.5).collect()))
+    assert exact == [("s:abcde", "s:bcdef")]
+    assert lsh == exact

@@ -56,3 +56,22 @@ def test_fake_decode_shape_and_norm():
     assert feats.shape == (3, 16)
     assert abs(float(feats[0].sum()) - 1.0) < 1e-5
     assert float(feats[1].sum()) == 0.0 and float(feats[2].sum()) == 0.0
+
+
+def test_real_decode_path_receives_actual_mime(spark):
+    """Regression: the non-stub path must pass each row's real mime to
+    decode_stub (it used to pass a dummy that dead-ended at the
+    image/* gate once that gate existed).  In this container (no
+    Pillow) the fake application/x-fake mime must surface in the
+    error — proof the column reached the decoder."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from ner_spark.operators.multimodal import (
+        docs_as_media,
+        extract_media_features,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = docs_as_media(docs.limit(2))
+    with pytest.raises(PythonException, match="application/x-fake"):
+        extract_media_features(media, use_stub=False).collect()
