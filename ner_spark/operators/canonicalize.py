@@ -99,6 +99,62 @@ def fuzzy_surface_edges(links: DataFrame, threshold: float = 0.85) -> DataFrame:
     )
 
 
+def fuzzy_surface_edges_delta(
+    new_surfaces: DataFrame, all_surfaces: DataFrame, threshold: float = 0.85
+) -> DataFrame:
+    """Delta-proportional twin of :func:`fuzzy_surface_edges`: fuzzy
+    edges between NEW surfaces and the full surface set (old ∪ new).
+
+    MinHashLSH's hash family is seed-determined (independent of the
+    fitted data beyond dimensionality), so with the same
+    HashingTF/numHashTables/seed config this finds exactly the subset
+    of the full path's pairs that touch a new surface — old↔old pairs
+    are already folded into the entity table an incremental
+    canonicalization starts from.  That makes
+    increment(old) + delta ≡ full recompute over the union, bit-for-bit
+    (both paths miss the same never-colliding pairs)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from ner_spark.operators.link import _char_shingles
+
+    def prep(df: DataFrame) -> DataFrame:
+        return (
+            df.select("surface")
+            .where(F.col("surface").isNotNull())
+            .distinct()
+            .withColumn("shingles", _char_shingles("surface"))
+            .where(F.size("shingles") > 0)
+        )
+
+    spark = new_surfaces.sparkSession
+    new_s, all_s = prep(new_surfaces), prep(all_surfaces)
+    if new_s.isEmpty() or all_s.isEmpty():
+        return spark.createDataFrame([], "src string, dst string")
+
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    # localCheckpoint pins size()>0 before the LSH hash UDF (same
+    # Catalyst predicate-reorder guard as fuzzy_surface_edges)
+    a = tf.transform(new_s).localCheckpoint(eager=True)
+    b = tf.transform(all_s).localCheckpoint(eager=True)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
+                     numHashTables=4, seed=42)
+    model = lsh.fit(a)
+    return (
+        model.approxSimilarityJoin(
+            a, b, min(1.0, 1.0 - threshold + 1e-9), distCol="dist"
+        )
+        .where((F.lit(1.0) - F.col("dist")) >= F.lit(threshold))
+        # new-new pairs appear in both directions; connected_components
+        # symmetrizes, and the local union-find ignores duplicates
+        .where(F.col("datasetA.surface") != F.col("datasetB.surface"))
+        .select(
+            F.concat(F.lit("s:"), "datasetA.surface").alias("src"),
+            F.concat(F.lit("s:"), "datasetB.surface").alias("dst"),
+        )
+        .distinct()
+    )
+
+
 def fuzzy_surface_edges_exact(links: DataFrame, threshold: float = 0.85) -> DataFrame:
     """EXACT char-3-gram Jaccard pairs via a shingle equi-join — the
     oracle-checkable twin of :func:`fuzzy_surface_edges` (which blocks
@@ -354,3 +410,220 @@ def canonicalize(
     return surface_labels.join(canon, "label").select(
         "surface", F.concat(F.lit("ent:"), "canon_surface").alias("entity_id")
     )
+
+
+def canonicalize_increment(
+    old_entities: DataFrame,
+    delta_links: DataFrame,
+    prev_links: DataFrame,
+    *,
+    fuzzy: bool = False,
+    fuzzy_threshold: float = 0.85,
+    local_threshold: int = 100_000,
+    max_iter: int = 50,
+) -> tuple[DataFrame, DataFrame]:
+    """Fold a DELTA link table into a committed entity table without
+    re-running connected components over the full graph.
+
+    Exactness argument: appended documents only ever ADD edges, and
+    contracting each old component to a single representative node
+    preserves connectivity (components can merge, never split), so CC
+    over the tiny contracted graph — old reps touched by delta edges,
+    plus genuinely-new surface/KB nodes — yields exactly the components
+    of a full recompute over base ∪ delta.  The canonical surface of a
+    merged group is the min over its members' canonical surfaces (each
+    old ``entity_id`` IS ``ent:<min surface of its component>``) and any
+    new surfaces in the group.  Everything here is delta-proportional
+    except two single-pass scans: ``old_entities`` (semi-joined by the
+    delta's surface set) and ``prev_links`` (semi-joined by the delta's
+    KB ids to recover each KB node's old component) — at deploy scale
+    both prune via partition/bloom metadata instead of a full read.
+
+    Returns ``(new_entities, surface_changes)``:
+
+    - ``new_entities(surface, entity_id)`` — covers every old surface
+      (reassigned where components merged or gained a smaller canonical
+      surface) plus every new delta surface.
+    - ``surface_changes(surface, old_entity_id, new_entity_id)`` — one
+      row per OLD surface whose assignment changed; empty ⇔ the delta
+      was purely additive (the merge-fast-path stability condition).
+
+    ``fuzzy=True`` must match the committed table's setting (the KG
+    job's manifest enforces this): delta fuzzy edges are found by
+    :func:`fuzzy_surface_edges_delta`, whose seed-determined LSH family
+    makes the increment reproduce the full LSH path bit-for-bit.
+    """
+    spark = delta_links.sparkSession
+
+    d_surfaces = (
+        delta_links.select("surface").where(F.col("surface").isNotNull()).distinct()
+    )
+    new_surfaces = d_surfaces.join(
+        old_entities, "surface", "left_anti"
+    ).localCheckpoint(eager=True)
+
+    dedges = build_edges(delta_links)
+    if fuzzy:
+        all_surfaces = old_entities.select("surface").union(
+            new_surfaces.select("surface")
+        )
+        dedges = dedges.unionByName(
+            fuzzy_surface_edges_delta(new_surfaces, all_surfaces, fuzzy_threshold)
+        )
+    dedges = dedges.localCheckpoint(eager=True)
+
+    # old-graph representative of every delta-edge endpoint: surfaces →
+    # their committed entity_id, KB nodes → the entity of any of their
+    # old surfaces (all surfaces of one KB id share a component, so
+    # min() is THE component).  Unmatched endpoints are genuinely new.
+    d_nodes = (
+        dedges.select(F.col("src").alias("node"))
+        .union(dedges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    d_surf = d_nodes.where(F.col("node").startswith("s:")).select(
+        F.expr("substring(node, 3)").alias("surface")
+    )
+    d_kb = d_nodes.where(F.col("node").startswith("k:")).select(
+        F.expr("substring(node, 3)").alias("kb_id")
+    )
+    s_rep = (
+        old_entities.join(F.broadcast(d_surf), "surface", "left_semi")
+        .select(
+            F.concat(F.lit("s:"), "surface").alias("node"),
+            F.col("entity_id").alias("rep"),
+        )
+    )
+    kb_rep = (
+        prev_links.where(F.col("kb_id").isNotNull())
+        .join(F.broadcast(d_kb), "kb_id", "left_semi")
+        .select("kb_id", "surface")
+        .distinct()
+        .join(old_entities, "surface")
+        .groupBy("kb_id")
+        .agg(F.min("entity_id").alias("rep"))
+        .select(F.concat(F.lit("k:"), "kb_id").alias("node"), "rep")
+    )
+    rep = s_rep.unionByName(kb_rep).localCheckpoint(eager=True)
+
+    # contracted delta graph: node namespaces stay disjoint ("ent:" for
+    # old component reps, "s:"/"k:" for new raw nodes), so membership is
+    # decided structurally everywhere below
+    ce = (
+        dedges.join(
+            F.broadcast(rep.select(F.col("node").alias("src"),
+                                   F.col("rep").alias("src_rep"))),
+            "src", "left",
+        )
+        .join(
+            F.broadcast(rep.select(F.col("node").alias("dst"),
+                                   F.col("rep").alias("dst_rep"))),
+            "dst", "left",
+        )
+        .select(
+            F.coalesce("src_rep", "src").alias("src"),
+            F.coalesce("dst_rep", "dst").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+    changes_schema = "old_entity_id string, new_entity_id string"
+    assigned_schema = "surface string, entity_id string"
+    edge_rows = ce.take(local_threshold + 1) if local_threshold else None
+
+    if edge_rows is not None and len(edge_rows) <= local_threshold:
+        pairs = _local_components([(r["src"], r["dst"]) for r in edge_rows])
+        # canonical surface per group = min over members' surfaces
+        # (ent:X contributes X — its old component's min; s:Y contributes
+        # Y; k:Z contributes nothing).  Every component has ≥1 surface-
+        # bearing member: every delta edge has a surface-side endpoint.
+        canon: dict[str, str] = {}
+        for node, label in pairs:
+            s = (node[4:] if node.startswith("ent:")
+                 else node[2:] if node.startswith("s:") else None)
+            if s is not None and (label not in canon or s < canon[label]):
+                canon[label] = s
+        ent_changes, new_assign = [], []
+        for node, label in pairs:
+            if node.startswith("ent:"):
+                new_id = "ent:" + canon[label]
+                if new_id != node:
+                    ent_changes.append((node, new_id))
+            elif node.startswith("s:"):
+                new_assign.append((node[2:], "ent:" + canon[label]))
+        changes_ent = spark.createDataFrame(ent_changes, changes_schema)
+        assigned = spark.createDataFrame(new_assign, assigned_schema)
+    else:
+        # constraint scrub: localCheckpoint preserves the origin plan's
+        # constraints in its LogicalRDD, and ce's double broadcast-join
+        # constraints reference pruned attributes — Spark 4.1's
+        # Union.rewriteConstraints throws an AttributeMap miss on any
+        # such constraint, killing connected_components' edge
+        # symmetrization union.  Rebuilding from the materialized RDD
+        # yields a constraint-free plan; the second checkpoint pays the
+        # one Python round-trip once (delta-sized rows, rare branch —
+        # the local union-find path handles graphs under the threshold)
+        ce = ce.localCheckpoint(eager=True)
+        ce = spark.createDataFrame(ce.rdd, ce.schema).localCheckpoint(eager=True)
+        nodes = (
+            ce.select(F.col("src").alias("node"))
+            .union(ce.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        labels = connected_components(nodes, ce, max_iter=max_iter)
+        member_surface = (
+            F.when(F.col("node").startswith("ent:"), F.expr("substring(node, 5)"))
+            .when(F.col("node").startswith("s:"), F.expr("substring(node, 3)"))
+        )
+        canon_df = (
+            labels.withColumn("ms", member_surface)
+            .where(F.col("ms").isNotNull())
+            .groupBy("label")
+            .agg(F.min("ms").alias("canon_surface"))
+        )
+        lab_canon = labels.join(canon_df, "label")
+        changes_ent = (
+            lab_canon.where(F.col("node").startswith("ent:"))
+            .select(
+                F.col("node").alias("old_entity_id"),
+                F.concat(F.lit("ent:"), "canon_surface").alias("new_entity_id"),
+            )
+            .where(F.col("old_entity_id") != F.col("new_entity_id"))
+        )
+        assigned = lab_canon.where(F.col("node").startswith("s:")).select(
+            F.expr("substring(node, 3)").alias("surface"),
+            F.concat(F.lit("ent:"), "canon_surface").alias("entity_id"),
+        )
+
+    changes_ent = changes_ent.localCheckpoint(eager=True)
+    surface_changes = (
+        old_entities.alias("oe")
+        .join(
+            F.broadcast(changes_ent),
+            F.col("oe.entity_id") == F.col("old_entity_id"),
+        )
+        .select("surface", "old_entity_id", "new_entity_id")
+    )
+    new_entities = (
+        old_entities.alias("oe")
+        .join(
+            F.broadcast(changes_ent),
+            F.col("oe.entity_id") == F.col("old_entity_id"),
+            "left",
+        )
+        .select(
+            "surface",
+            F.coalesce("new_entity_id", F.col("oe.entity_id")).alias("entity_id"),
+        )
+        .unionByName(
+            new_surfaces.join(F.broadcast(assigned), "surface", "left")
+            .select(
+                "surface",
+                F.coalesce(
+                    "entity_id", F.concat(F.lit("ent:"), "surface")
+                ).alias("entity_id"),
+            )
+        )
+    )
+    return new_entities, surface_changes

@@ -119,6 +119,23 @@ class KgJob:
     def _committed(self, stage: str) -> bool:
         return self._exists(self._path(stage) + "/_SUCCESS")
 
+    def _drop_marker(self, stage: str) -> None:
+        """Uncommit a stage (delete its _SUCCESS) so _run_stage
+        recomputes it; the data stays readable for pinned references."""
+        marker = self._path(stage) + "/_SUCCESS"
+        if self._exists(marker):
+            self._delete(marker)
+
+    def _log_event(self, stage: str, rows_out: int) -> None:
+        """One ad-hoc lineage row (partition_id -1) to the metrics
+        table — path markers for which maintenance branch ran."""
+        started = _utcnow()
+        rows = [(self.run_id, stage, -1, -1, rows_out, None,
+                 started, _utcnow(), self.out)]
+        self.spark.createDataFrame(rows, METRICS_SCHEMA).write.mode(
+            "append"
+        ).parquet(f"{self.out}/metrics")
+
     def _check_manifest(self, write: bool = True) -> None:
         """Stage checkpoints are only valid for the parameters that
         produced them: a resume with a different mode/tokenizer_mode
@@ -248,6 +265,7 @@ class KgJob:
         writer = out.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
+        if partition_by or meta is not None:
             # partitioned writes of empty data emit no files at all —
             # persist the schema so a resume can still read the table.
             # The sidecar also carries the stage's meta (e.g. which
@@ -343,6 +361,7 @@ class KgJob:
             lambda: canonicalize(full_links, max_iter=self.cc_max_iter,
                                  fuzzy=self.fuzzy_canon,
                                  fuzzy_threshold=self.fuzzy_threshold),
+            meta={"applied_updates": applied},
         )
         if last_stage == "canonicalize":
             return entities
@@ -401,12 +420,15 @@ class KgJob:
             df = disambiguate(df).drop("context_window")
         return df
 
-    def all_links(self) -> DataFrame:
+    def all_links(self, exclude: str | None = None) -> DataFrame:
         """The canonical link table: base run ∪ every committed update
         delta.  This is what canonicalize/materialize derive from once
-        updates exist."""
+        updates exist.  ``exclude`` drops one delta — the incremental
+        paths use it to split "previous corpus" from "this delta"."""
         links = self._read_links(self._path("link"))
         for uid in self._update_ids():
+            if uid == exclude:
+                continue
             links = links.unionByName(
                 self._read_links(f"{self.out}/updates/{uid}/link"),
                 allowMissingColumns=False,
@@ -419,6 +441,8 @@ class KgJob:
         update_id: str | None = None,
         check_overlap: bool = True,
         merge_materialize: bool = True,
+        incremental: bool = True,
+        differential_threshold: float = 0.5,
     ) -> DataFrame:
         """Incremental maintenance: fold a NEW batch of documents into a
         completed run without re-tagging the existing corpus.
@@ -426,25 +450,53 @@ class KgJob:
         The expensive stages (tokenize_tag, link — linear in corpus
         size) run over the DELTA ONLY and commit their checkpoints
         under ``{out}/updates/{update_id}/`` (the base checkpoints are
-        immutable, so a crashed update resumes idempotently); the cheap
-        derived stages (canonicalize, materialize — linear in the
-        mention/link table, orders of magnitude smaller) recompute over
-        base ∪ deltas, because a delta document can merge two existing
-        entities, so connected components is inherently global.
+        immutable, so a crashed update resumes idempotently).
         ``update(delta)`` after ``run(base)`` produces exactly the
         triples of a fresh ``run(base ∪ delta)`` (pinned by
         tests/test_job_update.py).
 
-        ``merge_materialize=True`` (default) takes a fast path when no
-        existing surface changed entity assignment: the four triple
-        branches are additive over documents, so the delta's triples
-        merge into the committed table by summing evidence counts —
-        the materialize cost becomes delta-proportional too.  The
-        sidecar meta of the materialize checkpoint records which
+        ``incremental=True`` (default) also makes the derived stages
+        delta-proportional: canonicalization folds the delta's edges
+        into the committed entity table via
+        :func:`~ner_spark.operators.canonicalize.canonicalize_increment`
+        (exact — appended documents only add edges, so contracting old
+        components preserves connected components), committing the
+        per-surface reassignment table under
+        ``{out}/updates/{id}/canon_changes`` BEFORE the entity table is
+        overwritten, so every crash window resumes.  With
+        ``incremental=False`` canonicalize recomputes over base ∪
+        deltas (the always-safe global path).
+
+        ``merge_materialize=True`` (default) then picks the cheapest
+        correct materialize:
+
+        - no surface changed assignment → the delta's triples merge
+          into the committed table by summing evidence counts
+          (``materialize_merge`` metrics row);
+        - some surfaces were reassigned (components merged / gained a
+          smaller canonical surface) → a DIFFERENTIAL rewrite: triples
+          of documents touching a reassigned surface are recomputed
+          under both old and new assignments and the committed table is
+          patched as old + new_affected − old_affected + delta, summed
+          per (subj, pred, obj) — exact because all four triple
+          branches are per-document additive (``materialize_differential``
+          metrics row);
+        - coverage mismatch / legacy checkpoints → full recompute.
+
+        ``differential_threshold`` is the cost guard for the second
+        path: the patch scans the affected links twice (old + new
+        assignments) plus the delta, so it only wins when
+        ``2·affected + delta < threshold · (previous + delta)`` link
+        rows; above that the full recompute is taken (measured
+        crossover in BENCH/UPDATE.md — at small corpora the patch's
+        fixed overhead dominates, at 100 TB a small blast radius makes
+        it the only affordable option).
+
+        The sidecar meta of each derived checkpoint records which
         deltas it covers (written before the data commit, so a crash
-        can never leave committed triples with stale coverage); any
-        mismatch, reassignment, or legacy checkpoint falls back to the
-        full recompute, which is always safe.
+        can never leave committed data with stale coverage); any
+        mismatch falls back to the full recompute, which is always
+        safe.
 
         Delta documents must be NEW ``(repo, path)`` keys — parquet
         checkpoints cannot delete superseded rows, so replacing an
@@ -461,7 +513,10 @@ class KgJob:
                 f"update() needs a completed base run in {self.out}; "
                 "run() first"
             )
-        from ner_spark.operators.canonicalize import canonicalize
+        from ner_spark.operators.canonicalize import (
+            canonicalize,
+            canonicalize_increment,
+        )
         from ner_spark.operators.link import disambiguate, link_mentions
         from ner_spark.operators.materialize import materialize_triples
         from ner_spark.operators.tag import extract_mentions
@@ -510,36 +565,43 @@ class KgJob:
             path=f"{uroot}/link",
         )
 
-        derived_ok = (self._committed("canonicalize")
-                      and self._committed("materialize"))
+        others = set(self._update_ids()) - {uid}
+        mat_committed = self._committed("materialize")
+        canon_committed = self._committed("canonicalize")
         meta = self._sidecar_meta(self._path("materialize"))
         applied = (set(meta.get("applied_updates", []))
                    if meta and "applied_updates" in meta else None)
+        canon_meta = self._sidecar_meta(self._path("canonicalize"))
+        canon_applied = (set(canon_meta.get("applied_updates", []))
+                         if canon_meta and "applied_updates" in canon_meta
+                         else None)
 
         # a completed re-invocation of this update id is a no-op: its
         # links are already folded into the committed triples
-        if derived_ok and applied is not None and uid in applied:
+        if (mat_committed and canon_committed and applied is not None
+                and uid in applied):
             return self._read_committed(self._path("materialize"),
                                         partitioned=True)
 
-        # merge fast path: the committed triples cover exactly base +
-        # every OTHER committed delta (sidecar meta proves it — legacy
-        # checkpoints without meta fall back to the full recompute,
-        # which writes the new-format sidecar)
-        can_merge = (
-            merge_materialize
-            and derived_ok
-            and applied is not None
-            and applied == set(self._update_ids()) - {uid}
-        )
+        # the sidecar metas prove what each committed table covers —
+        # legacy checkpoints without meta fall back to full recomputes,
+        # which write the new-format sidecars
+        canon_covers_all = (canon_committed
+                            and canon_applied == others | {uid})
+        can_incr = (incremental and canon_committed
+                    and canon_applied == others)
+        triples_cover_prev = (merge_materialize and mat_committed
+                              and applied is not None and applied == others)
+
         old_entities = old_triples = None
-        if can_merge:
-            # pin the previous tables BEFORE their checkpoints are
+        if canon_committed and not canon_covers_all and (
+                can_incr or triples_cover_prev):
+            # pin the previous table BEFORE its checkpoint is
             # overwritten (a table cannot read itself while being
             # overwritten).  MUST be localCheckpoint, not persist():
             # overwriting a path triggers Spark's recacheByPath, which
             # silently REFRESHES a persisted plan that still reads that
-            # path — the stability check would then compare the new
+            # path — a stability check would then compare the new
             # entities against themselves and always merge.
             # localCheckpoint truncates the plan to materialized RDD
             # blocks, immune to the refresh; the blocks are released by
@@ -549,40 +611,83 @@ class KgJob:
             old_entities = self._read_committed(
                 self._path("canonicalize")
             ).localCheckpoint(eager=True)
+        if triples_cover_prev:
             old_triples = self._read_committed(
                 self._path("materialize"), partitioned=True
             ).localCheckpoint(eager=True)
 
-        # derived stages are stale the moment a delta commits: drop
-        # their markers so _run_stage recomputes over base ∪ deltas
-        jvm = self.spark.sparkContext._jvm
-        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
-        for stage in ("canonicalize", "materialize"):
-            marker = jvm.org.apache.hadoop.fs.Path(
-                self._path(stage) + "/_SUCCESS"
-            )
-            fs = marker.getFileSystem(conf)
-            if fs.exists(marker):
-                fs.delete(marker, False)
-
-        links = self.all_links()
-        entities = self._run_stage(
-            "canonicalize", links,
-            lambda: canonicalize(links, max_iter=self.cc_max_iter,
-                                 fuzzy=self.fuzzy_canon,
-                                 fuzzy_threshold=self.fuzzy_threshold),
-        )
-
-        # all four triple branches are ADDITIVE over documents when no
-        # existing surface changed entity: delta docs are new (repo,
-        # path) keys, so old evidence counts merge with delta counts by
-        # summing on (subj, pred, obj).  A delta CAN reassign existing
-        # surfaces (a new KB edge merging two components, or a new
-        # component-minimum surface) — detected below, falling back to
-        # the full recompute.
+        delta_links = self._read_links(f"{uroot}/link")
+        changes = changes_cov = None
         try:
-            stable = False
-            if can_merge:
+            if canon_covers_all:
+                # crash-window resume: this update's canonicalize already
+                # committed; its reassignment table (committed first)
+                # carries what a differential materialize needs
+                entities = self._read_committed(self._path("canonicalize"))
+                if self._exists(f"{uroot}/canon_changes/_SUCCESS"):
+                    changes = self.spark.read.parquet(f"{uroot}/canon_changes")
+                    cmeta = self._sidecar_meta(f"{uroot}/canon_changes")
+                    changes_cov = (set(cmeta["base_coverage"])
+                                   if cmeta and "base_coverage" in cmeta
+                                   else None)
+            elif can_incr:
+                # a canon_changes table from an earlier crashed attempt
+                # is only reusable if it was computed against the same
+                # previous-corpus coverage
+                cpath = f"{uroot}/canon_changes"
+                if self._exists(cpath + "/_SUCCESS"):
+                    cmeta = self._sidecar_meta(cpath)
+                    if (not cmeta
+                            or cmeta.get("base_coverage") != sorted(others)):
+                        self._delete(cpath)
+                prev_links = self.all_links(exclude=uid)
+                new_ents, chg = canonicalize_increment(
+                    old_entities, delta_links, prev_links,
+                    fuzzy=self.fuzzy_canon,
+                    fuzzy_threshold=self.fuzzy_threshold,
+                    max_iter=self.cc_max_iter,
+                )
+                changes = self._run_stage(
+                    "canon_changes", delta_links, lambda: chg, path=cpath,
+                    meta={"base_coverage": sorted(others)},
+                )
+                changes_cov = others
+                self._drop_marker("canonicalize")
+                entities = self._run_stage(
+                    "canonicalize", delta_links, lambda: new_ents,
+                    meta={"applied_updates": sorted(others | {uid})},
+                )
+                self._log_event("canonicalize_increment", changes.count())
+            else:
+                links = self.all_links()
+                self._drop_marker("canonicalize")
+                entities = self._run_stage(
+                    "canonicalize", links,
+                    lambda: canonicalize(links, max_iter=self.cc_max_iter,
+                                         fuzzy=self.fuzzy_canon,
+                                         fuzzy_threshold=self.fuzzy_threshold),
+                    meta={"applied_updates": sorted(self._update_ids())},
+                )
+
+            self._drop_marker("materialize")
+
+            # all four triple branches are ADDITIVE over documents when
+            # no existing surface changed entity: delta docs are new
+            # (repo, path) keys, so old evidence counts merge with delta
+            # counts by summing on (subj, pred, obj).  A delta CAN
+            # reassign existing surfaces (a new KB edge merging two
+            # components, or a new component-minimum surface) — then the
+            # differential path patches exactly the affected documents.
+            usable_changes = (changes is not None and changes_cov is not None
+                              and applied is not None
+                              and changes_cov == applied)
+            stable = None
+            if usable_changes:
+                stable = changes.isEmpty()
+            elif (triples_cover_prev and old_entities is not None
+                  and not canon_covers_all):
+                # entities were fully recomputed this invocation:
+                # detect stability against the pinned old table
                 stable = (
                     old_entities.alias("o")
                     .join(entities.alias("n"), "surface")
@@ -590,8 +695,8 @@ class KgJob:
                     .limit(1)
                     .count()
                 ) == 0
-            if stable:
-                delta_links = self._read_links(f"{uroot}/link")
+
+            if triples_cover_prev and stable is True:
                 new_applied = sorted(applied | {uid})
 
                 def compute_merged() -> DataFrame:
@@ -608,30 +713,129 @@ class KgJob:
                     partition_by=("pred",),
                     meta={"applied_updates": new_applied},
                 )
-                started = _utcnow()
-                rows = [(self.run_id, "materialize_merge", -1, -1,
-                         len(new_applied), None, started, _utcnow(), self.out)]
-                self.spark.createDataFrame(rows, METRICS_SCHEMA).write.mode(
-                    "append"
-                ).parquet(f"{self.out}/metrics")
+                self._log_event("materialize_merge", len(new_applied))
                 # stability means no base doc changed entity sets, so
                 # the base truncation audit (already logged by the
                 # previous run/update) still holds — audit the DELTA
                 # docs only, keeping the fast path delta-proportional
                 self._log_truncation(delta_links, entities)
             else:
-                triples = self._run_stage(
-                    "materialize", links,
-                    lambda: materialize_triples(links, entities),
-                    partition_by=("pred",),
-                    meta={"applied_updates": sorted(self._update_ids())},
-                )
-                self._log_truncation(links, entities)
+                triples = None
+                if triples_cover_prev and usable_changes:
+                    # returns None when the cost guard picks the full
+                    # recompute instead
+                    triples = self._differential_materialize(
+                        uid, delta_links, entities, changes, old_triples,
+                        sorted(applied | {uid}), differential_threshold,
+                    )
+                if triples is None:
+                    links = self.all_links()
+                    triples = self._run_stage(
+                        "materialize", links,
+                        lambda: materialize_triples(links, entities),
+                        partition_by=("pred",),
+                        meta={"applied_updates": sorted(self._update_ids())},
+                    )
+                    self._log_truncation(links, entities)
         finally:
             # drop the pin references so the ContextCleaner can release
             # the checkpointed blocks — repeated updates in one session
             # must not accumulate copies of the old tables
             old_entities = old_triples = None  # noqa: F841
+        return triples
+
+    def _differential_materialize(
+        self,
+        uid: str,
+        delta_links: DataFrame,
+        entities: DataFrame,
+        changes: DataFrame,
+        old_triples: DataFrame,
+        new_applied: list[str],
+        threshold: float,
+    ) -> DataFrame | None:
+        """Patch the committed triple table after entity reassignment.
+
+        Only documents mentioning a reassigned surface can change
+        triples (each doc's contribution depends solely on its own link
+        rows and their entity assignments), so the committed table is
+        corrected as ``old + new_affected − old_affected + delta``,
+        summed per (subj, pred, obj) — per-document additivity of all
+        four predicate branches makes the subtraction exact.  Cost is
+        proportional to the reassignment's blast radius, not the
+        corpus: the previous-link scans prune by the changed-surface
+        and affected-doc sets (partition/bloom metadata at deploy
+        scale), and the entity dimension is semi-joined down to the
+        surfaces actually touched before the three materialize calls.
+
+        Returns ``None`` (caller recomputes fully) when the blast
+        radius fails the cost guard: the patch reads the affected rows
+        twice, so past ``2·affected + delta > threshold·(prev + delta)``
+        link rows it scans more than the recompute it replaces.
+        """
+        from ner_spark.operators.materialize import materialize_triples
+
+        prev = self.all_links(exclude=uid)
+        affected_docs = (
+            prev.join(changes.select("surface"), "surface", "left_semi")
+            .select("repo", "path")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        affected = prev.join(affected_docs, ["repo", "path"], "left_semi")
+
+        n_prev, n_aff, n_delta = prev.count(), affected.count(), delta_links.count()
+        if 2 * n_aff + n_delta > threshold * (n_prev + n_delta):
+            self._log_event("differential_guard_full", n_aff)
+            return None
+        aff_surf = affected.select("surface").distinct()
+        ent_new = entities.join(aff_surf, "surface", "left_semi")
+        # old assignments of exactly the affected surfaces: the new
+        # table overridden by the persisted reassignment rows
+        ent_old = (
+            ent_new.alias("e")
+            .join(changes.select("surface", "old_entity_id"), "surface", "left")
+            .select(
+                "surface",
+                F.coalesce("old_entity_id", F.col("e.entity_id")).alias("entity_id"),
+            )
+        )
+        ent_delta = entities.join(
+            delta_links.select("surface").distinct(), "surface", "left_semi"
+        )
+
+        def compute() -> DataFrame:
+            pos = materialize_triples(affected, ent_new)
+            neg = materialize_triples(affected, ent_old).withColumn(
+                "evidence_count", -F.col("evidence_count")
+            )
+            delta_triples = materialize_triples(delta_links, ent_delta)
+            return (
+                old_triples.unionByName(pos)
+                .unionByName(neg)
+                .unionByName(delta_triples)
+                .groupBy("subj", "pred", "obj")
+                .agg(F.sum("evidence_count").alias("evidence_count"))
+                .where(F.col("evidence_count") != 0)
+                .select("subj", "pred", "obj", "evidence_count")
+            )
+
+        triples = self._run_stage(
+            "materialize", delta_links, compute, partition_by=("pred",),
+            meta={"applied_updates": new_applied},
+        )
+        # additivity invariant: a negative sum means the checkpoint
+        # state was inconsistent with the reassignment table — uncommit
+        # the patched output and fail loudly rather than serve it
+        if not triples.where(F.col("evidence_count") < 0).isEmpty():
+            self._delete(self._path("materialize") + "/_SUCCESS")
+            raise RuntimeError(
+                "differential materialize produced negative evidence counts; "
+                "checkpoint state is inconsistent — re-run with force=True/"
+                "--force for a full recompute"
+            )
+        self._log_event("materialize_differential", affected_docs.count())
+        self._log_truncation(affected.unionByName(delta_links), entities)
         return triples
 
     def metrics(self) -> DataFrame:
@@ -666,6 +870,16 @@ def main() -> None:
                              "during canonicalization")
     parser.add_argument("--fuzzy-threshold", type=float, default=0.85,
                         help="Jaccard similarity cutoff for --fuzzy-canon")
+    parser.add_argument("--differential-threshold", type=float, default=0.5,
+                        help="with --update: take the differential "
+                             "materialize patch only while 2·affected + "
+                             "delta link rows stay under this fraction "
+                             "of a full recompute's scan volume")
+    parser.add_argument("--no-incremental", action="store_true",
+                        help="with --update: recompute the derived "
+                             "canonicalize/materialize stages over "
+                             "base ∪ deltas instead of the "
+                             "delta-proportional incremental paths")
     parser.add_argument("--update-id", default=None,
                         help="stable id for this delta under "
                              "{output}/updates/ (pass the same id to "
@@ -692,7 +906,9 @@ def main() -> None:
     if not args.no_prewarm:
         job.prewarm(even_if_committed=args.update, update_id=args.update_id)
     if args.update:
-        out = job.update(source, update_id=args.update_id)
+        out = job.update(source, update_id=args.update_id,
+                         incremental=not args.no_incremental,
+                         differential_threshold=args.differential_threshold)
         print(f"stage=update rows={out.count()} output={job._path('materialize')}")
         return
     out = job.run(source, last_stage=args.stage)

@@ -150,10 +150,13 @@ def test_merge_disabled_recomputes_and_matches(spark, out_dir):
 
 
 def test_merge_falls_back_when_assignments_changed(spark, out_dir):
-    """If the stability check sees a reassigned surface, the update
-    must take the full-recompute path — and still produce the
-    fresh-union result (the check uses the OLD checkpoint, so
-    tampering it simulates a delta that merged two components)."""
+    """With incremental=False, the legacy stability check must see a
+    reassigned surface and take the full-recompute path — and still
+    produce the fresh-union result (the check uses the OLD checkpoint,
+    so tampering it simulates a delta that merged two components; the
+    incremental path instead TRUSTS committed checkpoints as inputs,
+    like any resume, so it is exercised with real reassigning deltas in
+    the tests below)."""
     from pyspark.sql import functions as F
 
     base, delta, full = _slices(spark, n_base=48, n_delta=18)
@@ -169,11 +172,161 @@ def test_merge_falls_back_when_assignments_changed(spark, out_dir):
     ).parquet(path)
 
     job = KgJob(spark, out_dir, run_id="tu")
-    out = _triples_set(job.update(delta, update_id="dt"))
+    out = _triples_set(job.update(delta, update_id="dt", incremental=False))
     assert job.metrics().where(
         (F.col("run_id") == "tu") & (F.col("stage") == "materialize_merge")
     ).count() == 0
     fresh = KgJob(spark, out_dir + "_full", run_id="tf").run(full)
+    assert out == _triples_set(fresh)
+
+
+def _reassigning_slices(spark, n_base=48):
+    """(base, delta, full) where the delta document REASSIGNS existing
+    surfaces: the mention "B" links to Q155 (substring score 0.5) and
+    "b" sorts before the base Q155 component's canonical surface
+    ("banco central do brasil"), renaming every surface in it."""
+    import hashlib
+
+    base_rows = build_source_rows(n_base)
+    text = "O presidente visitou B."
+    extra = ("repoX", "docs/delta/0.txt", "c" * 40, "pt", text,
+             hashlib.sha256(text.encode()).hexdigest())
+    base = spark.createDataFrame(base_rows, SOURCE_SCHEMA)
+    delta = spark.createDataFrame([extra], SOURCE_SCHEMA)
+    full = spark.createDataFrame(base_rows + [extra], SOURCE_SCHEMA)
+    return base, delta, full
+
+
+def test_differential_materialize_on_reassignment(spark, out_dir):
+    """A delta that renames an existing component must take the
+    differential path (patch only affected documents' triples) and
+    still equal the fresh-union run."""
+    from pyspark.sql import functions as F
+
+    base, delta, full = _reassigning_slices(spark)
+    KgJob(spark, out_dir, run_id="rb").run(base)
+    job = KgJob(spark, out_dir, run_id="ru")
+    # the fixture corpus is KB-dense, so the rename's blast radius is a
+    # large corpus fraction — lift the cost guard to pin the path itself
+    out = _triples_set(job.update(delta, update_id="dr",
+                                  differential_threshold=float("inf")))
+
+    m = job.metrics()
+    assert m.where((F.col("run_id") == "ru")
+                   & (F.col("stage") == "materialize_differential")).count() == 1
+    assert m.where((F.col("run_id") == "ru")
+                   & (F.col("stage") == "materialize_merge")).count() == 0
+    # the increment reported the reassigned surfaces
+    incr = m.where((F.col("run_id") == "ru")
+                   & (F.col("stage") == "canonicalize_increment")).collect()
+    assert len(incr) == 1 and incr[0].rows_out > 0
+    # and the renamed entity is real
+    renamed = {r.new_entity_id for r in
+               spark.read.parquet(f"{out_dir}/updates/dr/canon_changes").collect()}
+    assert renamed == {"ent:b"}
+
+    fresh = KgJob(spark, out_dir + "_full", run_id="rf").run(full)
+    assert out == _triples_set(fresh)
+
+
+def test_incremental_stable_delta_still_merges(spark, out_dir):
+    """A purely-additive delta under incremental=True must use the
+    canon increment AND the merge fast path (empty change table)."""
+    from pyspark.sql import functions as F
+
+    base, delta, full = _slices(spark, n_base=48, n_delta=18)
+    KgJob(spark, out_dir, run_id="sb").run(base)
+    job = KgJob(spark, out_dir, run_id="su")
+    out = _triples_set(job.update(delta, update_id="ds"))
+    m = job.metrics()
+    assert m.where((F.col("run_id") == "su")
+                   & (F.col("stage") == "canonicalize_increment")).count() == 1
+    assert m.where((F.col("run_id") == "su")
+                   & (F.col("stage") == "materialize_merge")).count() == 1
+    fresh = KgJob(spark, out_dir + "_full", run_id="sf").run(full)
+    assert out == _triples_set(fresh)
+
+
+def test_differential_resumes_after_materialize_crash(spark, out_dir):
+    """Crash window: the update's canonicalize committed (covering the
+    delta) but materialize did not.  The re-invocation must reuse the
+    persisted canon_changes table and still produce the fresh-union
+    result via the differential path."""
+    from pyspark.sql import functions as F
+
+    base, delta, full = _reassigning_slices(spark)
+    KgJob(spark, out_dir, run_id="cb").run(base)
+    KgJob(spark, out_dir, run_id="cu").update(
+        delta, update_id="dc", differential_threshold=float("inf"))
+    # simulate the crash: materialize never committed, canonicalize did
+    job = KgJob(spark, out_dir, run_id="cv")
+    job._delete(f"{out_dir}/materialize/_SUCCESS")
+    out = _triples_set(job.update(delta, update_id="dc",
+                                  differential_threshold=float("inf")))
+    # mat was uncommitted, so its coverage meta is unusable → the
+    # resume recomputes materialize; correctness is what matters here
+    fresh = KgJob(spark, out_dir + "_full", run_id="cf").run(full)
+    assert out == _triples_set(fresh)
+    assert job.metrics().where((F.col("run_id") == "cv")
+                               & (F.col("stage") == "materialize")).count() > 0
+
+
+def test_reassigning_update_with_merge_disabled(spark, out_dir):
+    """incremental canon + merge_materialize=False: full materialize
+    over base ∪ delta with the incrementally-built entity table."""
+    from pyspark.sql import functions as F
+
+    base, delta, full = _reassigning_slices(spark)
+    KgJob(spark, out_dir, run_id="xb").run(base)
+    job = KgJob(spark, out_dir, run_id="xu")
+    out = _triples_set(job.update(delta, update_id="dx",
+                                  merge_materialize=False))
+    m = job.metrics()
+    assert m.where((F.col("run_id") == "xu")
+                   & (F.col("stage") == "canonicalize_increment")).count() == 1
+    assert m.where(F.col("stage").isin(
+        "materialize_merge", "materialize_differential")).count() == 0
+    fresh = KgJob(spark, out_dir + "_full", run_id="xf").run(full)
+    assert out == _triples_set(fresh)
+
+
+def test_differential_cost_guard_falls_back_to_full(spark, out_dir):
+    """When the blast radius exceeds the threshold fraction of a full
+    recompute's scan volume, the guard must take the full path — and
+    the result still equals the fresh-union run."""
+    from pyspark.sql import functions as F
+
+    base, delta, full = _reassigning_slices(spark)
+    KgJob(spark, out_dir, run_id="gb").run(base)
+    job = KgJob(spark, out_dir, run_id="gu")
+    out = _triples_set(job.update(delta, update_id="dg",
+                                  differential_threshold=0.0))
+    m = job.metrics()
+    assert m.where((F.col("run_id") == "gu")
+                   & (F.col("stage") == "differential_guard_full")).count() == 1
+    assert m.where((F.col("run_id") == "gu")
+                   & (F.col("stage") == "materialize_differential")).count() == 0
+    fresh = KgJob(spark, out_dir + "_full", run_id="gf").run(full)
+    assert out == _triples_set(fresh)
+
+
+def test_two_updates_second_differential(spark, out_dir):
+    """Update sequence mixing paths: an additive delta (merge) followed
+    by a reassigning delta (differential) — both against sidecar metas
+    that now track multi-delta coverage."""
+    base, delta_r, _ = _reassigning_slices(spark, n_base=36)
+    rows = build_source_rows(60)
+    add = spark.createDataFrame(rows[36:], SOURCE_SCHEMA)
+    job = KgJob(spark, out_dir, run_id="m2")
+    job.run(base)
+    job.update(add, update_id="d-add")
+    out = _triples_set(job.update(delta_r, update_id="d-re",
+                                  differential_threshold=float("inf")))
+
+    full_rows = [tuple(r) for r in base.collect()] + rows[36:] + \
+        [tuple(r) for r in delta_r.collect()]
+    full = spark.createDataFrame(full_rows, SOURCE_SCHEMA)
+    fresh = KgJob(spark, out_dir + "_full", run_id="m2f").run(full)
     assert out == _triples_set(fresh)
 
 

@@ -118,6 +118,40 @@ def main() -> int:
           "CartesianProduct" not in p
           and "BroadcastNestedLoopJoin" not in p)
 
+    # incremental canonicalization: the contraction + remap joins must
+    # broadcast the delta-sized side and never degrade to a cartesian;
+    # the delta fuzzy pair finder must stay LSH-blocked like the full one
+    from ner_spark.operators.canonicalize import (
+        canonicalize,
+        canonicalize_increment,
+        fuzzy_surface_edges_delta,
+    )
+
+    link_schema = ("repo string, path string, surface string, kb_id string, "
+                   "resolved_category string, link_score double")
+    inc_base = spark.createDataFrame(
+        [("r", "p0", "alpha", "K1", "ORG", 0.9),
+         ("r", "p1", "beta", "K2", "ORG", 0.9)], link_schema)
+    inc_delta = spark.createDataFrame(
+        [("r", "p2", "mid", "K1", "ORG", 0.9),
+         ("r", "p3", "mid", "K2", "ORG", 0.9)], link_schema)
+    new_ents, _chg = canonicalize_increment(
+        canonicalize(inc_base), inc_delta, inc_base)
+    p = plans["canonicalize_increment"] = plan_of(new_ents)
+    check("canonicalize_increment", "entity remap joins broadcast",
+          "BroadcastHashJoin" in p)
+    check("canonicalize_increment", "no cartesian/nested-loop join",
+          "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p)
+
+    p = plans["fuzzy_surface_edges_delta"] = plan_of(
+        fuzzy_surface_edges_delta(inc_delta, inc_base.union(inc_delta),
+                                  threshold=0.5))
+    check("fuzzy_surface_edges_delta",
+          "LSH-blocked (no cartesian/nested-loop join)",
+          "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p)
+
     ok_all = all(ok for _q, _l, ok, _n in checks)
     lines = ["# PLANS — physical-plan audit", "",
              f"`python tools/plan_audit.py` at {SF_DIR} (local[4]).", "",
