@@ -116,6 +116,17 @@ class KgJob:
         p = jvm.org.apache.hadoop.fs.Path(path)
         return p.getFileSystem(conf).exists(p)
 
+    def _rename(self, src: str, dst: str) -> None:
+        """FileSystem.rename — atomic directory move on HDFS/local (the
+        compaction installer relies on this; S3 emulates rename by
+        copy, where an Iceberg/Delta commit replaces the protocol)."""
+        jvm = self.spark.sparkContext._jvm
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        s = jvm.org.apache.hadoop.fs.Path(src)
+        d = jvm.org.apache.hadoop.fs.Path(dst)
+        if not s.getFileSystem(conf).rename(s, d):
+            raise IOError(f"rename {src} -> {dst} failed")
+
     def _committed(self, stage: str) -> bool:
         return self._exists(self._path(stage) + "/_SUCCESS")
 
@@ -312,6 +323,7 @@ class KgJob:
         from ner_spark.operators.tag import extract_mentions
 
         self._check_manifest()
+        self._maybe_finish_compact()
         # the full-source integrity scan runs once per output, not per
         # relaunch — a resume over a 100 TB source must not pay a
         # corpus scan before the checkpoint-skip logic even starts
@@ -355,6 +367,20 @@ class KgJob:
         # always cover base ∪ every committed delta
         applied = self._update_ids()
         full_links = self.all_links() if applied else links
+        # ... and a committed derived stage must cover EXACTLY that
+        # set: stale coverage (an update crashed between its link
+        # commit and the derived marker drops, or compaction left a
+        # mismatched sidecar) forces the recompute instead of silently
+        # serving tables that miss or double-count a delta.  meta-less
+        # legacy checkpoints are only trusted when no deltas exist.
+        for stage in ("canonicalize", "materialize"):
+            if self.force or not self._committed(stage):
+                continue
+            meta = self._sidecar_meta(self._path(stage))
+            covered = (set(meta["applied_updates"])
+                       if meta and "applied_updates" in meta else None)
+            if (covered != set(applied)) if covered is not None else applied:
+                self._drop_marker(stage)
 
         entities = self._run_stage(
             "canonicalize", full_links,
@@ -419,6 +445,12 @@ class KgJob:
 
             df = disambiguate(df).drop("context_window")
         return df
+
+    def _read_mentions(self, path: str) -> DataFrame:
+        """Read a tokenize_tag checkpoint with the same legacy upgrade
+        as :meth:`_read_links` (mention tables share the pre-NED
+        column drift)."""
+        return self._read_links(path)
 
     def all_links(self, exclude: str | None = None) -> DataFrame:
         """The canonical link table: base run ∪ every committed update
@@ -508,6 +540,7 @@ class KgJob:
         they contributed nothing the new version could double-count.
         """
         self._check_manifest()
+        self._maybe_finish_compact()
         if not (self._committed("tokenize_tag") and self._committed("link")):
             raise ValueError(
                 f"update() needs a completed base run in {self.out}; "
@@ -838,6 +871,147 @@ class KgJob:
         self._log_truncation(affected.unionByName(delta_links), entities)
         return triples
 
+    # -- delta compaction ------------------------------------------------------
+
+    def compact(self) -> int:
+        """Fold every COMPLETED update delta back into the base
+        tokenize_tag / link checkpoints, bounding the union fan-in.
+
+        Each :meth:`update` leaves its stage-1/2 tables under
+        ``{out}/updates/{id}/``; :meth:`all_links` and the overlap
+        guard union base + N deltas, so after a long stream of updates
+        (a daily-crawl pipeline) every derived recompute, resume, and
+        guard scan pays N+1 table reads and the listing metadata grows
+        unboundedly.  ``compact()`` is the LSM-style major compaction
+        bounding that: it rewrites base ∪ deltas as the new base and
+        deletes the folded ``updates/`` dirs.  Output-identical — the
+        union is exactly what every reader already computed.
+
+        Cost is one full rewrite of the mention and link tables (the
+        point: paid once per compaction cadence instead of amortized
+        into every subsequent operation), so schedule it like any
+        major compaction — when ``len(_update_ids())`` or the delta:
+        base size ratio crosses a threshold.
+
+        Crash-safe with the same single-driver resume model as the
+        stages: phase 1 PREPARES the folded tables under
+        ``{out}/_compact/`` (base untouched; a crash discards the tmp
+        dir), writing a ``_COMMIT`` table (folded ids + the planned
+        derived-sidecar rewrites) as the commit point; phase 2 INSTALLS
+        by sidecar rewrite + atomic renames + delta deletion, every
+        step idempotent, rolled forward by the next ``compact()`` /
+        ``run()`` / ``update()`` if interrupted (``_COMMIT`` present ⇒
+        install completes before anything reads the tables).
+
+        Committed derived stages whose sidecar coverage equals the
+        folded set get their coverage rewritten to ``[]`` (they now
+        cover exactly the new base), so a follow-up ``update()`` still
+        takes the incremental paths.  Coverage that mismatches the
+        folded set is left stale — the next update detects the
+        mismatch and falls back to the always-safe full recompute.
+
+        Half-finished updates (tagged but not linked — a crashed
+        ``update()``) are NOT folded; their dirs survive untouched and
+        their resume semantics are unchanged.
+
+        Returns the number of deltas folded (0 = nothing to do).
+        """
+        self._maybe_finish_compact()
+        folded = self._update_ids()
+        if not folded:
+            return 0
+        if not (self._committed("tokenize_tag") and self._committed("link")):
+            raise ValueError(
+                f"compact() needs a completed base run in {self.out}"
+            )
+        self._prepare_compact(folded)
+        self._install_compact()
+        self._log_event("compact", len(folded))
+        return len(folded)
+
+    def _compact_commit_path(self) -> str:
+        return f"{self.out}/_compact/_COMMIT"
+
+    def _maybe_finish_compact(self) -> None:
+        """Roll a crashed compaction forward (committed ⇒ install) or
+        back (uncommitted ⇒ discard tmp).  Runs before any read path."""
+        tmp = f"{self.out}/_compact"
+        if self._exists(self._compact_commit_path() + "/_SUCCESS"):
+            self._install_compact()
+        elif self._exists(tmp):
+            self._delete(tmp)
+
+    def _prepare_compact(self, folded: list[str]) -> None:
+        """Phase 1: write the folded tables + the _COMMIT record under
+        ``{out}/_compact/`` without touching the base."""
+        import json
+
+        tmp = f"{self.out}/_compact"
+        if self._exists(tmp):
+            self._delete(tmp)
+
+        mentions = self._read_mentions(self._path("tokenize_tag"))
+        for uid in folded:
+            mentions = mentions.unionByName(
+                self._read_mentions(f"{self.out}/updates/{uid}/tokenize_tag"),
+                allowMissingColumns=False,
+            )
+        mentions.write.mode("overwrite").parquet(f"{tmp}/tokenize_tag")
+
+        links = self._read_links(self._path("link"))
+        for uid in folded:
+            links = links.unionByName(
+                self._read_links(f"{self.out}/updates/{uid}/link"),
+                allowMissingColumns=False,
+            )
+        links.write.mode("overwrite").parquet(f"{tmp}/link")
+
+        # derived stages covering exactly the folded set get their
+        # coverage rewritten to [] at install; the planned sidecar
+        # contents live in the _COMMIT record so a crashed install can
+        # replay the rewrite without re-reading a half-rewritten sidecar
+        sidecars = []
+        for stage in ("canonicalize", "materialize"):
+            if not self._committed(stage):
+                continue
+            meta = self._sidecar_meta(self._path(stage))
+            if meta is None or set(meta.get("applied_updates", ())) != set(folded):
+                continue
+            row = self.spark.read.parquet(self._path(stage) + "_schema").first()
+            sidecars.append(
+                [stage, row["schema_json"],
+                 json.dumps({**meta, "applied_updates": []})]
+            )
+        self.spark.createDataFrame(
+            [(json.dumps(folded), json.dumps(sidecars))],
+            "folded_json string, sidecars_json string",
+        ).write.mode("overwrite").parquet(self._compact_commit_path())
+
+    def _install_compact(self) -> None:
+        """Phase 2 (idempotent): sidecar rewrites → atomic renames →
+        delta deletion → tmp cleanup, in an order where every crash
+        window resumes by re-running this method."""
+        import json
+
+        tmp = f"{self.out}/_compact"
+        row = self.spark.read.parquet(self._compact_commit_path()).first()
+        folded = json.loads(row["folded_json"])
+        for stage, schema_json, meta_json in json.loads(row["sidecars_json"]):
+            self.spark.createDataFrame(
+                [(schema_json, meta_json)],
+                "schema_json string, meta_json string",
+            ).write.mode("overwrite").parquet(self._path(stage) + "_schema")
+        for stage in ("tokenize_tag", "link"):
+            src = f"{tmp}/{stage}"
+            # a missing tmp table means this rename already happened
+            if self._exists(src + "/_SUCCESS"):
+                if self._exists(self._path(stage)):
+                    self._delete(self._path(stage))
+                self._rename(src, self._path(stage))
+        for uid in folded:
+            self._delete(f"{self.out}/updates/{uid}")
+        self._delete(tmp)
+
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.out}/metrics")
 
@@ -880,6 +1054,11 @@ def main() -> None:
                              "canonicalize/materialize stages over "
                              "base ∪ deltas instead of the "
                              "delta-proportional incremental paths")
+    parser.add_argument("--compact", action="store_true",
+                        help="fold every completed update delta back into "
+                             "the base tokenize_tag/link checkpoints "
+                             "(LSM-style major compaction; output-identical, "
+                             "bounds the per-update union fan-in)")
     parser.add_argument("--update-id", default=None,
                         help="stable id for this delta under "
                              "{output}/updates/ (pass the same id to "
@@ -889,6 +1068,14 @@ def main() -> None:
     from ner_spark.session import get_spark
 
     spark = get_spark("ner-spark-kg-job")
+    if args.compact:
+        job = KgJob(spark, args.output, mode=args.mode,
+                    tokenizer_mode=args.tokenizer_mode, run_id=args.run_id,
+                    fuzzy_canon=args.fuzzy_canon,
+                    fuzzy_threshold=args.fuzzy_threshold)
+        n = job.compact()
+        print(f"stage=compact folded={n} output={args.output}")
+        return
     if args.fixture_rows:
         from ner_spark.sources.fixtures import source_table
 
