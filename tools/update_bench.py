@@ -72,8 +72,16 @@ def main() -> None:
     KgJob(spark, out, run_id="upd").update(delta_add, update_id="d1")
     merge_s = time.perf_counter() - t0
 
+    # guard LIFTED (threshold=inf): at this corpus the rename's
+    # link-row blast radius is ~2/3 of the table (the renamed
+    # component holds the most-linked surfaces), so the default guard
+    # correctly takes the full recompute — lifting it is how the
+    # differential path itself gets timed
     t0 = time.perf_counter()
-    KgJob(spark, out, run_id="upd-re").update(delta_re, update_id="d-re")
+    KgJob(spark, out, run_id="upd-re").update(
+        delta_re, update_id="d-re",
+        differential_threshold=float("inf"),
+    )
     diff_s = time.perf_counter() - t0
     m = KgJob(spark, out, run_id="m").metrics()
     affected = m.where(
@@ -89,6 +97,13 @@ def main() -> None:
     )
     full_derived_s = time.perf_counter() - t0
 
+    # major compaction: fold the 3 deltas back into the base tables
+    # (one full mention+link rewrite — the amortized cost ceiling)
+    cjob = KgJob(spark, out, run_id="cmp")
+    t0 = time.perf_counter()
+    n_folded = cjob.compact()
+    compact_s = time.perf_counter() - t0
+
     print(json.dumps({
         "n_base": n_base, "n_delta_additive": n_delta,
         "base_run_sec": round(base_s, 2),
@@ -99,6 +114,8 @@ def main() -> None:
         "docs_ratio": round(n_delta / n_base, 4),
         "merge_time_ratio": round(merge_s / base_s, 4),
         "differential_time_ratio": round(diff_s / base_s, 4),
+        "compact_sec": round(compact_s, 2),
+        "compact_folded": n_folded,
     }))
 
 
