@@ -44,6 +44,58 @@ def build_edges(links: DataFrame) -> DataFrame:
     )
 
 
+def _prep_fuzzy_surfaces(df: DataFrame) -> DataFrame:
+    """Distinct non-null surfaces with their char-3-gram shingle sets
+    (empty-shingle surfaces dropped — LSH requires ≥1 nonzero entry)."""
+    from ner_spark.operators.link import _char_shingles
+
+    return (
+        df.select("surface")
+        .where(F.col("surface").isNotNull())
+        .distinct()
+        .withColumn("shingles", _char_shingles("surface"))
+        .where(F.size("shingles") > 0)
+    )
+
+
+def _fuzzy_candidate_pairs(
+    a: DataFrame, b: DataFrame, threshold: float
+) -> DataFrame:
+    """Shared MinHashLSH construction for BOTH fuzzy paths (full
+    self-join and delta↔all).  The hash family is fully determined by
+    (numFeatures, numHashTables, seed) — independent of the fitted
+    data beyond dimensionality — so any pair of surfaces either
+    collides in some band for every caller of this function or for
+    none: the increment's bit-for-bit-equals-full-recompute contract
+    depends on both paths going through THIS ONE configuration, which
+    is why it must never be duplicated at a call site."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    tf = HashingTF(inputCol="shingles", outputCol="features",
+                   numFeatures=1 << 18)
+    # localCheckpoint pins the size()>0 filter BEFORE the LSH hash UDF:
+    # both are deterministic predicates, so Catalyst may otherwise
+    # evaluate the hash first and crash on the empty vectors of sub-3-
+    # char surfaces ("Must have at least 1 non zero entry")
+    fa = tf.transform(a).localCheckpoint(eager=True)
+    fb = fa if b is a else tf.transform(b).localCheckpoint(eager=True)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
+                     numHashTables=4, seed=42)
+    model = lsh.fit(fa)
+    # approxSimilarityJoin keeps dist STRICTLY below its cutoff, which
+    # would drop pairs at exactly J = threshold (the exact path and the
+    # oracle keep >=): join marginally looser, then filter inclusively
+    # on the returned exact distance.  Caveat vs the exact path: dist
+    # is Jaccard over HASHED gram sets (2^18 buckets), so a hash
+    # collision can nudge J — inherent to the approximate path.
+    return (
+        model.approxSimilarityJoin(
+            fa, fb, min(1.0, 1.0 - threshold + 1e-9), distCol="dist"
+        )
+        .where((F.lit(1.0) - F.col("dist")) >= F.lit(threshold))
+    )
+
+
 def fuzzy_surface_edges(links: DataFrame, threshold: float = 0.85) -> DataFrame:
     """Opt-in surface↔surface similarity edges: character 3-gram
     Jaccard ≥ ``threshold`` via MinHashLSH candidate blocking (never an
@@ -55,40 +107,11 @@ def fuzzy_surface_edges(links: DataFrame, threshold: float = 0.85) -> DataFrame:
     same shape as :func:`build_edges`, so both canonicalization paths
     (local union-find and distributed label propagation) consume them
     identically."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
-    from ner_spark.operators.link import _char_shingles
-
-    surfaces = (
-        links.select("surface")
-        .where(F.col("surface").isNotNull())
-        .distinct()
-        .withColumn("shingles", _char_shingles("surface"))
-        .where(F.size("shingles") > 0)
-    )
+    surfaces = _prep_fuzzy_surfaces(links)
     if surfaces.isEmpty():
         return links.sparkSession.createDataFrame([], "src string, dst string")
-
-    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
-    # localCheckpoint pins the size()>0 filter BEFORE the LSH hash UDF:
-    # both are deterministic predicates, so Catalyst may otherwise
-    # evaluate the hash first and crash on the empty vectors of sub-3-
-    # char surfaces ("Must have at least 1 non zero entry")
-    feats = tf.transform(surfaces).localCheckpoint(eager=True)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
-                     numHashTables=4, seed=42)
-    model = lsh.fit(feats)
-    # approxSimilarityJoin keeps dist STRICTLY below its cutoff, which
-    # would drop pairs at exactly J = threshold (the exact path and the
-    # oracle keep >=): join marginally looser, then filter inclusively
-    # on the returned exact distance.  Caveat vs the exact path: dist
-    # is Jaccard over HASHED gram sets (2^18 buckets), so a hash
-    # collision can nudge J — inherent to the approximate path.
     return (
-        model.approxSimilarityJoin(
-            feats, feats, min(1.0, 1.0 - threshold + 1e-9), distCol="dist"
-        )
-        .where((F.lit(1.0) - F.col("dist")) >= F.lit(threshold))
+        _fuzzy_candidate_pairs(surfaces, surfaces, threshold)
         # one direction only; connected_components symmetrizes
         .where(F.col("datasetA.surface") < F.col("datasetB.surface"))
         .select(
@@ -112,38 +135,16 @@ def fuzzy_surface_edges_delta(
     are already folded into the entity table an incremental
     canonicalization starts from.  That makes
     increment(old) + delta ≡ full recompute over the union, bit-for-bit
-    (both paths miss the same never-colliding pairs)."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
-    from ner_spark.operators.link import _char_shingles
-
-    def prep(df: DataFrame) -> DataFrame:
-        return (
-            df.select("surface")
-            .where(F.col("surface").isNotNull())
-            .distinct()
-            .withColumn("shingles", _char_shingles("surface"))
-            .where(F.size("shingles") > 0)
-        )
-
+    (both paths miss the same never-colliding pairs) — which is why
+    the construction lives in the shared :func:`_fuzzy_candidate_pairs`
+    rather than being repeated here."""
     spark = new_surfaces.sparkSession
-    new_s, all_s = prep(new_surfaces), prep(all_surfaces)
+    new_s = _prep_fuzzy_surfaces(new_surfaces)
+    all_s = _prep_fuzzy_surfaces(all_surfaces)
     if new_s.isEmpty() or all_s.isEmpty():
         return spark.createDataFrame([], "src string, dst string")
-
-    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
-    # localCheckpoint pins size()>0 before the LSH hash UDF (same
-    # Catalyst predicate-reorder guard as fuzzy_surface_edges)
-    a = tf.transform(new_s).localCheckpoint(eager=True)
-    b = tf.transform(all_s).localCheckpoint(eager=True)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
-                     numHashTables=4, seed=42)
-    model = lsh.fit(a)
     return (
-        model.approxSimilarityJoin(
-            a, b, min(1.0, 1.0 - threshold + 1e-9), distCol="dist"
-        )
-        .where((F.lit(1.0) - F.col("dist")) >= F.lit(threshold))
+        _fuzzy_candidate_pairs(new_s, all_s, threshold)
         # new-new pairs appear in both directions; connected_components
         # symmetrizes, and the local union-find ignores duplicates
         .where(F.col("datasetA.surface") != F.col("datasetB.surface"))

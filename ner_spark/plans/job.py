@@ -406,12 +406,9 @@ class KgJob:
         # read as complete co-occurrence evidence)
         from ner_spark.operators.materialize import truncation_stats
 
-        started = _utcnow()
-        truncated = truncation_stats(links, entities).count()
-        rows = [(self.run_id, "mentioned_with_truncation", -1, -1, truncated,
-                 None, started, _utcnow(), self.out)]
-        self.spark.createDataFrame(rows, METRICS_SCHEMA).write.mode("append").parquet(
-            f"{self.out}/metrics"
+        self._log_event(
+            "mentioned_with_truncation",
+            truncation_stats(links, entities).count(),
         )
 
     # -- incremental maintenance ---------------------------------------------
@@ -451,6 +448,18 @@ class KgJob:
         as :meth:`_read_links` (mention tables share the pre-NED
         column drift)."""
         return self._read_links(path)
+
+    def _compacted_ids(self) -> set[str]:
+        """Update ids folded into the base by past compactions (from
+        the per-compaction ledger subdirs under {out}/compacted)."""
+        root = f"{self.out}/compacted"
+        if not self._exists(root):
+            return set()
+        return {
+            r["update_id"]
+            for r in self.spark.read.parquet(f"{root}/*")
+            .select("update_id").distinct().collect()
+        }
 
     def all_links(self, exclude: str | None = None) -> DataFrame:
         """The canonical link table: base run ∪ every committed update
@@ -530,6 +539,13 @@ class KgJob:
         mismatch falls back to the full recompute, which is always
         safe.
 
+        A re-invocation of an update id that :meth:`compact` already
+        folded into the base is detected via the compaction ledger:
+        with no novel documents it is the same completed-update no-op
+        (served through ``run()``, which also repairs any derived
+        stage the compaction uncommitted); with novel documents it
+        fails loudly — reusing a folded id for new data is ambiguous.
+
         Delta documents must be NEW ``(repo, path)`` keys — parquet
         checkpoints cannot delete superseded rows, so replacing an
         existing document's content needs an Iceberg/Delta MERGE at
@@ -557,6 +573,32 @@ class KgJob:
         uid = update_id or self.run_id
         uroot = f"{self.out}/updates/{uid}"
         resumed = self._exists(f"{uroot}/tokenize_tag/_SUCCESS")
+
+        if not resumed and uid in self._compacted_ids():
+            # this id's delta was folded into the base by a compaction.
+            # A RETRY of the same completed update (every delta doc
+            # already in the base) stays the documented no-op — run()
+            # serves or repairs the committed derived state; a NEW
+            # delta reusing the id is ambiguous and fails loudly
+            # instead of tripping the overlap guard's misleading
+            # check_overlap=False advice.
+            base_keys = self.spark.read.parquet(
+                self._path("tokenize_tag")
+            ).select("repo", "path")
+            novel = (
+                delta_source.select("repo", "path").distinct()
+                .join(base_keys, ["repo", "path"], "left_anti")
+                .limit(1)
+                .count()
+            )
+            if novel:
+                raise ValueError(
+                    f"update id {uid!r} was already folded into the base "
+                    "by a compaction, but this delta contains documents "
+                    "the base does not — reusing a folded update id is "
+                    "ambiguous; pass a fresh update_id"
+                )
+            return self.run(delta_source)
 
         if check_overlap and not resumed:
             existing = self.spark.read.parquet(self._path("tokenize_tag"))
@@ -821,6 +863,10 @@ class KgJob:
         if 2 * n_aff + n_delta > threshold * (n_prev + n_delta):
             self._log_event("differential_guard_full", n_aff)
             return None
+        # guard passed ⇒ affected is a bounded fraction of the corpus:
+        # pin it so the pos/neg branches and the truncation audit don't
+        # each re-scan base ∪ deltas to rebuild the semi-join
+        affected = affected.localCheckpoint(eager=True)
         aff_surf = affected.select("surface").distinct()
         ent_new = entities.join(aff_surf, "surface", "left_semi")
         # old assignments of exactly the affected surfaces: the new
@@ -843,7 +889,7 @@ class KgJob:
                 "evidence_count", -F.col("evidence_count")
             )
             delta_triples = materialize_triples(delta_links, ent_delta)
-            return (
+            patched = (
                 old_triples.unionByName(pos)
                 .unionByName(neg)
                 .unionByName(delta_triples)
@@ -851,22 +897,25 @@ class KgJob:
                 .agg(F.sum("evidence_count").alias("evidence_count"))
                 .where(F.col("evidence_count") != 0)
                 .select("subj", "pred", "obj", "evidence_count")
+                .localCheckpoint(eager=True)
             )
+            # additivity invariant, checked BEFORE the stage commits: a
+            # negative sum means the checkpoint state was inconsistent
+            # with the reassignment table — raising here means _run_stage
+            # never writes the table, so no crash window can leave a
+            # known-corrupt committed checkpoint behind
+            if not patched.where(F.col("evidence_count") < 0).isEmpty():
+                raise RuntimeError(
+                    "differential materialize produced negative evidence "
+                    "counts; checkpoint state is inconsistent — re-run with "
+                    "force=True/--force for a full recompute"
+                )
+            return patched
 
         triples = self._run_stage(
             "materialize", delta_links, compute, partition_by=("pred",),
             meta={"applied_updates": new_applied},
         )
-        # additivity invariant: a negative sum means the checkpoint
-        # state was inconsistent with the reassignment table — uncommit
-        # the patched output and fail loudly rather than serve it
-        if not triples.where(F.col("evidence_count") < 0).isEmpty():
-            self._delete(self._path("materialize") + "/_SUCCESS")
-            raise RuntimeError(
-                "differential materialize produced negative evidence counts; "
-                "checkpoint state is inconsistent — re-run with force=True/"
-                "--force for a full recompute"
-            )
         self._log_event("materialize_differential", affected_docs.count())
         self._log_truncation(affected.unionByName(delta_links), entities)
         return triples
@@ -907,8 +956,12 @@ class KgJob:
         folded set get their coverage rewritten to ``[]`` (they now
         cover exactly the new base), so a follow-up ``update()`` still
         takes the incremental paths.  Coverage that mismatches the
-        folded set is left stale — the next update detects the
-        mismatch and falls back to the always-safe full recompute.
+        folded set gets its stage UNCOMMITTED instead — stale coverage
+        would name deleted update ids, which a later update reusing
+        such an id could falsely match — and the next run/update
+        recomputes it.  Folded ids are recorded in a per-compaction
+        ledger (``{out}/compacted/``) so a retried ``update(id)`` of a
+        folded delta stays the documented no-op.
 
         Half-finished updates (tagged but not linked — a crashed
         ``update()``) are NOT folded; their dirs survive untouched and
@@ -967,15 +1020,20 @@ class KgJob:
         links.write.mode("overwrite").parquet(f"{tmp}/link")
 
         # derived stages covering exactly the folded set get their
-        # coverage rewritten to [] at install; the planned sidecar
-        # contents live in the _COMMIT record so a crashed install can
-        # replay the rewrite without re-reading a half-rewritten sidecar
-        sidecars = []
+        # coverage rewritten to [] at install; committed stages whose
+        # coverage MISMATCHES the folded set are uncommitted instead —
+        # their stale coverage would otherwise name deleted update ids,
+        # and a later update reusing such an id would falsely match it
+        # (serving pre-compaction triples).  The planned rewrites live
+        # in the _COMMIT record so a crashed install can replay them
+        # without re-reading a half-rewritten sidecar.
+        sidecars, uncommit = [], []
         for stage in ("canonicalize", "materialize"):
             if not self._committed(stage):
                 continue
             meta = self._sidecar_meta(self._path(stage))
             if meta is None or set(meta.get("applied_updates", ())) != set(folded):
+                uncommit.append(stage)
                 continue
             row = self.spark.read.parquet(self._path(stage) + "_schema").first()
             sidecars.append(
@@ -983,8 +1041,8 @@ class KgJob:
                  json.dumps({**meta, "applied_updates": []})]
             )
         self.spark.createDataFrame(
-            [(json.dumps(folded), json.dumps(sidecars))],
-            "folded_json string, sidecars_json string",
+            [(json.dumps(folded), json.dumps(sidecars), json.dumps(uncommit))],
+            "folded_json string, sidecars_json string, uncommit_json string",
         ).write.mode("overwrite").parquet(self._compact_commit_path())
 
     def _install_compact(self) -> None:
@@ -996,6 +1054,12 @@ class KgJob:
         tmp = f"{self.out}/_compact"
         row = self.spark.read.parquet(self._compact_commit_path()).first()
         folded = json.loads(row["folded_json"])
+        try:
+            uncommit = json.loads(row["uncommit_json"])
+        except (KeyError, ValueError, TypeError):
+            uncommit = []
+        for stage in uncommit:
+            self._drop_marker(stage)
         for stage, schema_json, meta_json in json.loads(row["sidecars_json"]):
             self.spark.createDataFrame(
                 [(schema_json, meta_json)],
@@ -1008,6 +1072,16 @@ class KgJob:
                 if self._exists(self._path(stage)):
                     self._delete(self._path(stage))
                 self._rename(src, self._path(stage))
+        # folded-id ledger: a later update() reusing one of these ids
+        # must be recognized as already-folded, not as a key clash.
+        # One subdir per compaction (keyed by its first folded id, which
+        # can never repeat — folded dirs are deleted) keeps the write
+        # an idempotent overwrite under roll-forward, never an append.
+        self.spark.createDataFrame(
+            [(u,) for u in folded], "update_id string"
+        ).write.mode("overwrite").parquet(
+            f"{self.out}/compacted/{folded[0]}"
+        )
         for uid in folded:
             self._delete(f"{self.out}/updates/{uid}")
         self._delete(tmp)

@@ -174,11 +174,12 @@ def test_crash_after_commit_rolls_forward(spark, out_dir):
     assert _triples_set(updated) == _triples_set(fresh)
 
 
-def test_compact_leaves_mismatched_coverage_stale_but_safe(spark, out_dir):
-    """If the committed materialize does not cover exactly the folded
+def test_compact_uncommits_mismatched_coverage(spark, out_dir):
+    """If the committed derived stages do not cover exactly the folded
     set (here: a second delta committed its link but crashed before the
-    derived stages), its sidecar keeps the stale coverage and the next
-    maintenance op falls back to the always-safe full recompute."""
+    derived stages), compaction UNCOMMITS them — leaving their stale
+    coverage in place would name deleted update ids that a recycled id
+    could falsely match — and the next plain run recomputes."""
     base, d1, d2, full = _slices(spark, 40, 16, 16)
     job = KgJob(spark, out_dir, run_id="b")
     job.run(base)
@@ -198,14 +199,37 @@ def test_compact_leaves_mismatched_coverage_stale_but_safe(spark, out_dir):
 
     cjob = KgJob(spark, out_dir, run_id="c")
     assert cjob.compact() == 2  # folds both links
-    meta = cjob._sidecar_meta(cjob._path("materialize"))
-    # stale coverage (names a folded id) — triggers the full-recompute
-    # fallback instead of a wrong merge
-    assert meta["applied_updates"] == ["u1"]
+    # derived stages covered {u1} ≠ folded {u1, u2}: uncommitted
+    assert not cjob._committed("materialize")
+    assert not cjob._committed("canonicalize")
 
     resumed = KgJob(spark, out_dir, run_id="r").run(base)
     fresh = KgJob(spark, out_dir + "_f", run_id="f").run(full)
     assert _triples_set(resumed) == _triples_set(fresh)
+
+
+def test_retry_of_folded_update_id_is_noop(spark, out_dir):
+    """An orchestrator retrying update(id) AFTER a compaction folded
+    that id must get the documented no-op (correct committed triples),
+    not the overlap guard's key-clash error."""
+    base, d1, full = _slices(spark, 40, 16)
+    job = KgJob(spark, out_dir, run_id="b")
+    job.run(base)
+    triples = _triples_set(job.update(d1, update_id="u1"))
+    job.compact()
+
+    retried = KgJob(spark, out_dir, run_id="rt").update(d1, update_id="u1")
+    assert _triples_set(retried) == triples
+
+
+def test_new_delta_reusing_folded_id_fails_loudly(spark, out_dir):
+    base, d1, d2, full = _slices(spark, 40, 16, 16)
+    job = KgJob(spark, out_dir, run_id="b")
+    job.run(base)
+    job.update(d1, update_id="u1")
+    job.compact()
+    with pytest.raises(ValueError, match="fresh update_id"):
+        KgJob(spark, out_dir, run_id="x").update(d2, update_id="u1")
 
 
 def test_overlap_guard_sees_folded_documents(spark, out_dir):
