@@ -43,8 +43,10 @@ def test_lifecycle_fuzz(spark, out_dir, seed):
     applied_rows = list(rows[:base_n])
 
     lo = base_n
-    for step in range(4):
-        op = rng.choice(["update", "update", "compact", "crash_resume"])
+    last_update = None  # (update_id, chunk) — for idempotent retries
+    for step in range(5):
+        op = rng.choice(["update", "update", "compact", "crash_resume",
+                         "retry"])
         if op == "update" and lo < len(rows):
             n = rng.choice([8, 12, 16])
             chunk = rows[lo:lo + n]
@@ -56,6 +58,15 @@ def test_lifecycle_fuzz(spark, out_dir, seed):
                 merge_materialize=rng.random() < 0.75,
             )
             applied_rows.extend(chunk)
+            last_update = (f"d{step}", chunk)
+        elif op == "retry" and last_update is not None:
+            # re-invoking a completed update must be a no-op whether
+            # its delta still sits under updates/ or a compaction has
+            # already folded it into the base (the ledger path)
+            uid, chunk = last_update
+            KgJob(spark, out_dir, run_id=f"rt{step}").update(
+                spark.createDataFrame(chunk, SOURCE_SCHEMA), update_id=uid,
+            )
         elif op == "compact":
             KgJob(spark, out_dir, run_id=f"c{step}").compact()
         else:
