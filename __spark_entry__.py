@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship KG-construction pipeline; ``queries()``
 exposes one callable per implemented operator family (SURVEY.md §2 plus
 the training-data curation layer); ``oracle_sql()`` gives the DuckDB
-twin for ALL 28 keys.  SQL-expressible queries get direct oracles —
+twin for ALL 34 keys.  SQL-expressible queries get direct oracles —
 including the full KG triple pipeline and the GLiNER simulator via
 gold-span variants (``ner_spark.plans.kg_gold``) whose oracles fold the
 KB / trigger tables in as literals and express connected components and
@@ -127,7 +127,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from ner_spark.operators import dedup, multimodal, similarity
+    from ner_spark.operators import curate, dedup, multimodal, similarity
     from ner_spark.plans import analytics as A
 
     def q_dedup_exact(spark, sf):
@@ -270,6 +270,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return entities_fuzzy_gold(spark)
 
+    def q_dataset_split(spark, sf):
+        return curate.dataset_split(_docs(spark, sf))
+
+    def q_stratified_sample(spark, sf):
+        # rebalance the training mix: downsample the dominant language
+        return curate.stratified_sample(
+            _docs(spark, sf), fractions={"en": 0.25}, default_frac=0.6
+        )
+
+    def q_vocab_topk(spark, sf):
+        return curate.vocab_topk(_docs(spark, sf), n=2, k=50)
+
+    def q_curate_corpus(spark, sf):
+        # the sf corpora have no exact dups, so the contract variant
+        # injects deterministic copies (doc_id + 1e6 for every 10th doc)
+        # to exercise the duplicate rule; the oracle mirrors the union
+        d = _docs(spark, sf)
+        dups = d.where(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1000000)
+        )
+        return curate.curate_corpus(d.unionByName(dups))
+
+    def q_redact_mentions(spark, sf):
+        return A.redact_mentions(A.corpus_tokens_df(spark))
+
     def _with_pkg(fn):
         def wrapped(spark, sf):
             _ensure_pkg(spark)
@@ -308,6 +333,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_tagged": q_kg_triples_tagged,
         "kg_entities_fuzzy": q_kg_entities_fuzzy,
         "sota_gliner": q_sota_gliner,
+        "dataset_split": q_dataset_split,
+        "stratified_sample": q_stratified_sample,
+        "vocab_topk": q_vocab_topk,
+        "curate_corpus": q_curate_corpus,
+        "redact_mentions": q_redact_mentions,
     }.items()}
 
 
@@ -872,8 +902,92 @@ FROM cand c JOIN fin f ON c.sent_id = f.sent_id AND list_contains(f.kept, c.rk)
 """
 
 
+def _dataset_split_oracle() -> str:
+    """Twin of curate.dataset_split: same salt, same cumulative hex
+    thresholds (computed by the shared helper, never re-derived)."""
+    from ner_spark.operators.curate import hex_threshold
+
+    t_train, t_val = hex_threshold(0.8), hex_threshold(0.9)
+    return f"""
+SELECT doc_id,
+  CASE WHEN substr(md5('split-v1|' || doc_id::VARCHAR), 1, 8) < '{t_train}' THEN 'train'
+       WHEN substr(md5('split-v1|' || doc_id::VARCHAR), 1, 8) < '{t_val}' THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def _stratified_sample_oracle() -> str:
+    from ner_spark.operators.curate import hex_threshold
+
+    t_en, t_def = hex_threshold(0.25), hex_threshold(0.6)
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE substr(md5('strat-v1|' || lang || '|' || doc_id::VARCHAR), 1, 8)
+      < CASE WHEN lang = 'en' THEN '{t_en}' ELSE '{t_def}' END
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "dataset_split": _dataset_split_oracle(),
+        "stratified_sample": _stratified_sample_oracle(),
+        "vocab_topk": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id, u.g
+  FROM toks, UNNEST(list_transform(generate_series(1, len(t)-1),
+                    i -> t[i] || ' ' || t[i+1])) AS u(g)
+  WHERE len(t) >= 2),
+counts AS (
+  SELECT g AS ngram, count(*) AS n_occurrences,
+         count(DISTINCT doc_id) AS n_docs
+  FROM sh GROUP BY g)
+SELECT ngram, n_occurrences, n_docs, CAST(rk AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, ngram) AS rk
+  FROM counts)
+WHERE rk <= 50
+""",
+        "curate_corpus": f"""
+WITH base AS (SELECT doc_id, lang, text FROM documents),
+alldocs AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT doc_id + 1000000, lang, text FROM base WHERE doc_id % 10 = 0),
+toks AS (SELECT doc_id, lang, md5(text) AS content_hash, {_TOKS} AS t
+         FROM alldocs),
+scored AS (
+  SELECT doc_id, lang,
+    round(0.4 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
+        + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+        + 0.3 * (CAST(len(list_filter(t, x -> list_contains({_EN}, x))) AS DOUBLE) / len(t)) + 1e-9, 4)
+      AS quality_score,
+    row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS dup_rank
+  FROM toks),
+r AS (
+  SELECT doc_id, lang, quality_score,
+    CASE WHEN dup_rank > 1 THEN 'duplicate'
+         WHEN lang NOT IN ('en', 'de', 'fr') THEN 'lang_filtered'
+         WHEN quality_score < 0.34 THEN 'low_quality'
+         ELSE 'kept' END AS reason
+  FROM scored)
+SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
+""",
+        "redact_mentions": _runs_cte() + """
+, f AS (
+  SELECT sent_id, idx, word, tag,
+    first_value(tag) OVER (PARTITION BY sent_id, run_id ORDER BY idx) AS ftag
+  FROM r),
+e AS (
+  SELECT sent_id, idx,
+    CASE WHEN tag = 'O' THEN word
+         WHEN tag LIKE 'B-%' THEN '[' || substr(tag, 3) || ']'
+         WHEN ftag LIKE 'B-%' THEN NULL
+         ELSE word END AS piece
+  FROM f)
+SELECT sent_id, string_agg(piece, ' ' ORDER BY idx) AS redacted
+FROM e WHERE piece IS NOT NULL GROUP BY sent_id
+""",
         "ann_lsh": _ann_lsh_oracle(),
         "ann_ivf": _ann_ivf_oracle(),
         "embedding_near_dup_ivf": _embedding_ivf_pairs_oracle(),

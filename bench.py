@@ -163,6 +163,8 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         "embedding_near_dup", "embedding_near_dup_ivf",
         "media_features", "tpch_pricing",
         "top_customers", "events_hourly", "events_sessions",
+        "dataset_split", "stratified_sample", "vocab_topk",
+        "curate_corpus",
     ):
         t0 = time.perf_counter()
         _noop_write(q[name](spark, sf_dir))

@@ -1,0 +1,186 @@
+"""Dataset-curation operators for training-data pipelines: deterministic
+splits, stratified sampling, corpus vocabulary stats and a composed
+keep/drop curation pass over the ``documents`` table.
+
+Everything here is a pure Catalyst expression tree (no UDFs, no
+``collect()``), so each operator stays inside whole-stage codegen and
+scales linearly: at 100 TB the splits/sampling are shuffle-free row
+filters, the vocab stats are one map-side-combinable aggregation plus a
+``TakeOrderedAndProject`` top-k, and the curation pass shuffles once on
+the content hash (the dedup key).
+
+Determinism contract: split/sample assignment hashes ``md5(salt|key)``
+and compares the first 8 hex chars against precomputed hex thresholds.
+md5 of the same UTF-8 bytes is identical in every engine and the hex
+alphabet is ordered in ASCII, so the assignment is reproducible
+bit-for-bit across Spark, DuckDB (the contract oracles) and any future
+backfill — and adding data never reassigns existing rows (the property
+a 100 TB incremental pipeline needs from its split function).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ner_spark.functions.text import (
+    EN_STOPWORDS,
+    quality_score,
+    shingle_rows,
+    stopword_hits,
+    tokens_col,
+)
+
+_HEX_SPACE = 16 ** 8  # first 8 hex chars of md5 = uniform draw in [0, 16^8)
+
+
+def hex_threshold(frac: float) -> str:
+    """``frac`` of the 8-hex-char hash space as a zero-padded hex literal
+    (shared with the SQL oracles so both engines compare against the
+    byte-identical boundary)."""
+    return format(max(0, min(int(frac * _HEX_SPACE), _HEX_SPACE - 1)), "08x")
+
+
+def _hash8(salt: str, *cols: Column) -> Column:
+    """First 8 hex chars of ``md5(salt|col1|col2|…)``."""
+    parts: list[Column] = [F.lit(salt)]
+    for c in cols:
+        parts.extend([F.lit("|"), c.cast("string")])
+    return F.substring(F.md5(F.concat(*parts)), 1, 8)
+
+
+DEFAULT_SPLITS: tuple[tuple[str, float], ...] = (
+    ("train", 0.8), ("val", 0.1), ("test", 0.1),
+)
+
+
+def dataset_split(
+    docs: DataFrame,
+    weights: tuple[tuple[str, float], ...] = DEFAULT_SPLITS,
+    salt: str = "split-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashed id.
+
+    Returns (id_col, split).  Assignment depends only on (salt, id), so
+    it is stable under re-runs, appends and repartitioning — rows never
+    migrate between splits when the corpus grows (unlike
+    ``randomSplit``, which reshuffles membership with the partition
+    layout).  Pure projection: no shuffle, no UDF.
+    """
+    h = _hash8(salt, F.col(id_col))
+    expr = None
+    cum = 0.0
+    for name, frac in weights[:-1]:
+        cum += frac
+        cond = h < F.lit(hex_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = weights[-1][0]
+    split = F.lit(last) if expr is None else expr.otherwise(last)
+    return docs.select(id_col, split.alias("split"))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    default_frac: float = 1.0,
+    stratum_col: str = "lang",
+    salt: str = "strat-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (training-mix rebalance).
+
+    Keeps a row iff ``md5(salt|stratum|id)`` falls under the stratum's
+    fraction threshold — e.g. ``{"en": 0.25}`` downsamples a dominant
+    language to a quarter while keeping the long tail intact.  Stable
+    under appends (same property as :func:`dataset_split`); shuffle-free
+    filter, so at 100 TB it is a single scan with the predicate pushed
+    into codegen.
+    """
+    h = _hash8(salt, F.col(stratum_col), F.col(id_col))
+    thr = None
+    for stratum, frac in sorted(fractions.items()):
+        cond = F.col(stratum_col) == stratum
+        lit = F.lit(hex_threshold(frac))
+        thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
+    thr = F.lit(hex_threshold(default_frac)) if thr is None else thr.otherwise(
+        hex_threshold(default_frac)
+    )
+    return docs.where(h < thr).select(id_col, stratum_col)
+
+
+def vocab_topk(docs: DataFrame, n: int = 2, k: int = 50) -> DataFrame:
+    """Corpus-level top-k word n-grams: (ngram, n_occurrences, n_docs,
+    rank) — the vocabulary statistics a BPE/tokenizer-training pass
+    reads off the corpus.
+
+    One exploded aggregation (partial/map-side combinable) followed by
+    the distributed top-k shape (``orderBy().limit(k)`` compiles to
+    TakeOrderedAndProject; only the k survivors are ranked through the
+    constant-key window, same pattern as ``analytics.top_customers``).
+    """
+    sh = shingle_rows(docs, n=n, distinct=False)
+    counts = sh.groupBy("g").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    top = counts.orderBy(F.desc("n_occurrences"), "g").limit(k)
+    # column-derived constant partition key: pmod(length, 1) ≡ 0 but is
+    # NOT foldable (g is non-nullable, so the `col * 0` idiom used on
+    # nullable keys elsewhere would be constant-folded and the partition
+    # spec eliminated → single-partition WindowExec warning); the window
+    # input is already capped at k rows by the limit above
+    zero = F.pmod(F.length("g"), F.lit(1))
+    w = Window.partitionBy(zero).orderBy(F.desc("n_occurrences"), "g")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(F.col("g").alias("ngram"), "n_occurrences", "n_docs", "rank")
+    )
+
+
+CURATE_ALLOWED_LANGS: tuple[str, ...] = ("en", "de", "fr")
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.34,
+    allowed_langs: tuple[str, ...] = CURATE_ALLOWED_LANGS,
+) -> DataFrame:
+    """Composed curation pass: every document gets a keep/drop verdict
+    with the first failing rule as the reason.
+
+    Rule order (highest precedence first):
+      1. ``duplicate``    — exact-content dup, keeping the lowest doc_id
+      2. ``lang_filtered``— metadata language outside the allowlist
+      3. ``low_quality``  — composite quality score below threshold
+      4. ``kept``
+
+    One shuffle (on the md5 content hash, the dedup key); the quality
+    and language rules are pure row expressions evaluated in the same
+    stage.  Returns (doc_id, lang, quality_score, reason, keep).
+    """
+    t = docs.select(
+        "doc_id", "lang",
+        F.md5("text").alias("content_hash"),
+        tokens_col("text").alias("toks"),
+    )
+    n = F.size("toks").cast("long")
+    nd = F.size(F.array_distinct("toks")).cast("long")
+    stop = stopword_hits(F.col("toks"), EN_STOPWORDS).cast("long")
+    q = quality_score(n, nd.cast("double") / n, stop.cast("double") / n)
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    scored = t.select(
+        "doc_id", "lang", q.alias("quality_score"),
+        F.row_number().over(w).alias("dup_rank"),
+    )
+    reason = (
+        F.when(F.col("dup_rank") > 1, "duplicate")
+        .when(~F.col("lang").isin(*allowed_langs), "lang_filtered")
+        .when(F.col("quality_score") < min_quality, "low_quality")
+        .otherwise("kept")
+    )
+    return scored.select(
+        "doc_id", "lang", "quality_score",
+        reason.alias("reason"),
+        (reason == "kept").alias("keep"),
+    )

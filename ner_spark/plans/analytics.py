@@ -274,3 +274,48 @@ def gold_bio_spans(corpus: DataFrame) -> DataFrame:
         .select("sent_id", "start_idx", "end_idx",
                 F.substring("first_tag", 3, 10).alias("category"), "surface")
     )
+
+
+def redact_mentions(corpus: DataFrame) -> DataFrame:
+    """Entity redaction / anonymization over gold BIO tags: each B-run
+    collapses to its ``[CATEGORY]`` placeholder, 'O' tokens pass
+    through, and orphan I-runs (not entities per tagger.rs:233-282 —
+    same convention as :func:`gold_bio_spans`) keep their raw words.
+
+    The training-data op this models: scrubbing PII-like entity
+    surfaces from a corpus before it feeds a model, driven by the NER
+    layer itself.  Windows partition by sentence, so at scale the only
+    shuffle is on the document key.  Returns (sent_id, redacted).
+    """
+    w = Window.partitionBy("sent_id").orderBy("idx")
+    prev = F.lag("tag").over(w)
+    marked = corpus.select(
+        "sent_id", "idx", "word", "tag",
+        F.when(F.col("tag").startswith("B-"), 1)
+        .when(F.col("tag").startswith("I-") & (prev.isNull() | (prev == "O")), 1)
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    runs = marked.withColumn("run_id", F.sum("new_run").over(w))
+    wr = Window.partitionBy("sent_id", "run_id").orderBy("idx")
+    first_tag = F.first("tag").over(wr)
+    piece = (
+        F.when(F.col("tag") == "O", F.col("word"))
+        .when(F.col("tag").startswith("B-"),
+              F.concat(F.lit("["), F.substring("tag", 3, 10), F.lit("]")))
+        .when(first_tag.startswith("B-"), F.lit(None).cast("string"))
+        .otherwise(F.col("word"))
+    )
+    pieces = (
+        runs.select("sent_id", "idx", piece.alias("piece"))
+        .where(F.col("piece").isNotNull())
+    )
+    return pieces.groupBy("sent_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "piece"))),
+                lambda s: s["piece"],
+            ),
+            " ",
+        ).alias("redacted")
+    )

@@ -1,0 +1,132 @@
+"""Semantics of the dataset-curation operators (ner_spark.operators.curate):
+the properties a 100 TB training-data pipeline relies on — append-stable
+split/sample assignment, curation rule precedence, and NER-driven
+redaction over the gold corpus."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F
+
+from ner_spark.operators import curate
+from ner_spark.plans import analytics as A
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_dataset_split_stable_under_append(spark):
+    """Appending new rows must never reassign existing rows — the
+    property randomSplit does NOT have."""
+    d = _docs(spark)
+    half = d.where(F.col("doc_id") < 250)
+    full_assign = {r.doc_id: r.split
+                   for r in curate.dataset_split(d).collect()}
+    half_assign = {r.doc_id: r.split
+                   for r in curate.dataset_split(half).collect()}
+    assert half_assign == {k: v for k, v in full_assign.items() if k < 250}
+
+
+def test_dataset_split_proportions_and_total(spark):
+    d = _docs(spark)
+    counts = {r.split: r.n for r in
+              curate.dataset_split(d).groupBy("split")
+              .agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert total == d.count()
+    # 500 uniform hashes: train ~400, val ~50, test ~50 (loose bounds)
+    assert counts["train"] > 0.7 * total
+    assert 0 < counts["val"] < 0.2 * total
+    assert 0 < counts["test"] < 0.2 * total
+
+
+def test_stratified_sample_stable_and_per_stratum(spark):
+    d = _docs(spark)
+    kept = curate.stratified_sample(
+        d, fractions={"en": 0.25}, default_frac=0.6
+    )
+    rows = kept.collect()
+    # deterministic: a second evaluation returns the identical set
+    assert {r.doc_id for r in rows} == {r.doc_id for r in kept.collect()}
+    by_lang = {}
+    for r in rows:
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + 1
+    totals = {r.lang: r.n for r in
+              d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # en downsampled to ~1/4, everything else ~0.6 (loose bounds on
+    # 500-row strata)
+    assert by_lang["en"] / totals["en"] < 0.45
+    for lang, n in by_lang.items():
+        if lang != "en":
+            assert 0.35 < n / totals[lang] < 0.85
+
+
+def test_stratified_sample_keeps_everything_at_fraction_one(spark):
+    d = _docs(spark)
+    kept = curate.stratified_sample(d, fractions={}, default_frac=1.0)
+    assert kept.count() == d.count()
+
+
+def test_curate_corpus_rule_precedence(spark):
+    """duplicate > lang_filtered > low_quality > kept; the duplicate
+    rule keeps the LOWEST doc_id of each content group."""
+    good = " ".join([f"w{i}" for i in range(90)]
+                    + ["the", "of", "and", "to", "in",
+                       "is", "on", "for", "with", "a"])
+    rows = [
+        (1, "en", good),
+        (2, "en", good),
+        (3, "zh", good),
+        (4, "zh", "unique doc in a filtered language " * 5),
+        (5, "en", "tiny"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.doc_id: (r.reason, r.keep)
+           for r in curate.curate_corpus(docs).collect()}
+    assert got[1][0] == "kept" and got[1][1]
+    assert got[2] == ("duplicate", False)
+    # doc 3 duplicates 1/2's content: duplicate outranks lang_filtered
+    assert got[3] == ("duplicate", False)
+    assert got[4] == ("lang_filtered", False)
+    assert got[5] == ("low_quality", False)
+
+
+def test_redact_mentions_collapses_entities(spark):
+    corpus = A.corpus_tokens_df(spark)
+    red = {r.sent_id: r.redacted
+           for r in A.redact_mentions(corpus).collect()}
+    toks = corpus.orderBy("sent_id", "idx").collect()
+    by_sent: dict[int, list] = {}
+    for t in toks:
+        by_sent.setdefault(t.sent_id, []).append(t)
+    assert set(red) == set(by_sent)
+    for sid, seq in by_sent.items():
+        out = red[sid]
+        # every B- entity shows up as its [CATEGORY] placeholder
+        for t in seq:
+            if t.tag.startswith("B-"):
+                assert f"[{t.tag[2:]}]" in out
+        # no word of a B-started run leaks through
+        in_entity = False
+        for t in seq:
+            if t.tag.startswith("B-"):
+                in_entity = True
+                assert t.word not in out.split() or any(
+                    u.tag == "O" and u.word == t.word for u in seq
+                )
+            elif t.tag.startswith("I-") and in_entity:
+                pass
+            else:
+                in_entity = False
+        # O tokens are preserved in order
+        o_words = [t.word for t in seq if t.tag == "O"]
+        stream = out.split()
+        it = iter(stream)
+        assert all(w in it for w in o_words)

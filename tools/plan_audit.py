@@ -92,6 +92,28 @@ def main() -> int:
     check("top_customers", "no SinglePartition exchange",
           "SinglePartition" not in p)
 
+    # curation layer: splits/sampling must be pure scans (no shuffle),
+    # vocab stats a distributed heap top-k, the curation pass free of
+    # single-partition windows
+    for name in ("dataset_split", "stratified_sample"):
+        p = plans[name] = plan_of(q[name](spark, SF_DIR))
+        check(name, "columns pruned at scan (ReadSchema)", "ReadSchema" in p)
+        check(name, "assignment is shuffle-free (no hash exchange)",
+              "hashpartitioning" not in p)
+
+    p = plans["vocab_topk"] = plan_of(q["vocab_topk"](spark, SF_DIR))
+    check("vocab_topk", "TakeOrderedAndProject (distributed heap top-k)",
+          "TakeOrderedAndProject" in p)
+    check("vocab_topk", "map-side partial aggregation (combine before shuffle)",
+          "partial_" in p)
+    check("vocab_topk", "no SinglePartition exchange", "SinglePartition" not in p)
+
+    p = plans["curate_corpus"] = plan_of(q["curate_corpus"](spark, SF_DIR))
+    check("curate_corpus", "columns pruned at scan (ReadSchema)",
+          "ReadSchema" in p)
+    check("curate_corpus", "no SinglePartition exchange",
+          "SinglePartition" not in p)
+
     p = plans["media_features"] = plan_of(q["media_features"](spark, SF_DIR))
     check("media_features", "narrow mapInPandas (no Exchange before it)",
           "Exchange hashpartitioning" not in p.split("MapInPandas")[0]
