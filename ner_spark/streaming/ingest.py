@@ -70,6 +70,7 @@ def stream_kg_updates(
     checkpoint_dir: str,
     max_files_per_trigger: int = 64,
     available_now: bool = True,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Continuous KG construction: fold newly landed source files into a
     committed KG run via the delta-proportional incremental update path.
@@ -93,6 +94,15 @@ def stream_kg_updates(
     canonicalize, merge-or-differential materialize), which is what a
     long-running 100 TB ingest needs — the committed base is never
     re-tagged.  ``job`` must hold a completed base ``run()``.
+
+    ``compact_every=N`` runs :meth:`KgJob.compact` whenever N completed
+    deltas have accumulated — the LSM cadence that keeps a perpetual
+    stream's union fan-in (and the per-trigger overlap-guard scan)
+    bounded.  Compaction is crash-safe and rolled forward by the next
+    fold, and a replayed batch whose id was already folded is detected
+    via the compaction ledger, so the exactly-once argument above
+    survives compaction interleavings (fuzz-pinned at the job level in
+    ``tests/test_lifecycle_fuzz.py``).
     """
 
     stream = (
@@ -105,6 +115,8 @@ def stream_kg_updates(
         if batch_df.isEmpty():
             return
         job.update(batch_df, update_id=f"stream-{batch_id:08d}")
+        if compact_every and len(job._update_ids()) >= compact_every:
+            job.compact()
 
     writer = (
         stream.writeStream.foreachBatch(_fold)

@@ -39,9 +39,10 @@ def _land(spark, rows, path):
     ).parquet(path)
 
 
-def _drain(spark, land, job, chk):
+def _drain(spark, land, job, chk, compact_every=None):
     q = stream_kg_updates(
-        spark, land, job, chk, max_files_per_trigger=1, available_now=True
+        spark, land, job, chk, max_files_per_trigger=1, available_now=True,
+        compact_every=compact_every,
     )
     q.awaitTermination(300)
     assert not q.isActive
@@ -67,6 +68,32 @@ def test_stream_folds_microbatches_and_equals_fresh_run(spark, dirs):
     # both micro-batches are recorded as stream update deltas
     ids = KgJob(spark, dirs["kg"], run_id="ids")._update_ids()
     assert len(ids) == 2 and all(i.startswith("stream-") for i in ids)
+
+
+def test_stream_with_auto_compaction(spark, dirs):
+    """compact_every bounds the delta fan-in of a perpetual stream:
+    after three micro-batches with compact_every=2, at most one
+    uncompacted delta survives and the triples still equal a fresh
+    batch run over the union."""
+    rows = build_source_rows(84)
+    job = KgJob(spark, dirs["kg"], run_id="base")
+    job.run(spark.createDataFrame(rows[:36], SOURCE_SCHEMA))
+
+    for lo, hi in ((36, 52), (52, 68), (68, 84)):
+        _land(spark, rows[lo:hi], dirs["land"])
+    _drain(spark, dirs["land"], job, dirs["chk"], compact_every=2)
+
+    ids = KgJob(spark, dirs["kg"], run_id="ids")._update_ids()
+    assert len(ids) <= 1  # batches 0+1 folded into the base
+    fresh = KgJob(spark, dirs["full"], run_id="f").run(
+        spark.createDataFrame(rows, SOURCE_SCHEMA)
+    )
+    got = _triples_set(
+        KgJob(spark, dirs["kg"], run_id="r").run(
+            spark.createDataFrame(rows[:36], SOURCE_SCHEMA)
+        )
+    )
+    assert got == _triples_set(fresh)
 
 
 def test_stream_replays_completed_fold_as_noop(spark, dirs):
