@@ -905,9 +905,13 @@ FROM cand c JOIN fin f ON c.sent_id = f.sent_id AND list_contains(f.kept, c.rk)
 def _dataset_split_oracle() -> str:
     """Twin of curate.dataset_split: same salt, same cumulative hex
     thresholds (computed by the shared helper, never re-derived)."""
+    from fractions import Fraction
+
     from ner_spark.operators.curate import hex_threshold
 
-    t_train, t_val = hex_threshold(0.8), hex_threshold(0.9)
+    # same exact cumulative boundaries as dataset_split's Fraction sum
+    t_train = hex_threshold(Fraction("0.8"))
+    t_val = hex_threshold(Fraction("0.8") + Fraction("0.1"))
     return f"""
 SELECT doc_id,
   CASE WHEN substr(md5('split-v1|' || doc_id::VARCHAR), 1, 8) < '{t_train}' THEN 'train'
@@ -958,10 +962,11 @@ toks AS (SELECT doc_id, lang, md5(text) AS content_hash, {_TOKS} AS t
          FROM alldocs),
 scored AS (
   SELECT doc_id, lang,
-    round(0.4 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
-        + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
-        + 0.3 * (CAST(len(list_filter(t, x -> list_contains({_EN}, x))) AS DOUBLE) / len(t)) + 1e-9, 4)
-      AS quality_score,
+    CASE WHEN len(t) = 0 THEN 0.0
+         ELSE round(0.4 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+             + 0.3 * (CAST(len(list_filter(t, x -> list_contains({_EN}, x))) AS DOUBLE) / len(t)) + 1e-9, 4)
+    END AS quality_score,
     row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS dup_rank
   FROM toks),
 r AS (

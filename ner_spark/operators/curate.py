@@ -34,11 +34,17 @@ from ner_spark.functions.text import (
 _HEX_SPACE = 16 ** 8  # first 8 hex chars of md5 = uniform draw in [0, 16^8)
 
 
-def hex_threshold(frac: float) -> str:
+def hex_threshold(frac) -> str:
     """``frac`` of the 8-hex-char hash space as a zero-padded hex literal
     (shared with the SQL oracles so both engines compare against the
-    byte-identical boundary)."""
-    return format(max(0, min(int(frac * _HEX_SPACE), _HEX_SPACE - 1)), "08x")
+    byte-identical boundary).  ``frac >= 1`` returns ``'g'``, which
+    sorts above every hex string, so a keep-all fraction keeps the
+    2^-32 tail row whose hash is exactly ``ffffffff`` (a strict ``<``
+    against a clamped ``ffffffff`` would drop it).  Accepts
+    ``fractions.Fraction`` for exact cumulative boundaries."""
+    if frac >= 1:
+        return "g"
+    return format(max(0, int(frac * _HEX_SPACE)), "08x")
 
 
 def _hash8(salt: str, *cols: Column) -> Column:
@@ -68,11 +74,18 @@ def dataset_split(
     ``randomSplit``, which reshuffles membership with the partition
     layout).  Pure projection: no shuffle, no UDF.
     """
+    from fractions import Fraction
+
     h = _hash8(salt, F.col(id_col))
     expr = None
-    cum = 0.0
+    # exact cumulative boundaries: a float running sum accumulates
+    # binary error (0.8 + 0.1 = 0.9000000000000001) that can shift a
+    # threshold by one hash unit vs an oracle/backfill re-deriving it
+    # from the literal weights — Fraction(str(w)) keeps every partial
+    # sum exact, so the boundary is a pure function of the weights
+    cum = Fraction(0)
     for name, frac in weights[:-1]:
-        cum += frac
+        cum += Fraction(str(frac))
         cond = h < F.lit(hex_threshold(cum))
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = weights[-1][0]
@@ -167,7 +180,12 @@ def curate_corpus(
     n = F.size("toks").cast("long")
     nd = F.size(F.array_distinct("toks")).cast("long")
     stop = stopword_hits(F.col("toks"), EN_STOPWORDS).cast("long")
-    q = quality_score(n, nd.cast("double") / n, stop.cast("double") / n)
+    # zero-token docs: 0/0 would make the score NULL, and NULL < thr is
+    # NULL, so the when-chain would fall through to 'kept' — the
+    # junkiest possible documents must score 0.0 and be dropped
+    q = F.when(n == 0, F.lit(0.0)).otherwise(
+        quality_score(n, nd.cast("double") / n, stop.cast("double") / n)
+    )
     w = Window.partitionBy("content_hash").orderBy("doc_id")
     scored = t.select(
         "doc_id", "lang", q.alias("quality_score"),

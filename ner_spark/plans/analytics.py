@@ -246,14 +246,14 @@ def gazetteer_surfaces(corpus: DataFrame) -> DataFrame:
     )
 
 
-def _ordered_surface() -> F.Column:
-    """Order-safe surface assembly: collect (idx, word) structs, sort by
+def _ordered_surface(col: str = "word") -> F.Column:
+    """Order-safe surface assembly: collect (idx, col) structs, sort by
     idx, join — collect_list alone has no order guarantee under
     parallel aggregation."""
     return F.array_join(
         F.transform(
-            F.array_sort(F.collect_list(F.struct("idx", "word"))),
-            lambda s: s["word"],
+            F.array_sort(F.collect_list(F.struct("idx", col))),
+            lambda s: s[col],
         ),
         " ",
     )
@@ -287,16 +287,7 @@ def redact_mentions(corpus: DataFrame) -> DataFrame:
     layer itself.  Windows partition by sentence, so at scale the only
     shuffle is on the document key.  Returns (sent_id, redacted).
     """
-    w = Window.partitionBy("sent_id").orderBy("idx")
-    prev = F.lag("tag").over(w)
-    marked = corpus.select(
-        "sent_id", "idx", "word", "tag",
-        F.when(F.col("tag").startswith("B-"), 1)
-        .when(F.col("tag").startswith("I-") & (prev.isNull() | (prev == "O")), 1)
-        .otherwise(0)
-        .alias("new_run"),
-    )
-    runs = marked.withColumn("run_id", F.sum("new_run").over(w))
+    runs = _run_ids(corpus)  # shared run-start convention (B- / orphan I-)
     wr = Window.partitionBy("sent_id", "run_id").orderBy("idx")
     first_tag = F.first("tag").over(wr)
     piece = (
@@ -311,11 +302,5 @@ def redact_mentions(corpus: DataFrame) -> DataFrame:
         .where(F.col("piece").isNotNull())
     )
     return pieces.groupBy("sent_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "piece"))),
-                lambda s: s["piece"],
-            ),
-            " ",
-        ).alias("redacted")
+        _ordered_surface("piece").alias("redacted")
     )

@@ -433,6 +433,19 @@ class KgJob:
             ))
         )
 
+    def _delta_fingerprint(self, delta_source: DataFrame) -> list:
+        """Order-independent fingerprint of a delta's full (repo, path)
+        key-set: [distinct count, bit_xor of xxhash64(repo, path)].
+        Covers zero-mention documents (which the mention checkpoint
+        does not), never overflows, and is layout-invariant."""
+        row = (
+            delta_source.select("repo", "path").distinct()
+            .agg(F.count("*").alias("n"),
+                 F.expr("bit_xor(xxhash64(repo, path))").alias("h"))
+            .collect()[0]
+        )
+        return [int(row["n"]), int(row["h"] or 0)]
+
     def _read_links(self, path: str) -> DataFrame:
         """Read a link checkpoint, upgrading pre-NED outputs on the fly
         (they carry context_window and lack resolved_category)."""
@@ -574,6 +587,28 @@ class KgJob:
         uroot = f"{self.out}/updates/{uid}"
         resumed = self._exists(f"{uroot}/tokenize_tag/_SUCCESS")
 
+        # a resumed id must carry the SAME documents as the committed
+        # attempt — otherwise serving the old checkpoint silently drops
+        # the new data (the ops mistake this guards: a recreated
+        # streaming checkpoint restarts batch_id at 0 and reuses
+        # 'stream-00000000' for brand-new files).  The committed mention
+        # table cannot back this check (zero-mention documents are
+        # invisible there), so the first attempt fingerprints the full
+        # delta key-set into the stage sidecar and every resume
+        # recomputes + compares it.  One delta-sized scan per update.
+        delta_fp = self._delta_fingerprint(delta_source)
+        if resumed:
+            tmeta = self._sidecar_meta(f"{uroot}/tokenize_tag")
+            want = tmeta.get("delta_fingerprint") if tmeta else None
+            if want is not None and list(want) != delta_fp:
+                raise ValueError(
+                    f"update id {uid!r} already committed a different "
+                    "document set (delta fingerprint "
+                    f"{want} != {delta_fp}).  Reusing an update id for "
+                    "new data is ambiguous (a recreated streaming "
+                    "checkpoint does this); pass a fresh update_id"
+                )
+
         if not resumed and uid in self._compacted_ids():
             # this id's delta was folded into the base by a compaction.
             # A RETRY of the same completed update (every delta doc
@@ -634,6 +669,7 @@ class KgJob:
                                  tokenizer_mode=self.tokenizer_mode)
             ).drop("context_window"),
             path=f"{uroot}/tokenize_tag",
+            meta={"delta_fingerprint": delta_fp},
         )
         self._run_stage(
             "link", mentions, lambda: link_mentions(mentions),

@@ -98,6 +98,28 @@ def test_curate_corpus_rule_precedence(spark):
     assert got[5] == ("low_quality", False)
 
 
+def test_curate_corpus_zero_token_doc_is_low_quality(spark):
+    """0/0 token ratios must not NULL-propagate into 'kept'."""
+    docs = spark.createDataFrame(
+        [(1, "en", "!!! ??? ...")], "doc_id long, lang string, text string"
+    )
+    row = curate.curate_corpus(docs).collect()[0]
+    assert row.reason == "low_quality" and not row.keep
+    assert row.quality_score == 0.0
+
+
+def test_hex_threshold_boundaries():
+    from fractions import Fraction
+
+    assert curate.hex_threshold(0) == "00000000"
+    assert curate.hex_threshold(1.0) == "g"      # sorts above any hex
+    assert curate.hex_threshold(Fraction(2)) == "g"
+    assert curate.hex_threshold(0.5) == "80000000"
+    # exact vs float cumulative boundary agree for the shipped weights
+    assert curate.hex_threshold(Fraction("0.8") + Fraction("0.1")) == \
+        curate.hex_threshold(0.9)
+
+
 def test_redact_mentions_collapses_entities(spark):
     corpus = A.corpus_tokens_df(spark)
     red = {r.sent_id: r.redacted

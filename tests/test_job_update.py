@@ -344,3 +344,25 @@ def test_plain_run_resume_preserves_committed_deltas(spark, out_dir):
     resumed = job.run(base)
     fresh = KgJob(spark, out_dir + "_full", run_id="f6").run(full)
     assert _triples_set(resumed) == _triples_set(fresh)
+
+
+def test_update_id_reuse_with_different_delta_fails(spark, out_dir):
+    """A resumed update id must carry the SAME documents: a recreated
+    streaming checkpoint restarting batch ids at 0 must fail loudly
+    instead of silently serving the old delta's checkpoint."""
+    rows = build_source_rows(72)
+    base = spark.createDataFrame(rows[:36], SOURCE_SCHEMA)
+    d1 = spark.createDataFrame(rows[36:54], SOURCE_SCHEMA)
+    d2 = spark.createDataFrame(rows[54:], SOURCE_SCHEMA)
+
+    job = KgJob(spark, out_dir, run_id="b")
+    job.run(base)
+    job.update(d1, update_id="stream-00000000")
+    with pytest.raises(ValueError, match="different document set"):
+        job.update(d2, update_id="stream-00000000")
+    # the SAME delta under the same id stays the documented no-op
+    again = job.update(d1, update_id="stream-00000000")
+    fresh = KgJob(spark, out_dir + "_f", run_id="f").run(
+        spark.createDataFrame(rows[:54], SOURCE_SCHEMA)
+    )
+    assert _triples_set(again) == _triples_set(fresh)

@@ -316,6 +316,35 @@ def test_pipeline_partition_invariance(spark):
     assert run(src.repartition(32), 32) == base
 
 
+def test_pipeline_extreme_skew_invariance(spark):
+    """North-rule skew clause: a corpus where ~95% of documents pile
+    onto ONE repo (one hot DECLARES subject, one hot doc-locality key)
+    must yield the identical triple set under any partitioning — the
+    hot groupBy keys survive via map-side partial aggregation and the
+    salted CC, not by luck of the layout."""
+    from ner_spark.schemas import SOURCE_SCHEMA
+    from ner_spark.sources.fixtures import build_source_rows
+
+    rows = [
+        (("hotrepo" if i % 20 else r[0]),) + tuple(r[1:])
+        for i, r in enumerate(build_source_rows(80))
+    ]
+    src = spark.createDataFrame(rows, SOURCE_SCHEMA)
+
+    def run(s):
+        links = link_mentions(disambiguate(extract_mentions(s)))
+        slim = links.select("repo", "path", "surface", "kb_id",
+                            "resolved_category", "link_score")
+        return sorted(
+            map(tuple, materialize_triples(slim, canonicalize(slim)).collect())
+        )
+
+    base = run(src.coalesce(1))
+    assert run(src.repartition(16)) == base
+    hot = [t for t in base if t[0] == "repo:hotrepo" and t[1] == "DECLARES"]
+    assert hot  # the hot subject actually dominates the corpus
+
+
 def test_fuzzy_canonicalize_merges_similar_surfaces(spark):
     rows = [
         ("r1", "p1", "sao paulo", None, "LOC", 0.0),
