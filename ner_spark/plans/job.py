@@ -1173,6 +1173,21 @@ def main() -> None:
                         help="stable id for this delta under "
                              "{output}/updates/ (pass the same id to "
                              "resume a crashed update; default: run id)")
+    parser.add_argument("--stream-input", default=None,
+                        help="continuous ingest: watch this directory "
+                             "for new source parquet files and fold each "
+                             "micro-batch via the incremental update "
+                             "path (needs a completed base run in "
+                             "--output).  Drains the backlog and exits "
+                             "(availableNow); relaunch to pick up later "
+                             "landings")
+    parser.add_argument("--stream-checkpoint", default=None,
+                        help="streaming offset checkpoint dir (default: "
+                             "{output}/_stream_checkpoint)")
+    parser.add_argument("--compact-every", type=int, default=None,
+                        help="with --stream-input: run the LSM "
+                             "compaction whenever N completed deltas "
+                             "have accumulated")
     args = parser.parse_args()
 
     from ner_spark.session import get_spark
@@ -1185,6 +1200,20 @@ def main() -> None:
                     fuzzy_threshold=args.fuzzy_threshold)
         n = job.compact()
         print(f"stage=compact folded={n} output={args.output}")
+        return
+    if args.stream_input:
+        from ner_spark.streaming.ingest import stream_kg_updates
+
+        job = KgJob(spark, args.output, mode=args.mode,
+                    tokenizer_mode=args.tokenizer_mode, run_id=args.run_id,
+                    fuzzy_canon=args.fuzzy_canon,
+                    fuzzy_threshold=args.fuzzy_threshold)
+        chk = args.stream_checkpoint or f"{args.output}/_stream_checkpoint"
+        q = stream_kg_updates(spark, args.stream_input, job, chk,
+                              compact_every=args.compact_every)
+        q.awaitTermination()
+        n = len(job._update_ids())
+        print(f"stage=stream deltas={n} output={args.output}")
         return
     if args.fixture_rows:
         from ner_spark.sources.fixtures import source_table
