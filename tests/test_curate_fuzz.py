@@ -1,0 +1,95 @@
+"""Differential fuzz: the curation operators must match their DuckDB
+oracle twins on RANDOM corpora, not just the fixed testdata — empty
+texts, punctuation-only docs, cross-language exact duplicates, and
+adversarial doc_id orderings are where the rule precedence and the
+NULL/zero-token handling can silently diverge."""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from ner_spark.operators import curate  # noqa: E402
+
+from pyspark.sql import functions as F  # noqa: E402
+
+LANGS = ("en", "de", "fr", "es", "zh")
+WORDS = ("the", "a", "of", "fast", "table", "spark", "x0", "!!", "de", "em")
+
+
+@st.composite
+def corpora(draw):
+    n = draw(st.integers(min_value=1, max_value=14))
+    docs = []
+    for i in range(n):
+        lang = draw(st.sampled_from(LANGS))
+        text = " ".join(
+            draw(st.lists(st.sampled_from(WORDS), min_size=0, max_size=12))
+        )
+        # sometimes punctuation-only / empty (zero-token path)
+        if draw(st.booleans()) and draw(st.booleans()):
+            text = draw(st.sampled_from(["", "!!! ???", "...", "  "]))
+        docs.append((i, lang, text))
+    # force exact duplicates across rows (and possibly across langs)
+    for _ in range(draw(st.integers(min_value=0, max_value=3))):
+        src = draw(st.integers(min_value=0, max_value=n - 1))
+        dst = draw(st.integers(min_value=0, max_value=n - 1))
+        if src != dst:
+            docs[dst] = (docs[dst][0], docs[dst][1], docs[src][2])
+    return docs
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else round(v, 6)
+    return v if isinstance(v, int) else str(v)
+
+
+def _multiset(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def _compare(sdf, con, sql):
+    s_cols, s_rows = sdf.columns, [tuple(r) for r in sdf.collect()]
+    res = con.execute(sql)
+    d_cols = [d[0] for d in res.description]
+    assert sorted(s_cols) == sorted(d_cols)
+    assert _multiset(s_rows, s_cols) == _multiset(res.fetchall(), d_cols)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(corpora())
+def test_curation_ops_match_oracles_on_random_corpora(spark, docs):
+    pdf = pd.DataFrame(docs, columns=["doc_id", "lang", "text"])
+    sdf = spark.createDataFrame(pdf.assign(doc_id=pdf.doc_id.astype("int64")))
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    osql = entrymod.oracle_sql()
+
+    _compare(curate.dataset_split(sdf), con, osql["dataset_split"])
+    _compare(
+        curate.stratified_sample(sdf, fractions={"en": 0.25}, default_frac=0.6),
+        con, osql["stratified_sample"],
+    )
+    dups = sdf.where(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    _compare(
+        curate.curate_corpus(sdf.unionByName(dups)), con, osql["curate_corpus"]
+    )
+    con.close()
