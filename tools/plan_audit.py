@@ -84,6 +84,21 @@ def main() -> int:
           "PushedFilters: [IsNotNull(l_shipdate)" in p
           or "LessThanOrEqual(l_shipdate" in p)
 
+    def rank_window_partitioned(p: str) -> bool:
+        """The row_number Window node must keep a partition spec.
+
+        Spark 4's EliminateWindowPartitions folds a constant-foldable
+        partition key away entirely — the formatted plan then shows
+        only 2 bracket groups ([funcs], [order]) on the Window
+        Arguments line instead of 3 ([funcs], [partition], [order]),
+        and the un-partitioned WindowExec never prints
+        'SinglePartition', so the exchange check alone misses it."""
+        return all(
+            ln.count("], [") >= 2
+            for ln in p.splitlines()
+            if ln.strip().startswith("Arguments: [row_number()")
+        )
+
     p = plans["top_customers"] = plan_of(q["top_customers"](spark, SF_DIR))
     check("top_customers", "dimension joins broadcast",
           "BroadcastHashJoin" in p)
@@ -91,6 +106,8 @@ def main() -> int:
           "TakeOrderedAndProject" in p)
     check("top_customers", "no SinglePartition exchange",
           "SinglePartition" not in p)
+    check("top_customers", "rank window keeps its partition spec",
+          rank_window_partitioned(p))
 
     # curation layer: splits/sampling must be pure scans (no shuffle),
     # vocab stats a distributed heap top-k, the curation pass free of
@@ -107,6 +124,8 @@ def main() -> int:
     check("vocab_topk", "map-side partial aggregation (combine before shuffle)",
           "partial_" in p)
     check("vocab_topk", "no SinglePartition exchange", "SinglePartition" not in p)
+    check("vocab_topk", "rank window keeps its partition spec",
+          rank_window_partitioned(p))
 
     p = plans["curate_corpus"] = plan_of(q["curate_corpus"](spark, SF_DIR))
     check("curate_corpus", "columns pruned at scan (ReadSchema)",
