@@ -390,10 +390,12 @@ def _corpus_cte() -> str:
     return corpus_values_sql()
 
 
-def _runs_cte() -> str:
-    """Shared BIO run-grouping CTE over the corpus VALUES."""
+def _runs_cte(src_sql: str | None = None) -> str:
+    """Shared BIO run-grouping CTE over the corpus VALUES (or any
+    relation with (sent_id, idx, word, tag) — the fuzz tests pass a
+    registered view here)."""
     return f"""
-WITH c AS (SELECT * FROM {_corpus_cte()}),
+WITH c AS (SELECT * FROM {src_sql or _corpus_cte()}),
 m AS (
   SELECT sent_id, idx, word, tag,
     CASE WHEN tag LIKE 'B-%' THEN 1
@@ -902,6 +904,25 @@ FROM cand c JOIN fin f ON c.sent_id = f.sent_id AND list_contains(f.kept, c.rk)
 """
 
 
+# redaction oracle tail over _runs_cte()'s r CTE (shared with the
+# random-corpus fuzz, which swaps the corpus VALUES for a view)
+_REDACT_TAIL = """
+, f AS (
+  SELECT sent_id, idx, word, tag,
+    first_value(tag) OVER (PARTITION BY sent_id, run_id ORDER BY idx) AS ftag
+  FROM r),
+e AS (
+  SELECT sent_id, idx,
+    CASE WHEN tag = 'O' THEN word
+         WHEN tag LIKE 'B-%' THEN '[' || substr(tag, 3) || ']'
+         WHEN ftag LIKE 'B-%' THEN NULL
+         ELSE word END AS piece
+  FROM f)
+SELECT sent_id, string_agg(piece, ' ' ORDER BY idx) AS redacted
+FROM e WHERE piece IS NOT NULL GROUP BY sent_id
+"""
+
+
 def _dataset_split_oracle() -> str:
     """Twin of curate.dataset_split: same salt, same cumulative hex
     thresholds (computed by the shared helper, never re-derived)."""
@@ -978,21 +999,7 @@ r AS (
   FROM scored)
 SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
 """,
-        "redact_mentions": _runs_cte() + """
-, f AS (
-  SELECT sent_id, idx, word, tag,
-    first_value(tag) OVER (PARTITION BY sent_id, run_id ORDER BY idx) AS ftag
-  FROM r),
-e AS (
-  SELECT sent_id, idx,
-    CASE WHEN tag = 'O' THEN word
-         WHEN tag LIKE 'B-%' THEN '[' || substr(tag, 3) || ']'
-         WHEN ftag LIKE 'B-%' THEN NULL
-         ELSE word END AS piece
-  FROM f)
-SELECT sent_id, string_agg(piece, ' ' ORDER BY idx) AS redacted
-FROM e WHERE piece IS NOT NULL GROUP BY sent_id
-""",
+        "redact_mentions": _runs_cte() + _REDACT_TAIL,
         "ann_lsh": _ann_lsh_oracle(),
         "ann_ivf": _ann_ivf_oracle(),
         "embedding_near_dup_ivf": _embedding_ivf_pairs_oracle(),

@@ -93,3 +93,41 @@ def test_curation_ops_match_oracles_on_random_corpora(spark, docs):
         curate.curate_corpus(sdf.unionByName(dups)), con, osql["curate_corpus"]
     )
     con.close()
+
+
+TAGS = ("O", "B-PER", "I-PER", "B-ORG", "I-ORG", "B-LOC", "I-LOC")
+
+
+@st.composite
+def bio_corpora(draw):
+    n_sents = draw(st.integers(min_value=1, max_value=5))
+    rows = []
+    for sid in range(n_sents):
+        n_tok = draw(st.integers(min_value=1, max_value=10))
+        for i in range(n_tok):
+            # unconstrained tag draws produce orphan I- runs at sentence
+            # start / after O and category switches mid-run — exactly
+            # the convention edge cases
+            rows.append((sid, i, draw(st.sampled_from(WORDS)),
+                         draw(st.sampled_from(TAGS))))
+    return rows
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(bio_corpora())
+def test_redact_mentions_matches_oracle_on_random_bio(spark, rows):
+    """Redaction over arbitrary BIO sequences (orphan I-runs, runs at
+    sentence boundaries, all-O sentences) must match the SQL twin —
+    the same run-start convention gold_bio_spans relies on."""
+    from ner_spark.plans.analytics import redact_mentions
+
+    pdf = pd.DataFrame(rows, columns=["sent_id", "idx", "word", "tag"])
+    sdf = spark.createDataFrame(
+        rows, "sent_id int, idx int, word string, tag string"
+    )
+    con = duckdb.connect()
+    con.register("bio_fuzz", pdf)
+    sql = entrymod._runs_cte("bio_fuzz") + entrymod._REDACT_TAIL
+    _compare(redact_mentions(sdf), con, sql)
+    con.close()
