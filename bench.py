@@ -271,12 +271,13 @@ mean steal {results[low].get('steal_mean_pct')}% (local[{low}] leg) /
 {results[high].get('steal_mean_pct')}% (local[{high}] leg); per-repeat
 max steal {results[low].get('kg_repeat_steal_max_pct')} and
 {results[high].get('kg_repeat_steal_max_pct')}.
-History: efficiency measured 0.805–0.874 (r1), 0.845/0.866 (r2 clean
-runs; one 0.465 steal-storm outlier discarded after its own 8-core leg
-re-ran normal), 0.871/0.891/0.909 then 0.860/0.942 at final r3 HEAD
-(the 0.860 run's 8-core leg took 5–8% steal spikes in 4/10 repeats;
-the 0.942 run re-ran in the next quiet window), so ≥ 0.8 holds
-across every clean run of the build.  Single-shot per-query numbers
+History of past measured runs: 0.805–0.874 (r1), 0.845/0.866 (r2
+clean runs; one 0.465 steal-storm outlier discarded after its own
+8-core leg re-ran normal), 0.871/0.891/0.909/0.860/0.942 (r3; the
+0.860 run's 8-core leg took 5–8% steal spikes in 4/10 repeats and
+0.942 re-ran in the next quiet window), so ≥ 0.8 holds across every
+clean run of the build.  The headline table above is this report's
+own run and supersedes nothing in that history.  Single-shot per-query numbers
 carry first-execution codegen cost (e.g. dedup_ngram_jaccard timed
 [13.0, 2.7, 2.0] s across 3 consecutive repeats at pinned 8 cores);
 the steady-state number is the later repeats.

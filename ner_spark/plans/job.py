@@ -1188,6 +1188,10 @@ def main() -> None:
                         help="with --stream-input: run the LSM "
                              "compaction whenever N completed deltas "
                              "have accumulated")
+    parser.add_argument("--max-files-per-trigger", type=int, default=64,
+                        help="with --stream-input: micro-batch "
+                             "granularity (files per trigger) — one "
+                             "update delta per batch)")
     args = parser.parse_args()
 
     from ner_spark.session import get_spark
@@ -1204,16 +1208,31 @@ def main() -> None:
     if args.stream_input:
         from ner_spark.streaming.ingest import stream_kg_updates
 
+        if args.input or args.fixture_rows:
+            parser.error("--stream-input reads its own landing zone; "
+                         "--input/--fixture-rows do not apply")
         job = KgJob(spark, args.output, mode=args.mode,
                     tokenizer_mode=args.tokenizer_mode, run_id=args.run_id,
+                    force=args.force, cc_max_iter=args.cc_max_iter,
                     fuzzy_canon=args.fuzzy_canon,
                     fuzzy_threshold=args.fuzzy_threshold)
         chk = args.stream_checkpoint or f"{args.output}/_stream_checkpoint"
-        q = stream_kg_updates(spark, args.stream_input, job, chk,
-                              compact_every=args.compact_every)
+        stats: dict = {}
+        q = stream_kg_updates(
+            spark, args.stream_input, job, chk,
+            max_files_per_trigger=args.max_files_per_trigger,
+            compact_every=args.compact_every,
+            update_kwargs={
+                "incremental": not args.no_incremental,
+                "differential_threshold": args.differential_threshold,
+            },
+            stats=stats,
+        )
         q.awaitTermination()
-        n = len(job._update_ids())
-        print(f"stage=stream deltas={n} output={args.output}")
+        print(f"stage=stream folded={stats.get('folded', 0)} "
+              f"compactions={stats.get('compactions', 0)} "
+              f"pending_deltas={len(job._update_ids())} "
+              f"output={args.output}")
         return
     if args.fixture_rows:
         from ner_spark.sources.fixtures import source_table

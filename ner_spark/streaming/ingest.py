@@ -71,6 +71,8 @@ def stream_kg_updates(
     max_files_per_trigger: int = 64,
     available_now: bool = True,
     compact_every: int | None = None,
+    update_kwargs: dict | None = None,
+    stats: dict | None = None,
 ) -> StreamingQuery:
     """Continuous KG construction: fold newly landed source files into a
     committed KG run via the delta-proportional incremental update path.
@@ -103,6 +105,12 @@ def stream_kg_updates(
     via the compaction ledger, so the exactly-once argument above
     survives compaction interleavings (fuzz-pinned at the job level in
     ``tests/test_lifecycle_fuzz.py``).
+
+    ``update_kwargs`` forwards tuning to every :meth:`KgJob.update`
+    call (e.g. ``incremental=False``, ``differential_threshold``);
+    ``stats`` (a caller-owned dict) receives ``folded``/``compactions``
+    counters for THIS run — ``job._update_ids()`` after the drain is
+    the post-compaction residue, not the ingest count.
     """
 
     stream = (
@@ -114,9 +122,14 @@ def stream_kg_updates(
     def _fold(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        job.update(batch_df, update_id=f"stream-{batch_id:08d}")
+        job.update(batch_df, update_id=f"stream-{batch_id:08d}",
+                   **(update_kwargs or {}))
+        if stats is not None:
+            stats["folded"] = stats.get("folded", 0) + 1
         if compact_every and len(job._update_ids()) >= compact_every:
             job.compact()
+            if stats is not None:
+                stats["compactions"] = stats.get("compactions", 0) + 1
 
     writer = (
         stream.writeStream.foreachBatch(_fold)

@@ -6,7 +6,6 @@ NULL/zero-token handling can silently diverge."""
 
 from __future__ import annotations
 
-import math
 import sys
 from pathlib import Path
 
@@ -19,6 +18,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import __spark_entry__ as entrymod  # noqa: E402
 from ner_spark.operators import curate  # noqa: E402
+from tests.oracle_compare import assert_df_matches_duckdb as _compare  # noqa: E402
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -48,29 +48,6 @@ def corpora(draw):
     return docs
 
 
-def _norm(v):
-    if v is None:
-        return None
-    if isinstance(v, bool):
-        return v
-    if isinstance(v, float):
-        return "nan" if math.isnan(v) else round(v, 6)
-    return v if isinstance(v, int) else str(v)
-
-
-def _multiset(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
-
-
-def _compare(sdf, con, sql):
-    s_cols, s_rows = sdf.columns, [tuple(r) for r in sdf.collect()]
-    res = con.execute(sql)
-    d_cols = [d[0] for d in res.description]
-    assert sorted(s_cols) == sorted(d_cols)
-    assert _multiset(s_rows, s_cols) == _multiset(res.fetchall(), d_cols)
-
-
 @settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(corpora())
@@ -78,21 +55,25 @@ def test_curation_ops_match_oracles_on_random_corpora(spark, docs):
     pdf = pd.DataFrame(docs, columns=["doc_id", "lang", "text"])
     sdf = spark.createDataFrame(pdf.assign(doc_id=pdf.doc_id.astype("int64")))
     con = duckdb.connect()
-    con.register("documents", pdf)
-    osql = entrymod.oracle_sql()
-
-    _compare(curate.dataset_split(sdf), con, osql["dataset_split"])
-    _compare(
-        curate.stratified_sample(sdf, fractions={"en": 0.25}, default_frac=0.6),
-        con, osql["stratified_sample"],
-    )
-    dups = sdf.where(F.col("doc_id") % 10 == 0).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(1000000)
-    )
-    _compare(
-        curate.curate_corpus(sdf.unionByName(dups)), con, osql["curate_corpus"]
-    )
-    con.close()
+    try:
+        con.register("documents", pdf)
+        osql = entrymod.oracle_sql()
+        _compare(curate.dataset_split(sdf), con, osql["dataset_split"])
+        _compare(
+            curate.stratified_sample(
+                sdf, fractions={"en": 0.25}, default_frac=0.6
+            ),
+            con, osql["stratified_sample"],
+        )
+        dups = sdf.where(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1000000)
+        )
+        _compare(
+            curate.curate_corpus(sdf.unionByName(dups)), con,
+            osql["curate_corpus"],
+        )
+    finally:
+        con.close()
 
 
 TAGS = ("O", "B-PER", "I-PER", "B-ORG", "I-ORG", "B-LOC", "I-LOC")
@@ -127,7 +108,9 @@ def test_redact_mentions_matches_oracle_on_random_bio(spark, rows):
         rows, "sent_id int, idx int, word string, tag string"
     )
     con = duckdb.connect()
-    con.register("bio_fuzz", pdf)
-    sql = entrymod._runs_cte("bio_fuzz") + entrymod._REDACT_TAIL
-    _compare(redact_mentions(sdf), con, sql)
-    con.close()
+    try:
+        con.register("bio_fuzz", pdf)
+        sql = entrymod._runs_cte("bio_fuzz") + entrymod._REDACT_TAIL
+        _compare(redact_mentions(sdf), con, sql)
+    finally:
+        con.close()

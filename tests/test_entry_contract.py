@@ -5,7 +5,6 @@ speed)."""
 
 from __future__ import annotations
 
-import math
 import sys
 from pathlib import Path
 
@@ -30,24 +29,7 @@ def ddb():
     con.close()
 
 
-def _norm(v):
-    if v is None:
-        return None
-    if isinstance(v, bool):
-        return v
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return round(v, 6)
-    if isinstance(v, int):
-        return int(v)
-    return str(v)
-
-
-def _rows_to_multiset(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
-
+from tests.oracle_compare import assert_df_matches_duckdb  # noqa: E402
 
 ORACLE_KEYS = sorted(entrymod.oracle_sql().keys())
 
@@ -59,18 +41,8 @@ def test_oracle_keys_subset_of_queries():
 @pytest.mark.parametrize("name", ORACLE_KEYS)
 def test_query_matches_oracle(spark, ddb, name):
     q = entrymod.queries()[name]
-    sdf = q(spark, SF_DIR)
-    s_cols = sdf.columns
-    s_rows = [tuple(r) for r in sdf.collect()]
-
-    res = ddb.execute(entrymod.oracle_sql()[name])
-    d_cols = [d[0] for d in res.description]
-    d_rows = res.fetchall()
-
-    assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
-    assert len(s_rows) == len(d_rows), f"{name}: row counts differ"
-    assert _rows_to_multiset(s_rows, s_cols) == _rows_to_multiset(d_rows, d_cols), (
-        f"{name}: values differ"
+    assert_df_matches_duckdb(
+        q(spark, SF_DIR), ddb, entrymod.oracle_sql()[name], name=name
     )
 
 

@@ -92,12 +92,12 @@ def main() -> int:
         only 2 bracket groups ([funcs], [order]) on the Window
         Arguments line instead of 3 ([funcs], [partition], [order]),
         and the un-partitioned WindowExec never prints
-        'SinglePartition', so the exchange check alone misses it."""
-        return all(
-            ln.count("], [") >= 2
-            for ln in p.splitlines()
-            if ln.strip().startswith("Arguments: [row_number()")
-        )
+        'SinglePartition', so the exchange check alone misses it.
+        A plan with NO row_number Window node fails too — the check
+        must not pass vacuously if the top-k shape is rewritten."""
+        lines = [ln for ln in p.splitlines()
+                 if ln.strip().startswith("Arguments: [row_number()")]
+        return bool(lines) and all(ln.count("], [") >= 2 for ln in lines)
 
     p = plans["top_customers"] = plan_of(q["top_customers"](spark, SF_DIR))
     check("top_customers", "dimension joins broadcast",
