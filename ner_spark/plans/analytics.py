@@ -213,6 +213,16 @@ def hmm_emission_counts(corpus: DataFrame) -> DataFrame:
     return corpus.groupBy("tag", "word").agg(F.count("*").alias("n"))
 
 
+def _tag_category(tag_col: F.Column) -> F.Column:
+    """Category of a ``B-XXX``/``I-XXX`` BIO tag: UNBOUNDED suffix from
+    position 3 — the one shared definition for every consumer.  The
+    DuckDB oracles use unbounded ``substr(tag, 3)``; a bounded
+    ``substring(tag, 3, 10)`` would silently diverge on a category
+    longer than 10 chars (dormant with PER/LOC/ORG/MISC, but the
+    invariant belongs in code, not in luck)."""
+    return tag_col.substr(F.lit(3), F.length(tag_col))
+
+
 def _run_ids(corpus: DataFrame) -> DataFrame:
     """Entity-run grouping over BIO tags: a run starts at B-* or at an
     orphan I-* (previous tag absent or 'O')."""
@@ -238,7 +248,7 @@ def gazetteer_surfaces(corpus: DataFrame) -> DataFrame:
     return (
         runs.groupBy("sent_id", "run_id")
         .agg(
-            F.substring(F.min(F.struct("idx", "tag"))["tag"], 3, 10).alias("category"),
+            _tag_category(F.min(F.struct("idx", "tag"))["tag"]).alias("category"),
             F.lower(_ordered_surface()).alias("surface"),
         )
         .select("category", "surface")
@@ -272,7 +282,7 @@ def gold_bio_spans(corpus: DataFrame) -> DataFrame:
     return (
         grouped.where(F.col("first_tag").startswith("B-"))
         .select("sent_id", "start_idx", "end_idx",
-                F.substring("first_tag", 3, 10).alias("category"), "surface")
+                _tag_category(F.col("first_tag")).alias("category"), "surface")
     )
 
 
@@ -293,7 +303,7 @@ def redact_mentions(corpus: DataFrame) -> DataFrame:
     piece = (
         F.when(F.col("tag") == "O", F.col("word"))
         .when(F.col("tag").startswith("B-"),
-              F.concat(F.lit("["), F.substring("tag", 3, 10), F.lit("]")))
+              F.concat(F.lit("["), _tag_category(F.col("tag")), F.lit("]")))
         .when(first_tag.startswith("B-"), F.lit(None).cast("string"))
         .otherwise(F.col("word"))
     )

@@ -178,12 +178,31 @@ class KgJob:
                     f"run uses {params}; pass force=True/--force to recompute"
                 )
             # force + different params: every existing stage checkpoint
-            # is stale for the NEW params.  Invalidate them (delete the
-            # _SUCCESS commit markers) BEFORE rewriting the manifest —
-            # otherwise a crash/partial run (e.g. last_stage='tokenize_tag')
-            # would leave downstream checkpoints from the OLD params
-            # committed under a manifest recording the NEW params, and a
-            # later resume would silently reuse them.
+            # is stale for the NEW params.  Committed UPDATE DELTAS are
+            # stale too, but dropping their markers would silently drop
+            # their documents from all_links() (a forced run() only
+            # recomputes the base source) — so refuse instead: mixing a
+            # new-params base with old-params deltas, or losing the
+            # delta documents, are both silent corruption.  The operator
+            # must either delete {out}/updates (accepting the data loss
+            # explicitly) or force-rerun over the full union source.
+            stale_deltas = self._update_ids(stage="tokenize_tag")
+            if stale_deltas:
+                raise ValueError(
+                    f"output {self.out} holds {len(stale_deltas)} committed "
+                    f"update delta(s) {stale_deltas} computed with {prev}; "
+                    f"force-recomputing the base with {params} would mix "
+                    "outputs from two parameter sets when all_links() unions "
+                    f"them.  Delete {self.out}/updates first (their documents "
+                    "must then be re-ingested), or fold them into the base "
+                    "with compact() and force-rerun over the union source"
+                )
+            # Invalidate the base markers (delete the _SUCCESS commit
+            # markers) BEFORE rewriting the manifest — otherwise a
+            # crash/partial run (e.g. last_stage='tokenize_tag') would
+            # leave downstream checkpoints from the OLD params committed
+            # under a manifest recording the NEW params, and a later
+            # resume would silently reuse them.
             for stage in STAGES:
                 marker = jvm.org.apache.hadoop.fs.Path(
                     self._path(stage) + "/_SUCCESS"
@@ -433,6 +452,21 @@ class KgJob:
             ))
         )
 
+    def is_applied(self, update_id: str) -> bool:
+        """True iff ``update_id``'s delta is already fully folded into
+        the committed derived tables — a re-invocation of :meth:`update`
+        with this id (and the same documents) would be a pure no-op.
+        Covers both completion forms: the id appears in the committed
+        materialize sidecar's coverage, or a compaction already folded
+        it into the base (ledger).  Used by the streaming ingest to
+        count only REAL folds after a crash/replay."""
+        if update_id in self._compacted_ids():
+            return True
+        if not (self._committed("canonicalize") and self._committed("materialize")):
+            return False
+        meta = self._sidecar_meta(self._path("materialize"))
+        return bool(meta and update_id in meta.get("applied_updates", ()))
+
     def _delta_fingerprint(self, delta_source: DataFrame) -> list:
         """Order-independent fingerprint of a delta's full (repo, path)
         key-set: [distinct count, bit_xor of xxhash64(repo, path)].
@@ -636,17 +670,25 @@ class KgJob:
             return self.run(delta_source)
 
         if check_overlap and not resumed:
-            existing = self.spark.read.parquet(self._path("tokenize_tag"))
+            # project to the key columns BEFORE the union: the guard
+            # only needs (repo, path), and a schema-drifted delta must
+            # not be papered over by allowMissingColumns here only to
+            # fail later in all_links/_prepare_compact (which union
+            # strictly) — the key projection is schema-drift-proof and
+            # keeps the scan column-pruned
+            existing = self.spark.read.parquet(
+                self._path("tokenize_tag")
+            ).select("repo", "path")
             for prev in self._update_ids(stage="tokenize_tag"):
                 existing = existing.unionByName(
                     self.spark.read.parquet(
                         f"{self.out}/updates/{prev}/tokenize_tag"
-                    ),
-                    allowMissingColumns=True,
+                    ).select("repo", "path"),
+                    allowMissingColumns=False,
                 )
             delta_keys = delta_source.select("repo", "path").distinct()
             clash = (
-                existing.select("repo", "path")
+                existing
                 .join(F.broadcast(delta_keys), ["repo", "path"], "left_semi")
                 .limit(1)
                 .count()
@@ -1185,9 +1227,11 @@ def main() -> None:
                         help="streaming offset checkpoint dir (default: "
                              "{output}/_stream_checkpoint)")
     parser.add_argument("--compact-every", type=int, default=None,
-                        help="with --stream-input: run the LSM "
-                             "compaction whenever N completed deltas "
-                             "have accumulated")
+                        help="with --stream-input: after the backlog "
+                             "drains (stream stopped), run the LSM "
+                             "compaction if N+ completed deltas have "
+                             "accumulated — maintenance stays off the "
+                             "trigger path so fold latency is flat")
     parser.add_argument("--max-files-per-trigger", type=int, default=64,
                         help="with --stream-input: micro-batch "
                              "granularity (files per trigger) — one "
@@ -1206,7 +1250,7 @@ def main() -> None:
         print(f"stage=compact folded={n} output={args.output}")
         return
     if args.stream_input:
-        from ner_spark.streaming.ingest import stream_kg_updates
+        from ner_spark.streaming.ingest import drain_kg_updates
 
         if args.input or args.fixture_rows:
             parser.error("--stream-input reads its own landing zone; "
@@ -1217,8 +1261,7 @@ def main() -> None:
                     fuzzy_canon=args.fuzzy_canon,
                     fuzzy_threshold=args.fuzzy_threshold)
         chk = args.stream_checkpoint or f"{args.output}/_stream_checkpoint"
-        stats: dict = {}
-        q = stream_kg_updates(
+        stats = drain_kg_updates(
             spark, args.stream_input, job, chk,
             max_files_per_trigger=args.max_files_per_trigger,
             compact_every=args.compact_every,
@@ -1226,9 +1269,7 @@ def main() -> None:
                 "incremental": not args.no_incremental,
                 "differential_threshold": args.differential_threshold,
             },
-            stats=stats,
         )
-        q.awaitTermination()
         print(f"stage=stream folded={stats.get('folded', 0)} "
               f"compactions={stats.get('compactions', 0)} "
               f"pending_deltas={len(job._update_ids())} "

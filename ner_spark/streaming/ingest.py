@@ -70,7 +70,6 @@ def stream_kg_updates(
     checkpoint_dir: str,
     max_files_per_trigger: int = 64,
     available_now: bool = True,
-    compact_every: int | None = None,
     update_kwargs: dict | None = None,
     stats: dict | None = None,
 ) -> StreamingQuery:
@@ -97,21 +96,26 @@ def stream_kg_updates(
     long-running 100 TB ingest needs — the committed base is never
     re-tagged.  ``job`` must hold a completed base ``run()``.
 
-    ``compact_every=N`` runs :meth:`KgJob.compact` whenever N completed
-    deltas have accumulated — the LSM cadence that keeps a perpetual
-    stream's union fan-in (and the per-trigger overlap-guard scan)
-    bounded.  Compaction is crash-safe and rolled forward by the next
-    fold, and a replayed batch whose id was already folded is detected
-    via the compaction ledger, so the exactly-once argument above
-    survives compaction interleavings (fuzz-pinned at the job level in
-    ``tests/test_lifecycle_fuzz.py``).
+    Compaction deliberately does NOT run inside ``_fold``: a major
+    compaction rewrites the full mention/link tables (seconds to
+    minutes), and paying that inside a trigger stalls the stream's
+    ingest latency for every co-landing batch.  Use
+    :func:`drain_kg_updates` (or the ``--compact`` CLI maintenance
+    entry) to run it BETWEEN trigger drains on the same single-writer
+    driver — never concurrently with a fold, which would race the
+    checkpoint renames.
 
     ``update_kwargs`` forwards tuning to every :meth:`KgJob.update`
     call (e.g. ``incremental=False``, ``differential_threshold``);
-    ``stats`` (a caller-owned dict) receives ``folded``/``compactions``
-    counters for THIS run — ``job._update_ids()`` after the drain is
-    the post-compaction residue, not the ingest count.
+    ``stats`` (a caller-owned dict) receives a ``folded`` counter and a
+    ``fold_secs`` list for THIS run.  ``folded`` counts REAL folds
+    only: a replayed batch whose update id is already fully applied
+    (crash between the fold commit and the offset commit) is served as
+    a no-op by :meth:`KgJob.update` and not counted —
+    ``job._update_ids()`` after the drain is the post-compaction
+    residue, not the ingest count.
     """
+    import time
 
     stream = (
         spark.readStream.schema(SOURCE_SCHEMA)
@@ -122,14 +126,17 @@ def stream_kg_updates(
     def _fold(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        job.update(batch_df, update_id=f"stream-{batch_id:08d}",
-                   **(update_kwargs or {}))
+        uid = f"stream-{batch_id:08d}"
+        # checked BEFORE the update: a replayed already-applied id is a
+        # no-op inside update() and must not inflate the fold counter
+        applied_before = job.is_applied(uid)
+        t0 = time.perf_counter()
+        job.update(batch_df, update_id=uid, **(update_kwargs or {}))
         if stats is not None:
-            stats["folded"] = stats.get("folded", 0) + 1
-        if compact_every and len(job._update_ids()) >= compact_every:
-            job.compact()
-            if stats is not None:
-                stats["compactions"] = stats.get("compactions", 0) + 1
+            stats.setdefault("fold_secs", []).append(
+                round(time.perf_counter() - t0, 3))
+            if not applied_before:
+                stats["folded"] = stats.get("folded", 0) + 1
 
     writer = (
         stream.writeStream.foreachBatch(_fold)
@@ -138,3 +145,49 @@ def stream_kg_updates(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def drain_kg_updates(
+    spark: SparkSession,
+    input_dir: str,
+    job,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 64,
+    compact_every: int | None = None,
+    update_kwargs: dict | None = None,
+    stats: dict | None = None,
+    timeout_sec: float | None = None,
+) -> dict:
+    """One ingest *slice*: drain the landing-zone backlog
+    (``availableNow``), then — with the stream fully stopped — run the
+    LSM compaction if ``compact_every`` completed deltas accumulated.
+
+    This is the maintenance cadence the round-3 inline design got
+    wrong: compaction is a full mention/link rewrite, so running it
+    inside ``foreachBatch`` stalled that trigger (and every queued
+    batch behind it) for the rewrite's duration.  Here each fold stays
+    delta-proportional and the rewrite happens between drains, where
+    the single-writer invariant is free (the query has terminated) and
+    ingest latency is untouched.  A perpetual pipeline loops this
+    function (land → drain → maintain → sleep); crash-safety is
+    unchanged — a compaction killed mid-install is rolled forward by
+    the next run/update/compact via ``_maybe_finish_compact``.
+
+    Returns the stats dict (``folded``, ``fold_secs``,
+    ``compactions``, ``compacted_deltas``).
+    """
+    stats = stats if stats is not None else {}
+    q = stream_kg_updates(
+        spark, input_dir, job, checkpoint_dir,
+        max_files_per_trigger=max_files_per_trigger,
+        available_now=True, update_kwargs=update_kwargs, stats=stats,
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:  # timed out: stop before any maintenance runs
+        q.stop()
+        q.awaitTermination(30)
+    if compact_every and len(job._update_ids()) >= compact_every:
+        n = job.compact()
+        stats["compactions"] = stats.get("compactions", 0) + 1
+        stats["compacted_deltas"] = stats.get("compacted_deltas", 0) + n
+    return stats

@@ -163,6 +163,39 @@ def test_force_param_change_invalidates_stale_checkpoints(spark, out_dir):
     assert _triples_set(resumed) == _triples_set(fresh)
 
 
+def test_force_param_change_refuses_with_committed_deltas(spark, out_dir):
+    """force + different params with COMMITTED update deltas must
+    refuse: dropping only the base markers would recompute the base
+    with the new params while all_links() still unions delta
+    checkpoints tagged with the OLD params — silently mixing outputs
+    from two parameter sets.  After the deltas are deleted (the
+    explicit operator decision), the forced recompute proceeds."""
+    import shutil
+
+    from ner_spark.schemas import SOURCE_SCHEMA
+    from ner_spark.sources.fixtures import build_source_rows
+
+    rows = build_source_rows(24)
+    base = spark.createDataFrame(rows[:12], SOURCE_SCHEMA)
+    delta = spark.createDataFrame(rows[12:], SOURCE_SCHEMA)
+    KgJob(spark, out_dir, run_id="d1", mode="hybrid").run(base)
+    KgJob(spark, out_dir, run_id="d2", mode="hybrid").update(
+        delta, update_id="u1"
+    )
+    with pytest.raises(ValueError, match="update delta"):
+        KgJob(spark, out_dir, run_id="d3", mode="rules_only",
+              force=True).run(base)
+    # manifest untouched by the refusal: the original params still resume
+    KgJob(spark, out_dir, run_id="d4", mode="hybrid").run(base)
+
+    shutil.rmtree(f"{out_dir}/updates")
+    forced = KgJob(spark, out_dir, run_id="d5", mode="rules_only",
+                   force=True).run(base)
+    fresh = KgJob(spark, out_dir + "_fresh", run_id="d6",
+                  mode="rules_only").run(base)
+    assert _triples_set(forced) == _triples_set(fresh)
+
+
 def test_prewarm_cleans_up_and_noops_on_resume(spark, out_dir):
     import os
 

@@ -12,7 +12,7 @@ import pytest
 from ner_spark.plans.job import KgJob
 from ner_spark.schemas import SOURCE_SCHEMA
 from ner_spark.sources.fixtures import build_source_rows
-from ner_spark.streaming.ingest import stream_kg_updates
+from ner_spark.streaming.ingest import drain_kg_updates
 
 
 @pytest.fixture()
@@ -39,13 +39,11 @@ def _land(spark, rows, path):
     ).parquet(path)
 
 
-def _drain(spark, land, job, chk, compact_every=None):
-    q = stream_kg_updates(
-        spark, land, job, chk, max_files_per_trigger=1, available_now=True,
-        compact_every=compact_every,
+def _drain(spark, land, job, chk, compact_every=None, stats=None):
+    return drain_kg_updates(
+        spark, land, job, chk, max_files_per_trigger=1,
+        compact_every=compact_every, stats=stats, timeout_sec=300,
     )
-    q.awaitTermination(300)
-    assert not q.isActive
 
 
 def test_stream_folds_microbatches_and_equals_fresh_run(spark, dirs):
@@ -72,19 +70,39 @@ def test_stream_folds_microbatches_and_equals_fresh_run(spark, dirs):
 
 def test_stream_with_auto_compaction(spark, dirs):
     """compact_every bounds the delta fan-in of a perpetual stream:
-    after three micro-batches with compact_every=2, at most one
-    uncompacted delta survives and the triples still equal a fresh
-    batch run over the union."""
+    after three micro-batches with compact_every=2, the post-drain
+    maintenance folds every completed delta into the base and the
+    triples still equal a fresh batch run over the union.  The
+    compaction runs strictly AFTER the last fold (off the trigger
+    path) — folds never pay the rewrite."""
     rows = build_source_rows(84)
     job = KgJob(spark, dirs["kg"], run_id="base")
     job.run(spark.createDataFrame(rows[:36], SOURCE_SCHEMA))
 
+    events: list[str] = []
+    real_update, real_compact = job.update, job.compact
+
+    def traced_update(*a, **kw):
+        events.append("fold")
+        return real_update(*a, **kw)
+
+    def traced_compact(*a, **kw):
+        events.append("compact")
+        return real_compact(*a, **kw)
+
+    job.update, job.compact = traced_update, traced_compact
+
     for lo, hi in ((36, 52), (52, 68), (68, 84)):
         _land(spark, rows[lo:hi], dirs["land"])
-    _drain(spark, dirs["land"], job, dirs["chk"], compact_every=2)
+    stats = _drain(spark, dirs["land"], job, dirs["chk"], compact_every=2,
+                   stats={})
 
+    # maintenance ran once, after the final fold — never inside a trigger
+    assert events == ["fold", "fold", "fold", "compact"]
+    assert stats["folded"] == 3 and stats["compactions"] == 1
+    assert stats["compacted_deltas"] == 3
     ids = KgJob(spark, dirs["kg"], run_id="ids")._update_ids()
-    assert len(ids) <= 1  # batches 0+1 folded into the base
+    assert ids == []  # all three deltas folded into the base
     fresh = KgJob(spark, dirs["full"], run_id="f").run(
         spark.createDataFrame(rows, SOURCE_SCHEMA)
     )
@@ -114,7 +132,11 @@ def test_stream_replays_completed_fold_as_noop(spark, dirs):
         update_id="stream-00000000",
     )
     # restart: batch 0 replays over the same file set
-    _drain(spark, dirs["land"], job, dirs["chk"])
+    stats = _drain(spark, dirs["land"], job, dirs["chk"], stats={})
+    # the replayed batch was already fully applied → served as a no-op
+    # and NOT counted as a fold (the 'folded=N' CLI summary stays honest
+    # across crash/replay)
+    assert stats.get("folded", 0) == 0
 
     fresh = KgJob(spark, dirs["full"], run_id="f").run(
         spark.createDataFrame(rows, SOURCE_SCHEMA)
