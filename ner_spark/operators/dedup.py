@@ -306,17 +306,27 @@ def embedding_topk_pairs(
 def embedding_topk_pairs_ivf(
     emb: DataFrame, top_k: int = 20, n_centroids: int = 16,
     seed: int = 7, dim: int = 64,
+    centroids=None,
 ) -> DataFrame:
     """Near-dup pairs blocked by IVF cell instead of a metadata label:
-    the block key is derived from the vector itself (nearest seeded
-    pseudo-centroid, :func:`ner_spark.operators.similarity.ivf_cell_col`),
+    the block key is derived from the vector itself (nearest centroid,
+    :func:`ner_spark.operators.similarity.ivf_cell_col`),
     so the self-join is per-cell quadratic — ~N²/n_centroids at uniform
     fill — with no reliance on any labeling.  At 100 TB the cell id is
     the stored table's partition key, so each block join is
-    partition-local."""
+    partition-local.
+
+    ``centroids`` takes a trained matrix
+    (:func:`~ner_spark.operators.similarity.train_ivf_centroids`) —
+    the production path; per-cell quadratic cost makes BALANCE the
+    whole game here, and trained cells are what keep the largest cell
+    (and so the largest block join) bounded on clustered real-world
+    embeddings.  ``None`` = seeded pseudo-centroids (the
+    deterministic oracle twin)."""
     from ner_spark.operators.similarity import ivf_cell_col, ivf_centroids
 
-    cents = ivf_centroids(dim, n_centroids, seed)
+    cents = centroids if centroids is not None else ivf_centroids(
+        dim, n_centroids, seed)
     dv = F.transform("embedding", lambda x: x.cast("double"))
     v = emb.select(
         "vec_id", ivf_cell_col(dv, cents).alias("block"), dv.alias("v")

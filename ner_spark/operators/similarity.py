@@ -117,6 +117,124 @@ def ivf_centroids(dim: int, n_centroids: int, seed: int = 7) -> np.ndarray:
     return rng.standard_normal((n_centroids, dim))
 
 
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 7,
+    sample_size: int = 4096,
+    max_iters: int = 25,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Deterministic sampled k-means for IVF centroids (the trained
+    replacement for :func:`ivf_centroids`' seeded random matrix).
+
+    Production IVF trains centroids ONCE at table-write time and
+    persists them beside the table (:func:`save_centroids` /
+    :func:`load_centroids`); random centroids assign real, clustered
+    embedding distributions to a few hot cells, which at 100 TB means
+    hot partitions and a useless nprobe fraction.
+
+    Training is spherical Lloyd's on a BOUNDED sample, driver-side:
+
+    - the sample is the ``sample_size`` lowest-``xxhash64(id)`` rows —
+      layout-invariant (no dependence on partition order), unbiased,
+      and one TakeOrderedAndProject over the corpus, so the collect is
+      ~sample_size × dim floats no matter how large the table is;
+    - rows are L2-normalized and k-means++-seeded with a fixed rng, so
+      the result is a pure function of (data, params) — rerunning the
+      trainer on the same table yields bitwise-identical centroids;
+    - centroids stay unit-norm, so :func:`ivf_cell_col`'s argmax-dot
+      assignment is exactly nearest-by-cosine — the training objective
+      and the serving rule agree;
+    - an emptied cluster is reseeded to the sample point worst-covered
+      by the surviving centroids (deterministic ties by index).
+    """
+    rows = (
+        emb.select(F.col(vec_col).alias("v"),
+                   F.xxhash64(F.col(id_col)).alias("h"),
+                   F.col(id_col).alias("i"))
+        .orderBy("h", "i")
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    if x.shape[0] < n_centroids:
+        raise ValueError(
+            f"sample of {x.shape[0]} vectors cannot seed {n_centroids} "
+            "centroids; lower n_centroids or raise sample_size"
+        )
+    norms = np.linalg.norm(x, axis=1)
+    x = x[norms > 0] / norms[norms > 0, None]
+
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding on cosine distance (1 - dot of unit vectors)
+    cents = np.empty((n_centroids, x.shape[1]))
+    cents[0] = x[rng.integers(len(x))]
+    d2 = np.maximum(1.0 - x @ cents[0], 0.0) ** 2
+    for c in range(1, n_centroids):
+        tot = d2.sum()
+        probs = d2 / tot if tot > 0 else np.full(len(x), 1.0 / len(x))
+        cents[c] = x[rng.choice(len(x), p=probs)]
+        d2 = np.minimum(d2, np.maximum(1.0 - x @ cents[c], 0.0) ** 2)
+
+    assign = np.full(len(x), -1)
+    for _ in range(max_iters):
+        sims = x @ cents.T
+        new_assign = sims.argmax(axis=1)
+        if (new_assign == assign).all():
+            break
+        assign = new_assign
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+                    continue
+            # empty (or degenerate) cluster: reseed to the point the
+            # other centroids cover worst
+            cents[c] = x[np.argmin(sims.max(axis=1))]
+    return cents
+
+
+def save_centroids(path: str, cents: np.ndarray) -> None:
+    """Persist a trained centroid matrix as the table-side artifact
+    (``.npy`` — the same write-once role crf_weights plays for the
+    tagger)."""
+    with open(path, "wb") as f:
+        np.save(f, cents)
+
+
+def load_centroids(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        return np.load(f)
+
+
+def ivf_cell_stats(emb: DataFrame, cents: np.ndarray,
+                   vec_col: str = "embedding") -> dict:
+    """Cell-population balance of an IVF assignment: ``max`` / ``mean``
+    over NON-EMPTY cells plus the populated-cell count.  ``balance``
+    (max/mean) near 1.0 means even partitions; a large value means hot
+    cells — the failure mode random centroids produce on clustered
+    data."""
+    v = _as_double(F.col(vec_col))
+    counts = [
+        int(r["n"]) for r in
+        emb.select(ivf_cell_col(v, cents).alias("cell"))
+        .groupBy("cell").agg(F.count("*").alias("n")).collect()
+    ]
+    mean = sum(counts) / len(counts)
+    return {
+        "cells": len(counts),
+        "total_cells": int(cents.shape[0]),
+        "max": max(counts),
+        "mean": round(mean, 1),
+        "balance": round(max(counts) / mean, 2),
+    }
+
+
 def ivf_cell_col(vec_col, cents: np.ndarray) -> F.Column:
     """IVF cell id of a double-array column: argmax over centroid dot
     products, first-max-wins, on dots quantized to 6 decimals (the
@@ -133,17 +251,27 @@ def ann_ivf_topk(
     emb: DataFrame, query_vec: list[float], k: int = 10,
     n_centroids: int = 16, nprobe: int = 2, seed: int = 7,
     exclude_vec_id: int | None = None,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) cells.
 
-    Each vector is assigned to its nearest pseudo-centroid (max dot);
-    the query probes its ``nprobe`` best cells and ranks exact cosine
-    only inside them.  At 100 TB the cell id is the table's partition /
+    Each vector is assigned to its nearest centroid (max dot); the
+    query probes its ``nprobe`` best cells and ranks exact cosine only
+    inside them.  At 100 TB the cell id is the table's partition /
     clustering key, so a probe reads nprobe/n_centroids of the data —
     the classic IVF pruning — and assignment happens once at write
-    time, not per query."""
+    time, not per query.
+
+    ``centroids`` takes a TRAINED matrix (:func:`train_ivf_centroids`,
+    usually via :func:`load_centroids`) — the production path, whose
+    cells track the real embedding distribution.  ``None`` falls back
+    to the seeded pseudo-centroids: fully input-independent, which is
+    what the DuckDB oracle twin (literal centroid matrix baked into
+    static SQL) requires."""
     dim = len(query_vec)
-    cents = ivf_centroids(dim, n_centroids, seed)
+    cents = centroids if centroids is not None else ivf_centroids(
+        dim, n_centroids, seed)
+    n_centroids = int(cents.shape[0])
     qv = np.asarray(query_vec, dtype=np.float64)
     # same quantize-then-first-max rule as the per-row assignment; the
     # SQL oracle ranks the query's cells with round(x+1e-9, 6) (half
