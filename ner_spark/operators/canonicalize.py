@@ -223,47 +223,7 @@ def connected_components(
     labels = nodes.select(F.col("node"), F.col("node").alias("label"))
 
     for it in range(max_iter):
-        if salt_buckets > 1:
-            exploded = labels.select(
-                "node", "label",
-                F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("salt"),
-            )
-            neighbor_labels = (
-                sym.join(
-                    exploded,
-                    (sym.src == exploded.node) & (sym.salt == exploded.salt),
-                )
-                .select(F.col("dst").alias("node"), F.col("label"))
-            )
-        else:
-            neighbor_labels = (
-                sym.join(labels, sym.src == labels.node)
-                .select(F.col("dst").alias("node"), F.col("label"))
-            )
-        new_labels = (
-            labels.unionByName(neighbor_labels)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-        )
-        # pointer jumping (path doubling): each node also adopts its
-        # label's own label.  Labels only ever decrease and every label
-        # is a node id inside the same component, so correctness is
-        # unchanged — but a chain of diameter d now converges in
-        # O(log d) rounds instead of O(d), which keeps deep KB-star
-        # chains from exhausting max_iter at scale.
-        jump = new_labels.select(
-            F.col("node").alias("jn"), F.col("label").alias("jl")
-        )
-        new_labels = (
-            new_labels.alias("a")
-            .join(jump, F.col("a.label") == F.col("jn"), "left")
-            .select(
-                F.col("a.node").alias("node"),
-                F.least(
-                    F.coalesce(F.col("jl"), F.col("a.label")), F.col("a.label")
-                ).alias("label"),
-            )
-        )
+        new_labels = cc_iteration(sym, labels, salt_buckets)
         if checkpoint_every and it % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=True)
 
@@ -284,6 +244,58 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations; "
         "raise max_iter (component diameter exceeds it)"
+    )
+
+
+def cc_iteration(sym: DataFrame, labels: DataFrame,
+                 salt_buckets: int) -> DataFrame:
+    """One min-label-propagation round (the loop body of
+    :func:`connected_components`, exposed so the plan audit can assert
+    the salted-join shape without executing the loop).
+
+    Frontier join: with salting, the label frontier is replicated ×K on
+    ``(node, salt)`` and each edge carries its deterministic
+    ``hash(dst) % K`` salt, so a hub ``src`` fans out across K tasks.
+    Then pointer jumping (path doubling): each node also adopts its
+    label's own label.  Labels only ever decrease and every label is a
+    node id inside the same component, so correctness is unchanged —
+    but a chain of diameter d converges in O(log d) rounds instead of
+    O(d), which keeps deep KB-star chains from exhausting max_iter at
+    scale."""
+    if salt_buckets > 1:
+        exploded = labels.select(
+            "node", "label",
+            F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("salt"),
+        )
+        neighbor_labels = (
+            sym.join(
+                exploded,
+                (sym.src == exploded.node) & (sym.salt == exploded.salt),
+            )
+            .select(F.col("dst").alias("node"), F.col("label"))
+        )
+    else:
+        neighbor_labels = (
+            sym.join(labels, sym.src == labels.node)
+            .select(F.col("dst").alias("node"), F.col("label"))
+        )
+    new_labels = (
+        labels.unionByName(neighbor_labels)
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
+    jump = new_labels.select(
+        F.col("node").alias("jn"), F.col("label").alias("jl")
+    )
+    return (
+        new_labels.alias("a")
+        .join(jump, F.col("a.label") == F.col("jn"), "left")
+        .select(
+            F.col("a.node").alias("node"),
+            F.least(
+                F.coalesce(F.col("jl"), F.col("a.label")), F.col("a.label")
+            ).alias("label"),
+        )
     )
 
 

@@ -452,6 +452,33 @@ class KgJob:
             ))
         )
 
+    def _overlap_clash(self, delta_source: DataFrame) -> DataFrame:
+        """The append-only overlap guard's probe plan: ≤1 row iff some
+        delta (repo, path) key already exists in the base or a prior
+        delta's mention table.  Projects to the key columns BEFORE the
+        union — the guard only needs (repo, path), a schema-drifted
+        delta must not be papered over by allowMissingColumns here only
+        to fail later in all_links/_prepare_compact (which union
+        strictly), and the projection keeps the scan column-pruned.
+        The delta key-set broadcasts (it is delta-sized), so the scan
+        of the 100 TB mention table is one shuffle-free semi-join."""
+        existing = self.spark.read.parquet(
+            self._path("tokenize_tag")
+        ).select("repo", "path")
+        for prev in self._update_ids(stage="tokenize_tag"):
+            existing = existing.unionByName(
+                self.spark.read.parquet(
+                    f"{self.out}/updates/{prev}/tokenize_tag"
+                ).select("repo", "path"),
+                allowMissingColumns=False,
+            )
+        delta_keys = delta_source.select("repo", "path").distinct()
+        return (
+            existing
+            .join(F.broadcast(delta_keys), ["repo", "path"], "left_semi")
+            .limit(1)
+        )
+
     def is_applied(self, update_id: str) -> bool:
         """True iff ``update_id``'s delta is already fully folded into
         the committed derived tables — a re-invocation of :meth:`update`
@@ -670,30 +697,7 @@ class KgJob:
             return self.run(delta_source)
 
         if check_overlap and not resumed:
-            # project to the key columns BEFORE the union: the guard
-            # only needs (repo, path), and a schema-drifted delta must
-            # not be papered over by allowMissingColumns here only to
-            # fail later in all_links/_prepare_compact (which union
-            # strictly) — the key projection is schema-drift-proof and
-            # keeps the scan column-pruned
-            existing = self.spark.read.parquet(
-                self._path("tokenize_tag")
-            ).select("repo", "path")
-            for prev in self._update_ids(stage="tokenize_tag"):
-                existing = existing.unionByName(
-                    self.spark.read.parquet(
-                        f"{self.out}/updates/{prev}/tokenize_tag"
-                    ).select("repo", "path"),
-                    allowMissingColumns=False,
-                )
-            delta_keys = delta_source.select("repo", "path").distinct()
-            clash = (
-                existing
-                .join(F.broadcast(delta_keys), ["repo", "path"], "left_semi")
-                .limit(1)
-                .count()
-            )
-            if clash:
+            if self._overlap_clash(delta_source).count():
                 raise ValueError(
                     "delta contains (repo, path) keys already present in "
                     f"{self.out}; incremental update is append-only — "

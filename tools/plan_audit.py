@@ -240,6 +240,109 @@ def main() -> int:
           "CartesianProduct" not in p
           and "BroadcastNestedLoopJoin" not in p)
 
+    # ---- staged KgJob plans: the contract queries above run in-memory;
+    # these audit the CHECKPOINTED pipeline the CLI/driver actually
+    # executes — each stage's computation exactly as run() builds it,
+    # plus the maintenance-path probes (update overlap guard, committed
+    # triple reads).
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ner_spark.operators.canonicalize import cc_iteration
+    from ner_spark.operators.link import disambiguate, link_mentions
+    from ner_spark.operators.materialize import materialize_triples
+    from ner_spark.operators.tag import extract_mentions
+    from ner_spark.plans.job import KgJob
+    from ner_spark.sources.fixtures import source_table
+
+    def read_schemas(p: str) -> list[str]:
+        return [ln.split("ReadSchema:", 1)[1].strip()
+                for ln in p.splitlines() if "ReadSchema:" in ln]
+
+    tmp = tempfile.mkdtemp(prefix="plan_audit_kg_")
+    try:
+        src = source_table(spark, n_rows=64)
+        p = plans["stage_tokenize_tag"] = plan_of(
+            disambiguate(extract_mentions(src)).drop("context_window"))
+        check("stage_tokenize_tag", "tag+NED stage is a narrow map (no shuffle)",
+              "Exchange hashpartitioning" not in p)
+
+        job = KgJob(spark, tmp, run_id="audit")
+        job.run(src)
+
+        mentions = spark.read.parquet(f"{tmp}/tokenize_tag")
+        p = plans["stage_link"] = plan_of(link_mentions(mentions))
+        check("stage_link", "reference NEL is a pure projection (no join/shuffle)",
+              "Join" not in p and "Exchange" not in p)
+        from ner_spark.operators.link import link_mentions_alias
+
+        p = plans["stage_link_alias"] = plan_of(link_mentions_alias(mentions))
+        check("stage_link_alias", "alias dictionary joins broadcast",
+              "BroadcastHashJoin" in p)
+        check("stage_link_alias", "no cartesian/nested-loop join",
+              "CartesianProduct" not in p
+              and "BroadcastNestedLoopJoin" not in p)
+
+        # one connected-components round (the canonicalize loop body),
+        # in its salted form — the north rule's skew-handling join
+        edges = spark.createDataFrame(
+            [("s:a", "s:b"), ("s:b", "s:c")], "src string, dst string")
+        sym = (
+            edges.union(edges.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+            .distinct()
+            .withColumn("salt", F.pmod(F.xxhash64("dst"), F.lit(8)))
+        )
+        labels = edges.select(F.col("src").alias("node")).union(
+            edges.select("dst")).distinct().select(
+            "node", F.col("node").alias("label"))
+        p = plans["stage_cc_iteration"] = plan_of(cc_iteration(sym, labels, 8))
+        check("stage_cc_iteration", "frontier join is salted (salt in join key)",
+              "salt" in p)
+        check("stage_cc_iteration", "map-side partial min-label aggregation",
+              "partial_min" in p)
+        check("stage_cc_iteration", "no cartesian/nested-loop join",
+              "CartesianProduct" not in p
+              and "BroadcastNestedLoopJoin" not in p)
+
+        links = spark.read.parquet(f"{tmp}/link")
+        entities = spark.read.parquet(f"{tmp}/canonicalize")
+        p = plans["stage_materialize"] = plan_of(
+            materialize_triples(links, entities))
+        check("stage_materialize", "no cartesian/nested-loop join",
+              "CartesianProduct" not in p
+              and "BroadcastNestedLoopJoin" not in p)
+        check("stage_materialize", "map-side partial evidence aggregation",
+              "partial_" in p)
+
+        # the committed triple table is partitioned by pred: a predicate
+        # filter must prune partitions at the scan, not post-filter rows
+        triples = job._read_committed(f"{tmp}/materialize", partitioned=True)
+        p = plans["stage_triples_pruned"] = plan_of(
+            triples.where(F.col("pred") == "DECLARES"))
+        pf = [ln for ln in p.splitlines() if "PartitionFilters:" in ln]
+        check("stage_triples_pruned",
+              "pred filter prunes checkpoint partitions (PartitionFilters)",
+              bool(pf) and all("pred" in ln for ln in pf))
+
+        # update-path overlap guard: delta key-set broadcasts; the
+        # mention-table scan is pruned to the two key columns
+        delta = source_table(spark, n_rows=8)
+        p = plans["stage_overlap_guard"] = plan_of(job._overlap_clash(delta))
+        check("stage_overlap_guard",
+              "broadcast semi-join probe (base never shuffles)",
+              "BroadcastHashJoin" in p and "LeftSemi" in p
+              and "Exchange hashpartitioning" not in p)
+        schemas = read_schemas(p)
+        check("stage_overlap_guard", "mention scan pruned to key columns",
+              bool(schemas)
+              and all(s == "struct<repo:string,path:string>" for s in schemas),
+              f"ReadSchemas: {schemas}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     ok_all = all(ok for _q, _l, ok, _n in checks)
     lines = ["# PLANS — physical-plan audit", "",
              f"`python tools/plan_audit.py` at {SF_DIR} (local[4]).", "",
