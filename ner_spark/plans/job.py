@@ -1171,6 +1171,68 @@ class KgJob:
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.out}/metrics")
 
+    # -- Iceberg publication -----------------------------------------------
+
+    def publish_iceberg(self, table: str,
+                        metrics_table: str | None = None) -> None:
+        """Publish the committed triple table to an Iceberg table — the
+        deploy-time replacement for this repo's parquet + ``_SUCCESS``
+        sidecar protocol at the OUTPUT boundary.
+
+        The internal protocol (atomic renames, sidecar coverage,
+        prepare/_COMMIT/install compaction) is correct for a single
+        writer on a rename-atomic filesystem (HDFS/local); with S3
+        object storage or concurrent readers/writers the answer is a
+        table format whose snapshot commit is the atomicity primitive.
+        This method is that bridge: ``writeTo(table).using("iceberg")``
+        with the same ``pred`` partition spec the checkpoint uses, so
+        readers get partition pruning plus snapshot isolation, and each
+        publish is one atomic ``createOrReplace`` commit (a crashed
+        publish leaves the previous snapshot readable — no torn table).
+
+        Requires an Iceberg-enabled session (runtime jars + a configured
+        catalog); this container has neither, so the method probes first
+        and raises with the deployment recipe instead of a
+        ClassNotFoundException twenty stages deep.  ``table`` is a
+        catalog identifier like ``iceberg.kg.triples``.
+        """
+        if not iceberg_available(self.spark):
+            raise RuntimeError(
+                "Iceberg runtime not on the classpath.  Deploy with\n"
+                "  spark-submit --packages org.apache.iceberg:"
+                "iceberg-spark-runtime-4.0_2.13:<version> \\\n"
+                "    --conf spark.sql.catalog.iceberg="
+                "org.apache.iceberg.spark.SparkCatalog \\\n"
+                "    --conf spark.sql.catalog.iceberg.type=hive|hadoop "
+                "--conf spark.sql.catalog.iceberg.warehouse=<path>\n"
+                "then re-run with --publish-iceberg <catalog.db.table>"
+            )
+        if not self._committed("materialize"):
+            raise ValueError(
+                f"no committed materialize stage in {self.out}; run() first"
+            )
+        triples = self._read_committed(self._path("materialize"),
+                                       partitioned=True)
+        (triples.writeTo(table).using("iceberg")
+         .partitionedBy(F.col("pred")).createOrReplace())
+        if metrics_table:
+            self.metrics().writeTo(metrics_table).using(
+                "iceberg").createOrReplace()
+        self._log_event("publish_iceberg", triples.count())
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is on the session classpath.
+    Class probe only — catalog configuration is still the deployer's
+    job; this gates the publish path (and lets its tests skip cleanly
+    in jar-less environments)."""
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.Transaction")
+        return True
+    except Exception:
+        return False
+
 
 def main() -> None:
     parser = argparse.ArgumentParser(description="NER-Spark KG construction job")
@@ -1215,6 +1277,12 @@ def main() -> None:
                              "the base tokenize_tag/link checkpoints "
                              "(LSM-style major compaction; output-identical, "
                              "bounds the per-update union fan-in)")
+    parser.add_argument("--publish-iceberg", default=None, metavar="TABLE",
+                        help="after the run/update completes, publish the "
+                             "committed triple table to this Iceberg "
+                             "identifier (catalog.db.table) as one atomic "
+                             "snapshot commit — needs the Iceberg runtime "
+                             "jars + a configured catalog (see README)")
     parser.add_argument("--update-id", default=None,
                         help="stable id for this delta under "
                              "{output}/updates/ (pass the same id to "
@@ -1300,9 +1368,12 @@ def main() -> None:
                          incremental=not args.no_incremental,
                          differential_threshold=args.differential_threshold)
         print(f"stage=update rows={out.count()} output={job._path('materialize')}")
-        return
-    out = job.run(source, last_stage=args.stage)
-    print(f"stage={args.stage} rows={out.count()} output={job._path(args.stage)}")
+    else:
+        out = job.run(source, last_stage=args.stage)
+        print(f"stage={args.stage} rows={out.count()} output={job._path(args.stage)}")
+    if args.publish_iceberg:
+        job.publish_iceberg(args.publish_iceberg)
+        print(f"published={args.publish_iceberg}")
 
 
 if __name__ == "__main__":
