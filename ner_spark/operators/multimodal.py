@@ -3,11 +3,15 @@
 A 100 TB training-data pipeline carries images/audio/video as opaque
 ``binary`` columns next to typed metadata; the Spark-side contract —
 schema, Arrow batch shape, ``mapInPandas`` signature, partitioning —
-is what this module makes real.  The actual media *decode* is stubbed
-(no image/audio libs in this container): :func:`decode_stub` raises
-``NotImplementedError`` and :func:`fake_decode_features` supplies a
-deterministic byte-histogram stand-in so the distributed plumbing is
-fully testable.
+is what this module makes real.  The real image decode
+(:func:`decode_stub`) branches by codec: netpbm (PGM/PPM) decodes with
+numpy alone and therefore runs end-to-end even in this
+dependency-free container; other ``image/*`` codecs decode via Pillow
+where installed and raise ``NotImplementedError`` where not.
+Audio/video decode remains an unwired hook (no codec libraries
+anywhere here); :func:`fake_decode_features` supplies a deterministic
+byte-histogram stand-in so the distributed plumbing is fully testable
+independent of codecs.
 
 At scale: feature extraction is a narrow ``mapInPandas`` over the
 binary column (no shuffle); batch size is bounded by
@@ -62,39 +66,91 @@ def docs_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_stub(payload: bytes, mime: str) -> np.ndarray:
-    """Real decoder hook, wired behind import availability.
+NETPBM_MIMES = ("image/x-portable-graymap", "image/x-portable-pixmap",
+                "image/x-portable-anymap")
 
-    When PIL is installed (deploy time) this decodes the image and
-    returns a 16-bin luminance histogram, L1-normed — the same feature
-    shape and normalization as :func:`fake_decode_features`, so the
-    two paths are drop-in interchangeable.  In this container (no
-    media libraries) it raises ``NotImplementedError``; the
-    deterministic stand-in remains the test path.
-    """
-    if not mime.startswith("image/"):
-        # only the image branch is wired; audio/video decode stays a
-        # NotImplementedError hook regardless of installed libraries
-        raise NotImplementedError(
-            f"decode for mime {mime!r} is not wired; only image/* decode "
-            "is implemented (requires Pillow)"
-        )
-    try:
-        from PIL import Image  # optional deploy-time dependency
-    except ImportError as exc:
-        raise NotImplementedError(
-            "image decode requires Pillow, not present in this container"
-        ) from exc
 
-    import io
-
-    img = Image.open(io.BytesIO(payload)).convert("L")
-    arr = np.asarray(img, dtype=np.uint8)
+def _luminance_histogram(arr: np.ndarray) -> np.ndarray:
+    """The shared feature definition for every REAL decode branch:
+    16-bin luminance histogram over uint8 pixels, L1-normed."""
     hist = np.bincount((arr >> 4).ravel(), minlength=16).astype(np.float64)
     s = hist.sum()
     if s == 0:
         return np.zeros(16, dtype=np.float32)
     return (hist / s).astype(np.float32)
+
+
+def _decode_netpbm(payload: bytes) -> np.ndarray:
+    """Pure-numpy decode of binary netpbm images (PGM ``P5`` grayscale /
+    PPM ``P6`` RGB, maxval ≤ 255) → uint8 luminance array.  No media
+    library needed, so this branch of the REAL decode path runs (and is
+    tested end-to-end) even in this dependency-free container."""
+    if not payload[:2] in (b"P5", b"P6"):
+        raise NotImplementedError(
+            "netpbm decode supports binary P5/P6 only "
+            f"(got magic {payload[:2]!r})"
+        )
+    # header: magic, width, height, maxval — whitespace-separated, with
+    # optional '#' comment lines; the raster starts one byte after maxval
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":
+            while i < len(payload) and payload[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace byte after maxval
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm not supported")
+    channels = 1 if payload[:2] == b"P5" else 3
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * channels,
+                           offset=i)
+    if channels == 1:
+        return raster.reshape(h, w)
+    rgb = raster.reshape(h, w, 3).astype(np.float64)
+    # BT.601 luma, same weights PIL's convert("L") uses
+    return (rgb @ np.array([0.299, 0.587, 0.114])).astype(np.uint8)
+
+
+def decode_stub(payload: bytes, mime: str) -> np.ndarray:
+    """Real decoder hook: 16-bin luminance histogram, L1-normed — the
+    same feature shape and normalization as
+    :func:`fake_decode_features`, so the paths are drop-in
+    interchangeable.
+
+    Branches by codec availability: netpbm (P5/P6) decodes with numpy
+    alone, so it works everywhere including this container; every
+    other ``image/*`` mime needs Pillow (deploy-time dependency) and
+    raises ``NotImplementedError`` where it is absent.  Audio/video
+    decode stays an unwired hook regardless of installed libraries.
+    """
+    if not mime.startswith("image/"):
+        raise NotImplementedError(
+            f"decode for mime {mime!r} is not wired; only image/* decode "
+            "is implemented"
+        )
+    if mime in NETPBM_MIMES:
+        return _luminance_histogram(_decode_netpbm(payload))
+    try:
+        from PIL import Image  # optional deploy-time dependency
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"decode for {mime!r} requires Pillow, not present in this "
+            "container (netpbm image/x-portable-* decodes without it)"
+        ) from exc
+
+    import io
+
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    return _luminance_histogram(np.asarray(img, dtype=np.uint8))
 
 
 def fake_decode_features(payloads: pd.Series) -> np.ndarray:
