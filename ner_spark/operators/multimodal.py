@@ -4,14 +4,15 @@ A 100 TB training-data pipeline carries images/audio/video as opaque
 ``binary`` columns next to typed metadata; the Spark-side contract —
 schema, Arrow batch shape, ``mapInPandas`` signature, partitioning —
 is what this module makes real.  The real image decode
-(:func:`decode_stub`) branches by codec: netpbm (PGM/PPM) decodes with
-numpy alone and therefore runs end-to-end even in this
-dependency-free container; other ``image/*`` codecs decode via Pillow
-where installed and raise ``NotImplementedError`` where not.
-Audio/video decode remains an unwired hook (no codec libraries
-anywhere here); :func:`fake_decode_features` supplies a deterministic
-byte-histogram stand-in so the distributed plumbing is fully testable
-independent of codecs.
+(:func:`decode_stub`) branches by codec: netpbm (PGM/PPM) images and
+RIFF PCM WAV audio decode with numpy alone and therefore run
+end-to-end even in this dependency-free container; other ``image/*``
+codecs decode via Pillow where installed and raise
+``NotImplementedError`` where not.  Compressed audio and video decode
+remain unwired hooks (no codec libraries anywhere here);
+:func:`fake_decode_features` supplies a deterministic byte-histogram
+stand-in so the distributed plumbing is fully testable independent of
+codecs.
 
 At scale: feature extraction is a narrow ``mapInPandas`` over the
 binary column (no shuffle); batch size is bounded by
@@ -120,22 +121,58 @@ def _decode_netpbm(payload: bytes) -> np.ndarray:
     return (rgb @ np.array([0.299, 0.587, 0.114])).astype(np.uint8)
 
 
-def decode_stub(payload: bytes, mime: str) -> np.ndarray:
-    """Real decoder hook: 16-bin luminance histogram, L1-normed — the
-    same feature shape and normalization as
-    :func:`fake_decode_features`, so the paths are drop-in
-    interchangeable.
+WAV_MIMES = ("audio/wav", "audio/x-wav", "audio/wave")
 
-    Branches by codec availability: netpbm (P5/P6) decodes with numpy
-    alone, so it works everywhere including this container; every
-    other ``image/*`` mime needs Pillow (deploy-time dependency) and
-    raises ``NotImplementedError`` where it is absent.  Audio/video
-    decode stays an unwired hook regardless of installed libraries.
+
+def _decode_wav(payload: bytes) -> np.ndarray:
+    """Pure-numpy decode of RIFF/WAVE PCM (8- or 16-bit) → uint8
+    amplitude array (16-bit samples are mapped to unsigned 8-bit), so
+    the shared 16-bin histogram applies to audio exactly as to pixels.
+    Container-format parsing only — compressed codecs (mp3/opus/aac)
+    stay behind deploy-time libraries."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("audio decode supports RIFF/WAVE only")
+    i, fmt_code, bits, data = 12, None, None, None
+    while i + 8 <= len(payload):
+        chunk_id = payload[i:i + 4]
+        size = int.from_bytes(payload[i + 4:i + 8], "little")
+        body = payload[i + 8:i + 8 + size]
+        if chunk_id == b"fmt ":
+            fmt_code = int.from_bytes(body[0:2], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif chunk_id == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt_code != 1 or bits not in (8, 16) or data is None:
+        raise NotImplementedError(
+            f"only uncompressed PCM 8/16-bit WAV is wired "
+            f"(fmt={fmt_code}, bits={bits})"
+        )
+    if bits == 8:
+        return np.frombuffer(data, dtype=np.uint8)
+    samples = np.frombuffer(data[:len(data) & ~1], dtype="<i2")
+    return ((samples.astype(np.int32) + 32768) >> 8).astype(np.uint8)
+
+
+def decode_stub(payload: bytes, mime: str) -> np.ndarray:
+    """Real decoder hook: 16-bin histogram over uint8 intensity
+    (luminance for images, amplitude for audio), L1-normed — the same
+    feature shape and normalization as :func:`fake_decode_features`,
+    so the paths are drop-in interchangeable.
+
+    Branches by codec availability: netpbm (P5/P6) images and RIFF PCM
+    WAV audio decode with numpy alone, so they work everywhere
+    including this container; every other ``image/*`` mime needs
+    Pillow (deploy-time dependency) and raises ``NotImplementedError``
+    where it is absent.  Compressed audio and video decode stay
+    unwired hooks regardless of installed libraries.
     """
+    if mime in WAV_MIMES:
+        return _luminance_histogram(_decode_wav(payload))
     if not mime.startswith("image/"):
         raise NotImplementedError(
-            f"decode for mime {mime!r} is not wired; only image/* decode "
-            "is implemented"
+            f"decode for mime {mime!r} is not wired; image/* and PCM "
+            "audio/wav decode are implemented"
         )
     if mime in NETPBM_MIMES:
         return _luminance_histogram(_decode_netpbm(payload))

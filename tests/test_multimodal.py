@@ -26,12 +26,43 @@ def test_decode_stub_raises_without_pil():
         decode_stub(b"\x89PNG...", "image/png")
 
 
-def test_decode_stub_non_image_mime_raises_regardless_of_pil():
-    # the contract is NotImplementedError = "path not wired"; a wav
+def test_decode_stub_unwired_mime_raises_regardless_of_pil():
+    # the contract is NotImplementedError = "path not wired"; a video
     # payload must not fall through to the image decoder when Pillow
     # happens to be installed (it would raise UnidentifiedImageError)
-    with pytest.raises(NotImplementedError, match="audio/wav"):
-        decode_stub(b"RIFF....WAVE", "audio/wav")
+    with pytest.raises(NotImplementedError, match="video/mp4"):
+        decode_stub(b"\x00\x00\x00 ftypmp42", "video/mp4")
+
+
+def _wav(samples: np.ndarray, bits: int = 16) -> bytes:
+    data = (samples.astype("<i2").tobytes() if bits == 16
+            else samples.astype(np.uint8).tobytes())
+    fmt = (b"\x01\x00\x01\x00" + (8000).to_bytes(4, "little")
+           + (8000 * bits // 8).to_bytes(4, "little")
+           + (bits // 8).to_bytes(2, "little") + bits.to_bytes(2, "little"))
+    body = (b"WAVEfmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(data).to_bytes(4, "little") + data)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_decode_real_wav_without_any_media_library():
+    # full-scale int16 sweep → every uint8 bin hit uniformly
+    samples = (np.arange(256, dtype=np.int32) * 256 - 32768).astype("<i2")
+    feats = decode_stub(_wav(samples), "audio/wav")
+    assert feats.shape == (16,) and abs(float(feats.sum()) - 1.0) < 1e-5
+    assert np.allclose(feats, 1.0 / 16)
+    # 8-bit branch: constant mid-scale amplitude → one bin
+    feats8 = decode_stub(_wav(np.full(64, 200), bits=8), "audio/x-wav")
+    expect = np.zeros(16, dtype=np.float32)
+    expect[200 >> 4] = 1.0
+    assert np.array_equal(feats8, expect)
+
+
+def test_decode_wav_rejects_compressed_codecs():
+    bad = _wav(np.zeros(4, dtype="<i2"))
+    bad = bad.replace(b"\x01\x00\x01\x00", b"\x55\x00\x01\x00", 1)  # fmt=0x55 (mp3)
+    with pytest.raises(NotImplementedError, match="PCM"):
+        decode_stub(bad, "audio/wav")
 
 
 def test_decode_stub_real_path_matches_feature_shape():
