@@ -153,19 +153,15 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     kg_sec = min(kg_times)
     queries["kg_pipeline"] = kg_sec
 
-    # --- per-operator headline queries (timed with a noop sink);
-    # SPARK_GRAFT_BENCH_QUERIES=0 skips them (scaling-only iteration)
+    # --- per-operator queries: EVERY contract key gets a wall-time
+    # (timed with a noop sink — full plan execution, no driver collect);
+    # SPARK_GRAFT_BENCH_QUERIES=0 skips them (scaling-only iteration).
+    # The NLP-kernel keys (mentions_*, kg_*, hmm_*, sota_gliner, ...)
+    # run over the in-memory fixture corpus, so their absolute numbers
+    # are sf-independent microbenchmarks; the sf-scans are the rest.
     q = em.queries()
-    for name in () if os.environ.get("SPARK_GRAFT_BENCH_QUERIES") == "0" else (
-        "dedup_exact", "dedup_ngram_jaccard", "minhash_lsh_dedup",
-        "simhash_buckets", "text_quality", "token_counts", "lang_id",
-        "doc_fingerprint", "similarity_topk", "ann_lsh", "ann_ivf",
-        "embedding_near_dup", "embedding_near_dup_ivf",
-        "media_features", "tpch_pricing",
-        "top_customers", "events_hourly", "events_sessions",
-        "dataset_split", "stratified_sample", "vocab_topk",
-        "curate_corpus",
-    ):
+    for name in (() if os.environ.get("SPARK_GRAFT_BENCH_QUERIES") == "0"
+                 else sorted(q)):
         t0 = time.perf_counter()
         _noop_write(q[name](spark, sf_dir))
         queries[name] = round(time.perf_counter() - t0, 3)
@@ -306,6 +302,152 @@ as `tests/test_rust_differential.py`).  Measured result, copied from
         f.write(md)
 
 
+def run_data_scaling(sf_dir: str, cpus: str, factor: int = 3) -> None:
+    """DATA-scaling evidence (the core-scaling twin of ``--scaling``):
+    the same job at the same parallelism over 1× and ``factor``× the
+    corpus.  A plan whose shuffles/partitioning hold should keep
+    docs/sec ≈ flat as data grows (linear wall clock); a super-linear
+    blow-up exposes a shape that would not survive 100 TB.
+
+    - kg_pipeline scales via SPARK_GRAFT_BENCH_MULT (the bench corpus
+      is already replication-built, so ``factor``× MULT ≡ an sf0.3
+      corpus when sf_dir=sf0.1) — run in subprocesses exactly like the
+      core-scaling legs, steal telemetry included.
+    - the dedup trio scales via a ``factor``×-replicated documents
+      table written to a temp dir (per-replica-uniquified text, so each
+      replica preserves the original duplicate structure and near-dup
+      workload instead of adding cross-replica exact dups).
+
+    Writes BENCH/DATA_SCALING.md and prints one JSON line.
+    """
+    import shutil
+    import tempfile
+
+    base_mult = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "192"))
+    legs = {}
+    for label, mult in (("1x", base_mult), (f"{factor}x", base_mult * factor)):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                   SPARK_GRAFT_SF_DIR=sf_dir,
+                   SPARK_GRAFT_BENCH_MULT=str(mult),
+                   SPARK_GRAFT_BENCH_QUERIES="0")
+        env.setdefault("NER_SPARK_DRIVER_MEM", "24g")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        legs[label] = json.loads(out.stdout.strip().splitlines()[-1])
+        print(out.stdout.strip().splitlines()[-1])
+    kg_eff = round(legs[f"{factor}x"]["docs_per_sec"]
+                   / legs["1x"]["docs_per_sec"], 3)
+
+    # dedup trio over a replicated documents table (in-process)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as SF
+
+    from ner_spark.session import get_spark
+    import __spark_entry__ as em
+
+    spark = get_spark("ner-spark-data-scaling", master=f"local[{cpus}]",
+                      shuffle_partitions=max(int(cpus) * 2, 8))
+    tmp = tempfile.mkdtemp(prefix="bench_sfscale_")
+    dedup = {}
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_docs = docs.count()
+        reps = spark.range(factor).select(SF.col("id").alias("rep"))
+        (docs.crossJoin(reps)
+         .withColumn("doc_id",
+                     SF.col("doc_id") * factor + SF.col("rep"))
+         .withColumn("text", SF.concat("text", SF.lit(" rep"),
+                                       SF.col("rep").cast("string")))
+         .drop("rep")
+         .write.mode("overwrite").parquet(f"{tmp}/documents.parquet"))
+        q = em.queries()
+        for name in ("dedup_exact", "dedup_ngram_jaccard", "minhash_lsh_dedup"):
+            times = {}
+            for label, d in (("1x", sf_dir), (f"{factor}x", tmp)):
+                best = None
+                for _ in range(3):  # best-of-3: strip codegen + steal noise
+                    t0 = time.perf_counter()
+                    _noop_write(q[name](spark, d))
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                times[label] = round(best, 3)
+            # docs/sec ratio at factor× data = data-scaling efficiency
+            dedup[name] = {
+                **times,
+                "efficiency": round(
+                    (factor * n_docs / times[f"{factor}x"])
+                    / (n_docs / times["1x"]), 3),
+            }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+    summary = {
+        "metric": "data_scaling_efficiency",
+        "value": kg_eff,
+        "unit": "ratio",
+        "factor": factor,
+        "cpus": int(cpus),
+        "kg_docs_per_sec_1x": legs["1x"]["docs_per_sec"],
+        f"kg_docs_per_sec_{factor}x": legs[f"{factor}x"]["docs_per_sec"],
+        "kg_docs_1x": legs["1x"]["docs"],
+        f"kg_docs_{factor}x": legs[f"{factor}x"]["docs"],
+        "steal_mean_pct": [legs["1x"].get("steal_mean_pct"),
+                           legs[f"{factor}x"].get("steal_mean_pct")],
+        "dedup": dedup,
+        "sf": legs["1x"]["sf"],
+    }
+    print(json.dumps(summary))
+
+    rows = "\n".join(
+        f"| {name} | {v['1x']} | {v[f'{factor}x']} | {v['efficiency']} |"
+        for name, v in dedup.items()
+    )
+    md = f"""# BENCH — data scaling ({factor}× corpus, same cores)
+
+Same jobs, same local[{cpus}] parallelism, {factor}× the input — the
+complement of BASELINE.md's core-scaling table.  Efficiency =
+throughput at {factor}× data / throughput at 1× (flat docs/sec ⇒ wall
+clock linear in data ⇒ the plan shape survives growth).
+
+KG pipeline (bench corpus via SPARK_GRAFT_BENCH_MULT {base_mult} vs
+{base_mult * factor}; best-of-{len(legs['1x'].get('kg_repeats', [0]))}
+repeats per leg, subprocess-isolated):
+
+| corpus | docs | docs/sec | kg_pipeline sec | mean steal % |
+|---|---|---|---|---|
+| 1× | {legs['1x']['docs']} | {legs['1x']['docs_per_sec']} | {legs['1x']['value']} | {legs['1x'].get('steal_mean_pct')} |
+| {factor}× | {legs[f'{factor}x']['docs']} | {legs[f'{factor}x']['docs_per_sec']} | {legs[f'{factor}x']['value']} | {legs[f'{factor}x'].get('steal_mean_pct')} |
+
+**KG data-scaling efficiency = {kg_eff}** (1.0 = perfectly linear
+wall clock; BELOW ~0.9 would flag a plan shape that degrades with
+volume).  Values above 1 are expected and real here: the derived
+canonicalize/materialize stages are sized by the ENTITY graph, which
+is constant under corpus replication (triples stay
+{legs['1x']['triples']} at both sizes), so growing the corpus grows
+only the linear tag/link work and amortizes the fixed per-run stage
+overhead — exactly the regime a 100 TB run with a bounded entity
+vocabulary lives in.
+
+Dedup trio over the driver documents table vs a {factor}×
+per-replica-uniquified copy (seconds, best of 3; efficiency as above):
+
+| query | 1× sec | {factor}× sec | efficiency |
+|---|---|---|---|
+{rows}
+
+The replication keeps each replica's duplicate/near-dup structure
+intact (suffix varies only per replica), so the {factor}× leg is the
+same workload at {factor}× volume, not an easier or harder one.
+"""
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "DATA_SCALING.md"), "w") as f:
+        f.write(md)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -314,6 +456,12 @@ def main() -> None:
             sf_dir,
             low=int(os.environ.get("SPARK_GRAFT_BENCH_LOW", "2")),
             high=int(os.environ.get("SPARK_GRAFT_BENCH_HIGH", "8")),
+        )
+        return
+    if "--data-scaling" in sys.argv:
+        run_data_scaling(
+            sf_dir, cpus,
+            factor=int(os.environ.get("SPARK_GRAFT_BENCH_FACTOR", "3")),
         )
         return
     print(json.dumps(run_bench(sf_dir, cpus)))
