@@ -178,14 +178,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(spark, sf), _query_vec(spark, sf), k=10, exclude_vec_id=0
         )
 
-    def q_media_features(spark, sf):
+    def _quant_features(mf):
         # serialize the 16-d feature vector for the contract surface:
         # the driver canonicalizer sorts columns, which raw arrays break.
         # Quantized to 1e-4 ints (floor(x·10⁴ + .5) — identical double
         # arithmetic on both engines since float32→double is exact).
-        mf = multimodal.extract_media_features(
-            multimodal.docs_as_media(_docs(spark, sf))
-        )
         quant = F.transform(
             "features",
             lambda x: F.floor(x.cast("double") * 10000 + F.lit(0.5)).cast("string"),
@@ -194,6 +191,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", "modality", "n_bytes",
             F.concat_ws(",", quant).alias("features_q"),
         )
+
+    def q_media_features(spark, sf):
+        return _quant_features(multimodal.extract_media_features(
+            multimodal.docs_as_media(_docs(spark, sf))
+        ))
+
+    def q_media_features_netpbm(spark, sf):
+        # REAL decode path: text bytes wrapped as binary P5 PGM, decoded
+        # by the actual netpbm decoder (no stand-in anywhere).
+        return _quant_features(multimodal.extract_media_features(
+            multimodal.docs_as_netpbm(_docs(spark, sf)), use_stub=False
+        ))
+
+    def q_media_features_wav(spark, sf):
+        # REAL decode path: text bytes as 8-bit PCM RIFF/WAVE samples,
+        # decoded by the actual WAV chunk walker (no stand-in anywhere).
+        return _quant_features(multimodal.extract_media_features(
+            multimodal.docs_as_wav(_docs(spark, sf)), use_stub=False
+        ))
 
     def q_tpch_pricing(spark, sf):
         return A.tpch_pricing_summary(_tbl(spark, sf, "lineitem"))
@@ -319,6 +335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "media_features": q_media_features,
+        "media_features_netpbm": q_media_features_netpbm,
+        "media_features_wav": q_media_features_wav,
         "tpch_pricing": q_tpch_pricing,
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
@@ -540,6 +558,24 @@ _MEDIA_FEATS = ", ".join(
     for ch in "0123456789abcdef"
 )
 _MEDIA_ZEROS = ",".join(["0"] * 16)
+
+
+def _media_oracle(modality: str, n_bytes_expr: str) -> str:
+    """Shared nibble-histogram oracle: the feature vector is the L1-normed
+    16-bin histogram of the text's UTF-8 bytes' high nibbles — identical
+    for the byte-histogram stand-in AND for the real netpbm/WAV decodes,
+    whose rasters/samples ARE those bytes; only the container framing
+    (and hence ``n_bytes``) differs per key."""
+    return f"""
+WITH h AS (SELECT doc_id AS media_id, lower(hex(encode(text))) AS hx FROM documents),
+n AS (SELECT media_id, hx, len(hx) // 2 AS nb FROM h),
+nib AS (SELECT media_id, nb,
+  list_transform(generate_series(1, nb), i -> hx[2*i-1]) AS cs FROM n)
+SELECT media_id, '{modality}' AS modality, CAST({n_bytes_expr} AS BIGINT) AS n_bytes,
+  CASE WHEN nb = 0 THEN '{_MEDIA_ZEROS}'
+       ELSE concat_ws(',', {_MEDIA_FEATS}) END AS features_q
+FROM nib
+"""
 
 
 def _sql_esc(s: str) -> str:
@@ -1009,16 +1045,13 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "mentions_hybrid": _mentions_oracle("hybrid"),
         "mentions_crf": _mentions_oracle("crf_only"),
         "sota_gliner": _sota_gold_oracle(),
-        "media_features": f"""
-WITH h AS (SELECT doc_id AS media_id, lower(hex(encode(text))) AS hx FROM documents),
-n AS (SELECT media_id, hx, len(hx) // 2 AS nb FROM h),
-nib AS (SELECT media_id, nb,
-  list_transform(generate_series(1, nb), i -> hx[2*i-1]) AS cs FROM n)
-SELECT media_id, 'image' AS modality, CAST(nb AS BIGINT) AS n_bytes,
-  CASE WHEN nb = 0 THEN '{_MEDIA_ZEROS}'
-       ELSE concat_ws(',', {_MEDIA_FEATS}) END AS features_q
-FROM nib
-""",
+        "media_features": _media_oracle("image", "nb"),
+        # real-decode twins: same nibble histogram, container-framed n_bytes
+        # (PGM header 'P5\\n{nb} 1\\n255\\n' = 10 + digits(nb); WAV = 44-byte
+        # canonical RIFF/fmt/data header)
+        "media_features_netpbm": _media_oracle(
+            "image", "nb + 10 + len(CAST(nb AS VARCHAR))"),
+        "media_features_wav": _media_oracle("audio", "nb + 44"),
         "simhash_buckets": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 h AS (

@@ -67,6 +67,70 @@ def docs_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def docs_as_netpbm(docs: DataFrame) -> DataFrame:
+    """Adapt the documents table into REAL media: each text's UTF-8
+    bytes become the raster of a binary 1-row PGM (``P5``) image, so
+    :func:`decode_stub` exercises the actual netpbm decode end-to-end.
+    Pure Catalyst expressions (header concat + binary concat) — at
+    production scale the payloads arrive already encoded and this
+    adapter disappears."""
+    nb = F.octet_length("text")
+    header = F.concat(F.lit("P5\n"), nb.cast("string"), F.lit(" 1\n255\n"))
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.lit("image/x-portable-graymap").alias("mime"),
+        F.concat(F.encode(header, "UTF-8"),
+                 F.encode("text", "UTF-8")).alias("payload"),
+        nb.cast("int").alias("width"),
+        F.lit(1).alias("height"),
+        F.lit(0).alias("duration_ms"),
+    )
+
+
+def docs_as_wav(docs: DataFrame) -> DataFrame:
+    """Adapt the documents table into REAL audio: each text's UTF-8
+    bytes become the sample data of an 8-bit mono PCM RIFF/WAVE file
+    (standard 44-byte header), so :func:`decode_stub` exercises the
+    actual WAV decode end-to-end.  The header needs little-endian u32
+    fields, which Catalyst cannot splice into binary — a vectorized
+    pandas UDF builds it (fixture adapter only; production payloads
+    arrive already encoded)."""
+
+    @F.pandas_udf(BinaryType())
+    def wav_wrap(text: pd.Series) -> pd.Series:
+        def wrap(t: str | None) -> bytes:
+            data = (t or "").encode("utf-8")
+            nb = len(data)
+            sample_rate = 8000
+            header = (
+                b"RIFF" + (36 + nb).to_bytes(4, "little") + b"WAVE"
+                + b"fmt " + (16).to_bytes(4, "little")
+                + (1).to_bytes(2, "little")            # PCM
+                + (1).to_bytes(2, "little")            # mono
+                + sample_rate.to_bytes(4, "little")
+                + sample_rate.to_bytes(4, "little")    # byte rate (8-bit mono)
+                + (1).to_bytes(2, "little")            # block align
+                + (8).to_bytes(2, "little")            # bits per sample
+                + b"data" + nb.to_bytes(4, "little")
+            )
+            return header + data
+
+        return text.map(wrap)
+
+    nb = F.octet_length("text")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("modality"),
+        F.lit("audio/wav").alias("mime"),
+        wav_wrap(F.col("text")).alias("payload"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        # 8-bit mono at 8 kHz: one sample per byte
+        (nb.cast("long") * 1000 / 8000).cast("int").alias("duration_ms"),
+    )
+
+
 NETPBM_MIMES = ("image/x-portable-graymap", "image/x-portable-pixmap",
                 "image/x-portable-anymap")
 
@@ -219,8 +283,10 @@ def extract_media_features(media: DataFrame, use_stub: bool = True) -> DataFrame
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             feats = (fake_decode_features(pdf["payload"]) if use_stub
-                     else np.stack([decode_stub(p, m) for p, m in
+                     else np.stack([decode_stub(bytes(p), m) for p, m in
                                     zip(pdf["payload"], pdf["mime"])]))
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],

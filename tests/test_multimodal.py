@@ -135,6 +135,43 @@ def test_extract_media_features_real_decode_end_to_end(spark):
         assert np.array_equal(got[i], expect), i
 
 
+def test_docs_as_netpbm_roundtrips_text_bytes(spark):
+    """docs_as_netpbm frames text bytes as a 1-row P5 raster; the real
+    netpbm decoder must recover exactly those bytes (container framing
+    is lossless), including multi-byte UTF-8 and the empty string."""
+    from ner_spark.operators.multimodal import _decode_netpbm, docs_as_netpbm
+
+    texts = ["hello world", "naïve — café", ""]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    rows = {r["media_id"]: r for r in docs_as_netpbm(docs).collect()}
+    for i, t in enumerate(texts):
+        raw = t.encode("utf-8")
+        payload = bytes(rows[i]["payload"])
+        assert payload == b"P5\n%d 1\n255\n" % len(raw) + raw
+        assert rows[i]["width"] == len(raw)
+        if raw:
+            assert _decode_netpbm(payload).tobytes() == raw
+
+
+def test_docs_as_wav_roundtrips_text_bytes(spark):
+    """docs_as_wav frames text bytes as 8-bit PCM samples behind the
+    canonical 44-byte RIFF header; the real WAV chunk walker must
+    recover exactly those bytes."""
+    from ner_spark.operators.multimodal import _decode_wav, docs_as_wav
+
+    texts = ["hello world", "naïve — café", ""]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    rows = {r["media_id"]: r for r in docs_as_wav(docs).collect()}
+    for i, t in enumerate(texts):
+        raw = t.encode("utf-8")
+        payload = bytes(rows[i]["payload"])
+        assert len(payload) == 44 + len(raw)
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        assert _decode_wav(payload).tobytes() == raw
+
+
 def test_fake_decode_shape_and_norm():
     import pandas as pd
 
