@@ -211,6 +211,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             multimodal.docs_as_wav(_docs(spark, sf)), use_stub=False
         ))
 
+    def q_media_features_y4m(spark, sf):
+        # REAL decode path: text bytes as the luma plane of a
+        # single-frame monochrome YUV4MPEG2 stream, decoded by the
+        # actual y4m frame parser (no stand-in anywhere).
+        return _quant_features(multimodal.extract_media_features(
+            multimodal.docs_as_y4m(_docs(spark, sf)), use_stub=False
+        ))
+
     def q_tpch_pricing(spark, sf):
         return A.tpch_pricing_summary(_tbl(spark, sf, "lineitem"))
 
@@ -337,6 +345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_features_netpbm": q_media_features_netpbm,
         "media_features_wav": q_media_features_wav,
+        "media_features_y4m": q_media_features_y4m,
         "tpch_pricing": q_tpch_pricing,
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
@@ -1052,6 +1061,10 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "media_features_netpbm": _media_oracle(
             "image", "nb + 10 + len(CAST(nb AS VARCHAR))"),
         "media_features_wav": _media_oracle("audio", "nb + 44"),
+        # y4m header 'YUV4MPEG2 W{nb} H1 F25:1 Ip A1:1 Cmono\n' (35 +
+        # digits(nb)) + 'FRAME\n' (6)
+        "media_features_y4m": _media_oracle(
+            "video", "nb + 41 + len(CAST(nb AS VARCHAR))"),
         "simhash_buckets": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 h AS (

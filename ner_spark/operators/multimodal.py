@@ -5,11 +5,12 @@ A 100 TB training-data pipeline carries images/audio/video as opaque
 schema, Arrow batch shape, ``mapInPandas`` signature, partitioning —
 is what this module makes real.  The real image decode
 (:func:`decode_stub`) branches by codec: netpbm (PGM/PPM) images and
-RIFF PCM WAV audio decode with numpy alone and therefore run
-end-to-end even in this dependency-free container; other ``image/*``
-codecs decode via Pillow where installed and raise
-``NotImplementedError`` where not.  Compressed audio and video decode
-remain unwired hooks (no codec libraries anywhere here);
+RIFF PCM WAV audio and YUV4MPEG2 (``.y4m``) uncompressed video decode
+with numpy alone and therefore run end-to-end even in this
+dependency-free container; other ``image/*`` codecs decode via Pillow
+where installed and raise ``NotImplementedError`` where not.
+Compressed audio/video codecs remain unwired hooks (no codec
+libraries anywhere here);
 :func:`fake_decode_features` supplies a deterministic byte-histogram
 stand-in so the distributed plumbing is fully testable independent of
 codecs.
@@ -131,6 +132,27 @@ def docs_as_wav(docs: DataFrame) -> DataFrame:
     )
 
 
+def docs_as_y4m(docs: DataFrame) -> DataFrame:
+    """Adapt the documents table into REAL video: each text's UTF-8
+    bytes become the luma plane of a single-frame monochrome
+    YUV4MPEG2 stream, so :func:`decode_stub` exercises the actual y4m
+    parser end-to-end.  Pure Catalyst expressions, like
+    :func:`docs_as_netpbm`."""
+    nb = F.octet_length("text")
+    header = F.concat(F.lit("YUV4MPEG2 W"), nb.cast("string"),
+                      F.lit(" H1 F25:1 Ip A1:1 Cmono\nFRAME\n"))
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("modality"),
+        F.lit("video/x-yuv4mpeg").alias("mime"),
+        F.concat(F.encode(header, "UTF-8"),
+                 F.encode("text", "UTF-8")).alias("payload"),
+        nb.cast("int").alias("width"),
+        F.lit(1).alias("height"),
+        F.lit(40).alias("duration_ms"),  # one frame at 25 fps
+    )
+
+
 NETPBM_MIMES = ("image/x-portable-graymap", "image/x-portable-pixmap",
                 "image/x-portable-anymap")
 
@@ -218,6 +240,64 @@ def _decode_wav(payload: bytes) -> np.ndarray:
     return ((samples.astype(np.int32) + 32768) >> 8).astype(np.uint8)
 
 
+Y4M_MIMES = ("video/x-yuv4mpeg", "video/x-yuv4mpeg2")
+
+_Y4M_PLANE_FACTOR = {  # luma+chroma bytes per pixel, as a rational
+    b"C420": (3, 2), b"C420jpeg": (3, 2), b"C420paldv": (3, 2),
+    b"C420mpeg2": (3, 2), b"C422": (2, 1), b"C444": (3, 1),
+    b"Cmono": (1, 1),
+}
+
+
+def _y4m_frames(payload: bytes) -> Iterator[np.ndarray]:
+    """Pure-numpy frame iterator over YUV4MPEG2 (``.y4m``) uncompressed
+    video: yields each frame's luma (Y) plane as a uint8 array.  Real
+    public container format (ffmpeg's raw-video interchange), parsed
+    from the spec: a space-separated ``YUV4MPEG2`` header line, then
+    ``FRAME`` lines each followed by W×H luma bytes plus the chroma
+    planes of the declared subsampling (skipped — luminance histograms
+    need Y only).  Compressed codecs stay behind deploy-time
+    libraries."""
+    if payload[:9] != b"YUV4MPEG2":
+        raise NotImplementedError("video decode supports YUV4MPEG2 only")
+    eol = payload.index(b"\n")
+    w = h = None
+    factor = _Y4M_PLANE_FACTOR[b"C420"]  # spec default is 4:2:0
+    for param in payload[9:eol].split():
+        if param[:1] == b"W":
+            w = int(param[1:])
+        elif param[:1] == b"H":
+            h = int(param[1:])
+        elif param[:1] == b"C":
+            if param not in _Y4M_PLANE_FACTOR:
+                raise NotImplementedError(
+                    f"y4m chroma mode {param!r} not wired")
+            factor = _Y4M_PLANE_FACTOR[param]
+    if w is None or h is None:
+        raise NotImplementedError("y4m header missing W/H")
+    luma, num, den = w * h, *factor
+    frame_bytes = luma * num // den
+    i = eol + 1
+    while i < len(payload):
+        if payload[i:i + 5] != b"FRAME":
+            raise NotImplementedError("malformed y4m FRAME marker")
+        i = payload.index(b"\n", i) + 1  # FRAME may carry parameters
+        if i + frame_bytes > len(payload):
+            raise NotImplementedError("truncated y4m frame")
+        yield np.frombuffer(payload, dtype=np.uint8, count=luma, offset=i)
+        i += frame_bytes
+
+
+def _decode_y4m(payload: bytes, every_n: int = 1) -> np.ndarray:
+    """All (or every Nth) frames' luma planes, concatenated — the video
+    analogue of the image/audio decoders, feeding the same histogram."""
+    planes = [p for k, p in enumerate(_y4m_frames(payload))
+              if k % every_n == 0]
+    if not planes:
+        return np.zeros(0, dtype=np.uint8)
+    return np.concatenate(planes)
+
+
 def decode_stub(payload: bytes, mime: str) -> np.ndarray:
     """Real decoder hook: 16-bin histogram over uint8 intensity
     (luminance for images, amplitude for audio), L1-normed — the same
@@ -233,6 +313,8 @@ def decode_stub(payload: bytes, mime: str) -> np.ndarray:
     """
     if mime in WAV_MIMES:
         return _luminance_histogram(_decode_wav(payload))
+    if mime in Y4M_MIMES:
+        return _luminance_histogram(_decode_y4m(payload))
     if not mime.startswith("image/"):
         raise NotImplementedError(
             f"decode for mime {mime!r} is not wired; image/* and PCM "
@@ -298,12 +380,52 @@ def extract_media_features(media: DataFrame, use_stub: bool = True) -> DataFrame
     return narrow.mapInPandas(run, schema=MEDIA_FEATURES_SCHEMA)
 
 
+FRAME_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_no", IntegerType()),
+    StructField("features", ArrayType(FloatType())),
+])
+
+
+def extract_frame_features(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """Per-sampled-frame features over y4m video: one output row per
+    kept frame (every ``every_n``-th), each carrying that frame's
+    16-bin luma histogram from the REAL :func:`_y4m_frames` parser.
+
+    Narrow ``mapInPandas`` like :func:`extract_media_features` — the
+    fan-out happens inside the batch, so frames of one video are
+    emitted together; repartition by (media_id, frame_no) downstream
+    if per-frame work needs spreading."""
+    narrow = media.select("media_id", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            frame_nos: list[int] = []
+            feats: list[np.ndarray] = []
+            for mid, blob in zip(pdf["media_id"], pdf["payload"]):
+                for k, plane in enumerate(_y4m_frames(bytes(blob))):
+                    if k % every_n:
+                        continue
+                    ids.append(mid)
+                    frame_nos.append(k)
+                    feats.append(_luminance_histogram(plane))
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_no": pd.Series(frame_nos, dtype="int32"),
+                "features": feats,
+            })
+
+    return narrow.mapInPandas(run, schema=FRAME_FEATURES_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled frame
-    timestamp (posexplode of a sequence column) — the decode of each
-    frame is the stubbed step.  Demonstrates the explode-then-decode
-    partitioning: frames of one video stay in one partition unless
-    repartitioned by (media_id, frame_no) for decode parallelism."""
+    timestamp (posexplode of a sequence column) — pair with
+    :func:`extract_frame_features` for the actual per-frame decode.
+    Demonstrates the explode-then-decode partitioning: frames of one
+    video stay in one partition unless repartitioned by
+    (media_id, frame_no) for decode parallelism."""
     frames = media.where(F.col("duration_ms") > 0).select(
         "media_id", "mime",
         F.posexplode(F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms)))

@@ -172,6 +172,80 @@ def test_docs_as_wav_roundtrips_text_bytes(spark):
         assert _decode_wav(payload).tobytes() == raw
 
 
+def _y4m(frames: list[np.ndarray], chroma: str = "C420") -> bytes:
+    """Well-formed YUV4MPEG2 stream: luma planes given, chroma planes
+    zero-filled per the declared subsampling."""
+    h, w = frames[0].shape
+    chroma_bytes = {"C420": w * h // 2, "C422": w * h, "C444": w * h * 2,
+                    "Cmono": 0}[chroma]
+    out = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 %s\n" % (w, h, chroma.encode())
+    for f in frames:
+        out += b"FRAME\n" + f.astype(np.uint8).tobytes() + b"\x00" * chroma_bytes
+    return out
+
+
+def test_decode_real_y4m_without_any_media_library():
+    """YUV4MPEG2 video decodes with numpy alone: luma planes only,
+    chroma skipped per the declared subsampling."""
+    from ner_spark.operators.multimodal import _decode_y4m, decode_stub
+
+    frames = [np.full((4, 4), v, dtype=np.uint8) for v in (0, 100, 255)]
+    for chroma in ("C420", "C422", "C444", "Cmono"):
+        raw = _decode_y4m(_y4m(frames, chroma))
+        assert raw.shape == (48,)
+        assert np.array_equal(raw, np.repeat([0, 100, 255], 16))
+    feats = decode_stub(_y4m(frames), "video/x-yuv4mpeg")
+    expect = np.zeros(16, dtype=np.float32)
+    expect[[0, 100 >> 4, 255 >> 4]] = np.float32(1 / 3)
+    assert np.array_equal(feats, expect)
+
+
+def test_decode_y4m_frame_sampling_and_rejects():
+    from ner_spark.operators.multimodal import _decode_y4m, decode_stub
+
+    frames = [np.full((2, 2), v, dtype=np.uint8) for v in range(5)]
+    sampled = _decode_y4m(_y4m(frames), every_n=2)  # frames 0, 2, 4
+    assert np.array_equal(sampled, np.repeat([0, 2, 4], 4))
+    with pytest.raises(NotImplementedError, match="YUV4MPEG2"):
+        decode_stub(b"\x00\x00\x00 ftypmp42", "video/x-yuv4mpeg")
+    with pytest.raises(NotImplementedError, match="truncated"):
+        _decode_y4m(_y4m(frames)[:-3])
+    with pytest.raises(NotImplementedError, match="C411"):
+        _decode_y4m(b"YUV4MPEG2 W2 H2 C411\nFRAME\n\x00\x00\x00\x00")
+
+
+def test_extract_frame_features_per_frame(spark):
+    """One row per sampled frame through the distributed mapInPandas
+    path, each the real per-frame luma histogram."""
+    from ner_spark.operators.multimodal import extract_frame_features
+
+    frames = [np.full((2, 2), 16 * v, dtype=np.uint8) for v in range(4)]
+    rows = [(7, "video", "video/x-yuv4mpeg", bytearray(_y4m(frames)),
+             2, 2, 160)]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, mime string, payload binary,"
+              " width int, height int, duration_ms int")
+    got = sorted(
+        (r["frame_no"], np.argmax(r["features"]))
+        for r in extract_frame_features(media, every_n=2).collect())
+    assert got == [(0, 0), (2, 2)]
+
+
+def test_docs_as_y4m_roundtrips_text_bytes(spark):
+    from ner_spark.operators.multimodal import _decode_y4m, docs_as_y4m
+
+    texts = ["hello world", "naïve — café", ""]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    rows = {r["media_id"]: r for r in docs_as_y4m(docs).collect()}
+    for i, t in enumerate(texts):
+        raw = t.encode("utf-8")
+        payload = bytes(rows[i]["payload"])
+        assert payload == (b"YUV4MPEG2 W%d H1 F25:1 Ip A1:1 Cmono\nFRAME\n"
+                           % len(raw)) + raw
+        assert _decode_y4m(payload).tobytes() == raw
+
+
 def test_fake_decode_shape_and_norm():
     import pandas as pd
 
