@@ -1,0 +1,135 @@
+"""Decoder fuzz: the real media decoders sit in a distributed
+mapInPandas hot path, where an uncontrolled exception (IndexError,
+struct overrun, infinite loop) from one malformed blob kills the whole
+stage.  Contract under fuzz: for ARBITRARY bytes every decoder either
+raises NotImplementedError (the documented "not wired / malformed"
+signal) or returns a well-formed uint8 array; and every well-formed
+payload roundtrips its raster/samples exactly.
+
+No Spark session needed — these are the pure kernels the executors run.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ner_spark.operators.multimodal import (
+    _decode_netpbm,
+    _decode_wav,
+    _decode_y4m,
+    _luminance_histogram,
+    decode_stub,
+)
+
+# IndexError/ValueError from slicing and int() parses are acceptable
+# alongside NotImplementedError: they fail the task loudly rather than
+# hanging or returning garbage.  What must NEVER happen is a non-error
+# return of the wrong dtype/shape or a hang.
+_CONTROLLED = (NotImplementedError, ValueError, IndexError)
+
+
+def _check_decoder(fn, payload: bytes) -> None:
+    try:
+        out = fn(payload)
+    except _CONTROLLED:
+        return
+    assert isinstance(out, np.ndarray)
+    assert out.dtype == np.uint8
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=256))
+def test_netpbm_never_uncontrolled(payload):
+    _check_decoder(_decode_netpbm, payload)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=256))
+def test_netpbm_magic_prefix_never_uncontrolled(payload):
+    _check_decoder(_decode_netpbm, b"P5" + payload)
+    _check_decoder(_decode_netpbm, b"P6" + payload)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=256))
+def test_wav_never_uncontrolled(payload):
+    _check_decoder(_decode_wav, payload)
+    _check_decoder(_decode_wav, b"RIFF\x10\x00\x00\x00WAVE" + payload)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=256))
+def test_y4m_never_uncontrolled(payload):
+    _check_decoder(_decode_y4m, payload)
+    _check_decoder(_decode_y4m, b"YUV4MPEG2 " + payload)
+    _check_decoder(_decode_y4m, b"YUV4MPEG2 W4 H2 Cmono\n" + payload)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=128), st.sampled_from(
+    ["image/x-portable-graymap", "audio/wav", "video/x-yuv4mpeg",
+     "image/png", "video/mp4", "application/x-unknown"]))
+def test_decode_stub_dispatch_never_uncontrolled(payload, mime):
+    try:
+        out = decode_stub(payload, mime)
+    except _CONTROLLED:
+        return
+    assert out.shape == (16,) and out.dtype == np.float32
+    s = float(out.sum())
+    assert s == 0.0 or abs(s - 1.0) < 1e-5
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(1, 16), st.integers(1, 16), st.data())
+def test_pgm_roundtrip(w, h, data):
+    arr = np.asarray(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h,
+                           max_size=w * h)), dtype=np.uint8).reshape(h, w)
+    payload = b"P5\n%d %d\n255\n" % (w, h) + arr.tobytes()
+    assert np.array_equal(_decode_netpbm(payload), arr)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(0, 255), min_size=0, max_size=64))
+def test_wav8_roundtrip(samples):
+    data = bytes(samples)
+    fmt = (b"\x01\x00\x01\x00" + (8000).to_bytes(4, "little")
+           + (8000).to_bytes(4, "little") + b"\x01\x00\x08\x00")
+    body = (b"WAVEfmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(data).to_bytes(4, "little") + data)
+    payload = b"RIFF" + len(body).to_bytes(4, "little") + body
+    assert _decode_wav(payload).tobytes() == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 8), st.integers(1, 8), st.integers(1, 4),
+       st.sampled_from(["C420", "C422", "C444", "Cmono"]), st.data())
+def test_y4m_roundtrip(w, h, nframes, chroma, data):
+    if chroma == "C420" and (w % 2 or h % 2):
+        w, h = w * 2, h * 2  # 4:2:0 needs even dimensions
+    chroma_bytes = {"C420": w * h // 2, "C422": w * h,
+                    "C444": w * h * 2, "Cmono": 0}[chroma]
+    frames = [
+        np.asarray(data.draw(st.lists(st.integers(0, 255), min_size=w * h,
+                                      max_size=w * h)), dtype=np.uint8)
+        for _ in range(nframes)
+    ]
+    payload = b"YUV4MPEG2 W%d H%d %s\n" % (w, h, chroma.encode())
+    for f in frames:
+        payload += b"FRAME\n" + f.tobytes() + b"\x7f" * chroma_bytes
+    assert np.array_equal(_decode_y4m(payload), np.concatenate(frames))
+
+
+def test_histogram_of_empty_is_zero_vector():
+    out = _luminance_histogram(np.zeros(0, dtype=np.uint8))
+    assert np.array_equal(out, np.zeros(16, dtype=np.float32))
+
+
+@pytest.mark.parametrize("n", [1, 255, 256, 4096])
+def test_histogram_l1_norm(n):
+    rng = np.random.default_rng(n)
+    out = _luminance_histogram(rng.integers(0, 256, n, dtype=np.uint8))
+    assert abs(float(out.sum()) - 1.0) < 1e-5
