@@ -185,6 +185,25 @@ def main() -> int:
           "Exchange hashpartitioning" not in p.split("MapInPandas")[0]
           if "MapInPandas" in p else False)
 
+    # the real-decode twins (netpbm/wav/y4m framing) must keep the same
+    # narrow shape — the container adapter is projection-only
+    for media_key in ("media_features_netpbm", "media_features_wav",
+                      "media_features_y4m"):
+        p = plans[media_key] = plan_of(q[media_key](spark, SF_DIR))
+        check(media_key, "narrow mapInPandas (no Exchange before it)",
+              "Exchange hashpartitioning" not in p.split("MapInPandas")[0]
+              if "MapInPandas" in p else False)
+
+    from ner_spark.operators.multimodal import (
+        docs_as_y4m, extract_frame_features,
+    )
+
+    docs_df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plans["frame_features"] = plan_of(
+        extract_frame_features(docs_as_y4m(docs_df)))
+    check("frame_features", "per-frame fan-out stays narrow (no Exchange)",
+          "Exchange" not in p and "MapInPandas" in p)
+
     mentions = q["mentions_hybrid"](spark, SF_DIR)
     p = plans["mentions_hybrid"] = plan_of(mentions)
     check("mentions_hybrid", "tag stage is a narrow map (no shuffle)",
