@@ -211,6 +211,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             multimodal.docs_as_wav(_docs(spark, sf)), use_stub=False
         ))
 
+    def q_frame_features_y4m(spark, sf):
+        # REAL per-frame decode: text bytes chopped into fixed 8-byte
+        # luma frames of one multi-frame y4m stream per doc; the y4m
+        # parser yields every frame, extract_frame_features emits one
+        # row per frame with that frame's real histogram.
+        quant = F.transform(
+            "features",
+            lambda x: F.floor(x.cast("double") * 10000 + F.lit(0.5)).cast("string"),
+        )
+        return multimodal.extract_frame_features(
+            multimodal.docs_as_y4m_frames(_docs(spark, sf))
+        ).select(
+            "media_id", "frame_no",
+            F.concat_ws(",", quant).alias("features_q"),
+        )
+
     def q_media_features_y4m(spark, sf):
         # REAL decode path: text bytes as the luma plane of a
         # single-frame monochrome YUV4MPEG2 stream, decoded by the
@@ -346,6 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features_netpbm": q_media_features_netpbm,
         "media_features_wav": q_media_features_wav,
         "media_features_y4m": q_media_features_y4m,
+        "frame_features_y4m": q_frame_features_y4m,
         "tpch_pricing": q_tpch_pricing,
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
@@ -1065,6 +1082,20 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         # digits(nb)) + 'FRAME\n' (6)
         "media_features_y4m": _media_oracle(
             "video", "nb + 41 + len(CAST(nb AS VARCHAR))"),
+        # per-frame twin: one row per full 8-byte frame, each frame's
+        # nibble histogram over its own 8 bytes (nb = 8 in _MEDIA_FEATS)
+        "frame_features_y4m": f"""
+WITH h AS (SELECT doc_id AS media_id, lower(hex(encode(text))) AS hx FROM documents),
+n AS (SELECT media_id, hx, len(hx) // 2 AS nbytes FROM h),
+f AS (SELECT media_id, hx, CAST(u.k AS INT) AS frame_no
+      FROM n, UNNEST(generate_series(0, nbytes // 8 - 1)) AS u(k)),
+nib AS (SELECT media_id, frame_no, 8 AS nb,
+  list_transform(generate_series(1, 8),
+                 i -> hx[2 * (frame_no * 8 + i) - 1]) AS cs FROM f)
+SELECT media_id, frame_no,
+  concat_ws(',', {_MEDIA_FEATS}) AS features_q
+FROM nib
+""",
         "simhash_buckets": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 h AS (

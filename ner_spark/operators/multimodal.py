@@ -153,6 +153,36 @@ def docs_as_y4m(docs: DataFrame) -> DataFrame:
     )
 
 
+def docs_as_y4m_frames(docs: DataFrame, frame_w: int = 8) -> DataFrame:
+    """Adapt the documents table into REAL multi-frame video: the
+    text's UTF-8 bytes are chopped into fixed ``frame_w``-byte luma
+    frames of a monochrome YUV4MPEG2 stream (y4m frames are fixed
+    size, so tail bytes that don't fill a frame are dropped).  Pure
+    Catalyst: the FRAME sections are spliced with a higher-order
+    aggregate over binary concat — no Python in the adapter.  The
+    explicit empty-frame guard matters: Spark's ``sequence(0, -1)``
+    counts DOWN, so zero-frame docs must short-circuit."""
+    nfr = F.expr(f"CAST(octet_length(text) / {frame_w} AS INT)")
+    frames = F.expr(
+        f"aggregate(transform(sequence(0, CAST(octet_length(text) / {frame_w} AS INT) - 1), "
+        f"i -> concat(X'4652414D450A', substring(encode(text, 'UTF-8'), i * {frame_w} + 1, {frame_w}))), "
+        "CAST(X'' AS BINARY), (acc, x) -> concat(acc, x))"
+    )
+    header = F.lit(f"YUV4MPEG2 W{frame_w} H1 F25:1 Ip A1:1 Cmono\n")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("modality"),
+        F.lit("video/x-yuv4mpeg").alias("mime"),
+        F.concat(
+            F.encode(header, "UTF-8"),
+            F.when(nfr > 0, frames).otherwise(F.expr("CAST(X'' AS BINARY)")),
+        ).alias("payload"),
+        F.lit(frame_w).alias("width"),
+        F.lit(1).alias("height"),
+        (nfr * 40).alias("duration_ms"),  # 25 fps
+    )
+
+
 NETPBM_MIMES = ("image/x-portable-graymap", "image/x-portable-pixmap",
                 "image/x-portable-anymap")
 

@@ -231,6 +231,24 @@ def test_extract_frame_features_per_frame(spark):
     assert got == [(0, 0), (2, 2)]
 
 
+def test_docs_as_y4m_frames_chops_fixed_frames(spark):
+    """Multi-frame adapter: full 8-byte frames only (fixed y4m frame
+    size), tail dropped; empty/short texts produce a frameless stream;
+    the real parser recovers each frame exactly."""
+    from ner_spark.operators.multimodal import _y4m_frames, docs_as_y4m_frames
+
+    texts = ["0123456789abcdefXYZ",  # 2 frames + 3 tail bytes dropped
+             "short", ""]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    rows = {r["media_id"]: r for r in docs_as_y4m_frames(docs).collect()}
+    frames0 = [p.tobytes() for p in _y4m_frames(bytes(rows[0]["payload"]))]
+    assert frames0 == [b"01234567", b"89abcdef"]
+    assert rows[0]["duration_ms"] == 80
+    for i in (1, 2):
+        assert list(_y4m_frames(bytes(rows[i]["payload"]))) == []
+
+
 def test_docs_as_y4m_roundtrips_text_bytes(spark):
     from ner_spark.operators.multimodal import _decode_y4m, docs_as_y4m
 

@@ -188,7 +188,7 @@ def main() -> int:
     # the real-decode twins (netpbm/wav/y4m framing) must keep the same
     # narrow shape — the container adapter is projection-only
     for media_key in ("media_features_netpbm", "media_features_wav",
-                      "media_features_y4m"):
+                      "media_features_y4m", "frame_features_y4m"):
         p = plans[media_key] = plan_of(q[media_key](spark, SF_DIR))
         check(media_key, "narrow mapInPandas (no Exchange before it)",
               "Exchange hashpartitioning" not in p.split("MapInPandas")[0]
