@@ -227,6 +227,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.concat_ws(",", quant).alias("features_q"),
         )
 
+    def q_media_near_dup(spark, sf):
+        # composed multimodal curation: REAL netpbm decode → histogram
+        # features → dominant-bin-blocked cosine near-dup pairs
+        return multimodal.media_topk_pairs(multimodal.extract_media_features(
+            multimodal.docs_as_netpbm(_docs(spark, sf)), use_stub=False
+        ))
+
     def q_media_features_y4m(spark, sf):
         # REAL decode path: text bytes as the luma plane of a
         # single-frame monochrome YUV4MPEG2 stream, decoded by the
@@ -363,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features_wav": q_media_features_wav,
         "media_features_y4m": q_media_features_y4m,
         "frame_features_y4m": q_frame_features_y4m,
+        "media_near_dup": q_media_near_dup,
         "tpch_pricing": q_tpch_pricing,
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
@@ -1082,6 +1090,28 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         # digits(nb)) + 'FRAME\n' (6)
         "media_features_y4m": _media_oracle(
             "video", "nb + 41 + len(CAST(nb AS VARCHAR))"),
+        # composed multimodal near-dup: per-doc 16-bin histogram (REAL
+        # float32 rounding, like _MEDIA_FEATS), dominant-bin blocking,
+        # per-block cosine pairs, global top-20 — mirrors
+        # media_topk_pairs over the real netpbm decode
+        "media_near_dup": f"""
+WITH h AS (SELECT doc_id AS media_id, lower(hex(encode(text))) AS hx FROM documents),
+n AS (SELECT media_id, hx, len(hx) // 2 AS nb FROM h WHERE len(hx) > 0),
+nib AS (SELECT media_id, nb,
+  list_transform(generate_series(1, nb), i -> hx[2*i-1]) AS cs FROM n),
+v AS (SELECT media_id, [{", ".join(
+    "CAST(CAST(CAST(len(list_filter(cs, c -> c = '" + ch
+    + "')) AS DOUBLE) / nb AS REAL) AS DOUBLE)" for ch in "0123456789abcdef")}]
+  AS hv FROM nib),
+bk AS (SELECT media_id, hv, list_position(hv, list_max(hv)) AS block FROM v),
+pairs AS (
+  SELECT a.media_id AS vec_a, b2.media_id AS vec_b,
+    round({_COS.format(a="a.hv", b="b2.hv")} + 1e-9, 4) AS cos_sim
+  FROM bk a JOIN bk b2 ON a.block = b2.block AND a.media_id < b2.media_id)
+SELECT vec_a, vec_b, cos_sim FROM (
+  SELECT *, row_number() OVER (ORDER BY cos_sim DESC, vec_a, vec_b) AS rk
+  FROM pairs) WHERE rk <= 20
+""",
         # per-frame twin: one row per full 8-byte frame, each frame's
         # nibble histogram over its own 8 bytes (nb = 8 in _MEDIA_FEATS)
         "frame_features_y4m": f"""

@@ -449,6 +449,28 @@ def extract_frame_features(media: DataFrame, every_n: int = 1) -> DataFrame:
     return narrow.mapInPandas(run, schema=FRAME_FEATURES_SCHEMA)
 
 
+def media_topk_pairs(features: DataFrame, top_k: int = 20) -> DataFrame:
+    """Near-duplicate media pairs over decoded feature vectors: the
+    composed multimodal-curation shape (real decode → histogram
+    features → blocked cosine pairs).
+
+    Blocking is content-derived — the dominant histogram bin (first
+    argmax) — so the self-join stays per-block quadratic with no
+    metadata needed, same contract as
+    :func:`ner_spark.operators.dedup.embedding_topk_pairs_ivf`; at
+    100 TB swap the block for a trained IVF cell over the same
+    vectors.  Zero vectors (empty payloads) are dropped — their cosine
+    is undefined and NaN ordering is engine-specific."""
+    from ner_spark.operators.dedup import _topk_cosine_pairs
+
+    v = features.select(
+        F.col("media_id").alias("vec_id"),
+        F.array_position("features", F.array_max("features")).alias("block"),
+        F.transform("features", lambda x: x.cast("double")).alias("v"),
+    ).where(F.array_max("v") > 0)
+    return _topk_cosine_pairs(v, top_k)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled frame
     timestamp (posexplode of a sequence column) — pair with

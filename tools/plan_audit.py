@@ -52,7 +52,7 @@ def main() -> int:
 
     topk_queries = ("similarity_topk", "ann_lsh", "ann_ivf",
                     "dedup_ngram_jaccard", "embedding_near_dup",
-                    "embedding_near_dup_ivf")
+                    "embedding_near_dup_ivf", "media_near_dup")
     for name in topk_queries:
         p = plans[name] = plan_of(q[name](spark, SF_DIR))
         check(name, "TakeOrderedAndProject (distributed heap top-k)",
