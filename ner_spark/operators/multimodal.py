@@ -440,6 +440,11 @@ def extract_frame_features(media: DataFrame, every_n: int = 1) -> DataFrame:
                     ids.append(mid)
                     frame_nos.append(k)
                     feats.append(_luminance_histogram(plane))
+            if not ids:
+                # an all-frameless batch must yield nothing: an empty
+                # DataFrame defaults the features column to float64,
+                # which Arrow cannot cast to list<float>
+                continue
             yield pd.DataFrame({
                 "media_id": pd.Series(ids, dtype="int64"),
                 "frame_no": pd.Series(frame_nos, dtype="int32"),

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
-from hypothesis import given, settings
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from ner_spark.operators.multimodal import (
@@ -121,6 +121,63 @@ def test_y4m_roundtrip(w, h, nframes, chroma, data):
     for f in frames:
         payload += b"FRAME\n" + f.tobytes() + b"\x7f" * chroma_bytes
     assert np.array_equal(_decode_y4m(payload), np.concatenate(frames))
+
+
+@st.composite
+def unicode_corpora(draw):
+    n = draw(st.integers(min_value=1, max_value=8))
+    docs = []
+    for i in range(n):
+        # full unicode (multibyte UTF-8, combining marks) plus forced
+        # edge shapes: empty, shorter-than-one-frame, exact frame fits
+        text = draw(st.one_of(
+            st.text(max_size=24),
+            st.sampled_from(["", "é", "1234567", "12345678",
+                             "é" * 4, "\U0001f600 ok"]),
+        ))
+        docs.append((i, text))
+    return docs
+
+
+_MEDIA_KEYS = ("media_features", "media_features_netpbm",
+               "media_features_wav", "media_features_y4m",
+               "frame_features_y4m", "media_near_dup")
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(unicode_corpora())
+def test_media_contract_keys_match_oracles_on_random_corpora(
+        spark, tmp_path_factory, docs):
+    """The EXACT contract paths (framing adapters + real decoders +
+    float32 quantization) against their DuckDB oracles on random
+    unicode corpora — multibyte UTF-8 is where byte-vs-char length
+    confusion in the framing or the hex-nibble oracle would surface."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from tests.oracle_compare import assert_df_matches_duckdb as _compare
+
+    sf_dir = str(tmp_path_factory.mktemp("media_fuzz"))
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    spark.createDataFrame(
+        pdf.assign(doc_id=pdf.doc_id.astype("int64"))
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    q, osql = entrymod.queries(), entrymod.oracle_sql()
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet/*.parquet'")
+        for key in _MEDIA_KEYS:
+            _compare(q[key](spark, sf_dir), con, osql[key], name=key)
+    finally:
+        con.close()
 
 
 def test_histogram_of_empty_is_zero_vector():
