@@ -317,6 +317,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return entities_fuzzy_gold(spark)
 
+    def q_kg_entity_degree(spark, sf):
+        # analytics over the constructed KG: per-node in/out triple
+        # counts + evidence mass (two map-side-combinable groupBys)
+        from ner_spark.plans.kg_analytics import entity_degree
+        from ner_spark.plans.kg_gold import kg_triples_gold
+
+        return entity_degree(kg_triples_gold(spark))
+
+    def q_kg_pagerank(spark, sf):
+        # fixed-3-iteration PageRank over the triple graph; rank
+        # quantized to 1e-6 ints for the hash compare (float sums are
+        # order-dependent across engines)
+        from ner_spark.plans.kg_analytics import pagerank
+        from ner_spark.plans.kg_gold import kg_triples_gold
+
+        return pagerank(kg_triples_gold(spark), iterations=3).select(
+            "node",
+            F.floor(F.col("rank") * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("rank_q"),
+        )
+
     def q_dataset_split(spark, sf):
         return curate.dataset_split(_docs(spark, sf))
 
@@ -384,6 +406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "kg_triples_tagged": q_kg_triples_tagged,
         "kg_entities_fuzzy": q_kg_entities_fuzzy,
+        "kg_entity_degree": q_kg_entity_degree,
+        "kg_pagerank": q_kg_pagerank,
         "sota_gliner": q_sota_gliner,
         "dataset_split": q_dataset_split,
         "stratified_sample": q_stratified_sample,
@@ -737,6 +761,66 @@ def _kg_gold_oracle() -> str:
     return _kg_gold_men_sql() + _kg_chain_sql()
 
 
+def _kg_degree_oracle() -> str:
+    """SQL twin of plans.kg_analytics.entity_degree over the gold
+    triples: two GROUP BYs full-outer-joined on the node id.  The kg
+    CTE is MATERIALIZED — DuckDB inlines plain CTEs per reference, and
+    the expensive gold-KG chain is referenced twice here."""
+    return f"""WITH kg AS MATERIALIZED ({_kg_gold_oracle()}),
+o AS (SELECT subj AS node, count(*) AS out_degree,
+             sum(evidence_count) AS out_evidence FROM kg GROUP BY subj),
+i AS (SELECT obj AS node, count(*) AS in_degree,
+             sum(evidence_count) AS in_evidence FROM kg GROUP BY obj)
+SELECT coalesce(o.node, i.node) AS node,
+  CAST(coalesce(out_degree, 0) AS BIGINT) AS out_degree,
+  CAST(coalesce(in_degree, 0) AS BIGINT) AS in_degree,
+  CAST(coalesce(out_evidence, 0) AS BIGINT) AS out_evidence,
+  CAST(coalesce(in_evidence, 0) AS BIGINT) AS in_evidence
+FROM o FULL OUTER JOIN i ON o.node = i.node
+"""
+
+
+def _kg_pagerank_oracle(iterations: int = 3, damping: float = 0.85) -> str:
+    """SQL twin of plans.kg_analytics.pagerank: the fixed iteration
+    count unrolls into chained CTEs (contrib sum + dangling-mass scalar
+    + rank update per round).  Damping goes through CAST(.. AS DOUBLE)
+    so both engines run the identical IEEE expression; ranks quantize
+    to 1e-6 ints for the hash compare.
+
+    Every CTE in the chain is MATERIALIZED: DuckDB inlines plain CTEs
+    once per reference, and r{{k}} is referenced by c{{k+1}}, d{{k+1}}
+    (and r0's base by everything above it), so an inlined unroll
+    re-evaluates the expensive gold-KG chain combinatorially — minutes
+    instead of seconds at sf0.001."""
+    d = f"CAST({damping} AS DOUBLE)"
+    steps = []
+    for k in range(1, iterations + 1):
+        p = k - 1
+        steps.append(f""",
+c{k} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(r.rank / od.od) AS contrib
+  FROM e JOIN r{p} r ON e.src = r.node JOIN od ON od.node = e.src
+  GROUP BY e.dst),
+d{k} AS MATERIALIZED (
+  SELECT coalesce(sum(r.rank), 0.0) AS dang
+  FROM r{p} r LEFT JOIN od ON od.node = r.node WHERE od.node IS NULL),
+r{k} AS MATERIALIZED (
+  SELECT v.node,
+    (1.0 - {d}) / (SELECT n FROM nn)
+      + {d} * (coalesce(c{k}.contrib, 0.0)
+               + (SELECT dang FROM d{k}) / (SELECT n FROM nn)) AS rank
+  FROM v LEFT JOIN c{k} ON v.node = c{k}.node)""")
+    return f"""WITH kg AS MATERIALIZED ({_kg_gold_oracle()}),
+e AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst FROM kg),
+v AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+od AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM v){''.join(steps)}
+SELECT node, CAST(floor(rank * 1000000 + 0.5) AS BIGINT) AS rank_q
+FROM r{iterations}
+"""
+
+
 def _kg_entities_fuzzy_oracle(threshold: float = 0.5) -> str:
     """SQL twin of plans.kg_gold.entities_fuzzy_gold: the gold NEL
     table's surfaces canonicalized over shared-KB-id edges PLUS exact
@@ -1076,6 +1160,8 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "kg_triples": _kg_gold_oracle(),
         "kg_triples_tagged": _kg_tagged_oracle(),
         "kg_entities_fuzzy": _kg_entities_fuzzy_oracle(),
+        "kg_entity_degree": _kg_degree_oracle(),
+        "kg_pagerank": _kg_pagerank_oracle(),
         "mentions_hybrid": _mentions_oracle("hybrid"),
         "mentions_crf": _mentions_oracle("crf_only"),
         "sota_gliner": _sota_gold_oracle(),

@@ -1,0 +1,138 @@
+"""Analytics over the constructed knowledge graph.
+
+The KG pipeline (tag → link → canonicalize → materialize, reference
+ner-core/src/kg.rs pipeline stages) ends at a triples table
+``(subj, pred, obj, evidence_count)``.  A KG is only useful if you can
+*query* it, so this module adds the graph-analytics layer a consumer
+of that table needs: per-node degree/evidence statistics and a
+fixed-iteration distributed PageRank.
+
+Scale shape: the triples table is the *derived* graph — orders of
+magnitude smaller than the 100 TB corpus it was extracted from (the
+entity vocabulary saturates long before the corpus does, see
+BENCH/DATA_SCALING.md).  Still, both operators are written for a big
+graph, not a small one:
+
+- ``entity_degree`` is two map-side-combinable ``groupBy``s plus one
+  full-outer join on the node id — no driver-side state at all.
+- ``pagerank`` keeps every per-iteration scalar (node count, dangling
+  mass) *in-plan* as a broadcast one-row DataFrame instead of
+  ``.collect()``-ing it to the driver, truncates lineage with an eager
+  ``localCheckpoint`` per iteration (same discipline as
+  :func:`ner_spark.operators.canonicalize.connected_components`), and
+  leaves the hot-node contribution ``groupBy`` to AQE skew handling —
+  the contribution sum is map-side combinable, so a hub entity's
+  in-edges partial-aggregate before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def entity_degree(triples: DataFrame) -> DataFrame:
+    """Per graph node (entities plus repo:/kb:/category literals):
+    out/in triple counts and out/in evidence mass.
+
+    (node, out_degree, in_degree, out_evidence, in_evidence) — missing
+    sides coalesced to 0, so ``sum(out_degree) == sum(in_degree) ==
+    count(triples)`` holds as an invariant.
+    """
+    out = triples.groupBy(F.col("subj").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree"),
+        F.sum("evidence_count").alias("out_evidence"),
+    )
+    inn = triples.groupBy(F.col("obj").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_degree"),
+        F.sum("evidence_count").alias("in_evidence"),
+    )
+    zero = F.lit(0).cast("bigint")
+    return out.join(inn, "node", "full_outer").select(
+        "node",
+        F.coalesce("out_degree", zero).alias("out_degree"),
+        F.coalesce("in_degree", zero).alias("in_degree"),
+        F.coalesce("out_evidence", zero).alias("out_evidence"),
+        F.coalesce("in_evidence", zero).alias("in_evidence"),
+    )
+
+
+def pagerank(
+    triples: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the directed triple graph.
+
+    Edges are the **distinct** (subj, obj) pairs (multi-predicate
+    parallel edges collapse — a repo that both DECLARES and is
+    MENTIONED_WITH an entity counts once).  Dangling nodes (no
+    out-edges — e.g. ``kb:`` and category leaves) redistribute their
+    rank uniformly, so total mass is conserved at every iteration:
+
+        r'(v) = (1-d)/N + d * (Σ_{u→v} r(u)/outdeg(u) + D/N)
+
+    with D = Σ rank over dangling nodes.  Exactly ``iterations`` rounds
+    are run (no convergence test), which is what makes the computation
+    expressible as a chained-CTE DuckDB oracle
+    (``__spark_entry__._kg_pagerank_oracle``) — each round is pure
+    relational algebra over the previous round's rank table.
+
+    Returns (node, rank) with Σ rank = 1 (up to float error).
+    """
+    e = (
+        triples.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+    )
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+    v = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if checkpoint:
+        v = v.localCheckpoint(eager=True)
+
+    # one-row scalars stay in-plan: broadcast-joined, never collected
+    n_df = v.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    od = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("od")
+    )
+
+    ranks = v.join(F.broadcast(n_df)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    teleport = F.lit(1.0) - F.lit(damping)  # same FP expr as the SQL twin
+
+    for _ in range(iterations):
+        with_od = ranks.join(od, "node", "left")
+        contrib = (
+            with_od.where(F.col("od").isNotNull())
+            .join(e, F.col("node") == F.col("src"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("od")).alias("contrib"))
+        )
+        dangling = with_od.where(F.col("od").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
+        )
+        ranks = (
+            v.join(contrib, "node", "left")
+            .join(F.broadcast(n_df))
+            .join(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    teleport / F.col("n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + F.col("dang") / F.col("n")
+                    )
+                ).alias("rank"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -1,0 +1,98 @@
+"""KG-analytics layer: degree invariants and PageRank math.
+
+The contract keys (``kg_entity_degree`` / ``kg_pagerank``) are
+hash-checked against their DuckDB twins by test_entry_contract; these
+tests pin the *algebraic* properties — degree conservation, rank-mass
+conservation, dangling redistribution — on graphs small enough to
+verify by hand, plus the hand-computed 3-node reference values.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ner_spark.plans.kg_analytics import entity_degree, pagerank
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, evidence_count bigint"
+    )
+
+
+def test_degree_conserves_totals(spark):
+    t = _triples(
+        spark,
+        [
+            ("a", "P", "b", 3),
+            ("a", "P", "c", 1),
+            ("b", "Q", "c", 2),
+            ("c", "P", "a", 5),
+        ],
+    )
+    deg = entity_degree(t)
+    rows = {r["node"]: r for r in deg.collect()}
+    assert set(rows) == {"a", "b", "c"}
+    tot = deg.agg(
+        F.sum("out_degree").alias("o"), F.sum("in_degree").alias("i")
+    ).first()
+    assert tot["o"] == tot["i"] == t.count()
+    assert rows["a"]["out_degree"] == 2 and rows["a"]["in_degree"] == 1
+    assert rows["a"]["out_evidence"] == 4 and rows["a"]["in_evidence"] == 5
+    # node that never appears as subj gets coalesced zeros
+    only_obj = _triples(spark, [("x", "P", "y", 1)])
+    y = {r["node"]: r for r in entity_degree(only_obj).collect()}["y"]
+    assert y["out_degree"] == 0 and y["out_evidence"] == 0
+
+
+def _rank_map(df):
+    return {r["node"]: r["rank"] for r in df.collect()}
+
+
+def test_pagerank_mass_conserved_and_uniform_on_cycle(spark):
+    # 3-cycle: symmetric, so rank stays exactly uniform every iteration
+    t = _triples(
+        spark, [("a", "P", "b", 1), ("b", "P", "c", 1), ("c", "P", "a", 1)]
+    )
+    for iters in (1, 3):
+        r = _rank_map(pagerank(t, iterations=iters, checkpoint=False))
+        assert all(abs(v - 1 / 3) < 1e-12 for v in r.values())
+        assert abs(sum(r.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_hand_computed_chain(spark):
+    # a -> b -> c, c dangling.  One iteration from uniform 1/3:
+    #   contrib(b) = 1/3, contrib(c) = 1/3, dangling mass D = 1/3
+    #   r(v) = 0.15/3 + 0.85*(contrib + (1/3)/3)
+    t = _triples(spark, [("a", "P", "b", 1), ("b", "P", "c", 1)])
+    r = _rank_map(pagerank(t, iterations=1, checkpoint=False))
+    base = 0.15 / 3 + 0.85 * (1 / 9)
+    assert r["a"] == pytest.approx(base, abs=1e-12)
+    assert r["b"] == pytest.approx(base + 0.85 / 3, abs=1e-12)
+    assert r["c"] == pytest.approx(base + 0.85 / 3, abs=1e-12)
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_hub_attracts_rank(spark):
+    # star: everyone points at h; h dangles back to all via dangling mass
+    spokes = [chr(ord("a") + i) for i in range(6)]
+    t = _triples(spark, [(s, "P", "h", 1) for s in spokes])
+    r = _rank_map(pagerank(t, iterations=3, checkpoint=False))
+    assert r["h"] > max(r[s] for s in spokes) * 3
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    # spokes are symmetric → identical ranks
+    assert max(r[s] for s in spokes) - min(r[s] for s in spokes) < 1e-15
+
+
+def test_pagerank_parallel_edges_collapse(spark):
+    # two predicates between the same pair count as one edge
+    t1 = _triples(spark, [("a", "P", "b", 1), ("a", "Q", "b", 9)])
+    t2 = _triples(spark, [("a", "P", "b", 1)])
+    r1 = _rank_map(pagerank(t1, iterations=2, checkpoint=False))
+    r2 = _rank_map(pagerank(t2, iterations=2, checkpoint=False))
+    assert r1.keys() == r2.keys()
+    for k in r1:
+        assert math.isclose(r1[k], r2[k], rel_tol=0, abs_tol=1e-15)

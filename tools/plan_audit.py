@@ -362,6 +362,32 @@ def main() -> int:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # KG analytics over the constructed graph: degree is pure
+    # map-side-combinable aggregation; the pagerank loop body keeps its
+    # one-row scalars (node count, dangling mass) as broadcast joins —
+    # a BroadcastNestedLoopJoin over a single-row side is the in-plan
+    # scalar, NOT a data-sized cartesian — and its contribution sum
+    # partial-aggregates before the shuffle on the hot dst node.
+    from ner_spark.plans.kg_analytics import entity_degree, pagerank
+
+    tri = spark.createDataFrame(
+        [("a", "P", "b", 1), ("b", "P", "c", 2), ("c", "P", "a", 1)],
+        "subj string, pred string, obj string, evidence_count bigint")
+    p = plans["kg_entity_degree"] = plan_of(entity_degree(tri))
+    check("kg_entity_degree",
+          "map-side partial aggregation (combine before shuffle)",
+          "partial_" in p)
+    check("kg_entity_degree", "no cartesian product",
+          "CartesianProduct" not in p)
+    p = plans["kg_pagerank_iteration"] = plan_of(
+        pagerank(tri, iterations=1, checkpoint=False))
+    check("kg_pagerank_iteration",
+          "contribution sum partial-aggregates before the dst shuffle",
+          "partial_sum" in p)
+    check("kg_pagerank_iteration",
+          "scalars stay in-plan as 1-row broadcasts (no cartesian)",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" in p)
+
     ok_all = all(ok for _q, _l, ok, _n in checks)
     lines = ["# PLANS — physical-plan audit", "",
              f"`python tools/plan_audit.py` at {SF_DIR} (local[4]).", "",
