@@ -339,6 +339,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("rank_q"),
         )
 
+    def q_kg_components(spark, sf):
+        # undirected CC over the triple graph through the same salted
+        # min-label-propagation loop the canonicalize stage uses
+        from ner_spark.plans.kg_analytics import graph_components
+        from ner_spark.plans.kg_gold import kg_triples_gold
+
+        return graph_components(kg_triples_gold(spark))
+
     def q_dataset_split(spark, sf):
         return curate.dataset_split(_docs(spark, sf))
 
@@ -408,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entities_fuzzy": q_kg_entities_fuzzy,
         "kg_entity_degree": q_kg_entity_degree,
         "kg_pagerank": q_kg_pagerank,
+        "kg_components": q_kg_components,
         "sota_gliner": q_sota_gliner,
         "dataset_split": q_dataset_split,
         "stratified_sample": q_stratified_sample,
@@ -821,6 +830,32 @@ FROM r{iterations}
 """
 
 
+def _kg_components_oracle() -> str:
+    """SQL twin of plans.kg_analytics.graph_components: undirected
+    transitive closure as a recursive CTE (the same reach pattern the
+    dedup-cluster oracle uses), component = least(node, min reachable
+    node), sizes by a GROUP BY over the labels.  Non-recursive CTEs are
+    MATERIALIZED so the gold-KG chain evaluates once."""
+    return f"""WITH RECURSIVE kg AS MATERIALIZED ({_kg_gold_oracle()}),
+e AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst FROM kg),
+sym AS MATERIALIZED (
+  SELECT src AS x, dst AS y FROM e UNION SELECT dst, src FROM e),
+v AS MATERIALIZED (SELECT x AS node FROM sym UNION SELECT y FROM sym),
+reach AS (
+  SELECT x, y FROM sym
+  UNION
+  SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x),
+lab AS MATERIALIZED (
+  SELECT v.node, least(v.node, min(reach.y)) AS component
+  FROM v LEFT JOIN reach ON v.node = reach.x
+  GROUP BY v.node),
+sz AS (SELECT component, count(*) AS component_size FROM lab GROUP BY component)
+SELECT lab.node, lab.component,
+       CAST(sz.component_size AS BIGINT) AS component_size
+FROM lab JOIN sz USING (component)
+"""
+
+
 def _kg_entities_fuzzy_oracle(threshold: float = 0.5) -> str:
     """SQL twin of plans.kg_gold.entities_fuzzy_gold: the gold NEL
     table's surfaces canonicalized over shared-KB-id edges PLUS exact
@@ -1162,6 +1197,7 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "kg_entities_fuzzy": _kg_entities_fuzzy_oracle(),
         "kg_entity_degree": _kg_degree_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
+        "kg_components": _kg_components_oracle(),
         "mentions_hybrid": _mentions_oracle("hybrid"),
         "mentions_crf": _mentions_oracle("crf_only"),
         "sota_gliner": _sota_gold_oracle(),

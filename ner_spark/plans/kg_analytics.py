@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ner_spark.operators.canonicalize import connected_components
+
 
 def entity_degree(triples: DataFrame) -> DataFrame:
     """Per graph node (entities plus repo:/kb:/category literals):
@@ -54,6 +56,42 @@ def entity_degree(triples: DataFrame) -> DataFrame:
         F.coalesce("in_degree", zero).alias("in_degree"),
         F.coalesce("out_evidence", zero).alias("out_evidence"),
         F.coalesce("in_evidence", zero).alias("in_evidence"),
+    )
+
+
+def graph_components(triples: DataFrame, salt_buckets: int = 8) -> DataFrame:
+    """Undirected connected components over the triple graph, plus the
+    size of each component.
+
+    Reuses the salted min-label-propagation CC from the canonicalize
+    stage (:func:`ner_spark.operators.canonicalize.connected_components`
+    — hub entities fan out across ``salt_buckets`` tasks instead of
+    concentrating one join key, and each iteration localCheckpoints),
+    so the 100 TB scale shape is the one already audited there.  Edges
+    are the distinct (subj, obj) pairs treated as undirected; the
+    component label is the lexicographic min node id, which makes the
+    output deterministic and lets a recursive-CTE DuckDB closure serve
+    as the value oracle.
+
+    Returns (node, component, component_size).
+    """
+    e = (
+        triples.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+    )
+    v = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = connected_components(v, e, salt_buckets=salt_buckets)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return labels.join(sizes, "label").select(
+        "node",
+        F.col("label").alias("component"),
+        "component_size",
     )
 
 

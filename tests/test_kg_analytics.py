@@ -14,7 +14,11 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from ner_spark.plans.kg_analytics import entity_degree, pagerank
+from ner_spark.plans.kg_analytics import (
+    entity_degree,
+    graph_components,
+    pagerank,
+)
 
 
 def _triples(spark, rows):
@@ -85,6 +89,34 @@ def test_pagerank_hub_attracts_rank(spark):
     assert abs(sum(r.values()) - 1.0) < 1e-9
     # spokes are symmetric → identical ranks
     assert max(r[s] for s in spokes) - min(r[s] for s in spokes) < 1e-15
+
+
+def test_components_two_islands(spark):
+    # two disjoint chains → two components labelled by their min node,
+    # direction ignored (c→b edge still merges b's chain)
+    t = _triples(
+        spark,
+        [
+            ("a", "P", "b", 1),
+            ("c", "P", "b", 1),
+            ("x", "P", "y", 1),
+        ],
+    )
+    rows = {r["node"]: r for r in graph_components(t).collect()}
+    assert {rows[n]["component"] for n in "abc"} == {"a"}
+    assert {rows[n]["component"] for n in "xy"} == {"x"}
+    assert all(rows[n]["component_size"] == 3 for n in "abc")
+    assert all(rows[n]["component_size"] == 2 for n in "xy")
+    # sizes partition the node set
+    assert sum({r["component"]: r["component_size"]
+                for r in rows.values()}.values()) == len(rows)
+
+
+def test_components_parallel_predicates_collapse(spark):
+    t = _triples(spark, [("a", "P", "b", 1), ("a", "Q", "b", 7)])
+    rows = graph_components(t).collect()
+    assert {(r["node"], r["component"], r["component_size"])
+            for r in rows} == {("a", "a", 2), ("b", "a", 2)}
 
 
 def test_pagerank_parallel_edges_collapse(spark):

@@ -387,6 +387,17 @@ def main() -> int:
     check("kg_pagerank_iteration",
           "scalars stay in-plan as 1-row broadcasts (no cartesian)",
           "CartesianProduct" not in p and "BroadcastNestedLoopJoin" in p)
+    # graph_components reuses the salted CC loop (its iteration shape
+    # is audited under cc_iteration); here we audit the composition:
+    # the size count partial-aggregates and nothing goes cartesian.
+    from ner_spark.plans.kg_analytics import graph_components
+
+    p = plans["kg_components"] = plan_of(graph_components(tri))
+    check("kg_components",
+          "component sizes partial-aggregate before the shuffle",
+          "partial_count" in p)
+    check("kg_components", "no cartesian product",
+          "CartesianProduct" not in p)
 
     ok_all = all(ok for _q, _l, ok, _n in checks)
     lines = ["# PLANS — physical-plan audit", "",
