@@ -339,6 +339,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("rank_q"),
         )
 
+    def q_kg_comention_pmi(spark, sf):
+        # co-mention PMI over the MENTIONED_WITH pairs; pmi quantized
+        # to 1e-6 ints for the hash compare (same convention as
+        # kg_pagerank)
+        from ner_spark.plans.kg_analytics import comention_pmi
+        from ner_spark.plans.kg_gold import kg_triples_gold
+
+        return comention_pmi(kg_triples_gold(spark)).select(
+            "subj",
+            "obj",
+            "evidence_count",
+            F.floor(F.col("pmi") * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("pmi_q"),
+        )
+
     def q_kg_components(spark, sf):
         # undirected CC over the triple graph through the same salted
         # min-label-propagation loop the canonicalize stage uses
@@ -417,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_degree": q_kg_entity_degree,
         "kg_pagerank": q_kg_pagerank,
         "kg_components": q_kg_components,
+        "kg_comention_pmi": q_kg_comention_pmi,
         "sota_gliner": q_sota_gliner,
         "dataset_split": q_dataset_split,
         "stratified_sample": q_stratified_sample,
@@ -770,12 +787,17 @@ def _kg_gold_oracle() -> str:
     return _kg_gold_men_sql() + _kg_chain_sql()
 
 
-def _kg_degree_oracle() -> str:
+def _kg_degree_oracle(kg_sql: str | None = None) -> str:
     """SQL twin of plans.kg_analytics.entity_degree over the gold
     triples: two GROUP BYs full-outer-joined on the node id.  The kg
     CTE is MATERIALIZED — DuckDB inlines plain CTEs per reference, and
-    the expensive gold-KG chain is referenced twice here."""
-    return f"""WITH kg AS MATERIALIZED ({_kg_gold_oracle()}),
+    the expensive gold-KG chain is referenced twice here.
+
+    ``kg_sql`` substitutes an arbitrary (subj, pred, obj,
+    evidence_count) relation for the gold chain — the differential
+    graph fuzz (tests/test_kg_analytics_fuzz.py) passes a VALUES CTE of
+    random triples."""
+    return f"""WITH kg AS MATERIALIZED ({kg_sql or _kg_gold_oracle()}),
 o AS (SELECT subj AS node, count(*) AS out_degree,
              sum(evidence_count) AS out_evidence FROM kg GROUP BY subj),
 i AS (SELECT obj AS node, count(*) AS in_degree,
@@ -789,7 +811,9 @@ FROM o FULL OUTER JOIN i ON o.node = i.node
 """
 
 
-def _kg_pagerank_oracle(iterations: int = 3, damping: float = 0.85) -> str:
+def _kg_pagerank_oracle(iterations: int = 3, damping: float = 0.85,
+                        kg_sql: str | None = None,
+                        quantized: bool = True) -> str:
     """SQL twin of plans.kg_analytics.pagerank: the fixed iteration
     count unrolls into chained CTEs (contrib sum + dangling-mass scalar
     + rank update per round).  Damping goes through CAST(.. AS DOUBLE)
@@ -800,7 +824,8 @@ def _kg_pagerank_oracle(iterations: int = 3, damping: float = 0.85) -> str:
     once per reference, and r{{k}} is referenced by c{{k+1}}, d{{k+1}}
     (and r0's base by everything above it), so an inlined unroll
     re-evaluates the expensive gold-KG chain combinatorially — minutes
-    instead of seconds at sf0.001."""
+    instead of seconds at sf0.001.  ``kg_sql`` substitutes an arbitrary
+    triple relation (used by the differential graph fuzz)."""
     d = f"CAST({damping} AS DOUBLE)"
     steps = []
     for k in range(1, iterations + 1):
@@ -819,24 +844,27 @@ r{k} AS MATERIALIZED (
       + {d} * (coalesce(c{k}.contrib, 0.0)
                + (SELECT dang FROM d{k}) / (SELECT n FROM nn)) AS rank
   FROM v LEFT JOIN c{k} ON v.node = c{k}.node)""")
-    return f"""WITH kg AS MATERIALIZED ({_kg_gold_oracle()}),
+    return f"""WITH kg AS MATERIALIZED ({kg_sql or _kg_gold_oracle()}),
 e AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst FROM kg),
 v AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
 nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
 od AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY src),
 r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM v){''.join(steps)}
-SELECT node, CAST(floor(rank * 1000000 + 0.5) AS BIGINT) AS rank_q
+SELECT node, {"CAST(floor(rank * 1000000 + 0.5) AS BIGINT) AS rank_q"
+              if quantized else "rank"}
 FROM r{iterations}
 """
 
 
-def _kg_components_oracle() -> str:
+def _kg_components_oracle(kg_sql: str | None = None) -> str:
     """SQL twin of plans.kg_analytics.graph_components: undirected
     transitive closure as a recursive CTE (the same reach pattern the
     dedup-cluster oracle uses), component = least(node, min reachable
     node), sizes by a GROUP BY over the labels.  Non-recursive CTEs are
-    MATERIALIZED so the gold-KG chain evaluates once."""
-    return f"""WITH RECURSIVE kg AS MATERIALIZED ({_kg_gold_oracle()}),
+    MATERIALIZED so the gold-KG chain evaluates once.  ``kg_sql``
+    substitutes an arbitrary triple relation (differential graph
+    fuzz)."""
+    return f"""WITH RECURSIVE kg AS MATERIALIZED ({kg_sql or _kg_gold_oracle()}),
 e AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst FROM kg),
 sym AS MATERIALIZED (
   SELECT src AS x, dst AS y FROM e UNION SELECT dst, src FROM e),
@@ -853,6 +881,33 @@ sz AS (SELECT component, count(*) AS component_size FROM lab GROUP BY component)
 SELECT lab.node, lab.component,
        CAST(sz.component_size AS BIGINT) AS component_size
 FROM lab JOIN sz USING (component)
+"""
+
+
+def _kg_pmi_oracle(kg_sql: str | None = None,
+                   quantized: bool = True) -> str:
+    """SQL twin of plans.kg_analytics.comention_pmi: marginal evidence
+    mass per entity over the MENTIONED_WITH pairs, total mass as a
+    scalar subquery, pmi = ln(ev·T / (m_a·m_b)) written in the exact
+    FP operation order the Spark expression uses; quantized to 1e-6
+    ints for the hash compare."""
+    raw = ("ln((CAST(p.evidence_count AS DOUBLE) * (SELECT t_mass FROM t))"
+           " / (ma.m * mb.m))")
+    q = (f"CAST(floor({raw} * 1000000 + 0.5) AS BIGINT) AS pmi_q"
+         if quantized else f"{raw} AS pmi")
+    return f"""WITH kg AS MATERIALIZED ({kg_sql or _kg_gold_oracle()}),
+p AS MATERIALIZED (
+  SELECT subj, obj, evidence_count FROM kg WHERE pred = 'MENTIONED_WITH'),
+t AS (SELECT CAST(sum(evidence_count) AS DOUBLE) AS t_mass FROM p),
+m AS MATERIALIZED (
+  SELECT node, CAST(sum(evidence_count) AS DOUBLE) AS m FROM (
+    SELECT subj AS node, evidence_count FROM p
+    UNION ALL
+    SELECT obj AS node, evidence_count FROM p)
+  GROUP BY node)
+SELECT p.subj, p.obj, CAST(p.evidence_count AS BIGINT) AS evidence_count,
+  {q}
+FROM p JOIN m ma ON ma.node = p.subj JOIN m mb ON mb.node = p.obj
 """
 
 
@@ -1198,6 +1253,7 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "kg_entity_degree": _kg_degree_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_components": _kg_components_oracle(),
+        "kg_comention_pmi": _kg_pmi_oracle(),
         "mentions_hybrid": _mentions_oracle("hybrid"),
         "mentions_crf": _mentions_oracle("crf_only"),
         "sota_gliner": _sota_gold_oracle(),

@@ -59,6 +59,60 @@ def entity_degree(triples: DataFrame) -> DataFrame:
     )
 
 
+def comention_pmi(triples: DataFrame) -> DataFrame:
+    """Pointwise mutual information of entity co-mention pairs.
+
+    Over the MENTIONED_WITH triples (stored once per unordered pair
+    with subj < obj), with the pair probability estimated from evidence
+    counts:  pmi(a,b) = ln( ev(a,b) · T / (m(a) · m(b)) )  where T is
+    the total evidence mass and m(x) the marginal mass of x over all
+    its pairs.  Positive = the two entities co-occur more than their
+    popularity predicts — the "related entities" signal a KG consumer
+    ranks by.
+
+    Scale shape: marginals are one explode + map-side-combinable
+    groupBy over the pair table; T stays in-plan as a broadcast one-row
+    aggregate; the two marginal joins are plain equi-joins on the
+    entity id (shuffle bounded by the pair table, never all-pairs).
+
+    The FP expression is written identically in the DuckDB twin —
+    (ev · T) / (m(a) · m(b)) then ln — so both engines run the same
+    IEEE operation order; the contract key quantizes to 1e-6.
+
+    Returns (subj, obj, evidence_count, pmi).
+    """
+    pairs = triples.where(F.col("pred") == "MENTIONED_WITH").select(
+        "subj", "obj", "evidence_count"
+    )
+    total = pairs.agg(
+        F.sum("evidence_count").cast("double").alias("t_mass")
+    )
+    marg = (
+        pairs.select(
+            F.explode(F.array("subj", "obj")).alias("node"),
+            "evidence_count",
+        )
+        .groupBy("node")
+        .agg(F.sum("evidence_count").cast("double").alias("m"))
+    )
+    ma = marg.select(F.col("node").alias("subj"), F.col("m").alias("m_a"))
+    mb = marg.select(F.col("node").alias("obj"), F.col("m").alias("m_b"))
+    return (
+        pairs.join(ma, "subj")
+        .join(mb, "obj")
+        .join(F.broadcast(total))
+        .select(
+            "subj",
+            "obj",
+            "evidence_count",
+            F.log(
+                (F.col("evidence_count").cast("double") * F.col("t_mass"))
+                / (F.col("m_a") * F.col("m_b"))
+            ).alias("pmi"),
+        )
+    )
+
+
 def graph_components(triples: DataFrame, salt_buckets: int = 8) -> DataFrame:
     """Undirected connected components over the triple graph, plus the
     size of each component.

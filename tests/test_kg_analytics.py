@@ -15,6 +15,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from ner_spark.plans.kg_analytics import (
+    comention_pmi,
     entity_degree,
     graph_components,
     pagerank,
@@ -117,6 +118,35 @@ def test_components_parallel_predicates_collapse(spark):
     rows = graph_components(t).collect()
     assert {(r["node"], r["component"], r["component_size"])
             for r in rows} == {("a", "a", 2), ("b", "a", 2)}
+
+
+def test_comention_pmi_hand_computed(spark):
+    # T=4, m(a)=4, m(b)=m(c)=2 → pmi(a,b) = ln(2·4 / (4·2)) = 0 exactly;
+    # non-MENTIONED_WITH triples must not contribute to the mass
+    t = _triples(
+        spark,
+        [
+            ("a", "MENTIONED_WITH", "b", 2),
+            ("a", "MENTIONED_WITH", "c", 2),
+            ("a", "DECLARES", "b", 99),
+        ],
+    )
+    rows = {(r["subj"], r["obj"]): r for r in comention_pmi(t).collect()}
+    assert set(rows) == {("a", "b"), ("a", "c")}
+    assert rows[("a", "b")]["pmi"] == pytest.approx(0.0, abs=1e-15)
+    assert rows[("a", "c")]["evidence_count"] == 2
+    # an exclusive pair scores higher than a promiscuous one:
+    # b appears only with a; d spreads its mass over two partners
+    t2 = _triples(
+        spark,
+        [
+            ("a", "MENTIONED_WITH", "b", 3),
+            ("a", "MENTIONED_WITH", "d", 1),
+            ("c", "MENTIONED_WITH", "d", 1),
+        ],
+    )
+    r2 = {(r["subj"], r["obj"]): r["pmi"] for r in comention_pmi(t2).collect()}
+    assert r2[("a", "b")] > r2[("a", "d")]
 
 
 def test_pagerank_parallel_edges_collapse(spark):

@@ -398,6 +398,18 @@ def main() -> int:
           "partial_count" in p)
     check("kg_components", "no cartesian product",
           "CartesianProduct" not in p)
+    from ner_spark.plans.kg_analytics import comention_pmi
+
+    tri_mw = spark.createDataFrame(
+        [("a", "MENTIONED_WITH", "b", 2), ("a", "MENTIONED_WITH", "c", 1)],
+        "subj string, pred string, obj string, evidence_count bigint")
+    p = plans["kg_comention_pmi"] = plan_of(comention_pmi(tri_mw))
+    check("kg_comention_pmi",
+          "marginal mass partial-aggregates before the shuffle",
+          "partial_sum" in p)
+    check("kg_comention_pmi",
+          "total mass stays in-plan as a 1-row broadcast (no cartesian)",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" in p)
 
     ok_all = all(ok for _q, _l, ok, _n in checks)
     lines = ["# PLANS — physical-plan audit", "",
