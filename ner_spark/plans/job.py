@@ -1173,6 +1173,59 @@ class KgJob:
 
     # -- Iceberg publication -----------------------------------------------
 
+    def analytics(self, pagerank_iterations: int = 3) -> dict[str, int]:
+        """Materialize the graph-analytics layer over the committed
+        triple table: per-node degree/evidence stats, undirected
+        connected components with sizes, fixed-iteration PageRank, and
+        co-mention PMI (:mod:`ner_spark.plans.kg_analytics`).
+
+        These are *derived views* of the materialize checkpoint, so
+        unlike the pipeline stages they carry no resume marker — every
+        invocation recomputes them from the current triples (an update
+        or compaction between invocations would otherwise leave them
+        silently stale).  Each table installs crash-safely: written to
+        ``<dst>.tmp`` first, then renamed over the previous version, so
+        a killed run leaves either the old table or the new one, never
+        a torn directory.
+
+        Returns {table_name: row_count}; one lineage row per table
+        lands in the metrics table (stage ``analytics_<name>``).
+        """
+        from ner_spark.plans.kg_analytics import (
+            comention_pmi,
+            entity_degree,
+            graph_components,
+            pagerank,
+        )
+
+        if not self._committed("materialize"):
+            raise ValueError(
+                f"no committed materialize stage in {self.out}; run() first"
+            )
+        triples = self._read_committed(self._path("materialize"),
+                                       partitioned=True)
+        tables = {
+            "entity_degree": lambda: entity_degree(triples),
+            "components": lambda: graph_components(triples),
+            "pagerank": lambda: pagerank(
+                triples, iterations=pagerank_iterations),
+            "comention_pmi": lambda: comention_pmi(triples),
+        }
+        counts: dict[str, int] = {}
+        for name, compute in tables.items():
+            dst = f"{self.out}/analytics/{name}"
+            tmp = dst + ".tmp"
+            if self._exists(tmp):
+                self._delete(tmp)
+            compute().write.mode("overwrite").parquet(tmp)
+            n = self.spark.read.parquet(tmp).count()
+            if self._exists(dst):
+                self._delete(dst)
+            self._rename(tmp, dst)
+            counts[name] = n
+            self._log_event(f"analytics_{name}", n)
+        return counts
+
     def publish_iceberg(self, table: str,
                         metrics_table: str | None = None) -> None:
         """Publish the committed triple table to an Iceberg table — the
@@ -1283,6 +1336,14 @@ def main() -> None:
                              "identifier (catalog.db.table) as one atomic "
                              "snapshot commit — needs the Iceberg runtime "
                              "jars + a configured catalog (see README)")
+    parser.add_argument("--analytics", action="store_true",
+                        help="after the run (or standalone over an "
+                             "already-committed output), materialize "
+                             "the graph-analytics tables — degree, "
+                             "components, pagerank, co-mention PMI — "
+                             "under <output>/analytics/")
+    parser.add_argument("--pagerank-iterations", type=int, default=3,
+                        help="--analytics: PageRank iteration count")
     parser.add_argument("--update-id", default=None,
                         help="stable id for this delta under "
                              "{output}/updates/ (pass the same id to "
@@ -1353,6 +1414,17 @@ def main() -> None:
         source = source_table(spark, n_rows=args.fixture_rows)
     elif args.input:
         source = spark.read.parquet(args.input)
+    elif args.analytics:
+        # standalone analytics over an already-committed output
+        job = KgJob(spark, args.output, mode=args.mode,
+                    tokenizer_mode=args.tokenizer_mode, run_id=args.run_id,
+                    fuzzy_canon=args.fuzzy_canon,
+                    fuzzy_threshold=args.fuzzy_threshold)
+        counts = job.analytics(pagerank_iterations=args.pagerank_iterations)
+        print("stage=analytics "
+              + " ".join(f"{k}={v}" for k, v in counts.items())
+              + f" output={args.output}/analytics")
+        return
     else:
         parser.error("one of --input / --fixture-rows is required")
 
@@ -1371,6 +1443,11 @@ def main() -> None:
     else:
         out = job.run(source, last_stage=args.stage)
         print(f"stage={args.stage} rows={out.count()} output={job._path(args.stage)}")
+    if args.analytics:
+        counts = job.analytics(pagerank_iterations=args.pagerank_iterations)
+        print("stage=analytics "
+              + " ".join(f"{k}={v}" for k, v in counts.items())
+              + f" output={args.output}/analytics")
     if args.publish_iceberg:
         job.publish_iceberg(args.publish_iceberg)
         print(f"published={args.publish_iceberg}")

@@ -1,0 +1,109 @@
+"""The --analytics layer of the staged job: derived graph-analytics
+tables over the committed triples — install semantics, staleness after
+an update, invariants vs the triples they derive from, and the CLI
+surface."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ner_spark.plans.job import KgJob
+from ner_spark.sources.fixtures import source_table
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    d = str(tmp_path / "kg")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_analytics_requires_committed_materialize(spark, out_dir):
+    job = KgJob(spark, out_dir, run_id="r1")
+    with pytest.raises(ValueError, match="materialize"):
+        job.analytics()
+
+
+def test_analytics_tables_match_triples(spark, out_dir):
+    src = source_table(spark, n_rows=40)
+    job = KgJob(spark, out_dir, run_id="r1")
+    triples = job.run(src)
+    n_triples = triples.count()
+
+    counts = job.analytics()
+    assert set(counts) == {
+        "entity_degree", "components", "pagerank", "comention_pmi"
+    }
+
+    deg = spark.read.parquet(f"{out_dir}/analytics/entity_degree")
+    # degree conservation: both degree sums equal the triple count
+    tot = deg.agg(F.sum("out_degree").alias("o"),
+                  F.sum("in_degree").alias("i")).first()
+    assert tot["o"] == tot["i"] == n_triples
+    n_nodes = deg.count()
+    assert counts["entity_degree"] == n_nodes
+
+    comp = spark.read.parquet(f"{out_dir}/analytics/components")
+    assert comp.count() == n_nodes  # same node universe
+    # sizes partition the node set
+    sizes = {r["component"]: r["component_size"]
+             for r in comp.select("component", "component_size")
+             .distinct().collect()}
+    assert sum(sizes.values()) == n_nodes
+
+    pr = spark.read.parquet(f"{out_dir}/analytics/pagerank")
+    assert pr.count() == n_nodes
+    assert abs(pr.agg(F.sum("rank")).first()[0] - 1.0) < 1e-9
+
+    pmi = spark.read.parquet(f"{out_dir}/analytics/comention_pmi")
+    n_mw = triples.where(F.col("pred") == "MENTIONED_WITH").count()
+    assert pmi.count() == n_mw == counts["comention_pmi"]
+
+    # one lineage row per table
+    stages = {r.stage for r in job.metrics().collect()}
+    assert {"analytics_entity_degree", "analytics_components",
+            "analytics_pagerank", "analytics_comention_pmi"} <= stages
+
+
+def test_analytics_recomputes_after_update(spark, out_dir):
+    # analytics are derived views: after an update() changed the
+    # triples, a re-invocation must reflect the new graph, not a stale
+    # marker-skipped one
+    src = source_table(spark, n_rows=30)
+    job = KgJob(spark, out_dir, run_id="r1")
+    job.run(src)
+    c1 = job.analytics()
+
+    delta = source_table(spark, n_rows=45).where(F.col("path") > "")
+    delta = delta.subtract(src)
+    job.update(delta, update_id="u1")
+    c2 = job.analytics()
+
+    deg = spark.read.parquet(f"{out_dir}/analytics/entity_degree")
+    tot = deg.agg(F.sum("out_degree").alias("o")).first()["o"]
+    mat = spark.read.parquet(f"{out_dir}/materialize")
+    assert tot == mat.count()
+    # the corpus grew, so the graph did too
+    assert c2["entity_degree"] >= c1["entity_degree"]
+
+
+def test_analytics_cli_standalone(spark, out_dir, capsys, monkeypatch):
+    # `--analytics` with no --input/--fixture-rows runs over an
+    # already-committed output dir
+    src = source_table(spark, n_rows=20)
+    KgJob(spark, out_dir, run_id="r1").run(src)
+
+    import ner_spark.plans.job as jobmod
+
+    monkeypatch.setattr(
+        "sys.argv",
+        ["job", "--output", out_dir, "--analytics", "--run-id", "cli1"],
+    )
+    jobmod.main()
+    outp = capsys.readouterr().out
+    assert "stage=analytics" in outp and "pagerank=" in outp
+    assert spark.read.parquet(
+        f"{out_dir}/analytics/pagerank").count() > 0
