@@ -355,6 +355,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("pmi_q"),
         )
 
+    def q_kg_related_topk(spark, sf):
+        # top-3 related entities per node by PMI: partitioned rank
+        # window (per-node state only, never a global sort)
+        from ner_spark.plans.kg_analytics import related_topk
+        from ner_spark.plans.kg_gold import kg_triples_gold
+
+        return related_topk(kg_triples_gold(spark), k=3).select(
+            "node",
+            "related",
+            F.floor(F.col("pmi") * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("pmi_q"),
+            "rnk",
+        )
+
     def q_kg_components(spark, sf):
         # undirected CC over the triple graph through the same salted
         # min-label-propagation loop the canonicalize stage uses
@@ -434,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": q_kg_pagerank,
         "kg_components": q_kg_components,
         "kg_comention_pmi": q_kg_comention_pmi,
+        "kg_related_topk": q_kg_related_topk,
         "sota_gliner": q_sota_gliner,
         "dataset_split": q_dataset_split,
         "stratified_sample": q_stratified_sample,
@@ -884,17 +900,13 @@ FROM lab JOIN sz USING (component)
 """
 
 
-def _kg_pmi_oracle(kg_sql: str | None = None,
-                   quantized: bool = True) -> str:
-    """SQL twin of plans.kg_analytics.comention_pmi: marginal evidence
-    mass per entity over the MENTIONED_WITH pairs, total mass as a
-    scalar subquery, pmi = ln(ev·T / (m_a·m_b)) written in the exact
-    FP operation order the Spark expression uses; quantized to 1e-6
-    ints for the hash compare."""
-    raw = ("ln((CAST(p.evidence_count AS DOUBLE) * (SELECT t_mass FROM t))"
-           " / (ma.m * mb.m))")
-    q = (f"CAST(floor({raw} * 1000000 + 0.5) AS BIGINT) AS pmi_q"
-         if quantized else f"{raw} AS pmi")
+def _kg_pmi_cte(kg_sql: str | None) -> str:
+    """Shared WITH-prefix for the PMI-family oracles: the
+    MENTIONED_WITH pair table, total evidence mass, per-entity marginal
+    mass, and a ``pm`` CTE holding raw pmi = ln(ev·T / (m_a·m_b)) in
+    the exact FP operation order the Spark expression uses.  All
+    inputs to the ln are exact integer sums cast to double, so pmi is
+    bitwise identical across engines (no sum-order dependence)."""
     return f"""WITH kg AS MATERIALIZED ({kg_sql or _kg_gold_oracle()}),
 p AS MATERIALIZED (
   SELECT subj, obj, evidence_count FROM kg WHERE pred = 'MENTIONED_WITH'),
@@ -904,10 +916,49 @@ m AS MATERIALIZED (
     SELECT subj AS node, evidence_count FROM p
     UNION ALL
     SELECT obj AS node, evidence_count FROM p)
-  GROUP BY node)
-SELECT p.subj, p.obj, CAST(p.evidence_count AS BIGINT) AS evidence_count,
-  {q}
-FROM p JOIN m ma ON ma.node = p.subj JOIN m mb ON mb.node = p.obj
+  GROUP BY node),
+pm AS MATERIALIZED (
+  SELECT p.subj, p.obj, CAST(p.evidence_count AS BIGINT) AS evidence_count,
+    ln((CAST(p.evidence_count AS DOUBLE) * (SELECT t_mass FROM t))
+       / (ma.m * mb.m)) AS pmi
+  FROM p JOIN m ma ON ma.node = p.subj JOIN m mb ON mb.node = p.obj)"""
+
+
+def _kg_pmi_oracle(kg_sql: str | None = None,
+                   quantized: bool = True) -> str:
+    """SQL twin of plans.kg_analytics.comention_pmi: marginal evidence
+    mass per entity over the MENTIONED_WITH pairs, total mass as a
+    scalar subquery, pmi = ln(ev·T / (m_a·m_b)) written in the exact
+    FP operation order the Spark expression uses; quantized to 1e-6
+    ints for the hash compare."""
+    q = ("CAST(floor(pmi * 1000000 + 0.5) AS BIGINT) AS pmi_q"
+         if quantized else "pmi")
+    return f"""{_kg_pmi_cte(kg_sql)}
+SELECT subj, obj, evidence_count, {q} FROM pm
+"""
+
+
+def _kg_related_oracle(k: int = 3, kg_sql: str | None = None,
+                       quantized: bool = True) -> str:
+    """SQL twin of plans.kg_analytics.related_topk: the pm pair table
+    symmetrized, then a per-node row_number window ordered by
+    (pmi DESC, related ASC) — deterministic because pmi is bitwise
+    identical across engines (exact-integer inputs to one ln) and ties
+    break on the partner id."""
+    q = ("CAST(floor(pmi * 1000000 + 0.5) AS BIGINT) AS pmi_q"
+         if quantized else "pmi")
+    return f"""{_kg_pmi_cte(kg_sql)},
+sym AS (
+  SELECT subj AS node, obj AS related, pmi FROM pm
+  UNION ALL
+  SELECT obj AS node, subj AS related, pmi FROM pm),
+r AS (
+  SELECT node, related, pmi,
+    row_number() OVER (PARTITION BY node
+                       ORDER BY pmi DESC, related ASC) AS rnk
+  FROM sym)
+SELECT node, related, {q}, CAST(rnk AS INT) AS rnk
+FROM r WHERE rnk <= {k}
 """
 
 
@@ -1254,6 +1305,7 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_components": _kg_components_oracle(),
         "kg_comention_pmi": _kg_pmi_oracle(),
+        "kg_related_topk": _kg_related_oracle(),
         "mentions_hybrid": _mentions_oracle("hybrid"),
         "mentions_crf": _mentions_oracle("crf_only"),
         "sota_gliner": _sota_gold_oracle(),

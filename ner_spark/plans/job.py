@@ -1196,6 +1196,7 @@ class KgJob:
             entity_degree,
             graph_components,
             pagerank,
+            related_topk,
         )
 
         if not self._committed("materialize"):
@@ -1210,6 +1211,7 @@ class KgJob:
             "pagerank": lambda: pagerank(
                 triples, iterations=pagerank_iterations),
             "comention_pmi": lambda: comention_pmi(triples),
+            "related_topk": lambda: related_topk(triples),
         }
         counts: dict[str, int] = {}
         for name, compute in tables.items():

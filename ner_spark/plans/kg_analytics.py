@@ -113,6 +113,43 @@ def comention_pmi(triples: DataFrame) -> DataFrame:
     )
 
 
+def related_topk(triples: DataFrame, k: int = 3) -> DataFrame:
+    """Per entity: its top-k most-related partners by co-mention PMI —
+    the "related entities" panel a KG browser renders next to a node.
+
+    Built on :func:`comention_pmi` with the pair table symmetrized
+    (each undirected pair contributes a row in both directions), then a
+    rank window PARTITIONED BY the entity — per-node state only, never
+    a global sort, so the window is shuffle-bounded by the pair table
+    and safe at any node count (the plan audit's
+    rank-window-keeps-partition-spec check applies).  Ties break
+    deterministically on the partner id.
+
+    Returns (node, related, pmi, rnk) with rnk in [1, k].
+    """
+    from pyspark.sql import Window
+
+    pmi = comention_pmi(triples)
+    sym = pmi.select(
+        F.col("subj").alias("node"),
+        F.col("obj").alias("related"),
+        "pmi",
+    ).unionByName(
+        pmi.select(
+            F.col("obj").alias("node"),
+            F.col("subj").alias("related"),
+            "pmi",
+        )
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("pmi").desc(), F.col("related").asc()
+    )
+    return (
+        sym.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )
+
+
 def graph_components(triples: DataFrame, salt_buckets: int = 8) -> DataFrame:
     """Undirected connected components over the triple graph, plus the
     size of each component.

@@ -35,7 +35,8 @@ def test_analytics_tables_match_triples(spark, out_dir):
 
     counts = job.analytics()
     assert set(counts) == {
-        "entity_degree", "components", "pagerank", "comention_pmi"
+        "entity_degree", "components", "pagerank", "comention_pmi",
+        "related_topk",
     }
 
     deg = spark.read.parquet(f"{out_dir}/analytics/entity_degree")
@@ -65,7 +66,8 @@ def test_analytics_tables_match_triples(spark, out_dir):
     # one lineage row per table
     stages = {r.stage for r in job.metrics().collect()}
     assert {"analytics_entity_degree", "analytics_components",
-            "analytics_pagerank", "analytics_comention_pmi"} <= stages
+            "analytics_pagerank", "analytics_comention_pmi",
+            "analytics_related_topk"} <= stages
 
 
 def test_analytics_recomputes_after_update(spark, out_dir):

@@ -19,6 +19,7 @@ from ner_spark.plans.kg_analytics import (
     entity_degree,
     graph_components,
     pagerank,
+    related_topk,
 )
 
 
@@ -147,6 +148,35 @@ def test_comention_pmi_hand_computed(spark):
     )
     r2 = {(r["subj"], r["obj"]): r["pmi"] for r in comention_pmi(t2).collect()}
     assert r2[("a", "b")] > r2[("a", "d")]
+
+
+def test_related_topk_symmetric_and_bounded(spark):
+    # b is a's strongest partner and vice versa (symmetrized pairs);
+    # k bounds every node's list; ties break on the partner id
+    t = _triples(
+        spark,
+        [
+            ("a", "MENTIONED_WITH", "b", 8),
+            ("a", "MENTIONED_WITH", "c", 1),
+            ("a", "MENTIONED_WITH", "d", 1),
+            ("c", "MENTIONED_WITH", "d", 1),
+        ],
+    )
+    rows = related_topk(t, k=2).collect()
+    by_node = {}
+    for r in rows:
+        by_node.setdefault(r["node"], []).append(r)
+    assert all(len(v) <= 2 for v in by_node.values())
+    assert all(r["rnk"] <= 2 for r in rows)
+    a_top = sorted(by_node["a"], key=lambda r: r["rnk"])
+    assert a_top[0]["related"] == "b"  # exclusive heavy pair wins
+    assert sorted(by_node["b"], key=lambda r: r["rnk"])[0]["related"] == "a"
+    # c's partners a and d have equal pmi → tie breaks on the id
+    c_top = sorted(by_node["c"], key=lambda r: r["rnk"])
+    if abs(c_top[0]["pmi"] - c_top[1]["pmi"]) < 1e-15:
+        assert [r["related"] for r in c_top] == sorted(
+            r["related"] for r in c_top
+        )
 
 
 def test_pagerank_parallel_edges_collapse(spark):

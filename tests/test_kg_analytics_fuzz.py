@@ -30,6 +30,7 @@ from ner_spark.plans.kg_analytics import (  # noqa: E402
     entity_degree,
     graph_components,
     pagerank,
+    related_topk,
 )
 from tests.oracle_compare import assert_df_matches_duckdb  # noqa: E402
 
@@ -102,6 +103,21 @@ def test_graph_ops_match_oracles_on_random_graphs(spark, rows):
             graph_components(tri, salt_buckets=2), con,
             entrymod._kg_components_oracle(kg_sql=kg_sql),
             name="kg_components",
+        )
+        # related_topk compares EXACTLY through the quantized oracle:
+        # pmi's inputs are exact integer sums, so the ranking (and the
+        # 1e-6 quantization) is engine-independent
+        from pyspark.sql import functions as F
+        assert_df_matches_duckdb(
+            related_topk(tri, k=2).select(
+                "node", "related",
+                F.floor(F.col("pmi") * 1000000 + F.lit(0.5))
+                .cast("bigint").alias("pmi_q"),
+                "rnk",
+            ),
+            con,
+            entrymod._kg_related_oracle(k=2, kg_sql=kg_sql),
+            name="kg_related_topk",
         )
         # float ops: raw doubles, per-key tolerance compare
         pr = pagerank(tri, iterations=2, checkpoint=False).collect()

@@ -410,6 +410,13 @@ def main() -> int:
     check("kg_comention_pmi",
           "total mass stays in-plan as a 1-row broadcast (no cartesian)",
           "CartesianProduct" not in p and "BroadcastNestedLoopJoin" in p)
+    from ner_spark.plans.kg_analytics import related_topk
+
+    p = plans["kg_related_topk"] = plan_of(related_topk(tri_mw, k=2))
+    check("kg_related_topk", "rank window keeps its partition spec",
+          rank_window_partitioned(p))
+    check("kg_related_topk", "no cartesian product",
+          "CartesianProduct" not in p)
 
     ok_all = all(ok for _q, _l, ok, _n in checks)
     lines = ["# PLANS — physical-plan audit", "",
