@@ -1,0 +1,181 @@
+#!/usr/bin/env python3
+"""Scale microbench for the KG analytics ops (BENCH/KG_ANALYTICS.md).
+
+The contract keys exercise these operators on the fixture gold graph
+(~100 nodes) — correctness, not scale.  This bench runs the SAME code
+on a deterministic synthetic graph three orders of magnitude larger,
+with a deliberately skewed degree distribution (one hub receives a
+configurable share of all edges — the "mega-repo entity" shape that
+breaks naive groupBy/join plans), and reports wall time per operator
+plus the invariants that prove the run did real work:
+
+- degree conservation (sum out == sum in == |E|)
+- component count + giant-component size from the salted CC loop
+- PageRank mass conservation and the hub's rank share
+- PMI row count == |MENTIONED_WITH pairs|
+
+Graph: |V| = nodes, |E| = edges.  src/dst are xxhash64-derived from
+the row id (deterministic, no RNG state), hub_frac of all dsts are
+rewired to node 0.  Every edge carries pred='MENTIONED_WITH' and an
+evidence count in [1, 16] so the PMI path has non-trivial mass.
+
+Usage:  python tools/kg_analytics_bench.py [--nodes N] [--edges N]
+            [--hub-frac F] [--cpus N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=500_000)
+    ap.add_argument("--edges", type=int, default=2_000_000)
+    ap.add_argument("--hub-frac", type=float, default=0.10,
+                    help="share of all edges rewired to point at node 0")
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--pagerank-iterations", type=int, default=3)
+    ap.add_argument("--write-report", action="store_true",
+                    help="rewrite BENCH/KG_ANALYTICS.md")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from ner_spark.plans.kg_analytics import (
+        comention_pmi,
+        entity_degree,
+        graph_components,
+        pagerank,
+        related_topk,
+    )
+    from ner_spark.session import get_spark
+
+    spark = get_spark("kg-analytics-bench", master=f"local[{args.cpus}]",
+                      shuffle_partitions=args.cpus * 4)
+
+    n, e = args.nodes, args.edges
+    ids = spark.range(e)
+    triples = ids.select(
+        F.concat(F.lit("ent:"),
+                 F.pmod(F.xxhash64(F.col("id") * 2 + 1), F.lit(n))
+                 .cast("string")).alias("subj"),
+        F.lit("MENTIONED_WITH").alias("pred"),
+        F.when(
+            F.pmod(F.xxhash64(F.col("id") * 2 + 7), F.lit(1000))
+            < int(args.hub_frac * 1000),
+            F.lit("ent:0"),
+        ).otherwise(
+            F.concat(F.lit("ent:"),
+                     F.pmod(F.xxhash64(F.col("id") * 2 + 3), F.lit(n))
+                     .cast("string"))
+        ).alias("obj"),
+        (F.pmod(F.xxhash64(F.col("id") * 2 + 5), F.lit(16)) + 1)
+        .alias("evidence_count"),
+    ).localCheckpoint(eager=True)
+    n_edges = triples.count()
+
+    results: dict[str, dict] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        sec = round(time.perf_counter() - t0, 2)
+        results[name] = {"sec": sec, **out}
+        print(f"{name}: {sec}s {out}", flush=True)
+
+    def run_degree():
+        deg = entity_degree(triples)
+        tot = deg.agg(F.sum("out_degree").alias("o"),
+                      F.sum("in_degree").alias("i"),
+                      F.count(F.lit(1)).alias("nodes"),
+                      F.max("in_degree").alias("hub_in")).first()
+        assert tot["o"] == tot["i"] == n_edges, "degree conservation"
+        return {"nodes": tot["nodes"], "hub_in_degree": tot["hub_in"]}
+
+    def run_components():
+        comp = graph_components(triples)
+        agg = comp.agg(
+            F.countDistinct("component").alias("n_comp"),
+            F.max("component_size").alias("giant"),
+            F.count(F.lit(1)).alias("nodes")).first()
+        return {"components": agg["n_comp"], "giant": agg["giant"],
+                "nodes": agg["nodes"]}
+
+    def run_pagerank():
+        pr = pagerank(triples, iterations=args.pagerank_iterations)
+        agg = pr.agg(F.sum("rank").alias("mass"),
+                     F.max("rank").alias("max_rank")).first()
+        hub = pr.where(F.col("node") == "ent:0").first()["rank"]
+        assert abs(agg["mass"] - 1.0) < 1e-6, "rank mass conservation"
+        assert hub == agg["max_rank"], "hub holds the top rank"
+        return {"hub_rank_pct": round(hub * 100, 2),
+                "iterations": args.pagerank_iterations}
+
+    def run_pmi():
+        out = comention_pmi(triples)
+        cnt = out.count()
+        assert cnt == n_edges, "one PMI row per pair row"
+        return {"rows": cnt}
+
+    def run_related():
+        out = related_topk(triples, k=3)
+        agg = out.agg(F.count(F.lit(1)).alias("rows"),
+                      F.max("rnk").alias("max_rnk")).first()
+        assert agg["max_rnk"] <= 3
+        return {"rows": agg["rows"]}
+
+    timed("entity_degree", run_degree)
+    timed("components", run_components)
+    timed("pagerank", run_pagerank)
+    timed("comention_pmi", run_pmi)
+    timed("related_topk", run_related)
+
+    summary = {
+        "nodes": n, "edges": n_edges, "hub_frac": args.hub_frac,
+        "cpus": args.cpus, "results": results,
+    }
+    print(json.dumps(summary))
+
+    if args.write_report:
+        lines = [
+            "# BENCH — KG analytics at scale", "",
+            "`python tools/kg_analytics_bench.py --write-report` — the",
+            "contract-key graph is ~100 nodes (correctness); this runs the",
+            "SAME operators on a deterministic synthetic graph with a hot",
+            f"hub ({int(args.hub_frac * 100)}% of all edges point at one "
+            "node — the mega-repo-entity skew shape).", "",
+            f"|V| = {n:,}, |E| = {n_edges:,}, local[{args.cpus}], "
+            f"shuffle_partitions={args.cpus * 4}.", "",
+            "| operator | wall sec | evidence |",
+            "|---|---|---|",
+        ]
+        for k, v in results.items():
+            ev = ", ".join(f"{a}={b}" for a, b in v.items() if a != "sec")
+            lines.append(f"| {k} | {v['sec']} | {ev} |")
+        lines += [
+            "",
+            "Invariants asserted in-run: degree conservation "
+            "(Σout = Σin = |E|), PageRank mass = 1 ± 1e-6 with the hub "
+            "holding the top rank, one PMI row per pair row, "
+            "related_topk rank bound.  The hub's in-edges "
+            "partial-aggregate map-side before the shuffle (degree, "
+            "pagerank contribution sum, PMI marginals), and the CC loop "
+            "salts the frontier join — no operator has a single-task "
+            "hot key.",
+        ]
+        path = Path(__file__).resolve().parents[1] / "BENCH" / "KG_ANALYTICS.md"
+        path.write_text("\n".join(lines) + "\n", encoding="utf-8")
+        print(f"wrote {path}")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
