@@ -1340,10 +1340,13 @@ def main() -> None:
                              "jars + a configured catalog (see README)")
     parser.add_argument("--analytics", action="store_true",
                         help="after the run (or standalone over an "
-                             "already-committed output), materialize "
-                             "the graph-analytics tables — degree, "
-                             "components, pagerank, co-mention PMI — "
-                             "under <output>/analytics/")
+                             "already-committed output, or after a "
+                             "--stream-input drain that folded "
+                             "anything), materialize the "
+                             "graph-analytics tables — degree, "
+                             "components, pagerank, co-mention PMI, "
+                             "related top-k — under "
+                             "<output>/analytics/")
     parser.add_argument("--pagerank-iterations", type=int, default=3,
                         help="--analytics: PageRank iteration count")
     parser.add_argument("--update-id", default=None,
@@ -1400,6 +1403,7 @@ def main() -> None:
             spark, args.stream_input, job, chk,
             max_files_per_trigger=args.max_files_per_trigger,
             compact_every=args.compact_every,
+            refresh_analytics=args.analytics,
             update_kwargs={
                 "incremental": not args.no_incremental,
                 "differential_threshold": args.differential_threshold,

@@ -157,10 +157,13 @@ def drain_kg_updates(
     update_kwargs: dict | None = None,
     stats: dict | None = None,
     timeout_sec: float | None = None,
+    refresh_analytics: bool = False,
 ) -> dict:
     """One ingest *slice*: drain the landing-zone backlog
     (``availableNow``), then — with the stream fully stopped — run the
-    LSM compaction if ``compact_every`` completed deltas accumulated.
+    LSM compaction if ``compact_every`` completed deltas accumulated,
+    and (``refresh_analytics=True``) rebuild the derived analytics
+    views so they track the freshly folded graph.
 
     This is the maintenance cadence the round-3 inline design got
     wrong: compaction is a full mention/link rewrite, so running it
@@ -190,4 +193,10 @@ def drain_kg_updates(
         n = job.compact()
         stats["compactions"] = stats.get("compactions", 0) + 1
         stats["compacted_deltas"] = stats.get("compacted_deltas", 0) + n
+    if refresh_analytics and stats.get("folded"):
+        # maintenance window too (stream stopped): the analytics views
+        # are always-recompute derived tables, so refreshing them here
+        # keeps "related entities"/rank consumers in step with the
+        # folds this slice landed — skipped when nothing folded
+        stats["analytics"] = job.analytics()
     return stats

@@ -92,6 +92,37 @@ def test_analytics_recomputes_after_update(spark, out_dir):
     assert c2["entity_degree"] >= c1["entity_degree"]
 
 
+def test_stream_drain_refreshes_analytics(spark, tmp_path):
+    # refresh_analytics=True rebuilds the derived views after a drain
+    # that folded something — and leaves them untouched (no key in
+    # stats) on an empty drain
+    from ner_spark.sources.fixtures import build_source_rows
+    from ner_spark.schemas import SOURCE_SCHEMA
+    from ner_spark.streaming.ingest import drain_kg_updates
+
+    kg, land, chk = (str(tmp_path / d) for d in ("kg", "land", "chk"))
+    rows = build_source_rows(40)
+    job = KgJob(spark, kg, run_id="base")
+    job.run(spark.createDataFrame(rows[:25], SOURCE_SCHEMA))
+
+    spark.createDataFrame(rows[25:], SOURCE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    stats = drain_kg_updates(spark, land, job, chk,
+                             refresh_analytics=True, timeout_sec=300)
+    assert stats["folded"] == 1 and "analytics" in stats
+
+    # the refreshed views track the post-fold triples
+    deg = spark.read.parquet(f"{kg}/analytics/entity_degree")
+    mat = spark.read.parquet(f"{kg}/materialize")
+    assert deg.agg(F.sum("out_degree")).first()[0] == mat.count()
+
+    # nothing new landed: drain again, analytics untouched
+    stats2 = drain_kg_updates(spark, land, job, chk,
+                              refresh_analytics=True, timeout_sec=300)
+    assert not stats2.get("folded") and "analytics" not in stats2
+
+
 def test_analytics_cli_standalone(spark, out_dir, capsys, monkeypatch):
     # `--analytics` with no --input/--fixture-rows runs over an
     # already-committed output dir
