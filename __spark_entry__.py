@@ -370,6 +370,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rnk",
         )
 
+    def q_kg_triangles(spark, sf):
+        # per-node triangle counts + clustering coefficient via the
+        # degree-oriented wedge join; coefficient quantized at 1e-6
+        from ner_spark.plans.kg_analytics import triangles
+        from ner_spark.plans.kg_gold import kg_triples_gold
+
+        return triangles(kg_triples_gold(spark)).select(
+            "node",
+            F.col("degree").cast("bigint").alias("degree"),
+            "triangles",
+            F.floor(F.col("clustering_coeff") * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("clustering_coeff_q"),
+        )
+
     def q_kg_components(spark, sf):
         # undirected CC over the triple graph through the same salted
         # min-label-propagation loop the canonicalize stage uses
@@ -450,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_components": q_kg_components,
         "kg_comention_pmi": q_kg_comention_pmi,
         "kg_related_topk": q_kg_related_topk,
+        "kg_triangles": q_kg_triangles,
         "sota_gliner": q_sota_gliner,
         "dataset_split": q_dataset_split,
         "stratified_sample": q_stratified_sample,
@@ -962,6 +978,43 @@ FROM r WHERE rnk <= {k}
 """
 
 
+def _kg_triangles_oracle(kg_sql: str | None = None,
+                         quantized: bool = True) -> str:
+    """SQL twin of plans.kg_analytics.triangles: the undirected simple
+    graph's triangles enumerated by a plain ordered 3-way self-join
+    (a < b < c once each — the exact-but-unoriented form the Spark
+    side's degree-oriented join is equivalent to), corners unioned for
+    the per-node counts, clustering coefficient from exact-integer
+    inputs."""
+    coeff = ("CASE WHEN degree > 1 THEN (2.0 * CAST(triangles AS DOUBLE))"
+             " / CAST(degree * (degree - 1) AS DOUBLE) ELSE 0.0 END")
+    q = (f"CAST(floor(({coeff}) * 1000000 + 0.5) AS BIGINT)"
+         " AS clustering_coeff_q"
+         if quantized else f"{coeff} AS clustering_coeff")
+    return f"""WITH kg AS MATERIALIZED ({kg_sql or _kg_gold_oracle()}),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM kg WHERE subj <> obj),
+d AS MATERIALIZED (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node),
+t AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+c AS MATERIALIZED (
+  SELECT node, count(*) AS triangles FROM (
+    SELECT x AS node FROM t UNION ALL SELECT y FROM t
+    UNION ALL SELECT z FROM t) GROUP BY node),
+r AS (
+  SELECT d.node, d.degree,
+         CAST(coalesce(c.triangles, 0) AS BIGINT) AS triangles
+  FROM d LEFT JOIN c ON d.node = c.node)
+SELECT node, CAST(degree AS BIGINT) AS degree, triangles, {q}
+FROM r
+"""
+
+
 def _kg_entities_fuzzy_oracle(threshold: float = 0.5) -> str:
     """SQL twin of plans.kg_gold.entities_fuzzy_gold: the gold NEL
     table's surfaces canonicalized over shared-KB-id edges PLUS exact
@@ -1306,6 +1359,7 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "kg_components": _kg_components_oracle(),
         "kg_comention_pmi": _kg_pmi_oracle(),
         "kg_related_topk": _kg_related_oracle(),
+        "kg_triangles": _kg_triangles_oracle(),
         "mentions_hybrid": _mentions_oracle("hybrid"),
         "mentions_crf": _mentions_oracle("crf_only"),
         "sota_gliner": _sota_gold_oracle(),

@@ -1197,6 +1197,7 @@ class KgJob:
             graph_components,
             pagerank,
             related_topk,
+            triangles,
         )
 
         if not self._committed("materialize"):
@@ -1212,6 +1213,7 @@ class KgJob:
                 triples, iterations=pagerank_iterations),
             "comention_pmi": lambda: comention_pmi(triples),
             "related_topk": lambda: related_topk(triples),
+            "triangles": lambda: triangles(triples),
         }
         counts: dict[str, int] = {}
         for name, compute in tables.items():

@@ -150,6 +150,96 @@ def related_topk(triples: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def triangles(triples: DataFrame) -> DataFrame:
+    """Per-node triangle participation count and local clustering
+    coefficient over the undirected simple graph induced by the
+    triples (parallel predicate edges collapse, self-loops drop).
+
+    Scale shape — the classic degree-orientation trick: every
+    undirected edge is oriented from its lower-(degree, id) endpoint to
+    the higher one, which turns the graph into a DAG whose max
+    out-degree is O(√m).  Wedges are then enumerated by self-joining
+    the oriented edges on their SOURCE (bounded fan-out per key, so no
+    hub blow-up: a node with 10⁶ neighbors enumerates no wedges unless
+    those neighbors out-rank it, and at most O(√m) of them can) and
+    closed with one semi-join back against the oriented edge set.  Each
+    triangle is found exactly once, at its minimum-order corner.
+
+    clustering_coeff = 2·t / (d·(d−1)) with d the simple-graph degree
+    (distinct neighbors), 0.0 for d ≤ 1 — exact-integer inputs to one
+    division, so the value is bitwise identical across engines (the
+    DuckDB twin quantizes at 1e-6 like the PMI family).
+
+    Returns (node, degree, triangles, clustering_coeff).
+    """
+    e = (
+        triples.select(
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # orient low → high by the (degree, node) total order
+    ed = (
+        e.join(deg.select(F.col("node").alias("a"),
+                          F.col("degree").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"),
+                         F.col("degree").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+    )
+    # wedges at the minimum-order corner, ordered (dst1 < dst2 by the
+    # same total order) so the closing edge is looked up in its stored
+    # orientation
+    o1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"),
+                  F.col("ddst").alias("dv"))
+    o2 = o.select(F.col("src").alias("u"), F.col("dst").alias("w"),
+                  F.col("ddst").alias("dw"))
+    wedges = o1.join(o2, "u").where(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    tri = wedges.join(
+        o.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+    ).select("u", "v", "w")
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionByName(tri.select(F.col("v").alias("node")))
+        .unionByName(tri.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    zero = F.lit(0).cast("bigint")
+    two_t = F.lit(2.0) * F.col("triangles").cast("double")
+    denom = (F.col("degree") * (F.col("degree") - 1)).cast("double")
+    return (
+        deg.join(corners, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("triangles", zero).alias("triangles"),
+        )
+        .withColumn(
+            "clustering_coeff",
+            F.when(F.col("degree") > 1, two_t / denom).otherwise(F.lit(0.0)),
+        )
+    )
+
+
 def graph_components(triples: DataFrame, salt_buckets: int = 8) -> DataFrame:
     """Undirected connected components over the triple graph, plus the
     size of each component.

@@ -36,7 +36,7 @@ def test_analytics_tables_match_triples(spark, out_dir):
     counts = job.analytics()
     assert set(counts) == {
         "entity_degree", "components", "pagerank", "comention_pmi",
-        "related_topk",
+        "related_topk", "triangles",
     }
 
     deg = spark.read.parquet(f"{out_dir}/analytics/entity_degree")

@@ -20,6 +20,7 @@ from ner_spark.plans.kg_analytics import (
     graph_components,
     pagerank,
     related_topk,
+    triangles,
 )
 
 
@@ -177,6 +178,48 @@ def test_related_topk_symmetric_and_bounded(spark):
         assert [r["related"] for r in c_top] == sorted(
             r["related"] for r in c_top
         )
+
+
+def test_triangles_complete_graph(spark):
+    # K4: every node sits in C(3,2) = 3 triangles, coefficient exactly 1
+    nodes = ["a", "b", "c", "d"]
+    t = _triples(
+        spark,
+        [(x, "P", y, 1) for x in nodes for y in nodes if x < y],
+    )
+    rows = {r["node"]: r for r in triangles(t).collect()}
+    assert set(rows) == set(nodes)
+    for r in rows.values():
+        assert r["degree"] == 3 and r["triangles"] == 3
+        assert r["clustering_coeff"] == pytest.approx(1.0, abs=1e-15)
+
+
+def test_triangles_chain_and_junk_edges(spark):
+    # a-b-c chain has no triangle; self-loops and parallel predicate
+    # edges must not fabricate one
+    t = _triples(
+        spark,
+        [
+            ("a", "P", "b", 1),
+            ("b", "Q", "a", 9),   # parallel reverse edge, collapses
+            ("b", "P", "c", 1),
+            ("c", "P", "c", 1),   # self-loop, dropped
+        ],
+    )
+    rows = {r["node"]: r for r in triangles(t).collect()}
+    assert all(r["triangles"] == 0 for r in rows.values())
+    assert all(r["clustering_coeff"] == 0.0 for r in rows.values())
+    assert rows["b"]["degree"] == 2 and rows["a"]["degree"] == 1
+    # close the cycle → exactly one triangle, every corner counted once
+    t2 = _triples(
+        spark,
+        [("a", "P", "b", 1), ("b", "P", "c", 1), ("c", "P", "a", 1),
+         ("c", "P", "d", 1)],
+    )
+    r2 = {r["node"]: r for r in triangles(t2).collect()}
+    assert [r2[n]["triangles"] for n in "abcd"] == [1, 1, 1, 0]
+    assert r2["c"]["degree"] == 3
+    assert r2["c"]["clustering_coeff"] == pytest.approx(1 / 3, abs=1e-15)
 
 
 def test_pagerank_parallel_edges_collapse(spark):

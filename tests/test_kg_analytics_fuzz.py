@@ -31,6 +31,7 @@ from ner_spark.plans.kg_analytics import (  # noqa: E402
     graph_components,
     pagerank,
     related_topk,
+    triangles,
 )
 from tests.oracle_compare import assert_df_matches_duckdb  # noqa: E402
 
@@ -118,6 +119,21 @@ def test_graph_ops_match_oracles_on_random_graphs(spark, rows):
             con,
             entrymod._kg_related_oracle(k=2, kg_sql=kg_sql),
             name="kg_related_topk",
+        )
+        # triangles compare exactly through the quantized oracle: the
+        # degree-oriented wedge join must equal the plain ordered
+        # 3-way self-join on every topology (hubs, ties, self-loops)
+        assert_df_matches_duckdb(
+            triangles(tri).select(
+                "node",
+                F.col("degree").cast("bigint").alias("degree"),
+                "triangles",
+                F.floor(F.col("clustering_coeff") * 1000000 + F.lit(0.5))
+                .cast("bigint").alias("clustering_coeff_q"),
+            ),
+            con,
+            entrymod._kg_triangles_oracle(kg_sql=kg_sql),
+            name="kg_triangles",
         )
         # float ops: raw doubles, per-key tolerance compare
         pr = pagerank(tri, iterations=2, checkpoint=False).collect()

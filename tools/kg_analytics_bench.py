@@ -54,6 +54,7 @@ def main() -> None:
         graph_components,
         pagerank,
         related_topk,
+        triangles,
     )
     from ner_spark.session import get_spark
 
@@ -131,7 +132,16 @@ def main() -> None:
         assert agg["max_rnk"] <= 3
         return {"rows": agg["rows"]}
 
+    def run_triangles():
+        out = triangles(triples)
+        agg = out.agg(F.sum("triangles").alias("corners"),
+                      F.max("clustering_coeff").alias("max_cc")).first()
+        assert agg["corners"] % 3 == 0, "every triangle has 3 corners"
+        assert 0.0 <= agg["max_cc"] <= 1.0
+        return {"total_triangles": agg["corners"] // 3}
+
     timed("entity_degree", run_degree)
+    timed("triangles", run_triangles)
     timed("components", run_components)
     timed("pagerank", run_pagerank)
     timed("comention_pmi", run_pmi)

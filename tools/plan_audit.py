@@ -417,6 +417,17 @@ def main() -> int:
           rank_window_partitioned(p))
     check("kg_related_topk", "no cartesian product",
           "CartesianProduct" not in p)
+    # triangles: the oriented wedge join must stay an equi-join chain
+    # (the DAG orientation bounds per-key fan-out; a cartesian or a
+    # non-equi join here would blow up on any real graph)
+    from ner_spark.plans.kg_analytics import triangles as kg_triangles
+
+    p = plans["kg_triangles"] = plan_of(kg_triangles(tri))
+    check("kg_triangles", "no cartesian product",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
+    check("kg_triangles",
+          "corner counts partial-aggregate before the shuffle",
+          "partial_count" in p)
 
     ok_all = all(ok for _q, _l, ok, _n in checks)
     lines = ["# PLANS — physical-plan audit", "",
