@@ -393,6 +393,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return graph_components(kg_triples_gold(spark))
 
+    def q_kg_communities(spark, sf):
+        # synchronous 3-round label propagation; deterministic because
+        # the update is simultaneous and ties break (count DESC, label
+        # ASC) — value-checked against the chained-CTE DuckDB unroll
+        from ner_spark.plans.kg_analytics import label_propagation
+        from ner_spark.plans.kg_gold import kg_triples_gold
+
+        return label_propagation(kg_triples_gold(spark), iterations=3)
+
+    def q_kg_distances(spark, sf):
+        # multi-source BFS from the repo: vertices, ≤3 hops; frontier
+        # implementation vs the oracle's full-relaxation min — equal on
+        # unweighted graphs
+        from ner_spark.plans.kg_analytics import bfs_distances
+        from ner_spark.plans.kg_gold import kg_triples_gold
+
+        return bfs_distances(kg_triples_gold(spark), max_hops=3)
+
+    def q_kmv_distinct(spark, sf):
+        # per-language KMV distinct-content sketch; the k minima come
+        # from a rank window Spark 4 rewrites into a pushed-down
+        # group-limit, and the estimate division is exact-input IEEE in
+        # both engines
+        return curate.kmv_distinct(_docs(spark, sf), k=64)
+
     def q_dataset_split(spark, sf):
         return curate.dataset_split(_docs(spark, sf))
 
@@ -466,6 +491,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_comention_pmi": q_kg_comention_pmi,
         "kg_related_topk": q_kg_related_topk,
         "kg_triangles": q_kg_triangles,
+        "kg_communities": q_kg_communities,
+        "kg_distances": q_kg_distances,
+        "kmv_distinct": q_kmv_distinct,
         "sota_gliner": q_sota_gliner,
         "dataset_split": q_dataset_split,
         "stratified_sample": q_stratified_sample,
@@ -1015,6 +1043,110 @@ FROM r
 """
 
 
+def _kg_communities_oracle(iterations: int = 3,
+                           kg_sql: str | None = None) -> str:
+    """SQL twin of plans.kg_analytics.label_propagation: the fixed
+    round count unrolls into chained CTEs — per round, the
+    neighbor-label counts (c{k}), the per-node argmax with the
+    (count DESC, label ASC) tie-break (p{k}), and the synchronous
+    label update with isolated nodes coalescing to their own id
+    (l{k}).  Every CTE is MATERIALIZED for the same reason as the
+    pagerank unroll: l{k} is referenced twice by round k+1 and the
+    final size join, so an inlined unroll re-evaluates the gold-KG
+    chain combinatorially."""
+    steps = []
+    for k in range(1, iterations + 1):
+        p = k - 1
+        steps.append(f""",
+c{k} AS MATERIALIZED (
+  SELECT s.x AS node, l.label, count(*) AS c
+  FROM sym s JOIN l{p} l ON s.y = l.node GROUP BY s.x, l.label),
+p{k} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+      row_number() OVER (PARTITION BY node
+                         ORDER BY c DESC, label ASC) AS rn
+    FROM c{k}) WHERE rn = 1),
+l{k} AS MATERIALIZED (
+  SELECT v.node, coalesce(p.label, v.node) AS label
+  FROM v LEFT JOIN p{k} p USING (node))""")
+    return f"""WITH kg AS MATERIALIZED ({kg_sql or _kg_gold_oracle()}),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM kg WHERE subj <> obj),
+sym AS MATERIALIZED (
+  SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e),
+v AS MATERIALIZED (SELECT subj AS node FROM kg UNION SELECT obj FROM kg),
+l0 AS MATERIALIZED (SELECT node, node AS label FROM v){''.join(steps)},
+sz AS (SELECT label, count(*) AS community_size
+       FROM l{iterations} GROUP BY label)
+SELECT l.node, l.label AS community,
+       CAST(sz.community_size AS BIGINT) AS community_size
+FROM l{iterations} l JOIN sz USING (label)
+"""
+
+
+def _kg_distances_oracle(max_hops: int = 3, seed_prefix: str = "repo:",
+                         kg_sql: str | None = None) -> str:
+    """SQL twin of plans.kg_analytics.bfs_distances, in full-relaxation
+    form: d{k} = per-node min over d{k-1} plus every edge-propagated
+    d{k-1}+1.  Equivalent to the Spark side's frontier BFS because an
+    unweighted graph reaches every node first at its minimum hop
+    count.  Unreached nodes never enter any d{k}, matching the Spark
+    output's omission."""
+    steps = []
+    for k in range(1, max_hops + 1):
+        p = k - 1
+        steps.append(f""",
+d{k} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{p}
+    UNION ALL
+    SELECT s.y AS node, d.dist + 1 AS dist
+    FROM sym s JOIN d{p} d ON s.x = d.node)
+  GROUP BY node)""")
+    return f"""WITH kg AS MATERIALIZED ({kg_sql or _kg_gold_oracle()}),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM kg WHERE subj <> obj),
+sym AS MATERIALIZED (
+  SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e),
+v AS MATERIALIZED (SELECT subj AS node FROM kg UNION SELECT obj FROM kg),
+d0 AS MATERIALIZED (
+  SELECT node, 0 AS dist FROM v
+  WHERE node LIKE '{seed_prefix}%'){''.join(steps)}
+SELECT node, CAST(dist AS INT) AS dist FROM d{max_hops}
+"""
+
+
+def _kmv_oracle(k: int = 64) -> str:
+    """SQL twin of operators.curate.kmv_distinct: distinct 60-bit md5
+    hashes per language, the k minima via the same rank window, and
+    the (k−1)·2^60/h_k estimate in the identical IEEE operation order
+    (2^60 is exactly representable, the product 63·2^60 needs 66 bits
+    of magnitude but only 6 of mantissa, so both the multiply and the
+    single divide are exact-input operations)."""
+    space = f"{float(16 ** 15)!r}"
+    return f"""WITH h AS MATERIALIZED (
+  SELECT DISTINCT lang,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT) AS h
+  FROM documents),
+r AS (
+  SELECT lang, h,
+         row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+  FROM h),
+m AS (
+  SELECT lang, count(*) AS n_sketch, max(h) AS hk
+  FROM r WHERE rn <= {k} GROUP BY lang)
+SELECT lang, CAST(n_sketch AS BIGINT) AS n_sketch,
+  CAST(floor(
+    CASE WHEN n_sketch < {k} THEN CAST(n_sketch AS DOUBLE)
+         ELSE CAST({float(k - 1)!r} AS DOUBLE) * {space}
+              / CAST(hk AS DOUBLE) END + 0.5) AS BIGINT) AS kmv_est_q
+FROM m
+"""
+
+
 def _kg_entities_fuzzy_oracle(threshold: float = 0.5) -> str:
     """SQL twin of plans.kg_gold.entities_fuzzy_gold: the gold NEL
     table's surfaces canonicalized over shared-KB-id edges PLUS exact
@@ -1360,6 +1492,9 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "kg_comention_pmi": _kg_pmi_oracle(),
         "kg_related_topk": _kg_related_oracle(),
         "kg_triangles": _kg_triangles_oracle(),
+        "kg_communities": _kg_communities_oracle(),
+        "kg_distances": _kg_distances_oracle(),
+        "kmv_distinct": _kmv_oracle(),
         "mentions_hybrid": _mentions_oracle("hybrid"),
         "mentions_crf": _mentions_oracle("crf_only"),
         "sota_gliner": _sota_gold_oracle(),

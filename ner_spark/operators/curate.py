@@ -151,6 +151,66 @@ def vocab_topk(docs: DataFrame, n: int = 2, k: int = 50) -> DataFrame:
     )
 
 
+_KMV_SPACE = float(16 ** 15)  # 15 hex chars of md5 = uniform draw in [0, 2^60)
+
+
+def kmv_distinct(
+    docs: DataFrame, k: int = 64, group_col: str = "lang"
+) -> DataFrame:
+    """Per-group distinct-content cardinality estimate via a
+    K-minimum-values sketch — the "how many unique documents does each
+    slice hold?" statistic a 100 TB curation pass reads without paying
+    an exact per-group ``count(distinct)`` at full width.
+
+    The sketch: hash every document's content to a uniform 60-bit
+    integer (first 15 hex chars of md5 — deterministic and
+    engine-identical, same contract as the split/sample hashes above),
+    keep each group's *k smallest distinct* hash values, and estimate
+
+        D ≈ (k − 1) · 2^60 / h_k          (h_k = the k-th minimum)
+
+    which is the classic KMV/bottom-k estimator: the k-th order
+    statistic of D uniform draws sits at ≈ k/D of the hash space.  A
+    group with fewer than k distinct hashes reports its exact count —
+    the sketch degrades to exact, never to garbage.
+
+    Scale shape: the distinct is a partial-aggregating shuffle on
+    (group, hash); the per-group k minima come from a ``row_number``
+    rank window that Spark 4 rewrites into a group-limit pushed BELOW
+    the shuffle (``WindowGroupLimit(Partial)`` in the plan — each map
+    task forwards at most k rows per group, so the window never sorts
+    a full group; audited in tools/plan_audit.py).  The estimate is
+    one division over exact-integer inputs, written in the same IEEE
+    operation order as the DuckDB twin, so the quantized value is
+    bitwise reproducible cross-engine.
+
+    Returns (group_col, n_sketch, kmv_est_q) — the estimate rounded to
+    the nearest integer document count.
+    """
+    h = docs.select(
+        F.col(group_col),
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    ).distinct()
+    w = Window.partitionBy(group_col).orderBy("h")
+    mink = h.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / F.col("hk").cast("double")
+    )
+    return (
+        mink.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_sketch"), F.max("h").alias("hk"))
+        .select(
+            group_col,
+            "n_sketch",
+            F.floor(est + F.lit(0.5)).cast("bigint").alias("kmv_est_q"),
+        )
+    )
+
+
 CURATE_ALLOWED_LANGS: tuple[str, ...] = ("en", "de", "fr")
 
 

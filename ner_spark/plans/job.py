@@ -1176,8 +1176,10 @@ class KgJob:
     def analytics(self, pagerank_iterations: int = 3) -> dict[str, int]:
         """Materialize the graph-analytics layer over the committed
         triple table: per-node degree/evidence stats, undirected
-        connected components with sizes, fixed-iteration PageRank, and
-        co-mention PMI (:mod:`ner_spark.plans.kg_analytics`).
+        connected components with sizes, fixed-iteration PageRank,
+        co-mention PMI with per-node top-k related entities, triangle
+        counts, label-propagation communities, and hop distance from
+        the ``repo:`` vertices (:mod:`ner_spark.plans.kg_analytics`).
 
         These are *derived views* of the materialize checkpoint, so
         unlike the pipeline stages they carry no resume marker — every
@@ -1192,9 +1194,11 @@ class KgJob:
         lands in the metrics table (stage ``analytics_<name>``).
         """
         from ner_spark.plans.kg_analytics import (
+            bfs_distances,
             comention_pmi,
             entity_degree,
             graph_components,
+            label_propagation,
             pagerank,
             related_topk,
             triangles,
@@ -1214,6 +1218,8 @@ class KgJob:
             "comention_pmi": lambda: comention_pmi(triples),
             "related_topk": lambda: related_topk(triples),
             "triangles": lambda: triangles(triples),
+            "communities": lambda: label_propagation(triples),
+            "repo_distances": lambda: bfs_distances(triples),
         }
         counts: dict[str, int] = {}
         for name, compute in tables.items():

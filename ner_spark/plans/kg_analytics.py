@@ -240,6 +240,146 @@ def triangles(triples: DataFrame) -> DataFrame:
     )
 
 
+def _undirected_simple(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(sym, v): the undirected simple graph induced by the triples —
+    parallel predicate edges collapse, self-loops drop — as a
+    symmetrized edge table ``(x, y)`` (each undirected edge stored in
+    both directions), plus the full node set ``v`` (every distinct
+    subj/obj, so a self-loop-only node is still a vertex).  Shared by
+    :func:`label_propagation` and :func:`bfs_distances`; same edge
+    derivation as :func:`triangles`.
+    """
+    e = (
+        triples.select(
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        e.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    v = (
+        triples.select(F.col("subj").alias("node"))
+        .unionByName(triples.select(F.col("obj").alias("node")))
+        .distinct()
+    )
+    return sym, v
+
+
+def label_propagation(
+    triples: DataFrame,
+    iterations: int = 3,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (fixed
+    rounds) over the undirected simple graph induced by the triples.
+
+    Every node starts labeled with its own id; each round, every node
+    *simultaneously* adopts the most frequent label among its
+    neighbors, ties broken by the lexicographically smallest label.
+    The synchronous schedule plus the (count DESC, label ASC)
+    tie-break makes the result a pure function of the graph — no
+    visit-order dependence — which is what lets a chained-CTE DuckDB
+    unroll serve as the value oracle
+    (``__spark_entry__._kg_communities_oracle``), exactly like the
+    fixed-iteration ``pagerank``.
+
+    Scale shape: one round = an equi-join of the symmetrized edges on
+    the neighbor id, a map-side-combinable ``groupBy(node, label)``
+    count, and an argmax via a rank window PARTITIONED BY the node
+    (per-node state only, never a global sort; Spark 4 additionally
+    rewrites the ``rn = 1`` filter into a group-limit pushed below the
+    window shuffle).  Lineage truncates with an eager
+    ``localCheckpoint`` per round, same discipline as
+    :func:`pagerank`.  Isolated nodes (self-loop-only) keep their own
+    label through the left-join coalesce.
+
+    Returns (node, community, community_size).
+    """
+    from pyspark.sql import Window
+
+    sym, v = _undirected_simple(triples)
+    if checkpoint:
+        sym = sym.localCheckpoint(eager=True)
+        v = v.localCheckpoint(eager=True)
+
+    labels = v.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("x").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(iterations):
+        nb = sym.join(
+            labels.select(F.col("node").alias("y"), "label"), "y"
+        )
+        cnt = nb.groupBy("x", "label").agg(F.count(F.lit(1)).alias("c"))
+        pick = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("x").alias("node"), F.col("label").alias("new"))
+        )
+        labels = v.join(pick, "node", "left").select(
+            "node", F.coalesce("new", "node").alias("label")
+        )
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=True)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return labels.join(sizes, "label").select(
+        "node", F.col("label").alias("community"), "community_size"
+    )
+
+
+def bfs_distances(
+    triples: DataFrame,
+    max_hops: int = 3,
+    seed_prefix: str = "repo:",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Multi-source BFS: hop distance from the seed node set (every
+    node whose id starts with ``seed_prefix`` — by default the
+    ``repo:`` vertices, so the result answers "how far is each entity
+    from any repository?") over the undirected simple graph, bounded
+    at ``max_hops``.  Unreached nodes are omitted.
+
+    Scale shape — frontier-based, not full-relaxation: round *k* joins
+    the edges against only the nodes FIRST reached at round *k−1*
+    (the frontier), then anti-joins the already-reached set, so the
+    per-round work is proportional to the frontier, not the graph.
+    For an unweighted graph this is exactly the min-distance fixpoint
+    the full-relaxation chained-CTE DuckDB twin computes
+    (``__spark_entry__._kg_distances_oracle``), because BFS reaches
+    every node first at its minimum hop count.  Each frontier
+    localCheckpoints (lineage would otherwise double per round).
+
+    Returns (node, dist) with dist in [0, max_hops].
+    """
+    sym, v = _undirected_simple(triples)
+    if checkpoint:
+        sym = sym.localCheckpoint(eager=True)
+
+    seeds = v.where(F.col("node").startswith(seed_prefix)).select(
+        "node", F.lit(0).cast("int").alias("dist")
+    )
+    if checkpoint:
+        seeds = seeds.localCheckpoint(eager=True)
+    dist = seeds
+    frontier = seeds
+    for k in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier.select(F.col("node").alias("x")), "x")
+            .select(F.col("y").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(k).cast("int").alias("dist"))
+        )
+        if checkpoint:
+            nxt = nxt.localCheckpoint(eager=True)
+        dist = dist.unionByName(nxt)
+        frontier = nxt
+    return dist
+
+
 def graph_components(triples: DataFrame, salt_buckets: int = 8) -> DataFrame:
     """Undirected connected components over the triple graph, plus the
     size of each component.

@@ -152,3 +152,38 @@ def test_redact_mentions_collapses_entities(spark):
         stream = out.split()
         it = iter(stream)
         assert all(w in it for w in o_words)
+
+
+def test_kmv_distinct_exact_below_k(spark):
+    # fewer than k distinct contents → the sketch degrades to the
+    # exact count; duplicate rows collapse through the hash distinct
+    rows = [(1, "en", "alpha"), (2, "en", "beta"), (3, "en", "alpha"),
+            (4, "de", "gamma")]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["lang"]: r for r in curate.kmv_distinct(docs, k=64).collect()}
+    assert out["en"]["n_sketch"] == 2 and out["en"]["kmv_est_q"] == 2
+    assert out["de"]["n_sketch"] == 1 and out["de"]["kmv_est_q"] == 1
+
+
+def test_kmv_distinct_estimator_matches_hand_computation(spark):
+    # ≥ k distinct contents → est = (k−1)·2^60 / h_k with h_k the k-th
+    # smallest 60-bit md5 prefix, recomputed here with hashlib; the
+    # estimate must also land within a loose band of the truth and be
+    # invariant under row duplication
+    import hashlib
+
+    k, n = 16, 300
+    texts = [f"document body {i}" for i in range(n)]
+    rows = [(i, "en", t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = curate.kmv_distinct(docs, k=k).collect()[0]
+    hs = sorted(int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                for t in texts)
+    expect = int((k - 1) * float(16 ** 15) / float(hs[k - 1]) + 0.5)
+    assert got["n_sketch"] == k
+    assert got["kmv_est_q"] == expect
+    assert n / 3 <= got["kmv_est_q"] <= n * 3
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(10_000)))
+    again = curate.kmv_distinct(doubled, k=k).collect()[0]
+    assert again["kmv_est_q"] == expect

@@ -72,6 +72,13 @@ def test_curation_ops_match_oracles_on_random_corpora(spark, docs):
             curate.curate_corpus(sdf.unionByName(dups)), con,
             osql["curate_corpus"],
         )
+        # k=4 so random corpora hit BOTH branches: groups under k
+        # distinct hashes (exact fallback) and groups at/over k (the
+        # (k−1)·2^60/h_k estimator, FP-identical cross-engine)
+        _compare(
+            curate.kmv_distinct(sdf, k=4), con,
+            entrymod._kmv_oracle(k=4),
+        )
     finally:
         con.close()
 

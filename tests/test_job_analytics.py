@@ -36,7 +36,7 @@ def test_analytics_tables_match_triples(spark, out_dir):
     counts = job.analytics()
     assert set(counts) == {
         "entity_degree", "components", "pagerank", "comention_pmi",
-        "related_topk", "triangles",
+        "related_topk", "triangles", "communities", "repo_distances",
     }
 
     deg = spark.read.parquet(f"{out_dir}/analytics/entity_degree")
@@ -62,6 +62,21 @@ def test_analytics_tables_match_triples(spark, out_dir):
     pmi = spark.read.parquet(f"{out_dir}/analytics/comention_pmi")
     n_mw = triples.where(F.col("pred") == "MENTIONED_WITH").count()
     assert pmi.count() == n_mw == counts["comention_pmi"]
+
+    comm = spark.read.parquet(f"{out_dir}/analytics/communities")
+    assert comm.count() == n_nodes  # same node universe
+    assert comm.agg(F.sum("community_size")).first()[0] >= n_nodes
+
+    dist = spark.read.parquet(f"{out_dir}/analytics/repo_distances")
+    # every repo: vertex is a seed at hop 0; every reached node is a
+    # real graph node within the hop bound
+    n_repo = (triples.select("subj").where(F.col("subj").startswith("repo:"))
+              .union(triples.select("obj")
+                     .where(F.col("obj").startswith("repo:")))
+              .distinct().count())
+    assert dist.where(F.col("dist") == 0).count() == n_repo
+    assert dist.count() <= n_nodes
+    assert dist.agg(F.max("dist")).first()[0] <= 3
 
     # one lineage row per table
     stages = {r.stage for r in job.metrics().collect()}

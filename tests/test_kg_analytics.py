@@ -15,9 +15,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from ner_spark.plans.kg_analytics import (
+    bfs_distances,
     comention_pmi,
     entity_degree,
     graph_components,
+    label_propagation,
     pagerank,
     related_topk,
     triangles,
@@ -231,3 +233,58 @@ def test_pagerank_parallel_edges_collapse(spark):
     assert r1.keys() == r2.keys()
     for k in r1:
         assert math.isclose(r1[k], r2[k], rel_tol=0, abs_tol=1e-15)
+
+
+def test_label_propagation_converges_to_min_label_in_a_clique(spark):
+    # triangle {a,b,c}: round 1 is all 1-1 ties (min label wins), by
+    # round 3 every node carries 'a' — the hand-traced synchronous
+    # schedule (r1: a→'b', b→'a', c→'a'; r2: all 'a'; r3 stable)
+    t = _triples(
+        spark,
+        [("a", "P", "b", 1), ("b", "P", "c", 1), ("c", "P", "a", 1)],
+    )
+    rows = {r["node"]: r for r in label_propagation(t, iterations=3).collect()}
+    assert {r["community"] for r in rows.values()} == {"a"}
+    assert all(r["community_size"] == 3 for r in rows.values())
+
+
+def test_label_propagation_separates_components_and_keeps_isolates(spark):
+    # two disjoint triangles end in two communities; a self-loop-only
+    # node is a vertex with no neighbors and keeps its own label
+    t = _triples(
+        spark,
+        [("a", "P", "b", 1), ("b", "P", "c", 1), ("c", "P", "a", 1),
+         ("x", "P", "y", 1), ("y", "P", "z", 1), ("z", "P", "x", 1),
+         ("s", "P", "s", 1)],
+    )
+    rows = {r["node"]: r for r in label_propagation(t, iterations=3).collect()}
+    assert rows["a"]["community"] == rows["b"]["community"] == "a"
+    assert rows["x"]["community"] == rows["y"]["community"] == "x"
+    assert rows["s"]["community"] == "s"
+    assert rows["s"]["community_size"] == 1
+    assert rows["a"]["community_size"] == rows["z"]["community_size"] == 3
+
+
+def test_bfs_distances_multi_source_min(spark):
+    # chain repo:r—e1—e2—e3—e4 plus a second seed repo:q—e4: e3 is
+    # reached at hop 2 through the NEARER seed, e4 at hop 1; the
+    # disconnected node never appears
+    t = _triples(
+        spark,
+        [("repo:r", "D", "e1", 1), ("e1", "M", "e2", 1),
+         ("e2", "M", "e3", 1), ("e3", "M", "e4", 1),
+         ("repo:q", "D", "e4", 1), ("lone", "M", "lone2", 1)],
+    )
+    d = {r["node"]: r["dist"] for r in bfs_distances(t, max_hops=3).collect()}
+    assert d == {"repo:r": 0, "repo:q": 0, "e1": 1, "e4": 1,
+                 "e2": 2, "e3": 2}
+
+
+def test_bfs_distances_hop_bound_cuts_the_tail(spark):
+    t = _triples(
+        spark,
+        [("repo:r", "D", "e1", 1), ("e1", "M", "e2", 1),
+         ("e2", "M", "e3", 1)],
+    )
+    d = {r["node"]: r["dist"] for r in bfs_distances(t, max_hops=2).collect()}
+    assert d == {"repo:r": 0, "e1": 1, "e2": 2}  # e3 is 3 hops out

@@ -26,9 +26,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import __spark_entry__ as entrymod  # noqa: E402
 from ner_spark.plans.kg_analytics import (  # noqa: E402
+    bfs_distances,
     comention_pmi,
     entity_degree,
     graph_components,
+    label_propagation,
     pagerank,
     related_topk,
     triangles,
@@ -134,6 +136,24 @@ def test_graph_ops_match_oracles_on_random_graphs(spark, rows):
             con,
             entrymod._kg_triangles_oracle(kg_sql=kg_sql),
             name="kg_triangles",
+        )
+        # label propagation compares exactly: synchronous update +
+        # (count DESC, label ASC) tie-break is a pure function of the
+        # graph, so the chained-CTE unroll must match on every
+        # topology (ties, isolated self-loop nodes, hubs)
+        assert_df_matches_duckdb(
+            label_propagation(tri, iterations=2, checkpoint=False), con,
+            entrymod._kg_communities_oracle(iterations=2, kg_sql=kg_sql),
+            name="kg_communities",
+        )
+        # BFS distances: the Spark frontier walk must equal the
+        # oracle's full-relaxation min fixpoint (seeds = repo: nodes;
+        # NODES includes repo:r1, so seeded and seedless graphs both
+        # occur)
+        assert_df_matches_duckdb(
+            bfs_distances(tri, max_hops=2, checkpoint=False), con,
+            entrymod._kg_distances_oracle(max_hops=2, kg_sql=kg_sql),
+            name="kg_distances",
         )
         # float ops: raw doubles, per-key tolerance compare
         pr = pagerank(tri, iterations=2, checkpoint=False).collect()

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import io
 import os
+import re
 import sys
 from contextlib import redirect_stdout
 from pathlib import Path
@@ -428,6 +429,58 @@ def main() -> int:
     check("kg_triangles",
           "corner counts partial-aggregate before the shuffle",
           "partial_count" in p)
+
+    # label propagation: the per-round argmax is a rank window
+    # PARTITIONED BY the node (per-node state only) that Spark 4
+    # additionally rewrites into a group-limit below the shuffle, and
+    # the neighbor-label counts partial-aggregate map-side.
+    from ner_spark.plans.kg_analytics import label_propagation
+
+    p = plans["kg_communities_round"] = plan_of(
+        label_propagation(tri, iterations=1, checkpoint=False))
+    check("kg_communities_round", "rank window keeps its partition spec",
+          rank_window_partitioned(p))
+    check("kg_communities_round",
+          "argmax pushed below the shuffle as a group-limit",
+          "WindowGroupLimit" in p and ", Partial" in p)
+    check("kg_communities_round",
+          "neighbor-label counts partial-aggregate before the shuffle",
+          "partial_count" in p)
+    check("kg_communities_round", "no cartesian product",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
+    # BFS: one frontier round must stay equi-join + anti-join (work
+    # proportional to the frontier, never a relaxation over the full
+    # distance table)
+    from ner_spark.plans.kg_analytics import bfs_distances
+
+    tri_repo = spark.createDataFrame(
+        [("repo:r", "D", "a", 1), ("a", "M", "b", 1)],
+        "subj string, pred string, obj string, evidence_count bigint")
+    p = plans["kg_distances_round"] = plan_of(
+        bfs_distances(tri_repo, max_hops=1, checkpoint=False))
+    check("kg_distances_round",
+          "reached-set exclusion is an anti-join",
+          "LeftAnti" in p)
+    check("kg_distances_round", "no cartesian product",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
+    # KMV sketch: the scan must prune to (text, lang); the distinct
+    # partial-aggregates map-side; the per-group k minima must come
+    # from a group-limit below the shuffle (each map task forwards at
+    # most k rows per group — the window never sorts a full group)
+    from ner_spark.operators.curate import kmv_distinct
+
+    docs_df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plans["kmv_distinct"] = plan_of(kmv_distinct(docs_df, k=64))
+    check("kmv_distinct", "scan prunes to (text, lang)",
+          "struct<text:string,lang:string>" in p)
+    check("kmv_distinct",
+          "distinct shuffles on (group, hash), not the group alone",
+          bool(re.search(r"hashpartitioning\(lang#\d+, h#\d+", p)))
+    check("kmv_distinct",
+          "k minima via group-limit below the shuffle",
+          "WindowGroupLimit" in p and ", Partial" in p)
+    check("kmv_distinct", "no cartesian product",
+          "CartesianProduct" not in p)
 
     ok_all = all(ok for _q, _l, ok, _n in checks)
     lines = ["# PLANS — physical-plan audit", "",
