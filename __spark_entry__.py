@@ -421,6 +421,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_dataset_split(spark, sf):
         return curate.dataset_split(_docs(spark, sf))
 
+    def q_leakage_split(spark, sf):
+        # near-dup-aware split: whole MinHash+LSH dup clusters move
+        # together; singletons keep the plain dataset_split assignment
+        return curate.leakage_safe_split(_docs(spark, sf))
+
+    def q_contamination(spark, sf):
+        # benchmark hygiene: flag corpus docs sharing ≥2 distinct
+        # 3-gram shingles with the deterministic doc_id % 97 eval slice
+        d = _docs(spark, sf)
+        return curate.contamination_check(
+            d, d.where(F.col("doc_id") % 97 == 0))
+
     def q_stratified_sample(spark, sf):
         # rebalance the training mix: downsample the dominant language
         return curate.stratified_sample(
@@ -496,6 +508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "sota_gliner": q_sota_gliner,
         "dataset_split": q_dataset_split,
+        "leakage_split": q_leakage_split,
+        "contamination": q_contamination,
         "stratified_sample": q_stratified_sample,
         "vocab_topk": q_vocab_topk,
         "curate_corpus": q_curate_corpus,
@@ -1433,9 +1447,67 @@ WHERE substr(md5('strat-v1|' || lang || '|' || doc_id::VARCHAR), 1, 8)
 """
 
 
+def _leakage_split_oracle() -> str:
+    """Twin of curate.leakage_safe_split: the dedup_clusters closure
+    (MinHash+LSH pairs → recursive-CTE components, cluster_id = min
+    doc_id) with the dataset_split CASE applied to the CLUSTER id —
+    same salt, same cumulative hex thresholds."""
+    from fractions import Fraction
+
+    from ner_spark.operators.curate import hex_threshold
+
+    t_train = hex_threshold(Fraction("0.8"))
+    t_val = hex_threshold(Fraction("0.8") + Fraction("0.1"))
+    return (
+        "WITH RECURSIVE " + _MINHASH_CAND_CTE + f""",
+e AS (SELECT doc_a, doc_b FROM cand WHERE jaccard_est >= 0.5),
+adj AS (
+  SELECT doc_a AS x, doc_b AS y FROM e
+  UNION SELECT doc_b, doc_a FROM e
+  UNION SELECT doc_a, doc_a FROM e
+  UNION SELECT doc_b, doc_b FROM e),
+reach AS (
+  SELECT x, y FROM adj
+  UNION
+  SELECT r.x, a.y FROM reach r JOIN adj a ON r.y = a.x),
+comp AS (SELECT x AS doc_id, min(y) AS cluster_id FROM reach GROUP BY x),
+cl AS (
+  SELECT d.doc_id,
+         CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+SELECT doc_id, cluster_id,
+  CASE WHEN substr(md5('split-v1|' || cluster_id::VARCHAR), 1, 8) < '{t_train}' THEN 'train'
+       WHEN substr(md5('split-v1|' || cluster_id::VARCHAR), 1, 8) < '{t_val}' THEN 'val'
+       ELSE 'test' END AS split
+FROM cl
+"""
+    )
+
+
+def _contamination_oracle(min_shared: int = 2) -> str:
+    """Twin of curate.contamination_check over the doc_id % 97 eval
+    slice: distinct 3-gram shingles both sides, overlap counts per
+    (corpus doc, eval doc), self-pairs excluded."""
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id, u.g
+  FROM toks, UNNEST({_SHINGLES}) AS u(g) WHERE len(t) >= 3),
+ev AS (SELECT doc_id AS eval_id, g FROM sh WHERE doc_id % 97 = 0),
+c AS (
+  SELECT s.doc_id, e.eval_id, count(*) AS shared_ngrams
+  FROM sh s JOIN ev e USING (g)
+  WHERE s.doc_id <> e.eval_id GROUP BY 1, 2)
+SELECT doc_id, eval_id, CAST(shared_ngrams AS BIGINT) AS shared_ngrams
+FROM c WHERE shared_ngrams >= {min_shared}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "dataset_split": _dataset_split_oracle(),
+        "leakage_split": _leakage_split_oracle(),
+        "contamination": _contamination_oracle(),
         "stratified_sample": _stratified_sample_oracle(),
         "vocab_topk": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

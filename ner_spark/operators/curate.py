@@ -151,6 +151,80 @@ def vocab_topk(docs: DataFrame, n: int = 2, k: int = 50) -> DataFrame:
     )
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    weights: tuple[tuple[str, float], ...] = DEFAULT_SPLITS,
+    salt: str = "split-v1",
+    **cluster_kwargs,
+) -> DataFrame:
+    """Near-dup-aware train/val/test assignment: every document in a
+    near-duplicate cluster lands in the SAME split.
+
+    :func:`dataset_split` hashes each doc independently, so two
+    near-identical documents can straddle train and test — the classic
+    train/eval contamination leak.  This variant first clusters
+    near-dups (:func:`ner_spark.operators.dedup.dedup_clusters`:
+    MinHash+LSH pairs closed transitively), then hashes the CLUSTER id
+    through the same salt/threshold machinery, so the whole cluster
+    moves together.  Singleton documents are their own cluster
+    (cluster_id = doc_id), which makes this a strict refinement of
+    :func:`dataset_split`: any doc with no near-dups keeps exactly the
+    assignment the plain split gives it.
+
+    Scale shape: the cluster pass is the already-bucketed LSH pipeline
+    (the pair graph and its CC loop touch only near-dups); the split
+    itself adds one shuffle-free hash projection over the distinct
+    cluster ids plus one equi-join on cluster_id.
+
+    Returns (doc_id, cluster_id, split).
+    """
+    from ner_spark.operators.dedup import dedup_clusters
+
+    clusters = dedup_clusters(docs, **cluster_kwargs)
+    assigned = dataset_split(
+        clusters.select(F.col("cluster_id").alias("doc_id")).distinct(),
+        weights=weights, salt=salt, id_col="doc_id",
+    ).select(F.col("doc_id").alias("cluster_id"), "split")
+    return clusters.select("doc_id", "cluster_id").join(
+        assigned, "cluster_id"
+    ).select("doc_id", "cluster_id", "split")
+
+
+def contamination_check(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Benchmark-contamination scan: which corpus documents share at
+    least ``min_shared`` distinct word n-grams with a document of the
+    evaluation set?  The standard pre-training hygiene pass — eval
+    examples that leaked into the training corpus inflate benchmark
+    scores, so curation drops (or at least flags) every hit.
+
+    Scale shape: the corpus side explodes to (doc, shingle) rows once;
+    the eval side is small by construction (a benchmark is thousands
+    of examples, not billions), so its shingle table BROADCASTS and
+    the overlap join is map-side — no shuffle of the 100 TB corpus at
+    all; the per-pair count partial-aggregates.  Self-pairs (a doc
+    that IS the eval doc) are excluded.
+
+    Returns (doc_id, eval_id, shared_ngrams) for pairs at or above the
+    threshold.
+    """
+    c = shingle_rows(docs, n=n)
+    e = shingle_rows(eval_docs, n=n).select(
+        F.col("doc_id").alias("eval_id"), "g"
+    )
+    return (
+        c.join(F.broadcast(e), "g")
+        .where(F.col("doc_id") != F.col("eval_id"))
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .where(F.col("shared_ngrams") >= min_shared)
+    )
+
+
 _KMV_SPACE = float(16 ** 15)  # 15 hex chars of md5 = uniform draw in [0, 2^60)
 
 

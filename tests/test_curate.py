@@ -187,3 +187,41 @@ def test_kmv_distinct_estimator_matches_hand_computation(spark):
         docs.withColumn("doc_id", F.col("doc_id") + F.lit(10_000)))
     again = curate.kmv_distinct(doubled, k=k).collect()[0]
     assert again["kmv_est_q"] == expect
+
+
+def test_leakage_safe_split_moves_clusters_together(spark):
+    # two near-identical docs (one token differs out of 12) that plain
+    # dataset_split would assign independently must land in the SAME
+    # split; the unrelated singleton keeps its plain-split assignment
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    rows = [(1, "en", base + " mu"),
+            (2, "en", base + " nu"),
+            (3, "en", "completely different text about other things")]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["doc_id"]: r for r in curate.leakage_safe_split(docs).collect()}
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == 1
+    assert out[1]["split"] == out[2]["split"]
+    plain = {r["doc_id"]: r["split"]
+             for r in curate.dataset_split(docs).collect()}
+    assert out[3]["cluster_id"] == 3
+    assert out[3]["split"] == plain[3]
+    # the cluster's split is the canonical doc's plain assignment
+    assert out[1]["split"] == plain[1]
+
+
+def test_contamination_check_flags_shared_ngrams_only(spark):
+    # doc 10 quotes 4 consecutive tokens of eval doc 0 (= two distinct
+    # 3-gram shingles); doc 11 shares nothing; the eval doc never
+    # matches itself
+    ev_text = "the quick brown fox jumps over the lazy dog"
+    rows = [(0, "en", ev_text),
+            (10, "en", "intro words then quick brown fox jumps closing"),
+            (11, "en", "entirely unrelated content with no overlap here")]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    ev = docs.where(F.col("doc_id") == 0)
+    got = {(r["doc_id"], r["eval_id"]): r["shared_ngrams"]
+           for r in curate.contamination_check(docs, ev, min_shared=2)
+           .collect()}
+    assert got == {(10, 0): 2}
+    # raising the threshold above the overlap empties the result
+    assert curate.contamination_check(docs, ev, min_shared=3).count() == 0

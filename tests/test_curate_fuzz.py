@@ -72,6 +72,20 @@ def test_curation_ops_match_oracles_on_random_corpora(spark, docs):
             curate.curate_corpus(sdf.unionByName(dups)), con,
             osql["curate_corpus"],
         )
+        # near-dup-aware split: the MinHash closure + cluster-id hash
+        # must agree with the recursive-CTE twin on random corpora
+        # (forced exact duplicates above cluster for sure; empty texts
+        # exercise the singleton fallback)
+        _compare(curate.leakage_safe_split(sdf), con,
+                 entrymod._leakage_split_oracle())
+        # contamination scan against the doc_id % 97 eval slice (row 0
+        # is always eval, so shared-shingle pairs occur whenever a
+        # duplicate of it exists); min_shared=1 maximizes pairs
+        _compare(
+            curate.contamination_check(
+                sdf, sdf.where(F.col("doc_id") % 97 == 0), min_shared=1),
+            con, entrymod._contamination_oracle(min_shared=1),
+        )
         # k=4 so random corpora hit BOTH branches: groups under k
         # distinct hashes (exact fallback) and groups at/over k (the
         # (k−1)·2^60/h_k estimator, FP-identical cross-engine)

@@ -49,9 +49,11 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from ner_spark.plans.kg_analytics import (
+        bfs_distances,
         comention_pmi,
         entity_degree,
         graph_components,
+        label_propagation,
         pagerank,
         related_topk,
         triangles,
@@ -140,12 +142,36 @@ def main() -> None:
         assert 0.0 <= agg["max_cc"] <= 1.0
         return {"total_triangles": agg["corners"] // 3}
 
+    def run_communities():
+        out = label_propagation(triples, iterations=3)
+        agg = out.agg(F.count(F.lit(1)).alias("rows"),
+                      F.countDistinct("community").alias("n_comm")).first()
+        cover = (out.select("community", "community_size").distinct()
+                 .agg(F.sum("community_size")).first()[0])
+        assert cover == agg["rows"], "community sizes partition the nodes"
+        return {"nodes": agg["rows"], "communities": agg["n_comm"]}
+
+    def run_distances():
+        # seed at the hub ("ent:0" is a full id — pmod emits no leading
+        # zeros, so the prefix matches exactly one node): the frontier
+        # covers most of the giant component by hop 2, the worst case
+        # for the anti-join against the reached set
+        out = bfs_distances(triples, max_hops=3, seed_prefix="ent:0")
+        agg = out.agg(F.count(F.lit(1)).alias("reached"),
+                      F.max("dist").alias("max_d"),
+                      F.sum(F.when(F.col("dist") == 0, 1).otherwise(0))
+                      .alias("seeds")).first()
+        assert agg["seeds"] == 1 and agg["max_d"] <= 3
+        return {"reached": agg["reached"], "max_dist": agg["max_d"]}
+
     timed("entity_degree", run_degree)
     timed("triangles", run_triangles)
     timed("components", run_components)
     timed("pagerank", run_pagerank)
     timed("comention_pmi", run_pmi)
     timed("related_topk", run_related)
+    timed("communities", run_communities)
+    timed("hub_distances", run_distances)
 
     summary = {
         "nodes": n, "edges": n_edges, "hub_frac": args.hub_frac,
@@ -174,7 +200,9 @@ def main() -> None:
             "Invariants asserted in-run: degree conservation "
             "(Σout = Σin = |E|), PageRank mass = 1 ± 1e-6 with the hub "
             "holding the top rank, one PMI row per pair row, "
-            "related_topk rank bound.  The hub's in-edges "
+            "related_topk rank bound, label-propagation community sizes "
+            "partitioning the node set, BFS hop bound from the hub seed.  "
+            "The hub's in-edges "
             "partial-aggregate map-side before the shuffle (degree, "
             "pagerank contribution sum, PMI marginals), and the CC loop "
             "salts the frontier join — no operator has a single-task "

@@ -482,6 +482,28 @@ def main() -> int:
     check("kmv_distinct", "no cartesian product",
           "CartesianProduct" not in p)
 
+    # contamination: the eval side must broadcast (the 100 TB corpus
+    # never shuffles for the overlap join) and the per-pair shingle
+    # counts partial-aggregate map-side
+    from ner_spark.operators.curate import contamination_check
+
+    ev_df = docs_df.where(F.col("doc_id") % 97 == 0)
+    p = plans["contamination"] = plan_of(contamination_check(docs_df, ev_df))
+    check("contamination", "eval shingles broadcast (corpus never shuffles "
+          "for the join)", "BroadcastHashJoin" in p)
+    check("contamination",
+          "pair counts partial-aggregate before the shuffle",
+          "partial_count" in p)
+    check("contamination", "no cartesian product",
+          "CartesianProduct" not in p)
+    # leakage-safe split: composition of the audited LSH cluster path
+    # with the hash split — nothing may go cartesian end-to-end
+    from ner_spark.operators.curate import leakage_safe_split
+
+    p = plans["leakage_split"] = plan_of(leakage_safe_split(docs_df))
+    check("leakage_split", "no cartesian product",
+          "CartesianProduct" not in p)
+
     ok_all = all(ok for _q, _l, ok, _n in checks)
     lines = ["# PLANS — physical-plan audit", "",
              f"`python tools/plan_audit.py` at {SF_DIR} (local[4]).", "",
