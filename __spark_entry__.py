@@ -418,6 +418,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # both engines
         return curate.kmv_distinct(_docs(spark, sf), k=64)
 
+    def q_kg_pattern(spark, sf):
+        # SPARQL-style BGP over the gold KG: repos whose declared
+        # entities co-mention a KB-linked entity — constants compile
+        # to pushed filters, shared variables to equi-joins
+        from ner_spark.plans.kg_gold import kg_triples_gold
+        from ner_spark.plans.kg_query import match_pattern
+
+        return match_pattern(kg_triples_gold(spark), _PATTERN)
+
     def q_dataset_split(spark, sf):
         return curate.dataset_split(_docs(spark, sf))
 
@@ -506,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": q_kg_communities,
         "kg_distances": q_kg_distances,
         "kmv_distinct": q_kmv_distinct,
+        "kg_pattern": q_kg_pattern,
         "sota_gliner": q_sota_gliner,
         "dataset_split": q_dataset_split,
         "leakage_split": q_leakage_split,
@@ -518,6 +528,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ----------------------------------------------------------- oracle SQL
+
+# the kg_pattern contract BGP: repos whose declared entities
+# co-mention a KB-linked entity (3 hops across 3 predicates — a join
+# chain no single-predicate query exercises)
+_PATTERN = [
+    ("?repo", "DECLARES", "?e"),
+    ("?e", "MENTIONED_WITH", "?x"),
+    ("?x", "LINKED_TO", "?kb"),
+]
 
 _TOKS = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
          "x -> x <> '')")
@@ -1161,6 +1180,43 @@ FROM m
 """
 
 
+def _kg_pattern_oracle(pattern, kg_sql: str | None = None) -> str:
+    """SQL twin of plans.kg_query.match_pattern: every pattern element
+    becomes one alias of the triple relation; constants and repeated
+    variables become equality predicates (first element → WHERE,
+    later elements → their JOIN ON), and the select list is each
+    variable's FIRST binding site — the same first-appearance order
+    and multiset semantics the Spark join chain produces."""
+    first: dict[str, str] = {}
+    where0: list[str] = []
+    joins: list[str] = []
+    for i, element in enumerate(pattern):
+        conds: list[str] = []
+        for field, term in zip(("subj", "pred", "obj"), element):
+            ref = f"t{i}.{field}"
+            if term.startswith("?"):
+                if term in first:
+                    conds.append(f"{ref} = {first[term]}")
+                else:
+                    first[term] = ref
+            else:
+                conds.append(f"{ref} = '{term}'")
+        if i == 0:
+            where0 = conds
+        else:
+            joins.append(
+                f"JOIN kg t{i} ON " + " AND ".join(conds)
+            )
+    sel = ", ".join(f"{ref} AS {var[1:]}" for var, ref in first.items())
+    where = " AND ".join(where0) if where0 else "TRUE"
+    return f"""WITH kg AS MATERIALIZED ({kg_sql or _kg_gold_oracle()})
+SELECT {sel}
+FROM kg t0
+{chr(10).join(joins)}
+WHERE {where}
+"""
+
+
 def _kg_entities_fuzzy_oracle(threshold: float = 0.5) -> str:
     """SQL twin of plans.kg_gold.entities_fuzzy_gold: the gold NEL
     table's surfaces canonicalized over shared-KB-id edges PLUS exact
@@ -1567,6 +1623,7 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "kg_communities": _kg_communities_oracle(),
         "kg_distances": _kg_distances_oracle(),
         "kmv_distinct": _kmv_oracle(),
+        "kg_pattern": _kg_pattern_oracle(_PATTERN),
         "mentions_hybrid": _mentions_oracle("hybrid"),
         "mentions_crf": _mentions_oracle("crf_only"),
         "sota_gliner": _sota_gold_oracle(),

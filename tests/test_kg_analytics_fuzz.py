@@ -155,6 +155,24 @@ def test_graph_ops_match_oracles_on_random_graphs(spark, rows):
             entrymod._kg_distances_oracle(max_hops=2, kg_sql=kg_sql),
             name="kg_distances",
         )
+        # BGP pattern matching: four shapes (single element, variable
+        # predicates chained, a 2-cycle, self-loops via a repeated
+        # variable) must reproduce the generated SQL twin's multiset —
+        # random graphs have duplicate triple rows, so this also pins
+        # the multiplicity semantics
+        from ner_spark.plans.kg_query import match_pattern
+        for pname, pat in (
+            ("p_single", [("?s", "MENTIONED_WITH", "?o")]),
+            ("p_chain", [("?a", "?p", "?b"), ("?b", "?q", "?c")]),
+            ("p_cycle", [("?a", "MENTIONED_WITH", "?b"),
+                         ("?b", "MENTIONED_WITH", "?a")]),
+            ("p_selfloop", [("?a", "?p", "?a")]),
+        ):
+            assert_df_matches_duckdb(
+                match_pattern(tri, pat), con,
+                entrymod._kg_pattern_oracle(pat, kg_sql=kg_sql),
+                name=f"kg_pattern:{pname}",
+            )
         # float ops: raw doubles, per-key tolerance compare
         pr = pagerank(tri, iterations=2, checkpoint=False).collect()
         pr_d = con.execute(entrymod._kg_pagerank_oracle(

@@ -1,0 +1,80 @@
+"""Triple-pattern (BGP) matching: binding semantics, constant
+filters, repeated-variable equality, and the cartesian guard.  The
+contract key (``kg_pattern``) hash-checks the 3-hop pattern against
+its generated DuckDB twin; the graph fuzz
+(test_kg_analytics_fuzz.py) runs four pattern shapes on random
+graphs."""
+
+from __future__ import annotations
+
+import pytest
+
+from ner_spark.plans.kg_query import match_pattern
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, evidence_count bigint"
+    )
+
+
+def test_match_pattern_three_hop_binding(spark):
+    t = _triples(
+        spark,
+        [
+            ("repo:r", "DECLARES", "e1", 2),
+            ("repo:r", "DECLARES", "e2", 1),
+            ("e1", "MENTIONED_WITH", "e2", 3),
+            ("e2", "LINKED_TO", "kb:Q1", 1),
+            ("e9", "LINKED_TO", "kb:Q2", 1),  # not co-mentioned: no row
+        ],
+    )
+    out = match_pattern(t, [
+        ("?repo", "DECLARES", "?e"),
+        ("?e", "MENTIONED_WITH", "?x"),
+        ("?x", "LINKED_TO", "?kb"),
+    ])
+    assert out.columns == ["repo", "e", "x", "kb"]
+    assert [tuple(r) for r in out.collect()] == [
+        ("repo:r", "e1", "e2", "kb:Q1")
+    ]
+
+
+def test_match_pattern_variable_predicate_and_constants(spark):
+    t = _triples(
+        spark,
+        [("a", "P", "b", 1), ("a", "Q", "b", 1), ("a", "P", "c", 1)],
+    )
+    out = match_pattern(t, [("a", "?p", "b")])
+    assert sorted(r["p"] for r in out.collect()) == ["P", "Q"]
+
+
+def test_match_pattern_repeated_var_means_equality(spark):
+    t = _triples(
+        spark,
+        [("a", "P", "a", 1), ("a", "P", "b", 1), ("c", "Q", "c", 1)],
+    )
+    out = match_pattern(t, [("?x", "?p", "?x")])
+    assert sorted((r["x"], r["p"]) for r in out.collect()) == [
+        ("a", "P"), ("c", "Q")
+    ]
+
+
+def test_match_pattern_rejects_disjoint_element(spark):
+    t = _triples(spark, [("a", "P", "b", 1)])
+    with pytest.raises(ValueError, match="cartesian"):
+        match_pattern(t, [("?x", "P", "?y"), ("?u", "P", "?v")])
+    with pytest.raises(ValueError, match="empty"):
+        match_pattern(t, [])
+
+
+def test_match_pattern_multiplicity_is_one_per_binding(spark):
+    # unique triple rows → the join chain emits each binding once
+    t = _triples(
+        spark,
+        [("r", "D", "e1", 1), ("r", "D", "e2", 1),
+         ("e1", "M", "x", 1), ("e2", "M", "x", 1)],
+    )
+    out = match_pattern(t, [("?r", "D", "?e"), ("?e", "M", "?x")])
+    rows = [tuple(r) for r in out.collect()]
+    assert sorted(rows) == [("r", "e1", "x"), ("r", "e2", "x")]

@@ -482,6 +482,22 @@ def main() -> int:
     check("kmv_distinct", "no cartesian product",
           "CartesianProduct" not in p)
 
+    # BGP pattern matching: the pattern must compile to a pure
+    # filter + equi-join tree — constants as Filters (pushable), no
+    # cartesian/nested-loop join anywhere (the disjoint-element guard
+    # is unit-tested; this pins the compiled shape of a valid pattern)
+    from ner_spark.plans.kg_query import match_pattern
+
+    p = plans["kg_pattern"] = plan_of(match_pattern(tri, [
+        ("?r", "DECLARES", "?e"), ("?e", "MENTIONED_WITH", "?x")]))
+    check("kg_pattern", "joins are hash equi-joins",
+          ("SortMergeJoin" in p or "BroadcastHashJoin" in p or
+           "ShuffledHashJoin" in p))
+    check("kg_pattern", "no cartesian product",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
+    check("kg_pattern", "constant predicates compile to filters",
+          "DECLARES" in p and "Filter" in p)
+
     # contamination: the eval side must broadcast (the 100 TB corpus
     # never shuffles for the overlap join) and the per-pair shingle
     # counts partial-aggregate map-side
