@@ -427,6 +427,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return match_pattern(kg_triples_gold(spark), _PATTERN)
 
+    def q_kg_pattern_optional(spark, sf):
+        # OPTIONAL (left-join) semantics: co-mention pairs keep their
+        # binding even when the partner has no KB link (kb null)
+        from ner_spark.plans.kg_gold import kg_triples_gold
+        from ner_spark.plans.kg_query import match_pattern
+
+        out = match_pattern(
+            kg_triples_gold(spark), _PATTERN[:2],
+            optional=[("?x", "LINKED_TO", "?kb")],
+        )
+        # sentinel-fill the nullable OPTIONAL column for the hash
+        # compare (the oracle's fill_null does the same)
+        return out.withColumn("kb", F.coalesce("kb", F.lit("")))
+
     def q_dataset_split(spark, sf):
         return curate.dataset_split(_docs(spark, sf))
 
@@ -516,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_distances": q_kg_distances,
         "kmv_distinct": q_kmv_distinct,
         "kg_pattern": q_kg_pattern,
+        "kg_pattern_optional": q_kg_pattern_optional,
         "sota_gliner": q_sota_gliner,
         "dataset_split": q_dataset_split,
         "leakage_split": q_leakage_split,
@@ -1180,17 +1195,24 @@ FROM m
 """
 
 
-def _kg_pattern_oracle(pattern, kg_sql: str | None = None) -> str:
+def _kg_pattern_oracle(pattern, optional=(), fill_null=(),
+                       kg_sql: str | None = None) -> str:
     """SQL twin of plans.kg_query.match_pattern: every pattern element
     becomes one alias of the triple relation; constants and repeated
     variables become equality predicates (first element → WHERE,
-    later elements → their JOIN ON), and the select list is each
-    variable's FIRST binding site — the same first-appearance order
-    and multiset semantics the Spark join chain produces."""
+    later elements → their JOIN ON), ``optional`` elements LEFT JOIN
+    with ALL their predicates in the ON clause (the SPARQL OPTIONAL
+    placement — a WHERE would re-require the match), and the select
+    list is each variable's FIRST binding site — the same
+    first-appearance order and multiset semantics the Spark join
+    chain produces."""
     first: dict[str, str] = {}
     where0: list[str] = []
     joins: list[str] = []
-    for i, element in enumerate(pattern):
+    elements = [(el, False) for el in pattern] + [
+        (el, True) for el in optional
+    ]
+    for i, (element, is_optional) in enumerate(elements):
         conds: list[str] = []
         for field, term in zip(("subj", "pred", "obj"), element):
             ref = f"t{i}.{field}"
@@ -1204,10 +1226,19 @@ def _kg_pattern_oracle(pattern, kg_sql: str | None = None) -> str:
         if i == 0:
             where0 = conds
         else:
+            kind = "LEFT JOIN" if is_optional else "JOIN"
             joins.append(
-                f"JOIN kg t{i} ON " + " AND ".join(conds)
+                f"{kind} kg t{i} ON " + " AND ".join(conds)
             )
-    sel = ", ".join(f"{ref} AS {var[1:]}" for var, ref in first.items())
+    # ``fill_null`` vars coalesce to '' — the contract keys (and the
+    # fuzz) compare through a sort that cannot order None against str,
+    # so the nullable OPTIONAL columns are sentinel-filled in BOTH
+    # engines; the operator itself keeps true null semantics
+    sel = ", ".join(
+        (f"coalesce({ref}, '') AS {var[1:]}"
+         if var in fill_null else f"{ref} AS {var[1:]}")
+        for var, ref in first.items()
+    )
     where = " AND ".join(where0) if where0 else "TRUE"
     return f"""WITH kg AS MATERIALIZED ({kg_sql or _kg_gold_oracle()})
 SELECT {sel}
@@ -1624,6 +1655,9 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "kg_distances": _kg_distances_oracle(),
         "kmv_distinct": _kmv_oracle(),
         "kg_pattern": _kg_pattern_oracle(_PATTERN),
+        "kg_pattern_optional": _kg_pattern_oracle(
+            _PATTERN[:2], optional=[("?x", "LINKED_TO", "?kb")],
+            fill_null=("?kb",)),
         "mentions_hybrid": _mentions_oracle("hybrid"),
         "mentions_crf": _mentions_oracle("crf_only"),
         "sota_gliner": _sota_gold_oracle(),

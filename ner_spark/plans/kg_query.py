@@ -48,9 +48,19 @@ def _is_var(term: str) -> bool:
 
 
 def match_pattern(
-    triples: DataFrame, pattern: list[tuple[str, str, str]]
+    triples: DataFrame,
+    pattern: list[tuple[str, str, str]],
+    optional: list[tuple[str, str, str]] = (),
 ) -> DataFrame:
     """Match a basic graph pattern; see the module docstring.
+
+    ``optional`` elements have SPARQL OPTIONAL (left-join) semantics:
+    a binding of the required pattern survives even when the optional
+    element matches nothing, with the optional element's new variables
+    null.  Filtering the optional element by its constants BEFORE the
+    left join is exactly the ON-clause placement SPARQL specifies (a
+    WHERE after the join would silently turn OPTIONAL back into a
+    required match).
 
     Returns a DataFrame with one column per distinct ``?variable`` (in
     first-appearance order, ``?`` stripped).
@@ -60,7 +70,10 @@ def match_pattern(
     bound: DataFrame | None = None
     bound_vars: set[str] = set()
     var_order: list[str] = []  # first-appearance output column order
-    for i, element in enumerate(pattern):
+    elements = [(el, False) for el in pattern] + [
+        (el, True) for el in optional
+    ]
+    for i, (element, is_optional) in enumerate(elements):
         if len(element) != 3:
             raise ValueError(f"pattern element {i} is not a triple")
         t = triples.select(*_FIELDS)
@@ -87,7 +100,10 @@ def match_pattern(
                     "a cartesian product over the whole graph; reorder "
                     "the pattern or bind a shared variable"
                 )
-            bound = bound.join(t, [v[1:] for v in sorted(shared)])
+            bound = bound.join(
+                t, [v[1:] for v in sorted(shared)],
+                "left" if is_optional else "inner",
+            )
         bound_vars |= set(cols)
         var_order.extend(v for v in cols if v not in var_order)
     # Spark's equi-join hoists the join-key columns to the front;

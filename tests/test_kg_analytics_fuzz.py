@@ -173,6 +173,19 @@ def test_graph_ops_match_oracles_on_random_graphs(spark, rows):
                 entrymod._kg_pattern_oracle(pat, kg_sql=kg_sql),
                 name=f"kg_pattern:{pname}",
             )
+        # OPTIONAL (left-join) semantics on random graphs: unmatched
+        # optional elements must keep the required binding with nulls
+        opt = [("?b", "LINKED_TO", "?k")]
+        assert_df_matches_duckdb(
+            match_pattern(tri, [("?a", "MENTIONED_WITH", "?b")],
+                          optional=opt)
+            .withColumn("k", F.coalesce("k", F.lit(""))),
+            con,
+            entrymod._kg_pattern_oracle(
+                [("?a", "MENTIONED_WITH", "?b")], optional=opt,
+                fill_null=("?k",), kg_sql=kg_sql),
+            name="kg_pattern:optional",
+        )
         # float ops: raw doubles, per-key tolerance compare
         pr = pagerank(tri, iterations=2, checkpoint=False).collect()
         pr_d = con.execute(entrymod._kg_pagerank_oracle(

@@ -78,3 +78,40 @@ def test_match_pattern_multiplicity_is_one_per_binding(spark):
     out = match_pattern(t, [("?r", "D", "?e"), ("?e", "M", "?x")])
     rows = [tuple(r) for r in out.collect()]
     assert sorted(rows) == [("r", "e1", "x"), ("r", "e2", "x")]
+
+
+def test_match_pattern_optional_left_join_semantics(spark):
+    # e2 has a KB link, e3 does not: the (r, e3) binding survives with
+    # kb null — the SPARQL OPTIONAL contract a plain join would drop
+    t = _triples(
+        spark,
+        [("r", "D", "e2", 1), ("r", "D", "e3", 1),
+         ("e2", "L", "kb:Q1", 1)],
+    )
+    out = match_pattern(
+        t, [("?r", "D", "?e")], optional=[("?e", "L", "?kb")]
+    )
+    rows = {r["e"]: r["kb"] for r in out.collect()}
+    assert rows == {"e2": "kb:Q1", "e3": None}
+    assert out.columns == ["r", "e", "kb"]
+
+
+def test_match_pattern_optional_constants_stay_in_on_clause(spark):
+    # the optional element's constant predicate must filter the RIGHT
+    # side only: a non-matching pred leaves kb null, never drops the
+    # required binding
+    t = _triples(
+        spark,
+        [("r", "D", "e2", 1), ("e2", "OTHER", "kb:Q1", 1)],
+    )
+    out = match_pattern(
+        t, [("?r", "D", "?e")], optional=[("?e", "L", "?kb")]
+    )
+    assert [tuple(r) for r in out.collect()] == [("r", "e2", None)]
+
+
+def test_match_pattern_optional_disjoint_still_rejected(spark):
+    t = _triples(spark, [("a", "P", "b", 1)])
+    with pytest.raises(ValueError, match="cartesian"):
+        match_pattern(t, [("?x", "P", "?y")],
+                      optional=[("?u", "P", "?v")])
