@@ -1236,6 +1236,30 @@ class KgJob:
             self._log_event(f"analytics_{name}", n)
         return counts
 
+    def query(
+        self,
+        pattern: list[tuple[str, str, str]],
+        optional: list[tuple[str, str, str]] = (),
+    ) -> "DataFrame":
+        """Basic-graph-pattern query over the committed triple table
+        (:func:`ner_spark.plans.kg_query.match_pattern`) — the "now
+        ask the KG something" surface of a finished run.
+
+        Reads the partitioned materialize checkpoint, so an element
+        with a constant predicate prunes the ``pred`` partitions
+        before anything joins (the same PartitionFilters shape the
+        stage_triples_pruned audit check pins).
+        """
+        from ner_spark.plans.kg_query import match_pattern
+
+        if not self._committed("materialize"):
+            raise ValueError(
+                f"no committed materialize stage in {self.out}; run() first"
+            )
+        triples = self._read_committed(self._path("materialize"),
+                                       partitioned=True)
+        return match_pattern(triples, pattern, optional=optional)
+
     def publish_iceberg(self, table: str,
                         metrics_table: str | None = None) -> None:
         """Publish the committed triple table to an Iceberg table — the
@@ -1357,6 +1381,20 @@ def main() -> None:
                              "<output>/analytics/")
     parser.add_argument("--pagerank-iterations", type=int, default=3,
                         help="--analytics: PageRank iteration count")
+    parser.add_argument("--match", default=None, metavar="PATTERN",
+                        help="query the committed KG with a basic graph "
+                             "pattern: dot-separated triples of "
+                             "whitespace-separated terms, ?-prefixed "
+                             "terms are variables — e.g. "
+                             "'?repo DECLARES ?e . ?e MENTIONED_WITH ?x' "
+                             "(standalone, like --analytics; prints the "
+                             "first --match-limit bindings + the count)")
+    parser.add_argument("--match-optional", default=None, metavar="PATTERN",
+                        help="with --match: OPTIONAL (left-join) pattern "
+                             "elements in the same syntax — unmatched "
+                             "bindings survive with nulls")
+    parser.add_argument("--match-limit", type=int, default=20,
+                        help="--match: how many bindings to print")
     parser.add_argument("--update-id", default=None,
                         help="stable id for this delta under "
                              "{output}/updates/ (pass the same id to "
@@ -1428,6 +1466,24 @@ def main() -> None:
         source = source_table(spark, n_rows=args.fixture_rows)
     elif args.input:
         source = spark.read.parquet(args.input)
+    elif args.match:
+        # standalone query over an already-committed output
+        from ner_spark.plans.kg_query import parse_pattern
+
+        job = KgJob(spark, args.output, mode=args.mode,
+                    tokenizer_mode=args.tokenizer_mode, run_id=args.run_id)
+        out = job.query(
+            parse_pattern(args.match),
+            optional=(parse_pattern(args.match_optional)
+                      if args.match_optional else ()),
+        )
+        head = out.limit(args.match_limit).collect()  # bounded control read
+        print("\t".join(out.columns))
+        for r in head:
+            print("\t".join("∅" if v is None else str(v) for v in r))
+        print(f"stage=query rows={out.count()} vars={len(out.columns)} "
+              f"output={args.output}")
+        return
     elif args.analytics:
         # standalone analytics over an already-committed output
         job = KgJob(spark, args.output, mode=args.mode,

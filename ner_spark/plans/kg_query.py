@@ -43,6 +43,34 @@ from pyspark.sql import functions as F
 _FIELDS = ("subj", "pred", "obj")
 
 
+def parse_pattern(text: str) -> list[tuple[str, str, str]]:
+    """Parse the CLI pattern syntax — dot-separated triples of
+    whitespace-separated terms, ``?``-prefixed terms are variables:
+
+        "?repo DECLARES ?e . ?e MENTIONED_WITH ?x"
+
+    Constants must not contain whitespace or ``.``, so multi-word
+    entity ids (``ent:allan kardec``) are not expressible here — use
+    the Python API (:func:`match_pattern`) for those; the CLI syntax
+    covers the predicate constants and single-token node ids.
+    """
+    out: list[tuple[str, str, str]] = []
+    for part in text.split("."):
+        part = part.strip()
+        if not part:
+            continue
+        terms = part.split()
+        if len(terms) != 3:
+            raise ValueError(
+                f"pattern element {part!r} must have exactly 3 "
+                "whitespace-separated terms"
+            )
+        out.append((terms[0], terms[1], terms[2]))
+    if not out:
+        raise ValueError("empty pattern")
+    return out
+
+
 def _is_var(term: str) -> bool:
     return term.startswith("?")
 

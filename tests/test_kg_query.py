@@ -115,3 +115,55 @@ def test_match_pattern_optional_disjoint_still_rejected(spark):
     with pytest.raises(ValueError, match="cartesian"):
         match_pattern(t, [("?x", "P", "?y")],
                       optional=[("?u", "P", "?v")])
+
+
+def test_parse_pattern_cli_syntax():
+    from ner_spark.plans.kg_query import parse_pattern
+
+    assert parse_pattern(
+        "?repo DECLARES ?e . ?e MENTIONED_WITH ?x"
+    ) == [("?repo", "DECLARES", "?e"), ("?e", "MENTIONED_WITH", "?x")]
+    with pytest.raises(ValueError, match="3 whitespace"):
+        parse_pattern("?a DECLARES")
+    with pytest.raises(ValueError, match="empty"):
+        parse_pattern(" . ")
+
+
+def test_job_query_over_committed_output(spark, tmp_path):
+    from ner_spark.plans.job import KgJob
+    from ner_spark.sources.fixtures import source_table
+
+    out = str(tmp_path / "kg")
+    job = KgJob(spark, out, run_id="q1")
+    job.run(source_table(spark, n_rows=20))
+    df = job.query([("?repo", "DECLARES", "?e"),
+                    ("?e", "MENTIONED_WITH", "?x")])
+    assert df.columns == ["repo", "e", "x"]
+    n = df.count()
+    assert n > 0
+    # every binding's repo really declares e (spot-check through the
+    # raw triple table)
+    tri = spark.read.parquet(f"{out}/materialize")
+    declared = {(r["subj"], r["obj"])
+                for r in tri.where("pred = 'DECLARES'").collect()}
+    assert all((r["repo"], r["e"]) in declared
+               for r in df.limit(50).collect())
+
+
+def test_query_cli_match(spark, tmp_path, capsys, monkeypatch):
+    from ner_spark.plans import job as jobmod
+    from ner_spark.plans.job import KgJob
+    from ner_spark.sources.fixtures import source_table
+
+    out = str(tmp_path / "kg")
+    KgJob(spark, out, run_id="q1").run(source_table(spark, n_rows=20))
+    monkeypatch.setattr("sys.argv", [
+        "job", "--output", out,
+        "--match", "?repo DECLARES ?e . ?e MENTIONED_WITH ?x",
+        "--match-optional", "?x LINKED_TO ?kb",
+        "--match-limit", "5",
+    ])
+    jobmod.main()
+    outp = capsys.readouterr().out
+    assert outp.splitlines()[0] == "repo\te\tx\tkb"
+    assert "stage=query rows=" in outp

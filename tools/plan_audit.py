@@ -347,6 +347,20 @@ def main() -> int:
               "pred filter prunes checkpoint partitions (PartitionFilters)",
               bool(pf) and all("pred" in ln for ln in pf))
 
+        # staged BGP query: every pattern element's constant predicate
+        # must prune the committed table's pred partitions at its OWN
+        # scan (the pattern compiles to per-element scans + equi-joins,
+        # so each scan line needs a pred PartitionFilter)
+        p = plans["stage_query_pattern"] = plan_of(job.query([
+            ("?r", "DECLARES", "?e"), ("?e", "MENTIONED_WITH", "?x")]))
+        pf = [ln for ln in p.splitlines() if "PartitionFilters:" in ln]
+        check("stage_query_pattern",
+              "each pattern element prunes pred partitions at its scan",
+              len(pf) >= 2 and all("pred" in ln for ln in pf))
+        check("stage_query_pattern", "no cartesian/nested-loop join",
+              "CartesianProduct" not in p
+              and "BroadcastNestedLoopJoin" not in p)
+
         # update-path overlap guard: delta key-set broadcasts; the
         # mention-table scan is pruned to the two key columns
         delta = source_table(spark, n_rows=8)
