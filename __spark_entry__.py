@@ -441,6 +441,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compare (the oracle's fill_null does the same)
         return out.withColumn("kb", F.coalesce("kb", F.lit("")))
 
+    def q_kg_pattern_filter(spark, sf):
+        # SPARQL FILTER over the OPTIONAL binding: the regex on ?kb
+        # drops the null (unmatched-OPTIONAL) rows — SPARQL's
+        # error-eliminates-row rule — and the var-var / substring
+        # filters exercise the comparison and function grammars
+        from ner_spark.plans.kg_gold import kg_triples_gold
+        from ner_spark.plans.kg_query import match_pattern
+
+        return match_pattern(
+            kg_triples_gold(spark), _PATTERN[:2],
+            optional=[("?x", "LINKED_TO", "?kb")],
+            filters=_PATTERN_FILTERS,
+        )
+
     def q_dataset_split(spark, sf):
         return curate.dataset_split(_docs(spark, sf))
 
@@ -531,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "kg_pattern": q_kg_pattern,
         "kg_pattern_optional": q_kg_pattern_optional,
+        "kg_pattern_filter": q_kg_pattern_filter,
         "sota_gliner": q_sota_gliner,
         "dataset_split": q_dataset_split,
         "leakage_split": q_leakage_split,
@@ -551,6 +566,16 @@ _PATTERN = [
     ("?repo", "DECLARES", "?e"),
     ("?e", "MENTIONED_WITH", "?x"),
     ("?x", "LINKED_TO", "?kb"),
+]
+
+# the kg_pattern_filter contract FILTERs: one of each grammar form —
+# var-var comparison, substring, prefix, and a regex over the OPTIONAL
+# variable (whose nulls it eliminates, per SPARQL error semantics)
+_PATTERN_FILTERS = [
+    "?e != ?x",
+    'contains(?x, "pari")',
+    'strstarts(?e, "ent:")',
+    'regex(?kb, "[0-9]$")',
 ]
 
 _TOKS = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
@@ -1195,7 +1220,32 @@ FROM m
 """
 
 
-def _kg_pattern_oracle(pattern, optional=(), fill_null=(),
+def _sql_str(lit: str) -> str:
+    return "'" + lit.replace("'", "''") + "'"
+
+
+def _kg_filter_sql(filt, first: dict) -> str:
+    """DuckDB twin of kg_query._filter_column: one parsed FILTER tuple
+    → one WHERE conjunct over the variables' first binding sites.
+    Both engines search (not anchor) the regex and compare strings by
+    codepoint, and a null operand (unmatched OPTIONAL) fails the
+    predicate in both — SPARQL's error-eliminates-row."""
+    from ner_spark.plans.kg_query import parse_filter
+
+    if isinstance(filt, str):
+        filt = parse_filter(filt)
+    kind, var = filt[0], filt[1]
+    ref = first[var]
+    if kind == "cmp":
+        _, _, op, (rkind, rval) = filt
+        rhs = first[rval] if rkind == "var" else _sql_str(rval)
+        return f"{ref} {'<>' if op == '!=' else op} {rhs}"
+    fn = {"regex": "regexp_matches", "strstarts": "starts_with",
+          "strends": "ends_with", "contains": "contains"}[kind]
+    return f"{fn}({ref}, {_sql_str(filt[2])})"
+
+
+def _kg_pattern_oracle(pattern, optional=(), fill_null=(), filters=(),
                        kg_sql: str | None = None) -> str:
     """SQL twin of plans.kg_query.match_pattern: every pattern element
     becomes one alias of the triple relation; constants and repeated
@@ -1239,7 +1289,8 @@ def _kg_pattern_oracle(pattern, optional=(), fill_null=(),
          if var in fill_null else f"{ref} AS {var[1:]}")
         for var, ref in first.items()
     )
-    where = " AND ".join(where0) if where0 else "TRUE"
+    conds = where0 + [_kg_filter_sql(flt, first) for flt in filters]
+    where = " AND ".join(conds) if conds else "TRUE"
     return f"""WITH kg AS MATERIALIZED ({kg_sql or _kg_gold_oracle()})
 SELECT {sel}
 FROM kg t0
@@ -1658,6 +1709,9 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "kg_pattern_optional": _kg_pattern_oracle(
             _PATTERN[:2], optional=[("?x", "LINKED_TO", "?kb")],
             fill_null=("?kb",)),
+        "kg_pattern_filter": _kg_pattern_oracle(
+            _PATTERN[:2], optional=[("?x", "LINKED_TO", "?kb")],
+            filters=_PATTERN_FILTERS),
         "mentions_hybrid": _mentions_oracle("hybrid"),
         "mentions_crf": _mentions_oracle("crf_only"),
         "sota_gliner": _sota_gold_oracle(),

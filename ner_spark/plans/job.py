@@ -1240,6 +1240,7 @@ class KgJob:
         self,
         pattern: list[tuple[str, str, str]],
         optional: list[tuple[str, str, str]] = (),
+        filters: list = (),
     ) -> "DataFrame":
         """Basic-graph-pattern query over the committed triple table
         (:func:`ner_spark.plans.kg_query.match_pattern`) — the "now
@@ -1258,7 +1259,8 @@ class KgJob:
             )
         triples = self._read_committed(self._path("materialize"),
                                        partitioned=True)
-        return match_pattern(triples, pattern, optional=optional)
+        return match_pattern(triples, pattern, optional=optional,
+                             filters=filters)
 
     def publish_iceberg(self, table: str,
                         metrics_table: str | None = None) -> None:
@@ -1393,6 +1395,13 @@ def main() -> None:
                         help="with --match: OPTIONAL (left-join) pattern "
                              "elements in the same syntax — unmatched "
                              "bindings survive with nulls")
+    parser.add_argument("--match-filter", action="append", default=[],
+                        metavar="EXPR",
+                        help="with --match: FILTER expression over bound "
+                             "variables, repeatable — '?e != ?x', "
+                             "'?kb = \"kb:Q42\"', "
+                             "'regex(?kb, \"[02468]$\")', "
+                             "strstarts/strends/contains(?v, \"lit\")")
     parser.add_argument("--match-limit", type=int, default=20,
                         help="--match: how many bindings to print")
     parser.add_argument("--update-id", default=None,
@@ -1476,6 +1485,7 @@ def main() -> None:
             parse_pattern(args.match),
             optional=(parse_pattern(args.match_optional)
                       if args.match_optional else ()),
+            filters=args.match_filter,
         )
         head = out.limit(args.match_limit).collect()  # bounded control read
         print("\t".join(out.columns))

@@ -37,10 +37,95 @@ multiset).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import re
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _FIELDS = ("subj", "pred", "obj")
+
+# FILTER grammar (SPARQL's workhorse subset):
+#   comparison:  ?x != ?y      ?e < ?x       ?kb = "kb:Q42"
+#   functions:   regex(?kb, "[02468]$")   strstarts(?e, "ent:")
+#                strends(?e, "_io")       contains(?x, "kardec")
+# String comparison is binary/codepoint order in BOTH engines this
+# repo targets (Spark UTF8Binary, DuckDB default collation), so </>=
+# on the ASCII node ids are engine-portable.
+_CMP_RE = re.compile(
+    r'^(\?\w+)\s*(!=|<=|>=|=|<|>)\s*(\?\w+|"(?:[^"\\]|\\.)*"|[^\s"]+)$'
+)
+_FN_RE = re.compile(
+    r'^(regex|strstarts|strends|contains)\s*\(\s*(\?\w+)\s*,\s*'
+    r'"((?:[^"\\]|\\.)*)"\s*\)$'
+)
+
+
+def _unescape(lit: str) -> str:
+    return lit.replace('\\"', '"').replace("\\\\", "\\")
+
+
+def parse_filter(text: str) -> tuple:
+    """Parse one FILTER expression into the normalized tuple form
+    :func:`match_pattern` consumes:
+
+        ("cmp", "?a", op, ("var", "?b") | ("const", value))
+        ("regex" | "strstarts" | "strends" | "contains", "?a", value)
+
+    Raises ``ValueError`` on anything outside the grammar above — a
+    filter that silently parsed to TRUE would un-filter the query.
+    """
+    text = text.strip()
+    m = _FN_RE.match(text)
+    if m:
+        return (m.group(1), m.group(2), _unescape(m.group(3)))
+    m = _CMP_RE.match(text)
+    if m:
+        var, op, rhs = m.groups()
+        if rhs.startswith("?"):
+            return ("cmp", var, op, ("var", rhs))
+        if rhs.startswith('"'):
+            return ("cmp", var, op, ("const", _unescape(rhs[1:-1])))
+        return ("cmp", var, op, ("const", rhs))
+    raise ValueError(
+        f"unparseable FILTER {text!r}: expected '?var OP term' with OP "
+        "in (= != < <= > >=) or regex/strstarts/strends/contains"
+        '(?var, "literal")'
+    )
+
+
+def _filter_column(filt: tuple, bound: set[str]) -> Column:
+    """Compile one parsed filter to a Catalyst boolean Column over the
+    output variable columns.  Unbound variables raise — SPARQL would
+    evaluate them to an error (eliminating every row), which is never
+    what the caller meant."""
+    kind = filt[0]
+    var = filt[1]
+    if var not in bound:
+        raise ValueError(f"FILTER references unbound variable {var}")
+    col = F.col(var[1:])
+    if kind == "cmp":
+        _, _, op, (rkind, rval) = filt
+        if rkind == "var":
+            if rval not in bound:
+                raise ValueError(
+                    f"FILTER references unbound variable {rval}")
+            rhs: Column = F.col(rval[1:])
+        else:
+            rhs = F.lit(rval)
+        return {
+            "=": col == rhs, "!=": col != rhs,
+            "<": col < rhs, "<=": col <= rhs,
+            ">": col > rhs, ">=": col >= rhs,
+        }[op]
+    if kind == "regex":
+        return col.rlike(filt[2])
+    if kind == "strstarts":
+        return col.startswith(filt[2])
+    if kind == "strends":
+        return col.endswith(filt[2])
+    if kind == "contains":
+        return col.contains(filt[2])
+    raise ValueError(f"unknown filter kind {kind!r}")
 
 
 def parse_pattern(text: str) -> list[tuple[str, str, str]]:
@@ -79,6 +164,7 @@ def match_pattern(
     triples: DataFrame,
     pattern: list[tuple[str, str, str]],
     optional: list[tuple[str, str, str]] = (),
+    filters: list = (),
 ) -> DataFrame:
     """Match a basic graph pattern; see the module docstring.
 
@@ -89,6 +175,15 @@ def match_pattern(
     left join is exactly the ON-clause placement SPARQL specifies (a
     WHERE after the join would silently turn OPTIONAL back into a
     required match).
+
+    ``filters`` are FILTER expressions — strings in the
+    :func:`parse_filter` grammar or already-parsed tuples — evaluated
+    over the final bindings (SPARQL group scope).  A comparison whose
+    operand is null (an unmatched OPTIONAL variable) evaluates to null
+    and the row is dropped — exactly SPARQL's error-eliminates-row
+    rule, and Catalyst still pushes the predicate below the joins when
+    the variable is required.  Filters over variables the pattern
+    never binds raise.
 
     Returns a DataFrame with one column per distinct ``?variable`` (in
     first-appearance order, ``?`` stripped).
@@ -134,6 +229,10 @@ def match_pattern(
             )
         bound_vars |= set(cols)
         var_order.extend(v for v in cols if v not in var_order)
+    for filt in filters:
+        if isinstance(filt, str):
+            filt = parse_filter(filt)
+        bound = bound.where(_filter_column(filt, bound_vars))
     # Spark's equi-join hoists the join-key columns to the front;
     # restore first-appearance order for a stable, readable schema
     return bound.select(*[v[1:] for v in var_order])

@@ -167,3 +167,88 @@ def test_query_cli_match(spark, tmp_path, capsys, monkeypatch):
     outp = capsys.readouterr().out
     assert outp.splitlines()[0] == "repo\te\tx\tkb"
     assert "stage=query rows=" in outp
+
+
+def test_parse_filter_grammar():
+    from ner_spark.plans.kg_query import parse_filter
+
+    assert parse_filter("?e != ?x") == ("cmp", "?e", "!=", ("var", "?x"))
+    assert parse_filter('?kb = "kb:Q42"') == (
+        "cmp", "?kb", "=", ("const", "kb:Q42"))
+    assert parse_filter("?e < bare_const") == (
+        "cmp", "?e", "<", ("const", "bare_const"))
+    assert parse_filter('regex(?kb, "[0-9]$")') == (
+        "regex", "?kb", "[0-9]$")
+    assert parse_filter(' strstarts( ?e , "ent:" ) ') == (
+        "strstarts", "?e", "ent:")
+    # escaped quote inside the literal
+    assert parse_filter(r'contains(?x, "a\"b")') == ("contains", "?x", 'a"b')
+    with pytest.raises(ValueError, match="unparseable FILTER"):
+        parse_filter("?a ~ ?b")
+    with pytest.raises(ValueError, match="unparseable FILTER"):
+        parse_filter("lcase(?a) = ?b")
+
+
+def test_match_pattern_filters(spark):
+    t = _triples(
+        spark,
+        [
+            ("a", "P", "a", 1), ("a", "P", "b", 1), ("a", "P", "cc", 1),
+            ("b", "P", "cc", 1),
+        ],
+    )
+    # var-var comparison drops the self-pair
+    out = match_pattern(t, [("?x", "P", "?y")], filters=["?x != ?y"])
+    assert sorted((r["x"], r["y"]) for r in out.collect()) == [
+        ("a", "b"), ("a", "cc"), ("b", "cc")
+    ]
+    # function filters, string and pre-parsed forms mixed
+    out = match_pattern(
+        t, [("?x", "P", "?y")],
+        filters=['regex(?y, "^c")', ("cmp", "?x", "=", ("const", "a"))],
+    )
+    assert [tuple(r) for r in out.collect()] == [("a", "cc")]
+    with pytest.raises(ValueError, match="unbound variable"):
+        match_pattern(t, [("?x", "P", "?y")], filters=["?z = ?x"])
+
+
+def test_match_pattern_filter_eliminates_null_optional(spark):
+    # SPARQL error-eliminates-row: a filter over an OPTIONAL variable
+    # drops bindings where the optional element did not match
+    t = _triples(
+        spark,
+        [
+            ("a", "P", "b", 1), ("a", "P", "c", 1),
+            ("b", "LINKED_TO", "kb:Q1", 1),
+        ],
+    )
+    base = match_pattern(t, [("a", "P", "?x")],
+                         optional=[("?x", "LINKED_TO", "?kb")])
+    assert base.count() == 2  # c survives with kb null
+    out = match_pattern(t, [("a", "P", "?x")],
+                        optional=[("?x", "LINKED_TO", "?kb")],
+                        filters=['strstarts(?kb, "kb:")'])
+    assert [tuple(r) for r in out.collect()] == [("b", "kb:Q1")]
+
+
+def test_query_cli_match_filter(spark, tmp_path, capsys, monkeypatch):
+    from ner_spark.plans import job as jobmod
+    from ner_spark.plans.job import KgJob
+    from ner_spark.sources.fixtures import source_table
+
+    out = str(tmp_path / "kg")
+    KgJob(spark, out, run_id="q1").run(source_table(spark, n_rows=20))
+    monkeypatch.setattr("sys.argv", [
+        "job", "--output", out,
+        "--match", "?repo DECLARES ?e . ?e MENTIONED_WITH ?x",
+        "--match-filter", "?e != ?x",
+        "--match-filter", 'strstarts(?x, "ent:p")',
+        "--match-limit", "5",
+    ])
+    jobmod.main()
+    outp = capsys.readouterr().out
+    assert outp.splitlines()[0] == "repo\te\tx"
+    body = [ln.split("\t") for ln in outp.splitlines()[1:]
+            if ln.startswith("repo:")]
+    assert body and all(x.startswith("ent:p") and e != x
+                        for _, e, x in body)
