@@ -361,6 +361,17 @@ def main() -> int:
               "CartesianProduct" not in p
               and "BroadcastNestedLoopJoin" not in p)
 
+        # FILTER over a required variable: Catalyst must push the
+        # predicate below the joins into that element's parquet scan
+        # (PushedFilters on obj), not post-filter the joined rows
+        p = plans["stage_query_filter"] = plan_of(job.query(
+            [("?r", "DECLARES", "?e"), ("?e", "MENTIONED_WITH", "?x")],
+            filters=['strstarts(?x, "ent:p")']))
+        pushed = [ln for ln in p.splitlines() if "PushedFilters:" in ln]
+        check("stage_query_filter",
+              "required-var FILTER pushed into the scan (PushedFilters)",
+              any("StringStartsWith(obj,ent:p" in ln for ln in pushed))
+
         # update-path overlap guard: delta key-set broadcasts; the
         # mention-table scan is pruned to the two key columns
         delta = source_table(spark, n_rows=8)
