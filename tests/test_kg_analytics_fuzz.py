@@ -186,6 +186,26 @@ def test_graph_ops_match_oracles_on_random_graphs(spark, rows):
                 fill_null=("?k",), kg_sql=kg_sql),
             name="kg_pattern:optional",
         )
+        # FILTER semantics on random graphs: every grammar form must
+        # reproduce the generated WHERE twin, including the
+        # error-eliminates-row drop of null OPTIONAL bindings
+        for fname, pat, popt, flt in (
+            ("f_varvar", [("?a", "?p", "?b")], (), ["?a != ?b"]),
+            ("f_const", [("?a", "?p", "?b")], (), ['?b >= "ent:c"']),
+            ("f_regex", [("?a", "?p", "?b")], (),
+             ['regex(?p, "^(MENTIONED|LINKED)")']),
+            ("f_strfns", [("?a", "?p", "?b")], (),
+             ['strstarts(?a, "ent:")', 'contains(?b, ":")',
+              'strends(?p, "WITH")']),
+            ("f_optional_null_drop", [("?a", "MENTIONED_WITH", "?b")],
+             [("?b", "LINKED_TO", "?k")], ['strstarts(?k, "kb:")']),
+        ):
+            assert_df_matches_duckdb(
+                match_pattern(tri, pat, optional=popt, filters=flt), con,
+                entrymod._kg_pattern_oracle(pat, optional=popt,
+                                            filters=flt, kg_sql=kg_sql),
+                name=f"kg_pattern:{fname}",
+            )
         # float ops: raw doubles, per-key tolerance compare
         pr = pagerank(tri, iterations=2, checkpoint=False).collect()
         pr_d = con.execute(entrymod._kg_pagerank_oracle(
