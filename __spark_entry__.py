@@ -455,6 +455,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             filters=_PATTERN_FILTERS,
         )
 
+    def q_kg_construct(spark, sf):
+        # SPARQL CONSTRUCT: derive new triples from BGP bindings — the
+        # rule-based enrichment surface.  The first template element
+        # projects through the OPTIONAL ?kb (null bindings drop, per
+        # SPARQL's ill-formed-triple rule); the second collapses the
+        # co-declaration multiset, so evidence_count > 1 rows pin the
+        # set semantics
+        from ner_spark.plans.kg_gold import kg_triples_gold
+        from ner_spark.plans.kg_query import construct
+
+        return construct(
+            kg_triples_gold(spark), _PATTERN[:2],
+            template=_CONSTRUCT_TEMPLATE,
+            optional=[("?x", "LINKED_TO", "?kb")],
+        )
+
     def q_dataset_split(spark, sf):
         return curate.dataset_split(_docs(spark, sf))
 
@@ -546,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pattern": q_kg_pattern,
         "kg_pattern_optional": q_kg_pattern_optional,
         "kg_pattern_filter": q_kg_pattern_filter,
+        "kg_construct": q_kg_construct,
         "sota_gliner": q_sota_gliner,
         "dataset_split": q_dataset_split,
         "leakage_split": q_leakage_split,
@@ -576,6 +593,15 @@ _PATTERN_FILTERS = [
     'contains(?x, "pari")',
     'strstarts(?e, "ent:")',
     'regex(?kb, "[0-9]$")',
+]
+
+# the kg_construct contract templates: one element projecting through
+# the OPTIONAL variable (nulls drop — SPARQL skips ill-formed template
+# instantiations) and one with a constant predicate whose bindings
+# collapse (evidence_count carries the multiplicity)
+_CONSTRUCT_TEMPLATE = [
+    ("?repo", "MENTIONS_KB", "?kb"),
+    ("?e", "CO_DECLARED_WITH", "?x"),
 ]
 
 _TOKS = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
@@ -1299,6 +1325,31 @@ WHERE {where}
 """
 
 
+def _kg_construct_oracle(pattern, template, optional=(), filters=(),
+                         kg_sql: str | None = None) -> str:
+    """SQL twin of plans.kg_query.construct: the BGP oracle as a CTE,
+    one SELECT per template element (variables → the binding columns,
+    constants → literals) UNION ALL'd, null terms dropped (SPARQL's
+    ill-formed-instantiation skip covers unmatched OPTIONAL vars), and
+    the collapsed multiplicity counted as evidence_count."""
+    inner = _kg_pattern_oracle(pattern, optional=optional,
+                               filters=filters, kg_sql=kg_sql)
+    arms = []
+    for element in template:
+        terms = []
+        for field, term in zip(("subj", "pred", "obj"), element):
+            src = term[1:] if term.startswith("?") else _sql_str(term)
+            terms.append(f"{src} AS {field}")
+        arms.append(f"SELECT {', '.join(terms)} FROM b")
+    return f"""WITH b AS ({inner}),
+c AS ({' UNION ALL '.join(arms)})
+SELECT subj, pred, obj, count(*) AS evidence_count
+FROM c
+WHERE subj IS NOT NULL AND pred IS NOT NULL AND obj IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+
 def _kg_entities_fuzzy_oracle(threshold: float = 0.5) -> str:
     """SQL twin of plans.kg_gold.entities_fuzzy_gold: the gold NEL
     table's surfaces canonicalized over shared-KB-id edges PLUS exact
@@ -1712,6 +1763,9 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "kg_pattern_filter": _kg_pattern_oracle(
             _PATTERN[:2], optional=[("?x", "LINKED_TO", "?kb")],
             filters=_PATTERN_FILTERS),
+        "kg_construct": _kg_construct_oracle(
+            _PATTERN[:2], _CONSTRUCT_TEMPLATE,
+            optional=[("?x", "LINKED_TO", "?kb")]),
         "mentions_hybrid": _mentions_oracle("hybrid"),
         "mentions_crf": _mentions_oracle("crf_only"),
         "sota_gliner": _sota_gold_oracle(),

@@ -236,3 +236,65 @@ def match_pattern(
     # Spark's equi-join hoists the join-key columns to the front;
     # restore first-appearance order for a stable, readable schema
     return bound.select(*[v[1:] for v in var_order])
+
+
+def construct(
+    triples: DataFrame,
+    pattern: list[tuple[str, str, str]],
+    template: list[tuple[str, str, str]],
+    optional: list[tuple[str, str, str]] = (),
+    filters: list = (),
+) -> DataFrame:
+    """SPARQL CONSTRUCT: derive NEW triples from the bindings of a
+    basic graph pattern — the rule-based enrichment surface ("repos
+    sharing a KB entity are RELATED_REPO") whose output feeds straight
+    back into the triple table::
+
+        construct(triples,
+                  pattern=[("?r", "DECLARES", "?e"),
+                           ("?e", "LINKED_TO", "?kb")],
+                  template=[("?r", "MENTIONS_KB", "?kb")])
+
+    Template terms are variables (bound by the pattern — unbound
+    raises) or constants.  Per the SPARQL spec the constructed graph
+    is a SET of triples: bindings project through the template, rows
+    with a null term (an unmatched OPTIONAL variable) are dropped
+    (SPARQL skips ill-formed template instantiations), and duplicates
+    collapse.  ``evidence_count`` carries the collapsed multiplicity —
+    how many bindings derived each triple — so downstream ranking can
+    weight derived edges exactly like :mod:`materialize` does.
+
+    Scale shape: the projection is narrow, the dedup is one
+    map-side-combinable groupBy on (subj, pred, obj) — no wider than
+    the materialize stage's own evidence aggregation.
+    """
+    if not template:
+        raise ValueError("empty CONSTRUCT template")
+    bound = match_pattern(triples, pattern, optional=optional,
+                          filters=filters)
+    bound_vars = {"?" + c for c in bound.columns}
+    outs = []
+    for i, element in enumerate(template):
+        if len(element) != 3:
+            raise ValueError(f"template element {i} is not a triple")
+        cols = []
+        for field, term in zip(_FIELDS, element):
+            if _is_var(term):
+                if term not in bound_vars:
+                    raise ValueError(
+                        f"CONSTRUCT template references unbound "
+                        f"variable {term}")
+                cols.append(F.col(term[1:]).alias(field))
+            else:
+                cols.append(F.lit(term).alias(field))
+        outs.append(bound.select(*cols))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return (
+        out.where(F.col("subj").isNotNull()
+                  & F.col("pred").isNotNull()
+                  & F.col("obj").isNotNull())
+        .groupBy("subj", "pred", "obj")
+        .agg(F.count(F.lit(1)).alias("evidence_count"))
+    )

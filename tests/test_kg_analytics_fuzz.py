@@ -206,6 +206,26 @@ def test_graph_ops_match_oracles_on_random_graphs(spark, rows):
                                             filters=flt, kg_sql=kg_sql),
                 name=f"kg_pattern:{fname}",
             )
+        # CONSTRUCT on random graphs: template projection (variables,
+        # constants, multi-element), set collapse with evidence_count
+        # multiplicity, and the null-OPTIONAL instantiation drop must
+        # all reproduce the generated SQL twin
+        from ner_spark.plans.kg_query import construct
+        for cname, pat, popt, tpl in (
+            ("c_reverse", [("?a", "?p", "?b")], (),
+             [("?b", "REVERSE_OF", "?a")]),
+            ("c_multi_const", [("?a", "MENTIONED_WITH", "?b")], (),
+             [("?a", "CO_OCCURS", "?b"), ("?a", "rdf:type", "Node")]),
+            ("c_optional_drop", [("?a", "MENTIONED_WITH", "?b")],
+             [("?b", "LINKED_TO", "?k")],
+             [("?a", "NEAR_KB", "?k"), ("?a", "TOUCHES", "?b")]),
+        ):
+            assert_df_matches_duckdb(
+                construct(tri, pat, template=tpl, optional=popt), con,
+                entrymod._kg_construct_oracle(pat, tpl, optional=popt,
+                                              kg_sql=kg_sql),
+                name=f"kg_construct:{cname}",
+            )
         # float ops: raw doubles, per-key tolerance compare
         pr = pagerank(tri, iterations=2, checkpoint=False).collect()
         pr_d = con.execute(entrymod._kg_pagerank_oracle(

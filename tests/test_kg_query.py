@@ -252,3 +252,96 @@ def test_query_cli_match_filter(spark, tmp_path, capsys, monkeypatch):
             if ln.startswith("repo:")]
     assert body and all(x.startswith("ent:p") and e != x
                         for _, e, x in body)
+
+
+def test_construct_template_projection_and_set_semantics(spark):
+    # two repos declare e1 → the CO_DECLARED template instantiates
+    # twice per unordered binding but the constructed graph is a SET:
+    # one row, evidence_count carries the collapsed multiplicity
+    from ner_spark.plans.kg_query import construct
+
+    t = _triples(
+        spark,
+        [
+            ("repo:r1", "DECLARES", "e1", 1),
+            ("repo:r2", "DECLARES", "e1", 1),
+            ("e1", "MENTIONED_WITH", "e2", 3),
+            ("e2", "LINKED_TO", "kb:Q1", 1),
+        ],
+    )
+    out = construct(
+        t,
+        pattern=[("?r", "DECLARES", "?e"),
+                 ("?e", "MENTIONED_WITH", "?x"),
+                 ("?x", "LINKED_TO", "?kb")],
+        template=[("?r", "MENTIONS_KB", "?kb")],
+    )
+    assert out.columns == ["subj", "pred", "obj", "evidence_count"]
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("repo:r1", "MENTIONS_KB", "kb:Q1", 1),
+        ("repo:r2", "MENTIONS_KB", "kb:Q1", 1),
+    ]
+
+
+def test_construct_constant_terms_and_multi_element_template(spark):
+    from ner_spark.plans.kg_query import construct
+
+    t = _triples(spark, [("a", "P", "b", 1), ("a", "P", "c", 1)])
+    out = construct(
+        t, [("?x", "P", "?y")],
+        template=[("?x", "HAS_OUT", "?y"),
+                  ("?x", "rdf:type", "Subject")],
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("a", "HAS_OUT", "b", 1),
+        ("a", "HAS_OUT", "c", 1),
+        ("a", "rdf:type", "Subject", 2),  # collapsed: 2 bindings
+    ]
+
+
+def test_construct_drops_null_optional_instantiations(spark):
+    # SPARQL skips ill-formed template instantiations: a template
+    # referencing an unmatched OPTIONAL variable drops that binding's
+    # row but keeps the others
+    from ner_spark.plans.kg_query import construct
+
+    t = _triples(
+        spark,
+        [
+            ("a", "P", "b", 1), ("a", "P", "c", 1),
+            ("b", "LINKED_TO", "kb:Q1", 1),
+        ],
+    )
+    out = construct(
+        t, [("a", "P", "?x")],
+        template=[("?x", "SEEN_AT", "?kb"), ("a", "TOUCHES", "?x")],
+        optional=[("?x", "LINKED_TO", "?kb")],
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("a", "TOUCHES", "b", 1),
+        ("a", "TOUCHES", "c", 1),
+        ("b", "SEEN_AT", "kb:Q1", 1),
+    ]
+
+
+def test_construct_validates_template(spark):
+    from ner_spark.plans.kg_query import construct
+
+    t = _triples(spark, [("a", "P", "b", 1)])
+    with pytest.raises(ValueError, match="unbound"):
+        construct(t, [("?x", "P", "?y")],
+                  template=[("?x", "P2", "?nope")])
+    with pytest.raises(ValueError, match="empty CONSTRUCT"):
+        construct(t, [("?x", "P", "?y")], template=[])
+    with pytest.raises(ValueError, match="not a triple"):
+        construct(t, [("?x", "P", "?y")], template=[("?x", "P")])
+
+
+def test_construct_respects_filters(spark):
+    from ner_spark.plans.kg_query import construct
+
+    t = _triples(spark, [("a", "P", "b", 1), ("a", "P", "a", 1)])
+    out = construct(t, [("?x", "P", "?y")],
+                    template=[("?y", "REV", "?x")],
+                    filters=["?x != ?y"])
+    assert [tuple(r) for r in out.collect()] == [("b", "REV", "a", 1)]
