@@ -471,6 +471,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             optional=[("?x", "LINKED_TO", "?kb")],
         )
 
+    def q_kg_pattern_path(spark, sf):
+        # SPARQL property path: entities transitively co-mentioned with
+        # a declared entity (MENTIONED_WITH+ = 1..n hops) — the closure
+        # is a semi-naive frontier loop over ONE pred's edges, with SET
+        # semantics matched by the oracle's recursive-CTE UNION
+        from ner_spark.plans.kg_gold import kg_triples_gold
+        from ner_spark.plans.kg_query import match_pattern
+
+        return match_pattern(kg_triples_gold(spark), _PATTERN_PATH)
+
+    def q_kg_pattern_negation(spark, sf):
+        # SPARQL FILTER NOT EXISTS: declared entities with NO KB link —
+        # compiled to a left-anti join on the shared variable, the
+        # oracle's correlated NOT EXISTS
+        from ner_spark.plans.kg_gold import kg_triples_gold
+        from ner_spark.plans.kg_query import match_pattern
+
+        return match_pattern(kg_triples_gold(spark), _PATTERN_NEG,
+                             negation=_PATTERN_NEG_GROUPS)
+
     def q_dataset_split(spark, sf):
         return curate.dataset_split(_docs(spark, sf))
 
@@ -563,6 +583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pattern_optional": q_kg_pattern_optional,
         "kg_pattern_filter": q_kg_pattern_filter,
         "kg_construct": q_kg_construct,
+        "kg_pattern_path": q_kg_pattern_path,
+        "kg_pattern_negation": q_kg_pattern_negation,
         "sota_gliner": q_sota_gliner,
         "dataset_split": q_dataset_split,
         "leakage_split": q_leakage_split,
@@ -594,6 +616,18 @@ _PATTERN_FILTERS = [
     'strstarts(?e, "ent:")',
     'regex(?kb, "[0-9]$")',
 ]
+
+# the kg_pattern_path contract BGP: declared entities' transitive
+# co-mention reachability (property path MENTIONED_WITH+)
+_PATTERN_PATH = [
+    ("?repo", "DECLARES", "?a"),
+    ("?a", "MENTIONED_WITH+", "?b"),
+]
+
+# the kg_pattern_negation contract BGP: declared entities with no KB
+# link (FILTER NOT EXISTS correlated on ?e)
+_PATTERN_NEG = [("?repo", "DECLARES", "?e")]
+_PATTERN_NEG_GROUPS = [[("?e", "LINKED_TO", "?kb")]]
 
 # the kg_construct contract templates: one element projecting through
 # the OPTIONAL variable (nulls drop — SPARQL skips ill-formed template
@@ -1271,7 +1305,102 @@ def _kg_filter_sql(filt, first: dict) -> str:
     return f"{fn}({ref}, {_sql_str(filt[2])})"
 
 
+def _kg_path_ctes(idx: int, pred: str, zero: bool,
+                  max_hops: int | None) -> tuple[str, str]:
+    """Recursive-CTE twin of kg_query.path_closure: distinct pairs
+    connected by 1..n (or with ``zero`` 0..n) hops of ``pred``.
+    Returns (cte_sql, relation_name).  The recursive UNION dedups, so
+    the relation has the same SET semantics as the Spark closure; the
+    bounded form carries a hop counter and dedups at the end."""
+    e = f"pe{idx}"
+    c = f"pc{idx}"
+    p = f"pp{idx}"
+    ctes = [f"{e} AS (SELECT DISTINCT subj, obj FROM kg "
+            f"WHERE pred = {_sql_str(pred)})"]
+    if max_hops is None:
+        ctes.append(
+            f"{c} AS (SELECT subj, obj FROM {e} "
+            f"UNION SELECT c.subj, e.obj FROM {c} c "
+            f"JOIN {e} e ON c.obj = e.subj)"
+        )
+        body = f"SELECT subj, obj FROM {c}"
+    else:
+        ctes.append(
+            f"{c} AS (SELECT subj, obj, 1 AS h FROM {e} "
+            f"UNION SELECT c.subj, e.obj, c.h + 1 FROM {c} c "
+            f"JOIN {e} e ON c.obj = e.subj WHERE c.h < {int(max_hops)})"
+        )
+        body = f"SELECT DISTINCT subj, obj FROM {c}"
+    if zero:
+        # NOTE: under WITH RECURSIVE, DuckDB treats ANY cte whose body
+        # is `base UNION step` as a recursive union-table (different
+        # dedup semantics), so non-recursive CTEs here must spell the
+        # dedup as DISTINCT over UNION ALL instead of a bare UNION
+        body = (
+            f"SELECT DISTINCT subj, obj FROM ({body} UNION ALL "
+            "SELECT n, n FROM (SELECT subj AS n FROM kg "
+            "UNION ALL SELECT obj FROM kg))"
+        )
+    ctes.append(f"{p} AS ({body})")
+    return ",\n".join(ctes), p
+
+
+def _kg_element_sql(alias: str, element, first: dict, ctes: list,
+                    path_max_hops, outer: dict | None = None):
+    """Shared per-element compile for the pattern oracle: returns
+    (relation_name, conds).  Variable first-binding sites register in
+    ``first``; with ``outer`` given (negation groups) outer-bound
+    variables correlate instead.  Path elements append their recursive
+    CTEs and bind (subj, obj) of the closure relation."""
+    from ner_spark.plans.kg_query import _path_pred
+
+    path = _path_pred(element[1])
+    if path is not None:
+        cte, rel = _kg_path_ctes(len(ctes), path[0], path[1],
+                                 path_max_hops)
+        ctes.append(cte)
+        fields, terms = ("subj", "obj"), (element[0], element[2])
+    else:
+        rel = "kg"
+        fields, terms = ("subj", "pred", "obj"), element
+    conds: list[str] = []
+    for field, term in zip(fields, terms):
+        ref = f"{alias}.{field}"
+        if term.startswith("?"):
+            if outer is not None and term in outer:
+                conds.append(f"{ref} = {outer[term]}")
+            elif term in first:
+                conds.append(f"{ref} = {first[term]}")
+            else:
+                first[term] = ref
+        else:
+            conds.append(f"{ref} = {_sql_str(term)}")
+    return rel, conds
+
+
+def _kg_negation_sql(gidx: int, group, outer: dict, ctes: list,
+                     path_max_hops) -> str:
+    """NOT EXISTS twin of match_pattern's negation anti-join: group
+    elements comma-join inside the subquery, variables bound in the
+    outer pattern correlate to their first binding site (a null
+    correlation fails the equality, keeping the row — the anti-join's
+    null-never-matches), group-local variables are existential."""
+    gfirst: dict[str, str] = {}
+    froms: list[str] = []
+    conds: list[str] = []
+    for j, element in enumerate(group):
+        alias = f"n{gidx}_{j}"
+        rel, ec = _kg_element_sql(alias, element, gfirst, ctes,
+                                  path_max_hops, outer=outer)
+        froms.append(f"{rel} {alias}")
+        conds.extend(ec)
+    where = " AND ".join(conds) if conds else "TRUE"
+    return (f"NOT EXISTS (SELECT 1 FROM {', '.join(froms)} "
+            f"WHERE {where})")
+
+
 def _kg_pattern_oracle(pattern, optional=(), fill_null=(), filters=(),
+                       negation=(), path_max_hops=None,
                        kg_sql: str | None = None) -> str:
     """SQL twin of plans.kg_query.match_pattern: every pattern element
     becomes one alias of the triple relation; constants and repeated
@@ -1281,30 +1410,27 @@ def _kg_pattern_oracle(pattern, optional=(), fill_null=(), filters=(),
     placement — a WHERE would re-require the match), and the select
     list is each variable's FIRST binding site — the same
     first-appearance order and multiset semantics the Spark join
-    chain produces."""
+    chain produces.  Property-path elements (``P+``/``P*``) become
+    recursive CTEs with the closure's SET semantics; ``negation``
+    groups become correlated NOT EXISTS conjuncts."""
     first: dict[str, str] = {}
     where0: list[str] = []
     joins: list[str] = []
+    ctes: list[str] = []
     elements = [(el, False) for el in pattern] + [
         (el, True) for el in optional
     ]
     for i, (element, is_optional) in enumerate(elements):
-        conds: list[str] = []
-        for field, term in zip(("subj", "pred", "obj"), element):
-            ref = f"t{i}.{field}"
-            if term.startswith("?"):
-                if term in first:
-                    conds.append(f"{ref} = {first[term]}")
-                else:
-                    first[term] = ref
-            else:
-                conds.append(f"{ref} = '{term}'")
+        rel, conds = _kg_element_sql(f"t{i}", element, first, ctes,
+                                     path_max_hops)
         if i == 0:
+            from0 = f"{rel} t0"
             where0 = conds
         else:
             kind = "LEFT JOIN" if is_optional else "JOIN"
             joins.append(
-                f"{kind} kg t{i} ON " + " AND ".join(conds)
+                f"{kind} {rel} t{i} ON "
+                + (" AND ".join(conds) if conds else "TRUE")
             )
     # ``fill_null`` vars coalesce to '' — the contract keys (and the
     # fuzz) compare through a sort that cannot order None against str,
@@ -1316,10 +1442,19 @@ def _kg_pattern_oracle(pattern, optional=(), fill_null=(), filters=(),
         for var, ref in first.items()
     )
     conds = where0 + [_kg_filter_sql(flt, first) for flt in filters]
+    for g, group in enumerate(negation):
+        if isinstance(group, str):
+            from ner_spark.plans.kg_query import parse_pattern
+            group = parse_pattern(group)
+        conds.append(_kg_negation_sql(g, group, first, ctes,
+                                      path_max_hops))
     where = " AND ".join(conds) if conds else "TRUE"
-    return f"""WITH kg AS MATERIALIZED ({kg_sql or _kg_gold_oracle()})
+    rec = "RECURSIVE " if ctes else ""
+    cte_sql = "".join(c + ",\n" for c in ctes)
+    return f"""WITH {rec}kg AS MATERIALIZED ({kg_sql or _kg_gold_oracle()}),
+{cte_sql}__one AS (SELECT 1)
 SELECT {sel}
-FROM kg t0
+FROM {from0}
 {chr(10).join(joins)}
 WHERE {where}
 """
@@ -1766,6 +1901,9 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "kg_construct": _kg_construct_oracle(
             _PATTERN[:2], _CONSTRUCT_TEMPLATE,
             optional=[("?x", "LINKED_TO", "?kb")]),
+        "kg_pattern_path": _kg_pattern_oracle(_PATTERN_PATH),
+        "kg_pattern_negation": _kg_pattern_oracle(
+            _PATTERN_NEG, negation=_PATTERN_NEG_GROUPS),
         "mentions_hybrid": _mentions_oracle("hybrid"),
         "mentions_crf": _mentions_oracle("crf_only"),
         "sota_gliner": _sota_gold_oracle(),

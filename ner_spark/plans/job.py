@@ -1241,6 +1241,8 @@ class KgJob:
         pattern: list[tuple[str, str, str]],
         optional: list[tuple[str, str, str]] = (),
         filters: list = (),
+        negation: list = (),
+        path_max_hops: int | None = None,
     ) -> "DataFrame":
         """Basic-graph-pattern query over the committed triple table
         (:func:`ner_spark.plans.kg_query.match_pattern`) — the "now
@@ -1249,7 +1251,11 @@ class KgJob:
         Reads the partitioned materialize checkpoint, so an element
         with a constant predicate prunes the ``pred`` partitions
         before anything joins (the same PartitionFilters shape the
-        stage_triples_pruned audit check pins).
+        stage_triples_pruned audit check pins) — including the edge
+        scan under a property-path element (``P+``/``P*``), whose
+        closure iterates over one pred partition only.  ``negation``
+        groups anti-join (FILTER NOT EXISTS); see
+        :func:`~ner_spark.plans.kg_query.match_pattern`.
         """
         from ner_spark.plans.kg_query import match_pattern
 
@@ -1260,7 +1266,8 @@ class KgJob:
         triples = self._read_committed(self._path("materialize"),
                                        partitioned=True)
         return match_pattern(triples, pattern, optional=optional,
-                             filters=filters)
+                             filters=filters, negation=negation,
+                             path_max_hops=path_max_hops)
 
     def publish_iceberg(self, table: str,
                         metrics_table: str | None = None) -> None:
@@ -1402,6 +1409,17 @@ def main() -> None:
                              "'?kb = \"kb:Q42\"', "
                              "'regex(?kb, \"[02468]$\")', "
                              "strstarts/strends/contains(?v, \"lit\")")
+    parser.add_argument("--match-negation", action="append", default=[],
+                        metavar="PATTERN",
+                        help="with --match: FILTER NOT EXISTS group in "
+                             "the same pattern syntax, repeatable — a "
+                             "binding survives only if the group "
+                             "matches nothing (e.g. '?e LINKED_TO ?kb' "
+                             "keeps entities with NO KB link)")
+    parser.add_argument("--path-max-hops", type=int, default=None,
+                        help="with --match: bound property-path "
+                             "(PRED+/PRED*) closures to this many hops "
+                             "(default: iterate to the fixpoint)")
     parser.add_argument("--match-limit", type=int, default=20,
                         help="--match: how many bindings to print")
     parser.add_argument("--update-id", default=None,
@@ -1486,6 +1504,8 @@ def main() -> None:
             optional=(parse_pattern(args.match_optional)
                       if args.match_optional else ()),
             filters=args.match_filter,
+            negation=[parse_pattern(g) for g in args.match_negation],
+            path_max_hops=args.path_max_hops,
         )
         head = out.limit(args.match_limit).collect()  # bounded control read
         print("\t".join(out.columns))

@@ -160,11 +160,166 @@ def _is_var(term: str) -> bool:
     return term.startswith("?")
 
 
+def _path_pred(term: str) -> tuple[str, bool] | None:
+    """A constant predicate ending in ``+`` or ``*`` is a SPARQL
+    property path: ``P+`` = one-or-more hops, ``P*`` = zero-or-more.
+    Returns (base predicate, include_zero) or None for plain terms."""
+    if _is_var(term) or len(term) < 2 or term[-1] not in "+*":
+        return None
+    return term[:-1], term.endswith("*")
+
+
+def path_closure(
+    triples: DataFrame,
+    pred: str,
+    zero: bool = False,
+    max_hops: int | None = None,
+    src: str | None = None,
+    dst: str | None = None,
+) -> DataFrame:
+    """Distinct ``(subj, obj)`` pairs connected by 1..n hops of
+    ``pred`` edges (SPARQL ``pred+``); with ``zero=True`` also every
+    graph node paired with itself (``pred*`` — SPARQL's zero-length
+    path matches each term in the graph).
+
+    Semi-naive iteration: the frontier holds only pairs first reached
+    at the current hop, so each round joins frontier × edges (never
+    closure × edges), dedups against the accumulated closure with an
+    anti-join, and ``localCheckpoint``s to truncate lineage — the same
+    discipline as the canonicalize CC loop.  Rounds = the graph's
+    longest shortest path, bounded by ``max_hops`` when given
+    (semantic bound: paths of length ≤ max_hops) or by a loud
+    64-round non-convergence guard when not.
+
+    ``src``/``dst`` are seeding hints for constant endpoints: closure
+    from one node is a plain BFS over its reachable set, not the full
+    O(V·E) closure — the difference between a pointed query and a
+    whole-graph materialization at 100 TB.  A ``dst`` seed walks the
+    reversed edges and flips the output.  Results are identical to
+    filtering the full closure (the oracle twin does exactly that).
+
+    Output is a SET (one row per pair) — path elements have SPARQL's
+    set semantics even where the underlying triple table carries
+    duplicates, and the recursive-CTE oracle's UNION matches.
+    """
+    edges = (
+        triples.where(F.col("pred") == pred)
+        .select("subj", "obj").distinct()
+        .localCheckpoint(eager=True)
+    )
+    flip = False
+    if src is None and dst is not None:
+        # BFS backwards from the constant object, flip at the end
+        edges = edges.select(F.col("obj").alias("subj"),
+                             F.col("subj").alias("obj"))
+        src, dst, flip = dst, None, True
+    if src is not None:
+        # constraint scrub (same idiom as canonicalize.py): the seed
+        # filter's constraint survives into the LogicalRDD and trips
+        # Spark 4.1's Union.rewriteConstraints (AttributeMap miss) on
+        # the first closure union.  Rebuilding from the materialized
+        # RDD yields a constraint-free plan; the seed frontier is one
+        # node's out-edges, so the Python round-trip is tiny.
+        base = edges.where(F.col("subj") == src).localCheckpoint(eager=True)
+        base = base.sparkSession.createDataFrame(base.rdd, base.schema)
+        closure = base.localCheckpoint(eager=True)
+    else:
+        closure = edges
+    frontier = closure
+    rounds = max_hops if max_hops is not None else 64
+    converged = False
+    for _ in range(1, rounds):
+        step = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.obj") == F.col("e.subj"))
+            .select(F.col("f.subj").alias("subj"),
+                    F.col("e.obj").alias("obj"))
+            .distinct()
+        )
+        new = step.join(closure, ["subj", "obj"], "left_anti") \
+                  .localCheckpoint(eager=True)
+        if new.isEmpty():
+            converged = True
+            break
+        closure = closure.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    if max_hops is None and not converged:
+        # the 64-round guard cut the loop — probe one more round and
+        # raise if the closure was still growing, instead of returning
+        # a silent prefix of the fixpoint
+        probe = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.obj") == F.col("e.subj"))
+            .select(F.col("f.subj").alias("subj"),
+                    F.col("e.obj").alias("obj"))
+            .join(closure, ["subj", "obj"], "left_anti")
+        )
+        if not probe.isEmpty():
+            raise RuntimeError(
+                f"path closure over pred={pred!r} did not converge in "
+                "64 rounds; pass max_hops to bound the path length "
+                "explicitly"
+            )
+    if zero:
+        # explode, not a self-union under renames (the latter trips the
+        # same Union constraint rewrite — see operators/dedup.py)
+        z = (
+            triples.select(F.explode(F.array("subj", "obj")).alias("n"))
+            .distinct()
+            .select(F.col("n").alias("subj"), F.col("n").alias("obj"))
+        )
+        if src is not None:
+            z = z.where(F.col("subj") == src)
+        closure = closure.unionByName(z).distinct()
+    if flip:
+        closure = closure.select(F.col("obj").alias("subj"),
+                                 F.col("subj").alias("obj"))
+    return closure
+
+
+def _element_relation(
+    triples: DataFrame,
+    element: tuple[str, str, str],
+    path_max_hops: int | None = None,
+) -> tuple[DataFrame, dict[str, str]]:
+    """Compile one pattern element to (relation, {?var: field}) — the
+    scan (or path closure) with constants and repeated-variable
+    equalities applied, projected to the variable columns."""
+    if len(element) != 3:
+        raise ValueError(f"pattern element {element!r} is not a triple")
+    path = _path_pred(element[1])
+    if path is not None:
+        base, zero = path
+        rel = path_closure(
+            triples, base, zero=zero, max_hops=path_max_hops,
+            src=None if _is_var(element[0]) else element[0],
+            dst=None if _is_var(element[2]) else element[2],
+        )
+        fields: tuple[str, ...] = ("subj", "obj")
+        terms: tuple[str, ...] = (element[0], element[2])
+    else:
+        rel = triples.select(*_FIELDS)
+        fields, terms = _FIELDS, element
+    cols: dict[str, str] = {}  # ?var -> first field carrying it
+    for field, term in zip(fields, terms):
+        if _is_var(term):
+            if term in cols:  # same var twice within one element
+                rel = rel.where(F.col(field) == F.col(cols[term]))
+            else:
+                cols[term] = field
+        else:
+            rel = rel.where(F.col(field) == F.lit(term))
+    rel = rel.select(*[F.col(f).alias(v[1:]) for v, f in cols.items()])
+    return rel, cols
+
+
 def match_pattern(
     triples: DataFrame,
     pattern: list[tuple[str, str, str]],
     optional: list[tuple[str, str, str]] = (),
     filters: list = (),
+    negation: list = (),
+    path_max_hops: int | None = None,
 ) -> DataFrame:
     """Match a basic graph pattern; see the module docstring.
 
@@ -185,6 +340,30 @@ def match_pattern(
     the variable is required.  Filters over variables the pattern
     never binds raise.
 
+    A constant predicate ending in ``+`` or ``*`` is a **property
+    path** (``?a MENTIONED_WITH+ ?b``): the element matches pairs
+    connected by 1..n (``+``) or 0..n (``*``) hops of that predicate,
+    with SET semantics (one row per distinct pair — SPARQL paths never
+    multiply bindings).  The closure is computed by
+    :func:`path_closure` (semi-naive frontier iteration, seeded BFS
+    when an endpoint is constant), so a path element makes the query
+    eager up to the closure; ``path_max_hops`` bounds the path length
+    (and hence the rounds) for graphs whose full fixpoint is
+    unaffordable.
+
+    ``negation`` is a list of FILTER NOT EXISTS groups, each itself a
+    list of pattern elements: a binding survives only if the group
+    matches NOTHING for that binding's shared-variable values.
+    Variables the group shares with the pattern correlate; its other
+    variables are existential.  A null shared variable (unmatched
+    OPTIONAL) never matches, so the binding survives — SQL anti-join
+    semantics, identical in the DuckDB twin's NOT EXISTS.  Groups
+    must share ≥1 variable with the pattern (an uncorrelated group
+    would be an ASK over the whole graph, not a per-binding filter),
+    and each group element must chain on a variable already seen
+    (shared or earlier-in-group) — the same cartesian guard as the
+    main pattern.
+
     Returns a DataFrame with one column per distinct ``?variable`` (in
     first-appearance order, ``?`` stripped).
     """
@@ -197,21 +376,7 @@ def match_pattern(
         (el, True) for el in optional
     ]
     for i, (element, is_optional) in enumerate(elements):
-        if len(element) != 3:
-            raise ValueError(f"pattern element {i} is not a triple")
-        t = triples.select(*_FIELDS)
-        cols: dict[str, str] = {}  # ?var -> first field carrying it
-        for field, term in zip(_FIELDS, element):
-            if _is_var(term):
-                if term in cols:  # same var twice within one element
-                    t = t.where(F.col(field) == F.col(cols[term]))
-                else:
-                    cols[term] = field
-            else:
-                t = t.where(F.col(field) == F.lit(term))
-        t = t.select(
-            *[F.col(f).alias(v[1:]) for v, f in cols.items()]
-        )
+        t, cols = _element_relation(triples, element, path_max_hops)
         if bound is None:
             bound = t
         else:
@@ -233,6 +398,37 @@ def match_pattern(
         if isinstance(filt, str):
             filt = parse_filter(filt)
         bound = bound.where(_filter_column(filt, bound_vars))
+    for g, group in enumerate(negation):
+        if isinstance(group, str):
+            group = parse_pattern(group)
+        group_vars = {t for el in group for t in el if _is_var(t)}
+        shared = bound_vars & group_vars
+        if not shared:
+            raise ValueError(
+                f"negation group {g} {group} shares no variable with "
+                "the pattern — it would be a whole-graph ASK, not a "
+                "per-binding NOT EXISTS filter"
+            )
+        seed_cols = [v[1:] for v in sorted(shared)]
+        # correlated semi-match: seed with the bindings' shared-var
+        # values (distinct — the anti-join only needs the key set),
+        # chain the group elements on variables already in scope
+        matched = bound.select(*seed_cols).distinct()
+        seen = set(shared)
+        for j, element in enumerate(group):
+            t, cols = _element_relation(triples, element, path_max_hops)
+            s = seen & set(cols)
+            if not s:
+                raise ValueError(
+                    f"negation group {g} element {j} {element} shares "
+                    "no variable with the group's scope so far — "
+                    "reorder the group or bind a shared variable"
+                )
+            matched = matched.join(t, [v[1:] for v in sorted(s)])
+            seen |= set(cols)
+        bound = bound.join(
+            matched.select(*seed_cols).distinct(), seed_cols, "left_anti"
+        )
     # Spark's equi-join hoists the join-key columns to the front;
     # restore first-appearance order for a stable, readable schema
     return bound.select(*[v[1:] for v in var_order])
@@ -244,6 +440,8 @@ def construct(
     template: list[tuple[str, str, str]],
     optional: list[tuple[str, str, str]] = (),
     filters: list = (),
+    negation: list = (),
+    path_max_hops: int | None = None,
 ) -> DataFrame:
     """SPARQL CONSTRUCT: derive NEW triples from the bindings of a
     basic graph pattern — the rule-based enrichment surface ("repos
@@ -271,7 +469,8 @@ def construct(
     if not template:
         raise ValueError("empty CONSTRUCT template")
     bound = match_pattern(triples, pattern, optional=optional,
-                          filters=filters)
+                          filters=filters, negation=negation,
+                          path_max_hops=path_max_hops)
     bound_vars = {"?" + c for c in bound.columns}
     outs = []
     for i, element in enumerate(template):

@@ -206,6 +206,59 @@ def test_graph_ops_match_oracles_on_random_graphs(spark, rows):
                                             filters=flt, kg_sql=kg_sql),
                 name=f"kg_pattern:{fname}",
             )
+        # property paths on random graphs (cycles, self-loops, hubs):
+        # the semi-naive closure — unbounded, hop-bounded, seeded at a
+        # constant endpoint, starred — must reproduce the recursive-CTE
+        # twin's SET semantics
+        for hname, pat, hops in (
+            ("h_plus", [("?a", "MENTIONED_WITH+", "?b")], None),
+            ("h_star", [("?a", "MENTIONED_WITH*", "?b")], None),
+            ("h_bounded", [("?a", "MENTIONED_WITH+", "?b")], 2),
+            ("h_seed_src", [("ent:a", "MENTIONED_WITH+", "?b")], None),
+            ("h_seed_dst", [("?a", "MENTIONED_WITH+", "ent:b")], None),
+            ("h_chain", [("?r", "DECLARES", "?a"),
+                         ("?a", "MENTIONED_WITH+", "?b")], None),
+        ):
+            assert_df_matches_duckdb(
+                match_pattern(tri, pat, path_max_hops=hops), con,
+                entrymod._kg_pattern_oracle(pat, path_max_hops=hops,
+                                            kg_sql=kg_sql),
+                name=f"kg_pattern:{hname}",
+            )
+        # FILTER NOT EXISTS on random graphs: the anti-join must
+        # reproduce the correlated NOT EXISTS twin — single and
+        # multi-element groups, constants, a path inside the group,
+        # and the null-OPTIONAL correlation that never matches
+        for nname, pat, popt, neg in (
+            ("n_simple", [("?a", "?p", "?b")], (),
+             [[("?b", "LINKED_TO", "?k")]]),
+            ("n_two_groups", [("?a", "MENTIONED_WITH", "?b")], (),
+             [[("?b", "DECLARES", "?c")], [("?a", "LINKED_TO", "?k")]]),
+            ("n_chain_group", [("?a", "?p", "?b")], (),
+             [[("?b", "DECLARES", "?c"), ("?c", "LINKED_TO", "?k")]]),
+            ("n_path_group", [("?a", "?p", "?b")], (),
+             [[("?b", "MENTIONED_WITH+", "?c")]]),
+        ):
+            assert_df_matches_duckdb(
+                match_pattern(tri, pat, optional=list(popt),
+                              negation=neg), con,
+                entrymod._kg_pattern_oracle(pat, optional=popt,
+                                            negation=neg, kg_sql=kg_sql),
+                name=f"kg_pattern:{nname}",
+            )
+        assert_df_matches_duckdb(
+            match_pattern(tri, [("?a", "MENTIONED_WITH", "?b")],
+                          optional=[("?b", "LINKED_TO", "?k")],
+                          negation=[[("?k", "DECLARES", "?z")]])
+            .withColumn("k", F.coalesce("k", F.lit(""))),
+            con,
+            entrymod._kg_pattern_oracle(
+                [("?a", "MENTIONED_WITH", "?b")],
+                optional=[("?b", "LINKED_TO", "?k")],
+                negation=[[("?k", "DECLARES", "?z")]],
+                fill_null=("?k",), kg_sql=kg_sql),
+            name="kg_pattern:n_null_optional",
+        )
         # CONSTRUCT on random graphs: template projection (variables,
         # constants, multi-element), set collapse with evidence_count
         # multiplicity, and the null-OPTIONAL instantiation drop must

@@ -345,3 +345,181 @@ def test_construct_respects_filters(spark):
                     template=[("?y", "REV", "?x")],
                     filters=["?x != ?y"])
     assert [tuple(r) for r in out.collect()] == [("b", "REV", "a", 1)]
+
+
+def test_path_closure_chain_and_set_semantics(spark):
+    from ner_spark.plans.kg_query import path_closure
+
+    # duplicate triple rows must not multiply closure pairs (SET
+    # semantics — SPARQL paths never multiply bindings)
+    t = _triples(
+        spark,
+        [("a", "P", "b", 1), ("a", "P", "b", 1), ("b", "P", "c", 1),
+         ("c", "P", "d", 1), ("x", "Q", "y", 1)],
+    )
+    out = path_closure(t, "P")
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+    ]
+
+
+def test_path_closure_cycle_terminates(spark):
+    from ner_spark.plans.kg_query import path_closure
+
+    t = _triples(
+        spark,
+        [("a", "P", "b", 1), ("b", "P", "c", 1), ("c", "P", "a", 1)],
+    )
+    out = path_closure(t, "P")
+    # full 3-cycle: every ordered pair incl. self-reachability
+    assert out.count() == 9
+
+
+def test_match_pattern_path_plus_and_star(spark):
+    t = _triples(
+        spark,
+        [("a", "P", "b", 1), ("b", "P", "c", 1), ("x", "Q", "y", 1)],
+    )
+    out = match_pattern(t, [("?s", "P+", "?o")])
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("a", "b"), ("a", "c"), ("b", "c")
+    ]
+    # star adds the zero-length pairs for EVERY graph node (SPARQL's
+    # zero-length path matches each term in the graph)
+    out = match_pattern(t, [("?s", "P*", "?o")], filters=["?s = ?o"])
+    assert sorted(r["s"] for r in out.collect()) == [
+        "a", "b", "c", "x", "y"
+    ]
+
+
+def test_match_pattern_path_seeded_endpoints(spark):
+    # a constant endpoint turns the closure into a seeded BFS — same
+    # answers as filtering the full closure
+    t = _triples(
+        spark,
+        [("a", "P", "b", 1), ("b", "P", "c", 1), ("c", "P", "d", 1),
+         ("z", "P", "a", 1)],
+    )
+    out = match_pattern(t, [("a", "P+", "?o")])
+    assert sorted(r["o"] for r in out.collect()) == ["b", "c", "d"]
+    out = match_pattern(t, [("?s", "P+", "c")])
+    assert sorted(r["s"] for r in out.collect()) == ["a", "b", "z"]
+
+
+def test_match_pattern_path_max_hops_bounds_length(spark):
+    t = _triples(
+        spark,
+        [("a", "P", "b", 1), ("b", "P", "c", 1), ("c", "P", "d", 1)],
+    )
+    out = match_pattern(t, [("?s", "P+", "?o")], path_max_hops=2)
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")
+    ]
+
+
+def test_match_pattern_path_chains_with_plain_elements(spark):
+    t = _triples(
+        spark,
+        [("r", "D", "e1", 1), ("e1", "M", "e2", 1), ("e2", "M", "e3", 1)],
+    )
+    out = match_pattern(t, [("?r", "D", "?a"), ("?a", "M+", "?b")])
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("r", "e1", "e2"), ("r", "e1", "e3")
+    ]
+
+
+def test_match_pattern_negation_drops_matching_bindings(spark):
+    t = _triples(
+        spark,
+        [("a", "P", "b", 1), ("b", "P", "c", 1), ("c", "P", "d", 1),
+         ("b", "L", "kb:1", 1)],
+    )
+    out = match_pattern(t, [("?s", "P", "?o")],
+                        negation=[[("?o", "L", "?kb")]])
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("b", "c"), ("c", "d")
+    ]
+    # string groups parse through parse_pattern
+    out = match_pattern(t, [("?s", "P", "?o")], negation=["?o L ?kb"])
+    assert out.count() == 2
+
+
+def test_match_pattern_negation_null_optional_survives(spark):
+    # an unmatched OPTIONAL variable is null; null never matches the
+    # negation group (anti-join semantics = the oracle's NOT EXISTS
+    # with a null correlation), so the binding survives
+    t = _triples(
+        spark,
+        [("a", "P", "b", 1), ("b", "P", "c", 1),
+         ("c", "L", "kb:1", 1), ("kb:1", "D", "z", 1)],
+    )
+    out = match_pattern(
+        t, [("?s", "P", "?o")],
+        optional=[("?o", "L", "?kb")],
+        negation=[[("?kb", "D", "?z")]],
+    )
+    rows = {(r["s"], r["o"]): r["kb"] for r in out.collect()}
+    # (b, c) bound kb:1 which HAS a D edge → dropped;
+    # (a, b) left kb null → survives
+    assert rows == {("a", "b"): None}
+
+
+def test_match_pattern_negation_multi_element_group(spark):
+    t = _triples(
+        spark,
+        [("a", "P", "b", 1), ("a", "P", "c", 1),
+         ("b", "L", "k1", 1), ("k1", "D", "z", 1),
+         ("c", "L", "k2", 1)],
+    )
+    # group: ?o L ?k . ?k D ?z — only b's chain completes
+    out = match_pattern(
+        t, [("a", "P", "?o")],
+        negation=[[("?o", "L", "?k"), ("?k", "D", "?z")]],
+    )
+    assert [r["o"] for r in out.collect()] == ["c"]
+
+
+def test_match_pattern_negation_guards(spark):
+    t = _triples(spark, [("a", "P", "b", 1)])
+    with pytest.raises(ValueError, match="whole-graph ASK"):
+        match_pattern(t, [("?x", "P", "?y")],
+                      negation=[[("?u", "Q", "?v")]])
+    with pytest.raises(ValueError, match="shares no variable"):
+        match_pattern(t, [("?x", "P", "?y")],
+                      negation=[[("?x", "Q", "?u"), ("?w", "R", "?z")]])
+
+
+def test_path_closure_in_negation_group(spark):
+    # negate transitive reachability: keep pairs whose object cannot
+    # reach 'd' through P+
+    t = _triples(
+        spark,
+        [("a", "P", "b", 1), ("b", "P", "d", 1), ("x", "P", "y", 1)],
+    )
+    out = match_pattern(t, [("?s", "P", "?o")],
+                        negation=[[("?o", "P+", "d")]])
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("b", "d"), ("x", "y")
+    ]
+
+
+def test_query_cli_match_negation_and_path(spark, tmp_path, capsys,
+                                           monkeypatch):
+    from ner_spark.plans import job as jobmod
+    from ner_spark.plans.job import KgJob
+    from ner_spark.sources.fixtures import source_table
+
+    out = str(tmp_path / "kg")
+    KgJob(spark, out, run_id="q1").run(source_table(spark, n_rows=20))
+    monkeypatch.setattr("sys.argv", [
+        "job", "--output", out,
+        "--match", "?repo DECLARES ?e . ?e MENTIONED_WITH+ ?x",
+        "--match-negation", "?x LINKED_TO ?kb",
+        "--path-max-hops", "2",
+        "--match-limit", "5",
+    ])
+    jobmod.main()
+    outp = capsys.readouterr().out
+    assert outp.splitlines()[0] == "repo\te\tx"
+    assert "stage=query rows=" in outp

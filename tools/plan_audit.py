@@ -372,6 +372,51 @@ def main() -> int:
               "required-var FILTER pushed into the scan (PushedFilters)",
               any("StringStartsWith(obj,ent:p" in ln for ln in pushed))
 
+        # FILTER NOT EXISTS negation: the group must compile to a
+        # left-anti join (never a filter-after-collect or a nested
+        # loop), and the group element's constant predicate still
+        # prunes the committed table's pred partitions at its own scan
+        p = plans["stage_query_negation"] = plan_of(job.query(
+            [("?r", "DECLARES", "?e")],
+            negation=[[("?e", "LINKED_TO", "?kb")]]))
+        check("stage_query_negation",
+              "negation compiles to a left-anti join",
+              "LeftAnti" in p)
+        check("stage_query_negation", "no cartesian/nested-loop join",
+              "CartesianProduct" not in p
+              and "BroadcastNestedLoopJoin" not in p)
+        pf = [ln for ln in p.splitlines() if "PartitionFilters:" in ln]
+        check("stage_query_negation",
+              "group element prunes pred partitions at its scan",
+              bool(pf) and all("pred" in ln for ln in pf))
+
+        # property-path closure: the edge scan feeding the semi-naive
+        # loop must prune to the path's ONE pred partition and read
+        # only (subj, obj) — the loop then iterates over checkpointed
+        # delta frontiers, never rescanning the full table
+        from ner_spark.plans.kg_query import path_closure
+        edges_plan = plan_of(
+            triples.where(F.col("pred") == "MENTIONED_WITH")
+            .select("subj", "obj").distinct())
+        plans["stage_path_edges"] = edges_plan
+        pf = [ln for ln in edges_plan.splitlines()
+              if "PartitionFilters:" in ln]
+        check("stage_path_edges",
+              "closure edge scan prunes to one pred partition",
+              bool(pf) and all("pred" in ln for ln in pf))
+        schemas = read_schemas(edges_plan)
+        check("stage_path_edges",
+              "closure edge scan reads only (subj, obj)",
+              bool(schemas)
+              and all(s == "struct<subj:string,obj:string>"
+                      for s in schemas),
+              f"ReadSchemas: {schemas}")
+        closure = path_closure(triples, "MENTIONED_WITH")
+        p = plans["stage_path_closure"] = plan_of(closure)
+        check("stage_path_closure",
+              "closure result reads checkpointed frontiers (no rescan)",
+              "Scan ExistingRDD" in p and "parquet" not in p.lower())
+
         # update-path overlap guard: delta key-set broadcasts; the
         # mention-table scan is pruned to the two key columns
         delta = source_table(spark, n_rows=8)
