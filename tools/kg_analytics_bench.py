@@ -164,7 +164,29 @@ def main() -> None:
         assert agg["seeds"] == 1 and agg["max_d"] <= 3
         return {"reached": agg["reached"], "max_dist": agg["max_d"]}
 
+    def run_path_closure():
+        # SPARQL property-path closure at scale: the UNBOUNDED closure
+        # of a near-single-component 500k-node graph is O(V²) pairs —
+        # never materialize it.  The two shapes that survive 100 TB are
+        # benched instead: seeded BFS from one node (constant endpoint)
+        # and the hop-bounded whole-graph closure.
+        from ner_spark.plans.kg_query import path_closure
+
+        seeded = path_closure(triples, "MENTIONED_WITH",
+                              src="ent:0", max_hops=3)
+        hub_reach = seeded.count()
+        d1 = (triples.where(F.col("subj") == "ent:0")
+              .select("obj").distinct().count())
+        assert hub_reach >= d1, "closure contains the 1-hop neighbors"
+        assert seeded.where(F.col("subj") != "ent:0").isEmpty(), \
+            "seeded closure only binds the constant source"
+        bounded = path_closure(triples, "MENTIONED_WITH", max_hops=2)
+        pairs_2hop = bounded.count()
+        assert pairs_2hop >= n_edges * 0.5, "2-hop ⊇ distinct 1-hop pairs"
+        return {"hub_reach_3hop": hub_reach, "pairs_2hop": pairs_2hop}
+
     timed("entity_degree", run_degree)
+    timed("path_closure", run_path_closure)
     timed("triangles", run_triangles)
     timed("components", run_components)
     timed("pagerank", run_pagerank)
@@ -206,7 +228,12 @@ def main() -> None:
             "partial-aggregate map-side before the shuffle (degree, "
             "pagerank contribution sum, PMI marginals), and the CC loop "
             "salts the frontier join — no operator has a single-task "
-            "hot key.",
+            "hot key.  path_closure benches the two property-path "
+            "shapes that survive scale — seeded BFS from a constant "
+            "endpoint and the hop-bounded whole-graph closure — because "
+            "the unbounded closure of a near-single-component graph is "
+            "O(V²) pairs by definition, a query-shape error no engine "
+            "outruns (bound the hops or seed an endpoint).",
         ]
         path = Path(__file__).resolve().parents[1] / "BENCH" / "KG_ANALYTICS.md"
         path.write_text("\n".join(lines) + "\n", encoding="utf-8")
