@@ -491,6 +491,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return match_pattern(kg_triples_gold(spark), _PATTERN_NEG,
                              negation=_PATTERN_NEG_GROUPS)
 
+    def q_kg_pattern_agg(spark, sf):
+        # SPARQL solution modifiers: GROUP BY + aggregates over the
+        # 3-hop BGP, ordered and limited — (n_bindings DESC, repo ASC)
+        # is a total order (repo is the group key), so the LIMIT cut
+        # is deterministic and the hash compare is stable.  The plan
+        # is one map-side-combinable groupBy + TakeOrderedAndProject.
+        from ner_spark.plans.kg_gold import kg_triples_gold
+        from ner_spark.plans.kg_query import solutions
+
+        return solutions(
+            kg_triples_gold(spark), _PATTERN,
+            group_by=["?repo"],
+            aggregates=_PATTERN_AGGS,
+            order_by=["n_bindings DESC", "repo ASC"],
+            limit=5,
+        )
+
     def q_dataset_split(spark, sf):
         return curate.dataset_split(_docs(spark, sf))
 
@@ -585,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_construct": q_kg_construct,
         "kg_pattern_path": q_kg_pattern_path,
         "kg_pattern_negation": q_kg_pattern_negation,
+        "kg_pattern_agg": q_kg_pattern_agg,
         "sota_gliner": q_sota_gliner,
         "dataset_split": q_dataset_split,
         "leakage_split": q_leakage_split,
@@ -628,6 +646,20 @@ _PATTERN_PATH = [
 # link (FILTER NOT EXISTS correlated on ?e)
 _PATTERN_NEG = [("?repo", "DECLARES", "?e")]
 _PATTERN_NEG_GROUPS = [[("?e", "LINKED_TO", "?kb")]]
+
+# the kg_pattern_agg contract modifiers: one aggregate of each
+# portable kind over the 3-hop bindings, grouped per repo —
+# count(*) = binding multiplicity, count_distinct = partner set size,
+# min/max = binary-collation extremes of the KB ids (never null here:
+# the pattern requires the LINKED_TO leg), group_concat = the pinned
+# sorted-distinct form
+_PATTERN_AGGS = [
+    "count(*) AS n_bindings",
+    "count_distinct(?x) AS n_partners",
+    "min(?kb) AS first_kb",
+    "max(?kb) AS last_kb",
+    "group_concat(?e) AS entities",
+]
 
 # the kg_construct contract templates: one element projecting through
 # the OPTIONAL variable (nulls drop — SPARQL skips ill-formed template
@@ -1485,6 +1517,66 @@ GROUP BY 1, 2, 3
 """
 
 
+def _kg_solutions_oracle(pattern, optional=(), filters=(), negation=(),
+                         fill_null=(), path_max_hops=None,
+                         group_by=(), aggregates=(), select=None,
+                         distinct=False, order_by=(), limit=None,
+                         kg_sql: str | None = None) -> str:
+    """SQL twin of plans.kg_query.solutions: the BGP oracle as a CTE
+    with GROUP BY / aggregates / projection / DISTINCT / ORDER BY /
+    LIMIT layered on top, using the exact same modifier semantics —
+    count(?v) skips nulls, count(*) counts rows, group_concat is the
+    pinned sorted-distinct-joined form, string order is binary in
+    both engines."""
+    from ner_spark.plans.kg_query import parse_aggregate, parse_order
+
+    inner = _kg_pattern_oracle(pattern, optional=optional,
+                               filters=filters, negation=negation,
+                               fill_null=fill_null,
+                               path_max_hops=path_max_hops, kg_sql=kg_sql)
+    keys = [v[1:] for v in group_by]
+    aggs = [parse_aggregate(a) if isinstance(a, str) else a
+            for a in aggregates]
+    grouped = bool(keys or aggs)
+    if grouped:
+        terms = list(keys)
+        for fn, term, alias in aggs:
+            v = None if term == "*" else term[1:]
+            expr = {
+                "count": f"count({v})" if v is not None else "count(*)",
+                "count_distinct": f"count(DISTINCT {v})",
+                "min": f"min({v})",
+                "max": f"max({v})",
+                "group_concat":
+                    f"array_to_string(list_sort(list(DISTINCT {v})), ',')",
+            }[fn]
+            terms.append(f"{expr} AS {alias}")
+        sel = ", ".join(terms)
+        group = (f"GROUP BY {', '.join(keys)}" if keys else "")
+    else:
+        sel, group = "*", ""
+    if select is not None:
+        proj = ", ".join(s[1:] if s.startswith("?") else s for s in select)
+        body = (f"SELECT {proj} FROM "
+                f"(SELECT {sel} FROM b {group})")
+    else:
+        body = f"SELECT {sel} FROM b {group}"
+    if distinct:
+        body = body.replace("SELECT ", "SELECT DISTINCT ", 1)
+    order = ""
+    if order_by:
+        parts = []
+        for o in order_by:
+            name, asc = parse_order(o) if isinstance(o, str) else o
+            parts.append(f"{name} {'ASC' if asc else 'DESC'}")
+        order = f"ORDER BY {', '.join(parts)}"
+    lim = f"LIMIT {limit}" if limit is not None else ""
+    return f"""WITH b AS ({inner})
+{body}
+{order} {lim}
+"""
+
+
 def _kg_entities_fuzzy_oracle(threshold: float = 0.5) -> str:
     """SQL twin of plans.kg_gold.entities_fuzzy_gold: the gold NEL
     table's surfaces canonicalized over shared-KB-id edges PLUS exact
@@ -1904,6 +1996,9 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "kg_pattern_path": _kg_pattern_oracle(_PATTERN_PATH),
         "kg_pattern_negation": _kg_pattern_oracle(
             _PATTERN_NEG, negation=_PATTERN_NEG_GROUPS),
+        "kg_pattern_agg": _kg_solutions_oracle(
+            _PATTERN, group_by=["?repo"], aggregates=_PATTERN_AGGS,
+            order_by=["n_bindings DESC", "repo ASC"], limit=5),
         "mentions_hybrid": _mentions_oracle("hybrid"),
         "mentions_crf": _mentions_oracle("crf_only"),
         "sota_gliner": _sota_gold_oracle(),

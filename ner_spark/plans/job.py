@@ -1243,10 +1243,20 @@ class KgJob:
         filters: list = (),
         negation: list = (),
         path_max_hops: int | None = None,
+        group_by: list[str] = (),
+        aggregates: list = (),
+        select: list[str] | None = None,
+        distinct: bool = False,
+        order_by: list = (),
+        limit: int | None = None,
     ) -> "DataFrame":
         """Basic-graph-pattern query over the committed triple table
         (:func:`ner_spark.plans.kg_query.match_pattern`) — the "now
-        ask the KG something" surface of a finished run.
+        ask the KG something" surface of a finished run.  The solution
+        modifiers (``group_by``/``aggregates``/``select``/``distinct``
+        /``order_by``/``limit``) layer on via
+        :func:`~ner_spark.plans.kg_query.solutions`, which degenerates
+        to the plain binding set when none are given.
 
         Reads the partitioned materialize checkpoint, so an element
         with a constant predicate prunes the ``pred`` partitions
@@ -1257,7 +1267,7 @@ class KgJob:
         groups anti-join (FILTER NOT EXISTS); see
         :func:`~ner_spark.plans.kg_query.match_pattern`.
         """
-        from ner_spark.plans.kg_query import match_pattern
+        from ner_spark.plans.kg_query import solutions
 
         if not self._committed("materialize"):
             raise ValueError(
@@ -1265,9 +1275,12 @@ class KgJob:
             )
         triples = self._read_committed(self._path("materialize"),
                                        partitioned=True)
-        return match_pattern(triples, pattern, optional=optional,
-                             filters=filters, negation=negation,
-                             path_max_hops=path_max_hops)
+        return solutions(triples, pattern, optional=optional,
+                         filters=filters, negation=negation,
+                         path_max_hops=path_max_hops,
+                         group_by=group_by, aggregates=aggregates,
+                         select=select, distinct=distinct,
+                         order_by=order_by, limit=limit)
 
     def publish_iceberg(self, table: str,
                         metrics_table: str | None = None) -> None:
@@ -1420,6 +1433,33 @@ def main() -> None:
                         help="with --match: bound property-path "
                              "(PRED+/PRED*) closures to this many hops "
                              "(default: iterate to the fixpoint)")
+    parser.add_argument("--match-group-by", default=None, metavar="VARS",
+                        help="with --match: GROUP BY these "
+                             "whitespace-separated ?variables (with no "
+                             "--match-agg this is DISTINCT over the keys)")
+    parser.add_argument("--match-agg", action="append", default=[],
+                        metavar="AGG",
+                        help="with --match: aggregate 'fn(?var) AS alias' "
+                             "with fn in (count, count_distinct, min, "
+                             "max, group_concat) or 'count(*) AS alias', "
+                             "repeatable; with no --match-group-by the "
+                             "whole binding set is one group")
+    parser.add_argument("--match-select", default=None, metavar="VARS",
+                        help="with --match: project to these "
+                             "whitespace-separated ?variables / "
+                             "aggregate aliases")
+    parser.add_argument("--match-distinct", action="store_true",
+                        help="with --match: SELECT DISTINCT over the "
+                             "projected columns")
+    parser.add_argument("--match-order-by", action="append", default=[],
+                        metavar="TERM",
+                        help="with --match: ORDER BY term "
+                             "'?var|alias [ASC|DESC]', repeatable")
+    parser.add_argument("--match-top", type=int, default=None,
+                        help="with --match: LIMIT the solution sequence "
+                             "itself (TakeOrderedAndProject under "
+                             "--match-order-by); distinct from "
+                             "--match-limit, which only bounds printing")
     parser.add_argument("--match-limit", type=int, default=20,
                         help="--match: how many bindings to print")
     parser.add_argument("--update-id", default=None,
@@ -1506,6 +1546,14 @@ def main() -> None:
             filters=args.match_filter,
             negation=[parse_pattern(g) for g in args.match_negation],
             path_max_hops=args.path_max_hops,
+            group_by=(args.match_group_by.split()
+                      if args.match_group_by else ()),
+            aggregates=args.match_agg,
+            select=(args.match_select.split()
+                    if args.match_select else None),
+            distinct=args.match_distinct,
+            order_by=args.match_order_by,
+            limit=args.match_top,
         )
         head = out.limit(args.match_limit).collect()  # bounded control read
         print("\t".join(out.columns))

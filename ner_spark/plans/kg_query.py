@@ -497,3 +497,188 @@ def construct(
         .groupBy("subj", "pred", "obj")
         .agg(F.count(F.lit(1)).alias("evidence_count"))
     )
+
+
+# --------------------------------------------- solution modifiers
+
+# aggregate grammar (SPARQL 1.1's set applicable to string terms):
+#   count(*)             count(?v)        count_distinct(?v)
+#   min(?v)  max(?v)     group_concat(?v)
+# SUM/AVG are omitted on purpose: every term in the triple table is a
+# string, so the numeric aggregates have nothing well-typed to bind.
+_AGG_RE = re.compile(
+    r"^(count|count_distinct|min|max|group_concat)\s*"
+    r"\(\s*(\*|\?\w+)\s*\)\s+AS\s+(\w+)$",
+    re.IGNORECASE,
+)
+_ORDER_RE = re.compile(r"^(\?\w+|\w+)(?:\s+(asc|desc))?$", re.IGNORECASE)
+
+
+def parse_aggregate(text: str) -> tuple[str, str, str]:
+    """Parse ``fn(?var) AS alias`` / ``count(*) AS alias`` into the
+    normalized ``(fn, term, alias)`` tuple :func:`solutions` consumes.
+    Raises on anything outside the grammar — an aggregate that
+    silently parsed wrong would mis-summarize the query."""
+    m = _AGG_RE.match(text.strip())
+    if not m:
+        raise ValueError(
+            f"unparseable aggregate {text!r}: expected "
+            "'fn(?var) AS alias' with fn in (count, count_distinct, "
+            "min, max, group_concat) or 'count(*) AS alias'"
+        )
+    fn, term, alias = m.group(1).lower(), m.group(2), m.group(3)
+    if term == "*" and fn != "count":
+        raise ValueError(f"{fn}(*) is not a thing; only count(*)")
+    return fn, term, alias
+
+
+def parse_order(text: str) -> tuple[str, bool]:
+    """Parse one ORDER BY term — ``?var`` / ``alias`` with an optional
+    trailing ``ASC``/``DESC`` — into ``(column_name, ascending)``."""
+    m = _ORDER_RE.match(text.strip())
+    if not m:
+        raise ValueError(
+            f"unparseable ORDER BY term {text!r}: expected "
+            "'?var|alias [ASC|DESC]'"
+        )
+    name = m.group(1)
+    return (name[1:] if name.startswith("?") else name,
+            (m.group(2) or "asc").lower() == "asc")
+
+
+def solutions(
+    triples: DataFrame,
+    pattern: list[tuple[str, str, str]],
+    optional: list[tuple[str, str, str]] = (),
+    filters: list = (),
+    negation: list = (),
+    path_max_hops: int | None = None,
+    group_by: list[str] = (),
+    aggregates: list = (),
+    select: list[str] | None = None,
+    distinct: bool = False,
+    order_by: list = (),
+    limit: int | None = None,
+) -> DataFrame:
+    """SPARQL solution modifiers over a basic graph pattern: GROUP BY
+    + aggregates, SELECT projection, DISTINCT, ORDER BY and LIMIT —
+    the "top declaring repos by entity count" shape every KG consumer
+    eventually writes::
+
+        solutions(triples,
+                  [("?r", "DECLARES", "?e")],
+                  group_by=["?r"],
+                  aggregates=["count_distinct(?e) AS n"],
+                  order_by=["n DESC", "?r ASC"], limit=10)
+
+    Modifier semantics (SPARQL 1.1, restricted to string terms):
+
+    - ``group_by`` — ``?var`` names; with ``aggregates`` empty it
+      degenerates to DISTINCT over the keys (exactly SPARQL's
+      implicit-sample-free projection of group keys).
+    - ``aggregates`` — ``fn(?var) AS alias`` strings (or pre-parsed
+      tuples from :func:`parse_aggregate`).  ``count(?v)`` counts
+      bound (non-null) values, ``count(*)`` counts rows — both per
+      the SPARQL spec, and identical in the SQL twin.
+      ``group_concat`` diverges from SPARQL deliberately: SPARQL
+      leaves element order unspecified, which is useless for a
+      deterministic engine, so it is pinned to *sorted distinct*
+      values joined by ``,`` (portable: binary collation in both
+      Spark and DuckDB).  With ``aggregates`` and no ``group_by``
+      the whole binding set is one group (global aggregate, one row).
+    - ``select`` — projection list (``?var`` or aggregate alias);
+      under grouping only group keys and aliases are in scope
+      (SPARQL's projection restriction — anything else raises).
+    - ``distinct`` — SELECT DISTINCT over the projected columns.
+    - ``order_by`` — ``'?var DESC'`` / ``'alias ASC'`` strings (or
+      :func:`parse_order` tuples).  String comparison is binary in
+      both engines, so the order is portable.
+    - ``limit`` — row cap.  ``orderBy().limit(k)`` compiles to
+      TakeOrderedAndProject (per-partition top-k + driver merge of k
+      rows per partition — no global sort materializes), the same
+      shape the top_customers plan audit pins.  A LIMIT without a
+      *total* order is nondeterministic in any engine; callers that
+      need stable output (every contract key here) must make
+      ``order_by`` a total order, e.g. by appending the group keys.
+
+    Scale shape: the aggregation is one map-side-combinable groupBy
+    on the group keys (count_distinct adds the standard two-phase
+    expand Spark plans for it), and ORDER+LIMIT never global-sorts.
+    """
+    bound = match_pattern(triples, pattern, optional=optional,
+                          filters=filters, negation=negation,
+                          path_max_hops=path_max_hops)
+    bound_vars = {"?" + c for c in bound.columns}
+    aggs = [parse_aggregate(a) if isinstance(a, str) else a
+            for a in aggregates]
+    keys: list[str] = []
+    for v in group_by:
+        if v not in bound_vars:
+            raise ValueError(f"GROUP BY references unbound variable {v}")
+        keys.append(v[1:])
+    grouped = bool(keys or aggs)
+    if grouped:
+        names = set(keys)
+        exprs = []
+        for fn, term, alias in aggs:
+            if alias in names:
+                raise ValueError(
+                    f"aggregate alias {alias!r} collides with a group "
+                    "key or another alias")
+            names.add(alias)
+            if term == "*":
+                col = F.count(F.lit(1))
+            else:
+                if term not in bound_vars:
+                    raise ValueError(
+                        f"aggregate references unbound variable {term}")
+                c = F.col(term[1:])
+                col = {
+                    "count": lambda: F.count(c),
+                    "count_distinct": lambda: F.count_distinct(c),
+                    "min": lambda: F.min(c),
+                    "max": lambda: F.max(c),
+                    # sorted-distinct concat: collect_set drops nulls
+                    # (SPARQL aggregates skip error/unbound terms)
+                    "group_concat": lambda: F.array_join(
+                        F.array_sort(F.collect_set(c)), ","),
+                }[fn]()
+            exprs.append(col.alias(alias))
+        if exprs:
+            bound = (bound.groupBy(*keys).agg(*exprs)
+                     if keys else bound.agg(*exprs))
+        else:
+            bound = bound.select(*keys).distinct()
+        out_scope = list(bound.columns)
+    else:
+        out_scope = list(bound.columns)
+    if select is not None:
+        proj = []
+        for s in select:
+            name = s[1:] if s.startswith("?") else s
+            if name not in out_scope:
+                raise ValueError(
+                    f"SELECT references {s!r} which is not "
+                    + ("a group key or aggregate alias" if grouped
+                       else "a bound variable"))
+            proj.append(name)
+        if not proj:
+            raise ValueError("empty SELECT projection")
+        bound = bound.select(*proj)
+    if distinct:
+        bound = bound.distinct()
+    if order_by:
+        cols = []
+        for o in order_by:
+            name, asc = parse_order(o) if isinstance(o, str) else o
+            if name not in bound.columns:
+                raise ValueError(
+                    f"ORDER BY references {name!r} which is not an "
+                    "output column")
+            cols.append(F.col(name).asc() if asc else F.col(name).desc())
+        bound = bound.orderBy(*cols)
+    if limit is not None:
+        if limit < 0:
+            raise ValueError("LIMIT must be non-negative")
+        bound = bound.limit(limit)
+    return bound

@@ -279,6 +279,40 @@ def test_graph_ops_match_oracles_on_random_graphs(spark, rows):
                                               kg_sql=kg_sql),
                 name=f"kg_construct:{cname}",
             )
+        # solution modifiers on random graphs: grouped aggregates of
+        # every portable kind (count(*) vs null-skipping count(?v)
+        # over an OPTIONAL leg, count_distinct, min/max, the pinned
+        # sorted-distinct group_concat), the global one-row aggregate,
+        # projection+DISTINCT, and an ordered LIMIT whose (count, key)
+        # order is total — all against the generated modifier twin
+        from ner_spark.plans.kg_query import solutions
+        for sname, skw in (
+            ("s_grouped", dict(
+                pattern=[("?a", "?p", "?b")],
+                optional=[("?b", "LINKED_TO", "?k")],
+                group_by=["?a"],
+                aggregates=["count(*) AS n", "count(?k) AS k_n",
+                            "count_distinct(?b) AS uniq",
+                            "min(?b) AS lo", "max(?b) AS hi",
+                            "group_concat(?p) AS preds"])),
+            ("s_global", dict(
+                pattern=[("?a", "MENTIONED_WITH", "?b")],
+                aggregates=["count(*) AS n",
+                            "count_distinct(?a) AS srcs"])),
+            ("s_distinct_proj", dict(
+                pattern=[("?a", "?p", "?b")],
+                select=["?p"], distinct=True)),
+            ("s_topk", dict(
+                pattern=[("?a", "?p", "?b")],
+                group_by=["?a"],
+                aggregates=["count(*) AS n"],
+                order_by=["n DESC", "?a ASC"], limit=3)),
+        ):
+            assert_df_matches_duckdb(
+                solutions(tri, **skw), con,
+                entrymod._kg_solutions_oracle(**skw, kg_sql=kg_sql),
+                name=f"kg_solutions:{sname}",
+            )
         # float ops: raw doubles, per-key tolerance compare
         pr = pagerank(tri, iterations=2, checkpoint=False).collect()
         pr_d = con.execute(entrymod._kg_pagerank_oracle(

@@ -523,3 +523,240 @@ def test_query_cli_match_negation_and_path(spark, tmp_path, capsys,
     outp = capsys.readouterr().out
     assert outp.splitlines()[0] == "repo\te\tx"
     assert "stage=query rows=" in outp
+
+
+# --------------------------------------------- solution modifiers
+
+
+def test_parse_aggregate_grammar():
+    from ner_spark.plans.kg_query import parse_aggregate
+
+    assert parse_aggregate("count(*) AS n") == ("count", "*", "n")
+    assert parse_aggregate("COUNT_DISTINCT(?e) as k") == \
+        ("count_distinct", "?e", "k")
+    assert parse_aggregate("min(?kb) AS lo") == ("min", "?kb", "lo")
+    assert parse_aggregate("group_concat( ?x ) AS xs") == \
+        ("group_concat", "?x", "xs")
+    with pytest.raises(ValueError):
+        parse_aggregate("sum(?e) AS s")       # numeric aggs excluded
+    with pytest.raises(ValueError):
+        parse_aggregate("min(*) AS m")        # only count(*) exists
+    with pytest.raises(ValueError):
+        parse_aggregate("count(?e)")          # alias required
+
+
+def test_parse_order_grammar():
+    from ner_spark.plans.kg_query import parse_order
+
+    assert parse_order("?repo") == ("repo", True)
+    assert parse_order("n DESC") == ("n", False)
+    assert parse_order("?e asc") == ("e", True)
+    with pytest.raises(ValueError):
+        parse_order("n DESCENDING")
+    with pytest.raises(ValueError):
+        parse_order("?a ?b")
+
+
+def _agg_graph(spark):
+    return _triples(spark, [
+        ("repo:a", "DECLARES", "e1", 1),
+        ("repo:a", "DECLARES", "e2", 1),
+        ("repo:a", "DECLARES", "e3", 1),
+        ("repo:b", "DECLARES", "e1", 1),
+        ("repo:b", "DECLARES", "e2", 1),
+        ("repo:c", "DECLARES", "e9", 1),
+        ("e1", "LINKED_TO", "kb:Q1", 1),
+        ("e2", "LINKED_TO", "kb:Q2", 1),
+    ])
+
+
+def test_solutions_group_by_aggregates(spark):
+    from ner_spark.plans.kg_query import solutions
+
+    out = solutions(
+        _agg_graph(spark),
+        [("?r", "DECLARES", "?e")],
+        group_by=["?r"],
+        aggregates=["count(*) AS n", "count_distinct(?e) AS k",
+                    "min(?e) AS lo", "max(?e) AS hi",
+                    "group_concat(?e) AS es"],
+    )
+    assert out.columns == ["r", "n", "k", "lo", "hi", "es"]
+    rows = {r["r"]: r for r in out.collect()}
+    assert rows["repo:a"]["n"] == 3 and rows["repo:a"]["k"] == 3
+    assert (rows["repo:a"]["lo"], rows["repo:a"]["hi"]) == ("e1", "e3")
+    assert rows["repo:a"]["es"] == "e1,e2,e3"   # sorted distinct concat
+    assert rows["repo:b"]["es"] == "e1,e2"
+    assert rows["repo:c"]["n"] == 1
+
+
+def test_solutions_count_star_vs_count_var_on_null_optional(spark):
+    # count(?kb) skips unbound (null) OPTIONAL bindings; count(*)
+    # counts the rows — the SPARQL distinction, same as SQL's
+    from ner_spark.plans.kg_query import solutions
+
+    out = solutions(
+        _agg_graph(spark),
+        [("?r", "DECLARES", "?e")],
+        optional=[("?e", "LINKED_TO", "?kb")],
+        group_by=["?r"],
+        aggregates=["count(*) AS rows_n", "count(?kb) AS kb_n"],
+    )
+    rows = {r["r"]: r for r in out.collect()}
+    assert (rows["repo:a"]["rows_n"], rows["repo:a"]["kb_n"]) == (3, 2)
+    assert (rows["repo:c"]["rows_n"], rows["repo:c"]["kb_n"]) == (1, 0)
+
+
+def test_solutions_global_aggregate_one_row(spark):
+    from ner_spark.plans.kg_query import solutions
+
+    out = solutions(
+        _agg_graph(spark),
+        [("?r", "DECLARES", "?e")],
+        aggregates=["count(*) AS n", "count_distinct(?r) AS repos"],
+    )
+    assert [tuple(r) for r in out.collect()] == [(6, 3)]
+
+
+def test_solutions_group_by_without_aggregates_is_distinct_keys(spark):
+    from ner_spark.plans.kg_query import solutions
+
+    out = solutions(
+        _agg_graph(spark),
+        [("?r", "DECLARES", "?e")],
+        group_by=["?r"],
+    )
+    assert out.columns == ["r"]
+    assert sorted(r["r"] for r in out.collect()) == \
+        ["repo:a", "repo:b", "repo:c"]
+
+
+def test_solutions_select_distinct_projection(spark):
+    from ner_spark.plans.kg_query import solutions
+
+    out = solutions(
+        _agg_graph(spark),
+        [("?r", "DECLARES", "?e"), ("?e", "LINKED_TO", "?kb")],
+        select=["?r"],
+        distinct=True,
+    )
+    assert out.columns == ["r"]
+    assert sorted(r["r"] for r in out.collect()) == ["repo:a", "repo:b"]
+
+
+def test_solutions_order_limit_topk(spark):
+    from ner_spark.plans.kg_query import solutions
+
+    out = solutions(
+        _agg_graph(spark),
+        [("?r", "DECLARES", "?e")],
+        group_by=["?r"],
+        aggregates=["count(*) AS n"],
+        order_by=["n DESC", "?r ASC"],
+        limit=2,
+    )
+    assert [tuple(r) for r in out.collect()] == \
+        [("repo:a", 3), ("repo:b", 2)]
+
+
+def test_solutions_order_limit_plan_is_take_ordered(spark):
+    # orderBy().limit(k) must compile to TakeOrderedAndProject —
+    # never a global sort — same shape the top_customers audit pins
+    from ner_spark.plans.kg_query import solutions
+
+    out = solutions(
+        _agg_graph(spark),
+        [("?r", "DECLARES", "?e")],
+        group_by=["?r"],
+        aggregates=["count(*) AS n"],
+        order_by=["n DESC", "?r ASC"],
+        limit=2,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_solutions_validation_errors(spark):
+    from ner_spark.plans.kg_query import solutions
+
+    g = _agg_graph(spark)
+    pat = [("?r", "DECLARES", "?e")]
+    with pytest.raises(ValueError, match="unbound variable"):
+        solutions(g, pat, group_by=["?zzz"])
+    with pytest.raises(ValueError, match="unbound variable"):
+        solutions(g, pat, group_by=["?r"],
+                  aggregates=["count(?zzz) AS n"])
+    with pytest.raises(ValueError, match="collides"):
+        solutions(g, pat, group_by=["?r"],
+                  aggregates=["count(*) AS r"])
+    with pytest.raises(ValueError, match="SELECT references"):
+        solutions(g, pat, group_by=["?r"],
+                  aggregates=["count(*) AS n"], select=["?e"])
+    with pytest.raises(ValueError, match="ORDER BY references"):
+        solutions(g, pat, order_by=["nope DESC"])
+    with pytest.raises(ValueError, match="non-negative"):
+        solutions(g, pat, limit=-1)
+
+
+def test_solutions_matches_duckdb_twin(spark):
+    # the full modifier stack against a hand-rolled DuckDB twin on
+    # the same literal graph (the contract key covers the generated
+    # oracle; this pins the semantics on a graph with nulls)
+    import duckdb
+
+    from ner_spark.plans.kg_query import solutions
+    from tests.oracle_compare import assert_df_matches_duckdb
+
+    out = solutions(
+        _agg_graph(spark),
+        [("?r", "DECLARES", "?e")],
+        optional=[("?e", "LINKED_TO", "?kb")],
+        group_by=["?r"],
+        aggregates=["count(*) AS n", "count(?kb) AS kb_n",
+                    "count_distinct(?e) AS k", "max(?kb) AS hi_kb",
+                    "group_concat(?e) AS es"],
+        order_by=["n DESC", "?r ASC"],
+        limit=2,
+    )
+    out = out.fillna({"hi_kb": ""})
+    con = duckdb.connect()
+    sql = """
+WITH t(subj, pred, obj) AS (VALUES
+  ('repo:a','DECLARES','e1'), ('repo:a','DECLARES','e2'),
+  ('repo:a','DECLARES','e3'), ('repo:b','DECLARES','e1'),
+  ('repo:b','DECLARES','e2'), ('repo:c','DECLARES','e9'),
+  ('e1','LINKED_TO','kb:Q1'), ('e2','LINKED_TO','kb:Q2')),
+b AS (
+  SELECT t0.subj AS r, t0.obj AS e, t1.obj AS kb
+  FROM t t0
+  LEFT JOIN t t1 ON t1.pred = 'LINKED_TO' AND t1.subj = t0.obj
+  WHERE t0.pred = 'DECLARES')
+SELECT r, count(*) AS n, count(kb) AS kb_n, count(DISTINCT e) AS k,
+       coalesce(max(kb), '') AS hi_kb,
+       array_to_string(list_sort(list(DISTINCT e)), ',') AS es
+FROM b GROUP BY r ORDER BY n DESC, r ASC LIMIT 2
+"""
+    assert_df_matches_duckdb(out, con, sql, "solutions_twin")
+
+
+def test_query_cli_match_modifiers(spark, tmp_path, capsys, monkeypatch):
+    from ner_spark.plans import job as jobmod
+    from ner_spark.plans.job import KgJob
+    from ner_spark.sources.fixtures import source_table
+
+    out = str(tmp_path / "kg")
+    KgJob(spark, out, run_id="q2").run(source_table(spark, n_rows=20))
+    monkeypatch.setattr("sys.argv", [
+        "job", "--output", out,
+        "--match", "?repo DECLARES ?e",
+        "--match-group-by", "?repo",
+        "--match-agg", "count_distinct(?e) AS n",
+        "--match-order-by", "n DESC",
+        "--match-order-by", "?repo ASC",
+        "--match-top", "3",
+    ])
+    jobmod.main()
+    outp = capsys.readouterr().out
+    assert outp.splitlines()[0] == "repo\tn"
+    assert "stage=query rows=3 " in outp

@@ -568,6 +568,24 @@ def main() -> int:
     check("kg_pattern", "constant predicates compile to filters",
           "DECLARES" in p and "Filter" in p)
 
+    # solution modifiers: GROUP BY + aggregates + ORDER/LIMIT must
+    # compile to a map-side-combinable aggregate feeding
+    # TakeOrderedAndProject — never a global Sort (top-k at 100 TB is
+    # per-partition heaps + a k-row driver merge)
+    from ner_spark.plans.kg_query import solutions
+
+    p = plans["kg_solutions"] = plan_of(solutions(
+        tri, [("?r", "DECLARES", "?e")],
+        group_by=["?r"],
+        aggregates=["count(*) AS n", "count_distinct(?e) AS k"],
+        order_by=["n DESC", "?r ASC"], limit=10))
+    check("kg_solutions", "ordered limit is TakeOrderedAndProject",
+          "TakeOrderedAndProject" in p)
+    check("kg_solutions", "no global sort",
+          "Sort [" not in p.replace("TakeOrderedAndProject", ""))
+    check("kg_solutions", "aggregate partial-combines map-side",
+          "partial_count" in p)
+
     # contamination: the eval side must broadcast (the 100 TB corpus
     # never shuffles for the overlap join) and the per-pair shingle
     # counts partial-aggregate map-side
