@@ -508,6 +508,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             limit=5,
         )
 
+    def q_kg_pattern_union(spark, sf):
+        # SPARQL UNION: every KB-grounded relationship an entity has —
+        # via its declaring repo OR via a co-mention partner.  Branch 1
+        # never binds ?x and branch 2 never binds ?repo (SPARQL
+        # unbound → null; sentinel-filled for the hash compare like
+        # the OPTIONAL key), and the outer FILTER spans both branches.
+        from ner_spark.plans.kg_gold import kg_triples_gold
+        from ner_spark.plans.kg_query import match_union
+
+        out = match_union(kg_triples_gold(spark), _PATTERN_UNION,
+                          filters=_PATTERN_UNION_FILTERS)
+        return out.withColumn("repo", F.coalesce("repo", F.lit(""))) \
+                  .withColumn("x", F.coalesce("x", F.lit("")))
+
     def q_dataset_split(spark, sf):
         return curate.dataset_split(_docs(spark, sf))
 
@@ -603,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pattern_path": q_kg_pattern_path,
         "kg_pattern_negation": q_kg_pattern_negation,
         "kg_pattern_agg": q_kg_pattern_agg,
+        "kg_pattern_union": q_kg_pattern_union,
         "sota_gliner": q_sota_gliner,
         "dataset_split": q_dataset_split,
         "leakage_split": q_leakage_split,
@@ -646,6 +661,19 @@ _PATTERN_PATH = [
 # link (FILTER NOT EXISTS correlated on ?e)
 _PATTERN_NEG = [("?repo", "DECLARES", "?e")]
 _PATTERN_NEG_GROUPS = [[("?e", "LINKED_TO", "?kb")]]
+
+# the kg_pattern_union contract groups: an entity's KB-grounded
+# relationships via its declaring repo (branch 1, never binds ?x) OR
+# via a co-mention partner (branch 2, never binds ?repo) — the
+# branch-unbound variables are SPARQL unbound (null) and the outer
+# FILTER applies across both branches
+_PATTERN_UNION = [
+    {"pattern": [("?repo", "DECLARES", "?e"),
+                 ("?e", "LINKED_TO", "?kb")]},
+    {"pattern": [("?e", "MENTIONED_WITH", "?x"),
+                 ("?x", "LINKED_TO", "?kb")]},
+]
+_PATTERN_UNION_FILTERS = ['regex(?kb, "[0-9]$")']
 
 # the kg_pattern_agg contract modifiers: one aggregate of each
 # portable kind over the 3-hop bindings, grouped per repo —
@@ -1492,6 +1520,61 @@ WHERE {where}
 """
 
 
+def _kg_branch_vars(pattern, optional=()) -> list:
+    """The ?variables a BGP branch binds, in the same first-appearance
+    order match_pattern emits (fields order within an element; path
+    elements bind only their endpoints)."""
+    from ner_spark.plans.kg_query import _path_pred
+
+    out: list[str] = []
+    for el in list(pattern) + list(optional):
+        terms = ((el[0], el[2]) if _path_pred(el[1]) is not None
+                 else tuple(el))
+        for t in terms:
+            if t.startswith("?") and t not in out:
+                out.append(t)
+    return out
+
+
+def _kg_union_oracle(groups, filters=(), fill_null=(),
+                     path_max_hops=None,
+                     kg_sql: str | None = None) -> str:
+    """SQL twin of plans.kg_query.match_union: each group's BGP oracle
+    becomes one UNION ALL arm, projected to the union of the branch
+    variable sets with NULL for the variables a branch does not bind
+    (SPARQL's unbound), outer FILTERs conjoin over the union'd columns
+    (null operand → row eliminated, both engines), and ``fill_null``
+    sentinel-fills nullable columns for the hash compare like the
+    pattern oracle does."""
+    norm = [dict(g) if isinstance(g, dict) else {"pattern": g}
+            for g in groups]
+    branch_vars = [_kg_branch_vars(g["pattern"], g.get("optional", ()))
+                   for g in norm]
+    all_vars: list[str] = []
+    for bv in branch_vars:
+        for v in bv:
+            if v not in all_vars:
+                all_vars.append(v)
+    arms = []
+    for i, (g, bv) in enumerate(zip(norm, branch_vars)):
+        inner = _kg_pattern_oracle(
+            g["pattern"], optional=g.get("optional", ()),
+            filters=g.get("filters", ()),
+            negation=g.get("negation", ()),
+            path_max_hops=path_max_hops, kg_sql=kg_sql)
+        sel = ", ".join(
+            v[1:] if v in bv else f"NULL AS {v[1:]}" for v in all_vars)
+        arms.append(f"SELECT {sel} FROM (\n{inner}) u{i}")
+    body = "\nUNION ALL\n".join(arms)
+    refs = {v: v[1:] for v in all_vars}
+    where = " AND ".join(_kg_filter_sql(flt, refs) for flt in filters)
+    sel = ", ".join(
+        (f"coalesce({v[1:]}, '') AS {v[1:]}"
+         if v in fill_null else v[1:]) for v in all_vars)
+    return (f"SELECT {sel} FROM (\n{body}\n) u"
+            + (f"\nWHERE {where}" if where else "") + "\n")
+
+
 def _kg_construct_oracle(pattern, template, optional=(), filters=(),
                          kg_sql: str | None = None) -> str:
     """SQL twin of plans.kg_query.construct: the BGP oracle as a CTE,
@@ -1517,7 +1600,8 @@ GROUP BY 1, 2, 3
 """
 
 
-def _kg_solutions_oracle(pattern, optional=(), filters=(), negation=(),
+def _kg_solutions_oracle(pattern=(), optional=(), filters=(),
+                         negation=(), union=None,
                          fill_null=(), path_max_hops=None,
                          group_by=(), aggregates=(), select=None,
                          distinct=False, order_by=(), limit=None,
@@ -1530,10 +1614,17 @@ def _kg_solutions_oracle(pattern, optional=(), filters=(), negation=(),
     both engines."""
     from ner_spark.plans.kg_query import parse_aggregate, parse_order
 
-    inner = _kg_pattern_oracle(pattern, optional=optional,
-                               filters=filters, negation=negation,
-                               fill_null=fill_null,
-                               path_max_hops=path_max_hops, kg_sql=kg_sql)
+    if union is not None:
+        inner = _kg_union_oracle(union, filters=filters,
+                                 fill_null=fill_null,
+                                 path_max_hops=path_max_hops,
+                                 kg_sql=kg_sql)
+    else:
+        inner = _kg_pattern_oracle(pattern, optional=optional,
+                                   filters=filters, negation=negation,
+                                   fill_null=fill_null,
+                                   path_max_hops=path_max_hops,
+                                   kg_sql=kg_sql)
     keys = [v[1:] for v in group_by]
     aggs = [parse_aggregate(a) if isinstance(a, str) else a
             for a in aggregates]
@@ -1999,6 +2090,9 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "kg_pattern_agg": _kg_solutions_oracle(
             _PATTERN, group_by=["?repo"], aggregates=_PATTERN_AGGS,
             order_by=["n_bindings DESC", "repo ASC"], limit=5),
+        "kg_pattern_union": _kg_union_oracle(
+            _PATTERN_UNION, filters=_PATTERN_UNION_FILTERS,
+            fill_null=("?repo", "?x")),
         "mentions_hybrid": _mentions_oracle("hybrid"),
         "mentions_crf": _mentions_oracle("crf_only"),
         "sota_gliner": _sota_gold_oracle(),

@@ -499,6 +499,57 @@ def construct(
     )
 
 
+def match_union(
+    triples: DataFrame,
+    groups: list,
+    filters: list = (),
+    path_max_hops: int | None = None,
+) -> DataFrame:
+    """SPARQL UNION: alternation of group graph patterns —
+    ``{ G1 } UNION { G2 }``.  Each group is either a bare pattern
+    (list of triple elements) or a dict of :func:`match_pattern`
+    kwargs (``pattern`` / ``optional`` / ``filters`` / ``negation``),
+    evaluated independently; the result is the bag union of the
+    branch binding sets.  Per the SPARQL algebra a variable a branch
+    does not bind is **unbound (null)** in that branch's rows — the
+    output schema is the union of the branch variable sets in
+    first-appearance order.
+
+    ``filters`` at this level are SPARQL group-scope FILTERs over the
+    union: a comparison on a variable that is null in a branch's row
+    (unbound there) errors and eliminates the row, exactly the
+    OPTIONAL-null rule in :func:`match_pattern`.  Branch-local
+    FILTERs go inside the group dict and see only that branch.
+
+    Scale shape: a UNION is plan-level alternation, not a join — each
+    branch keeps its own pushed scans and join order, and Spark's
+    Union is a no-shuffle concatenation of the branch partitions, so
+    the union of two selective BGPs costs exactly the two BGPs.
+    """
+    if len(groups) < 2:
+        raise ValueError("UNION needs at least two groups")
+    bound: DataFrame | None = None
+    bound_vars: set[str] = set()
+    for i, group in enumerate(groups):
+        kwargs = dict(group) if isinstance(group, dict) else {
+            "pattern": group}
+        unknown = set(kwargs) - {"pattern", "optional", "filters",
+                                 "negation"}
+        if unknown:
+            raise ValueError(
+                f"UNION group {i} has unknown keys {sorted(unknown)}")
+        branch = match_pattern(triples, path_max_hops=path_max_hops,
+                               **kwargs)
+        bound_vars |= {"?" + c for c in branch.columns}
+        bound = branch if bound is None else bound.unionByName(
+            branch, allowMissingColumns=True)
+    for filt in filters:
+        if isinstance(filt, str):
+            filt = parse_filter(filt)
+        bound = bound.where(_filter_column(filt, bound_vars))
+    return bound
+
+
 # --------------------------------------------- solution modifiers
 
 # aggregate grammar (SPARQL 1.1's set applicable to string terms):
@@ -548,10 +599,11 @@ def parse_order(text: str) -> tuple[str, bool]:
 
 def solutions(
     triples: DataFrame,
-    pattern: list[tuple[str, str, str]],
+    pattern: list[tuple[str, str, str]] = (),
     optional: list[tuple[str, str, str]] = (),
     filters: list = (),
     negation: list = (),
+    union: list | None = None,
     path_max_hops: int | None = None,
     group_by: list[str] = (),
     aggregates: list = (),
@@ -604,10 +656,24 @@ def solutions(
     Scale shape: the aggregation is one map-side-combinable groupBy
     on the group keys (count_distinct adds the standard two-phase
     expand Spark plans for it), and ORDER+LIMIT never global-sorts.
+
+    ``union`` replaces ``pattern`` with :func:`match_union` groups
+    (alternation); the modifiers then apply to the union'd binding
+    set — null (branch-unbound) values behave as SPARQL unbound terms
+    everywhere (aggregates skip them, GROUP BY treats null as a key).
     """
-    bound = match_pattern(triples, pattern, optional=optional,
-                          filters=filters, negation=negation,
-                          path_max_hops=path_max_hops)
+    if union is not None:
+        if pattern or optional or negation:
+            raise ValueError(
+                "give the query as EITHER a single pattern (+optional/"
+                "negation) OR a union of groups, not both; branch-"
+                "local pattern kwargs go inside the group dicts")
+        bound = match_union(triples, union, filters=filters,
+                            path_max_hops=path_max_hops)
+    else:
+        bound = match_pattern(triples, pattern, optional=optional,
+                              filters=filters, negation=negation,
+                              path_max_hops=path_max_hops)
     bound_vars = {"?" + c for c in bound.columns}
     aggs = [parse_aggregate(a) if isinstance(a, str) else a
             for a in aggregates]

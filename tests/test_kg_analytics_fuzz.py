@@ -313,6 +313,42 @@ def test_graph_ops_match_oracles_on_random_graphs(spark, rows):
                 entrymod._kg_solutions_oracle(**skw, kg_sql=kg_sql),
                 name=f"kg_solutions:{sname}",
             )
+        # UNION on random graphs: branch-unbound nulls (sentinel-
+        # filled on both sides), bag semantics when the branches
+        # overlap, branch-local kwargs, an outer FILTER spanning the
+        # union, and modifiers over the union'd binding set
+        from ner_spark.plans.kg_query import match_union
+        u_groups = [
+            [("?a", "MENTIONED_WITH", "?b")],
+            {"pattern": [("?a", "LINKED_TO", "?k")],
+             "filters": ['?a != ?k']},
+        ]
+        assert_df_matches_duckdb(
+            match_union(tri, u_groups,
+                        filters=['strstarts(?a, "e")'])
+            .fillna({"b": "", "k": ""}),
+            con,
+            entrymod._kg_union_oracle(
+                u_groups, filters=['strstarts(?a, "e")'],
+                fill_null=("?b", "?k"), kg_sql=kg_sql),
+            name="kg_union:u_branches",
+        )
+        u_overlap = [[("?a", "?p", "?b")],
+                     [("?a", "MENTIONED_WITH", "?b")]]
+        assert_df_matches_duckdb(
+            solutions(tri, union=u_overlap, group_by=["?a"],
+                      aggregates=["count(*) AS n",
+                                  "count_distinct(?b) AS uniq"],
+                      order_by=["n DESC", "?a ASC"], limit=4),
+            con,
+            entrymod._kg_solutions_oracle(
+                union=u_overlap, group_by=["?a"],
+                aggregates=["count(*) AS n",
+                            "count_distinct(?b) AS uniq"],
+                order_by=["n DESC", "?a ASC"], limit=4,
+                kg_sql=kg_sql),
+            name="kg_union:u_solutions",
+        )
         # float ops: raw doubles, per-key tolerance compare
         pr = pagerank(tri, iterations=2, checkpoint=False).collect()
         pr_d = con.execute(entrymod._kg_pagerank_oracle(

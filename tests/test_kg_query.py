@@ -760,3 +760,151 @@ def test_query_cli_match_modifiers(spark, tmp_path, capsys, monkeypatch):
     outp = capsys.readouterr().out
     assert outp.splitlines()[0] == "repo\tn"
     assert "stage=query rows=3 " in outp
+
+
+# ------------------------------------------------------------- UNION
+
+
+def _union_graph(spark):
+    return _triples(spark, [
+        ("repo:a", "DECLARES", "e1", 1),
+        ("repo:b", "DECLARES", "e2", 1),
+        ("e1", "MENTIONED_WITH", "e2", 1),
+        ("e1", "LINKED_TO", "kb:Q1", 1),
+        ("e2", "LINKED_TO", "kb:Q2", 1),
+        ("e3", "LINKED_TO", "kb:Q3", 1),  # neither declared nor mentioned
+    ])
+
+
+def test_match_union_branch_unbound_is_null(spark):
+    # SPARQL UNION: a variable a branch does not bind is unbound
+    # (null) in that branch's rows; the schema is the union of the
+    # branch variable sets in first-appearance order
+    from ner_spark.plans.kg_query import match_union
+
+    out = match_union(_union_graph(spark), [
+        [("?r", "DECLARES", "?e"), ("?e", "LINKED_TO", "?kb")],
+        [("?e", "MENTIONED_WITH", "?x"), ("?x", "LINKED_TO", "?kb")],
+    ])
+    assert out.columns == ["r", "e", "kb", "x"]
+    rows = sorted(((r["r"], r["e"], r["kb"], r["x"])
+                   for r in out.collect()),
+                  key=lambda t: tuple(v or "" for v in t))
+    assert rows == [
+        (None, "e1", "kb:Q2", "e2"),          # branch 2: ?r unbound
+        ("repo:a", "e1", "kb:Q1", None),      # branch 1: ?x unbound
+        ("repo:b", "e2", "kb:Q2", None),
+    ]
+
+
+def test_match_union_bag_semantics(spark):
+    # UNION is multiset union: a binding produced by both branches
+    # appears twice (SPARQL algebra; DISTINCT is a separate modifier)
+    from ner_spark.plans.kg_query import match_union
+
+    t = _triples(spark, [("a", "P", "b", 1), ("a", "Q", "b", 1)])
+    out = match_union(t, [[("?x", "P", "?y")], [("?x", "?p", "?y")]])
+    rows = [(r["x"], r["y"]) for r in out.collect()]
+    assert sorted(rows) == [("a", "b"), ("a", "b"), ("a", "b")]
+
+
+def test_match_union_outer_filter_eliminates_branch_unbound(spark):
+    # an outer FILTER on a variable one branch never binds errors on
+    # that branch's rows (null operand) and eliminates them — SPARQL's
+    # error-eliminates-row across the union
+    from ner_spark.plans.kg_query import match_union
+
+    out = match_union(_union_graph(spark), [
+        [("?r", "DECLARES", "?e"), ("?e", "LINKED_TO", "?kb")],
+        [("?e", "MENTIONED_WITH", "?x"), ("?x", "LINKED_TO", "?kb")],
+    ], filters=['strstarts(?r, "repo:")'])
+    rows = sorted((r["r"], r["e"]) for r in out.collect())
+    assert rows == [("repo:a", "e1"), ("repo:b", "e2")]
+
+
+def test_match_union_branch_local_kwargs(spark):
+    # group dicts carry branch-local OPTIONAL / FILTER / negation;
+    # each branch sees only its own modifiers
+    from ner_spark.plans.kg_query import match_union
+
+    out = match_union(_union_graph(spark), [
+        {"pattern": [("?r", "DECLARES", "?e")],
+         "filters": ['?e != "e2"'],
+         "optional": [("?e", "LINKED_TO", "?kb")]},
+        {"pattern": [("?e", "LINKED_TO", "?kb")],
+         "negation": [[("?z", "MENTIONED_WITH", "?e")]]},
+    ])
+    assert out.columns == ["r", "e", "kb"]
+    rows = sorted(((r["r"], r["e"], r["kb"]) for r in out.collect()),
+                  key=lambda t: tuple(v or "" for v in t))
+    assert rows == [
+        (None, "e1", "kb:Q1"),   # e2 excluded: e1 MENTIONED_WITH e2
+        (None, "e3", "kb:Q3"),
+        ("repo:a", "e1", "kb:Q1"),
+    ]
+
+
+def test_match_union_guards(spark):
+    from ner_spark.plans.kg_query import match_union, solutions
+
+    t = _union_graph(spark)
+    with pytest.raises(ValueError, match="at least two"):
+        match_union(t, [[("?a", "P", "?b")]])
+    with pytest.raises(ValueError, match="unknown keys"):
+        match_union(t, [{"pattern": [("?a", "P", "?b")], "limit": 3},
+                        [("?a", "P", "?b")]])
+    with pytest.raises(ValueError, match="EITHER"):
+        solutions(t, [("?a", "P", "?b")],
+                  union=[[("?a", "P", "?b")], [("?a", "Q", "?b")]])
+
+
+def test_solutions_over_union(spark):
+    # modifiers apply to the union'd binding set: count per entity
+    # across both relationship kinds, count(?r) skipping the rows of
+    # the branch that never binds ?r
+    from ner_spark.plans.kg_query import solutions
+
+    out = solutions(
+        _union_graph(spark),
+        union=[
+            [("?r", "DECLARES", "?e"), ("?e", "LINKED_TO", "?kb")],
+            [("?e", "MENTIONED_WITH", "?x"), ("?x", "LINKED_TO", "?kb")],
+        ],
+        group_by=["?e"],
+        aggregates=["count(*) AS n", "count(?r) AS declared_n"],
+        order_by=["n DESC", "?e ASC"],
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        ("e1", 2, 1), ("e2", 1, 1),
+    ]
+
+
+def test_match_union_matches_duckdb_twin(spark):
+    # hand-rolled DuckDB twin on the literal graph (the contract key
+    # covers the generated _kg_union_oracle; this pins the semantics)
+    import duckdb
+
+    from ner_spark.plans.kg_query import match_union
+    from tests.oracle_compare import assert_df_matches_duckdb
+
+    out = match_union(_union_graph(spark), [
+        [("?r", "DECLARES", "?e"), ("?e", "LINKED_TO", "?kb")],
+        [("?e", "MENTIONED_WITH", "?x"), ("?x", "LINKED_TO", "?kb")],
+    ]).fillna({"r": "", "x": ""})
+    con = duckdb.connect()
+    sql = """
+WITH t(subj, pred, obj) AS (VALUES
+  ('repo:a','DECLARES','e1'), ('repo:b','DECLARES','e2'),
+  ('e1','MENTIONED_WITH','e2'),
+  ('e1','LINKED_TO','kb:Q1'), ('e2','LINKED_TO','kb:Q2'),
+  ('e3','LINKED_TO','kb:Q3'))
+SELECT coalesce(r, '') AS r, e, kb, coalesce(x, '') AS x FROM (
+  SELECT t0.subj AS r, t0.obj AS e, t1.obj AS kb, NULL AS x
+  FROM t t0 JOIN t t1 ON t1.pred = 'LINKED_TO' AND t1.subj = t0.obj
+  WHERE t0.pred = 'DECLARES'
+  UNION ALL
+  SELECT NULL AS r, t0.subj AS e, t1.obj AS kb, t0.obj AS x
+  FROM t t0 JOIN t t1 ON t1.pred = 'LINKED_TO' AND t1.subj = t0.obj
+  WHERE t0.pred = 'MENTIONED_WITH')
+"""
+    assert_df_matches_duckdb(out, con, sql, "union_twin")

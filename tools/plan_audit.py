@@ -586,6 +586,23 @@ def main() -> int:
     check("kg_solutions", "aggregate partial-combines map-side",
           "partial_count" in p)
 
+    # UNION: plan-level alternation — each branch keeps its own
+    # pushed scans (the outer FILTER must reach BOTH branch scans
+    # through the Union) and the Union itself adds no Exchange
+    from ner_spark.plans.kg_query import match_union
+
+    p = plans["kg_union"] = plan_of(match_union(tri, [
+        [("?r", "DECLARES", "?e"), ("?e", "LINKED_TO", "?kb")],
+        [("?e", "MENTIONED_WITH", "?x"), ("?x", "LINKED_TO", "?kb")],
+    ], filters=['regex(?kb, "[0-9]$")']))
+    check("kg_union", "branches union at the plan level",
+          "Union" in p)
+    check("kg_union", "outer filter pushes into both branch scans",
+          p.count("RLIKE") >= 2)
+    check("kg_union", "no cartesian product",
+          "CartesianProduct" not in p and
+          "BroadcastNestedLoopJoin" not in p)
+
     # contamination: the eval side must broadcast (the 100 TB corpus
     # never shuffles for the overlap join) and the per-pair shingle
     # counts partial-aggregate map-side
