@@ -522,6 +522,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.withColumn("repo", F.coalesce("repo", F.lit(""))) \
                   .withColumn("x", F.coalesce("x", F.lit("")))
 
+    def q_kg_pattern_values(spark, sf):
+        # SPARQL VALUES: the inline data block pins ?p to two
+        # predicates (broadcast hash equi-join on the literal table)
+        # and annotates each with a data-only ?tag variable — UNDEF
+        # for LINKED_TO, so those rows carry an unbound (null) tag,
+        # sentinel-filled for the hash compare
+        from ner_spark.plans.kg_gold import kg_triples_gold
+        from ner_spark.plans.kg_query import match_pattern
+
+        out = match_pattern(kg_triples_gold(spark),
+                            [("?s", "?p", "?o")],
+                            values=_PATTERN_VALUES)
+        return out.withColumn("tag", F.coalesce("tag", F.lit("")))
+
     def q_dataset_split(spark, sf):
         return curate.dataset_split(_docs(spark, sf))
 
@@ -618,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pattern_negation": q_kg_pattern_negation,
         "kg_pattern_agg": q_kg_pattern_agg,
         "kg_pattern_union": q_kg_pattern_union,
+        "kg_pattern_values": q_kg_pattern_values,
         "sota_gliner": q_sota_gliner,
         "dataset_split": q_dataset_split,
         "leakage_split": q_leakage_split,
@@ -674,6 +689,11 @@ _PATTERN_UNION = [
                  ("?x", "LINKED_TO", "?kb")]},
 ]
 _PATTERN_UNION_FILTERS = ['regex(?kb, "[0-9]$")']
+
+# the kg_pattern_values contract data block: pin ?p to two predicates
+# and annotate with a data-only ?tag (UNDEF = unbound for LINKED_TO)
+_PATTERN_VALUES = (["?p", "?tag"],
+                   [("DECLARES", "declared"), ("LINKED_TO", None)])
 
 # the kg_pattern_agg contract modifiers: one aggregate of each
 # portable kind over the 3-hop bindings, grouped per repo —
@@ -1459,8 +1479,43 @@ def _kg_negation_sql(gidx: int, group, outer: dict, ctes: list,
             f"WHERE {where})")
 
 
+def _kg_values_sql(values, first: dict, required: set) -> tuple:
+    """SQL twin of kg_query._join_values: the inline data block as a
+    VALUES relation (UNDEF → NULL), joined with SPARQL compatibility —
+    equi on never-null shared variables, either-side-null-or-equal on
+    the rest — returning (join_clause, select_overrides) where the
+    overrides merge shared nullable variables via coalesce and bind
+    data-only variables from the relation."""
+    vars_, rows = values
+    cols = [f"c_{v[1:]}" for v in vars_]
+    lits = ", ".join(
+        "(" + ", ".join(
+            "CAST(NULL AS VARCHAR)" if t is None else _sql_str(t)
+            for t in row) + ")"
+        for row in rows)
+    undef = {v for j, v in enumerate(vars_)
+             if any(row[j] is None for row in rows)}
+    conds, overrides = [], {}
+    for v, c in zip(vars_, cols):
+        ref = f"vv.{c}"
+        if v in first:
+            old = first[v]
+            if v in required and v not in undef:
+                conds.append(f"{ref} = {old}")
+            else:
+                conds.append(
+                    f"({ref} IS NULL OR {old} IS NULL OR {ref} = {old})")
+                if v not in required:
+                    overrides[v] = f"coalesce({old}, {ref})"
+        else:
+            first[v] = ref
+    join = (f"JOIN (VALUES {lits}) vv({', '.join(cols)}) ON "
+            + (" AND ".join(conds) if conds else "TRUE"))
+    return join, overrides
+
+
 def _kg_pattern_oracle(pattern, optional=(), fill_null=(), filters=(),
-                       negation=(), path_max_hops=None,
+                       negation=(), values=None, path_max_hops=None,
                        kg_sql: str | None = None) -> str:
     """SQL twin of plans.kg_query.match_pattern: every pattern element
     becomes one alias of the triple relation; constants and repeated
@@ -1492,21 +1547,31 @@ def _kg_pattern_oracle(pattern, optional=(), fill_null=(), filters=(),
                 f"{kind} {rel} t{i} ON "
                 + (" AND ".join(conds) if conds else "TRUE")
             )
+    overrides: dict = {}
+    if values is not None:
+        required = set(_kg_branch_vars(pattern))
+        vjoin, overrides = _kg_values_sql(values, first, required)
+        joins.append(vjoin)
     # ``fill_null`` vars coalesce to '' — the contract keys (and the
     # fuzz) compare through a sort that cannot order None against str,
     # so the nullable OPTIONAL columns are sentinel-filled in BOTH
     # engines; the operator itself keeps true null semantics
     sel = ", ".join(
-        (f"coalesce({ref}, '') AS {var[1:]}"
-         if var in fill_null else f"{ref} AS {var[1:]}")
+        (f"coalesce({overrides.get(var, ref)}, '') AS {var[1:]}"
+         if var in fill_null
+         else f"{overrides.get(var, ref)} AS {var[1:]}")
         for var, ref in first.items()
     )
-    conds = where0 + [_kg_filter_sql(flt, first) for flt in filters]
+    # FILTERs and negation correlate on the merged (values-coalesced)
+    # bindings, matching the Spark evaluation order: values join, then
+    # group-scope filters, then NOT EXISTS
+    refs = {**first, **overrides}
+    conds = where0 + [_kg_filter_sql(flt, refs) for flt in filters]
     for g, group in enumerate(negation):
         if isinstance(group, str):
             from ner_spark.plans.kg_query import parse_pattern
             group = parse_pattern(group)
-        conds.append(_kg_negation_sql(g, group, first, ctes,
+        conds.append(_kg_negation_sql(g, group, refs, ctes,
                                       path_max_hops))
     where = " AND ".join(conds) if conds else "TRUE"
     rec = "RECURSIVE " if ctes else ""
@@ -1520,10 +1585,11 @@ WHERE {where}
 """
 
 
-def _kg_branch_vars(pattern, optional=()) -> list:
+def _kg_branch_vars(pattern, optional=(), values=None) -> list:
     """The ?variables a BGP branch binds, in the same first-appearance
     order match_pattern emits (fields order within an element; path
-    elements bind only their endpoints)."""
+    elements bind only their endpoints; VALUES-only variables append
+    after the pattern's)."""
     from ner_spark.plans.kg_query import _path_pred
 
     out: list[str] = []
@@ -1533,6 +1599,8 @@ def _kg_branch_vars(pattern, optional=()) -> list:
         for t in terms:
             if t.startswith("?") and t not in out:
                 out.append(t)
+    if values is not None:
+        out.extend(v for v in values[0] if v not in out)
     return out
 
 
@@ -1548,7 +1616,8 @@ def _kg_union_oracle(groups, filters=(), fill_null=(),
     pattern oracle does."""
     norm = [dict(g) if isinstance(g, dict) else {"pattern": g}
             for g in groups]
-    branch_vars = [_kg_branch_vars(g["pattern"], g.get("optional", ()))
+    branch_vars = [_kg_branch_vars(g["pattern"], g.get("optional", ()),
+                                   g.get("values"))
                    for g in norm]
     all_vars: list[str] = []
     for bv in branch_vars:
@@ -1561,6 +1630,7 @@ def _kg_union_oracle(groups, filters=(), fill_null=(),
             g["pattern"], optional=g.get("optional", ()),
             filters=g.get("filters", ()),
             negation=g.get("negation", ()),
+            values=g.get("values"),
             path_max_hops=path_max_hops, kg_sql=kg_sql)
         sel = ", ".join(
             v[1:] if v in bv else f"NULL AS {v[1:]}" for v in all_vars)
@@ -1601,7 +1671,7 @@ GROUP BY 1, 2, 3
 
 
 def _kg_solutions_oracle(pattern=(), optional=(), filters=(),
-                         negation=(), union=None,
+                         negation=(), union=None, values=None,
                          fill_null=(), path_max_hops=None,
                          group_by=(), aggregates=(), select=None,
                          distinct=False, order_by=(), limit=None,
@@ -1622,6 +1692,7 @@ def _kg_solutions_oracle(pattern=(), optional=(), filters=(),
     else:
         inner = _kg_pattern_oracle(pattern, optional=optional,
                                    filters=filters, negation=negation,
+                                   values=values,
                                    fill_null=fill_null,
                                    path_max_hops=path_max_hops,
                                    kg_sql=kg_sql)
@@ -2093,6 +2164,9 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "kg_pattern_union": _kg_union_oracle(
             _PATTERN_UNION, filters=_PATTERN_UNION_FILTERS,
             fill_null=("?repo", "?x")),
+        "kg_pattern_values": _kg_pattern_oracle(
+            [("?s", "?p", "?o")], values=_PATTERN_VALUES,
+            fill_null=("?tag",)),
         "mentions_hybrid": _mentions_oracle("hybrid"),
         "mentions_crf": _mentions_oracle("crf_only"),
         "sota_gliner": _sota_gold_oracle(),

@@ -1242,6 +1242,7 @@ class KgJob:
         optional: list[tuple[str, str, str]] = (),
         filters: list = (),
         negation: list = (),
+        values: tuple | None = None,
         path_max_hops: int | None = None,
         group_by: list[str] = (),
         aggregates: list = (),
@@ -1277,6 +1278,7 @@ class KgJob:
                                        partitioned=True)
         return solutions(triples, pattern, optional=optional,
                          filters=filters, negation=negation,
+                         values=values,
                          path_max_hops=path_max_hops,
                          group_by=group_by, aggregates=aggregates,
                          select=select, distinct=distinct,
@@ -1429,6 +1431,12 @@ def main() -> None:
                              "binding survives only if the group "
                              "matches nothing (e.g. '?e LINKED_TO ?kb' "
                              "keeps entities with NO KB link)")
+    parser.add_argument("--match-values", default=None, metavar="DATA",
+                        help="with --match: SPARQL VALUES inline data "
+                             "'?v1 ?v2 = t1 t2 | t3 UNDEF' — variables, "
+                             "'=', then |-separated rows (UNDEF = "
+                             "unbound); joins into the bindings with "
+                             "compatibility semantics")
     parser.add_argument("--path-max-hops", type=int, default=None,
                         help="with --match: bound property-path "
                              "(PRED+/PRED*) closures to this many hops "
@@ -1535,7 +1543,7 @@ def main() -> None:
         source = spark.read.parquet(args.input)
     elif args.match:
         # standalone query over an already-committed output
-        from ner_spark.plans.kg_query import parse_pattern
+        from ner_spark.plans.kg_query import parse_pattern, parse_values
 
         job = KgJob(spark, args.output, mode=args.mode,
                     tokenizer_mode=args.tokenizer_mode, run_id=args.run_id)
@@ -1545,6 +1553,8 @@ def main() -> None:
                       if args.match_optional else ()),
             filters=args.match_filter,
             negation=[parse_pattern(g) for g in args.match_negation],
+            values=(parse_values(args.match_values)
+                    if args.match_values else None),
             path_max_hops=args.path_max_hops,
             group_by=(args.match_group_by.split()
                       if args.match_group_by else ()),

@@ -156,6 +156,32 @@ def parse_pattern(text: str) -> list[tuple[str, str, str]]:
     return out
 
 
+def parse_values(text: str) -> tuple[list[str], list[tuple]]:
+    """Parse the CLI VALUES syntax — variables, ``=``, then
+    ``|``-separated rows of whitespace-separated terms, with the
+    keyword ``UNDEF`` for an unbound term:
+
+        "?p ?kb = DECLARES UNDEF | LINKED_TO kb:Q1"
+
+    Terms must not contain whitespace, ``|`` or ``=``; use the Python
+    API for literal values that do.
+    """
+    head, sep, tail = text.partition("=")
+    if not sep:
+        raise ValueError(
+            f"VALUES {text!r} has no '=' separating variables from rows")
+    vars_ = head.split()
+    rows: list[tuple] = []
+    for part in tail.split("|"):
+        terms = part.split()
+        if not terms:
+            continue
+        rows.append(tuple(None if t == "UNDEF" else t for t in terms))
+    if not rows:
+        raise ValueError(f"VALUES {text!r} has no data rows")
+    return vars_, rows
+
+
 def _is_var(term: str) -> bool:
     return term.startswith("?")
 
@@ -313,12 +339,93 @@ def _element_relation(
     return rel, cols
 
 
+def _join_values(
+    bound: DataFrame,
+    bound_vars: set[str],
+    var_order: list[str],
+    required_vars: set[str],
+    values: tuple,
+) -> tuple[DataFrame, set[str], list[str]]:
+    """SPARQL VALUES (inline data): join the pattern bindings with a
+    literal table ``(["?v", ...], [(row, ...), ...])`` where ``None``
+    is UNDEF.  SPARQL join compatibility: a shared variable matches
+    when either side is unbound (UNDEF / an unmatched OPTIONAL null)
+    or the values agree; the merged binding prefers the pattern's
+    value.  Variables only the data block binds extend the solution.
+
+    Scale shape: the data block is inline literals — always tiny, so
+    it is explicitly broadcast.  Shared variables that can be null on
+    neither side (required pattern vars, no UNDEF in the column) join
+    as hash equi-keys; only genuinely nullable ones fall back to the
+    compatibility OR-condition, and with no clean key at all the join
+    is a broadcast nested-loop over the k-row literal table — O(k)
+    compares per binding, never a shuffle of the bindings.
+    """
+    vars_, rows = values
+    if not vars_:
+        raise ValueError("VALUES needs at least one variable")
+    seen: set[str] = set()
+    for v in vars_:
+        if not _is_var(v):
+            raise ValueError(f"VALUES variable {v!r} is not a ?name")
+        if v in seen:
+            raise ValueError(f"VALUES binds {v} twice")
+        seen.add(v)
+    for i, row in enumerate(rows):
+        if len(row) != len(vars_):
+            raise ValueError(
+                f"VALUES row {i} has {len(row)} terms for "
+                f"{len(vars_)} variables")
+        for t in row:
+            if t is not None and not isinstance(t, str):
+                raise ValueError(
+                    f"VALUES row {i} term {t!r} is neither a string "
+                    "nor UNDEF (None)")
+    spark = bound.sparkSession
+    data = spark.createDataFrame(
+        [tuple(row) for row in rows],
+        ", ".join(f"__v_{v[1:]} string" for v in vars_))
+    shared = [v for v in vars_ if v in bound_vars]
+    new = [v for v in vars_ if v not in bound_vars]
+    undef_cols = {
+        v for j, v in enumerate(vars_)
+        if any(row[j] is None for row in rows)
+    }
+    eq_keys, residual = [], []
+    for v in shared:
+        c, vc = F.col(v[1:]), F.col(f"__v_{v[1:]}")
+        if v in required_vars and v not in undef_cols:
+            eq_keys.append((c, vc))
+        else:
+            residual.append(vc.isNull() | c.isNull() | (vc == c))
+    cond = None
+    for lhs, rhs in eq_keys:
+        term = lhs == rhs
+        cond = term if cond is None else cond & term
+    for term in residual:
+        cond = term if cond is None else cond & term
+    joined = (bound.join(F.broadcast(data), cond)
+              if cond is not None
+              else bound.crossJoin(F.broadcast(data)))
+    sel = [
+        (F.coalesce(F.col(v), F.col(f"__v_{v}")).alias(v)
+         if "?" + v in shared and "?" + v not in required_vars
+         else F.col(v))
+        for v in (v2[1:] for v2 in var_order)
+    ] + [F.col(f"__v_{v[1:]}").alias(v[1:]) for v in new]
+    bound = joined.select(*sel)
+    bound_vars = bound_vars | set(new)
+    var_order = var_order + new
+    return bound, bound_vars, var_order
+
+
 def match_pattern(
     triples: DataFrame,
     pattern: list[tuple[str, str, str]],
     optional: list[tuple[str, str, str]] = (),
     filters: list = (),
     negation: list = (),
+    values: tuple | None = None,
     path_max_hops: int | None = None,
 ) -> DataFrame:
     """Match a basic graph pattern; see the module docstring.
@@ -339,6 +446,13 @@ def match_pattern(
     rule, and Catalyst still pushes the predicate below the joins when
     the variable is required.  Filters over variables the pattern
     never binds raise.
+
+    ``values`` is SPARQL VALUES inline data — ``(["?v", ...],
+    [(term, ...), ...])`` with ``None`` for UNDEF — joined into the
+    bindings with SPARQL compatibility semantics before the FILTERs
+    (which may therefore reference data-only variables); see
+    :func:`_join_values` for the join shape and
+    :func:`parse_values` for the CLI syntax.
 
     A constant predicate ending in ``+`` or ``*`` is a **property
     path** (``?a MENTIONED_WITH+ ?b``): the element matches pairs
@@ -371,6 +485,7 @@ def match_pattern(
         raise ValueError("empty pattern")
     bound: DataFrame | None = None
     bound_vars: set[str] = set()
+    required_vars: set[str] = set()  # bound by a non-OPTIONAL element
     var_order: list[str] = []  # first-appearance output column order
     elements = [(el, False) for el in pattern] + [
         (el, True) for el in optional
@@ -394,6 +509,11 @@ def match_pattern(
             )
         bound_vars |= set(cols)
         var_order.extend(v for v in cols if v not in var_order)
+        if not is_optional:
+            required_vars |= set(cols)
+    if values is not None:
+        bound, bound_vars, var_order = _join_values(
+            bound, bound_vars, var_order, required_vars, values)
     for filt in filters:
         if isinstance(filt, str):
             filt = parse_filter(filt)
@@ -534,7 +654,7 @@ def match_union(
         kwargs = dict(group) if isinstance(group, dict) else {
             "pattern": group}
         unknown = set(kwargs) - {"pattern", "optional", "filters",
-                                 "negation"}
+                                 "negation", "values"}
         if unknown:
             raise ValueError(
                 f"UNION group {i} has unknown keys {sorted(unknown)}")
@@ -604,6 +724,7 @@ def solutions(
     filters: list = (),
     negation: list = (),
     union: list | None = None,
+    values: tuple | None = None,
     path_max_hops: int | None = None,
     group_by: list[str] = (),
     aggregates: list = (),
@@ -663,16 +784,17 @@ def solutions(
     everywhere (aggregates skip them, GROUP BY treats null as a key).
     """
     if union is not None:
-        if pattern or optional or negation:
+        if pattern or optional or negation or values is not None:
             raise ValueError(
                 "give the query as EITHER a single pattern (+optional/"
-                "negation) OR a union of groups, not both; branch-"
-                "local pattern kwargs go inside the group dicts")
+                "negation/values) OR a union of groups, not both; "
+                "branch-local pattern kwargs go inside the group dicts")
         bound = match_union(triples, union, filters=filters,
                             path_max_hops=path_max_hops)
     else:
         bound = match_pattern(triples, pattern, optional=optional,
                               filters=filters, negation=negation,
+                              values=values,
                               path_max_hops=path_max_hops)
     bound_vars = {"?" + c for c in bound.columns}
     aggs = [parse_aggregate(a) if isinstance(a, str) else a

@@ -349,6 +349,31 @@ def test_graph_ops_match_oracles_on_random_graphs(spark, rows):
                 kg_sql=kg_sql),
             name="kg_union:u_solutions",
         )
+        # VALUES on random graphs: required-var set constraint (equi
+        # path), UNDEF wildcard + data-only annotation var (nullable
+        # residual path), merged through filters and negation
+        v_eq = (["?p"], [("MENTIONED_WITH",), ("LINKED_TO",)])
+        assert_df_matches_duckdb(
+            match_pattern(tri, [("?a", "?p", "?b")], values=v_eq),
+            con,
+            entrymod._kg_pattern_oracle([("?a", "?p", "?b")],
+                                        values=v_eq, kg_sql=kg_sql),
+            name="kg_values:v_eq",
+        )
+        v_mix = (["?p", "?tag"],
+                 [("MENTIONED_WITH", "m"), ("DECLARES", None),
+                  ("LINKED_TO", "l")])
+        assert_df_matches_duckdb(
+            match_pattern(tri, [("?a", "?p", "?b")], values=v_mix,
+                          negation=[[("?b", "LINKED_TO", "?k")]])
+            .fillna({"tag": ""}),
+            con,
+            entrymod._kg_pattern_oracle(
+                [("?a", "?p", "?b")], values=v_mix,
+                negation=[[("?b", "LINKED_TO", "?k")]],
+                fill_null=("?tag",), kg_sql=kg_sql),
+            name="kg_values:v_mix",
+        )
         # float ops: raw doubles, per-key tolerance compare
         pr = pagerank(tri, iterations=2, checkpoint=False).collect()
         pr_d = con.execute(entrymod._kg_pagerank_oracle(

@@ -908,3 +908,138 @@ SELECT coalesce(r, '') AS r, e, kb, coalesce(x, '') AS x FROM (
   WHERE t0.pred = 'MENTIONED_WITH')
 """
     assert_df_matches_duckdb(out, con, sql, "union_twin")
+
+
+# ------------------------------------------------------------ VALUES
+
+
+def test_parse_values_grammar():
+    from ner_spark.plans.kg_query import parse_values
+
+    assert parse_values("?p ?kb = DECLARES UNDEF | LINKED_TO kb:Q1") == (
+        ["?p", "?kb"],
+        [("DECLARES", None), ("LINKED_TO", "kb:Q1")],
+    )
+    assert parse_values("?p = A") == (["?p"], [("A",)])
+    with pytest.raises(ValueError, match="no '='"):
+        parse_values("?p A B")
+    with pytest.raises(ValueError, match="no data rows"):
+        parse_values("?p = ")
+
+
+def test_match_pattern_values_constrains_required_var(spark):
+    # the common shape: VALUES pins a required variable to a literal
+    # set — compiles to a broadcast hash equi-join on the inline table
+    t = _union_graph(spark)
+    out = match_pattern(t, [("?a", "?p", "?b")],
+                        values=(["?p"], [("DECLARES",)]))
+    assert out.columns == ["a", "p", "b"]
+    assert sorted((r["a"], r["b"]) for r in out.collect()) == [
+        ("repo:a", "e1"), ("repo:b", "e2")]
+
+
+def test_match_pattern_values_undef_is_wildcard(spark):
+    # UNDEF is compatible with anything: the (MENTIONED_WITH, UNDEF)
+    # row matches every object, the (LINKED_TO, kb:Q1) row only one
+    t = _union_graph(spark)
+    out = match_pattern(
+        t, [("?a", "?p", "?b")],
+        values=(["?p", "?b"],
+                [("MENTIONED_WITH", None), ("LINKED_TO", "kb:Q1")]))
+    assert sorted((r["p"], r["b"]) for r in out.collect()) == [
+        ("LINKED_TO", "kb:Q1"), ("MENTIONED_WITH", "e2")]
+
+
+def test_match_pattern_values_new_var_extends_bindings(spark):
+    # a variable only the data block binds annotates the solutions
+    # (lookup-table join); FILTERs may reference it — group scope
+    t = _union_graph(spark)
+    out = match_pattern(
+        t, [("?a", "?p", "?b")],
+        values=(["?p", "?tag"],
+                [("DECLARES", "decl"), ("LINKED_TO", None)]),
+        filters=['strstarts(?tag, "d")'])
+    assert out.columns == ["a", "p", "b", "tag"]
+    # the UNDEF tag rows error in the filter and are eliminated
+    assert sorted(r["a"] for r in out.collect()) == ["repo:a", "repo:b"]
+
+
+def test_match_pattern_values_merges_unbound_optional(spark):
+    # SPARQL join compatibility: a binding whose OPTIONAL var is
+    # unbound (null) is compatible with any data value, and the merged
+    # solution takes the data block's value; a CONFLICTING bound value
+    # is incompatible and drops
+    t = _union_graph(spark)   # e3 LINKED_TO kb:Q3; repos declare e1,e2
+    out = match_pattern(
+        t, [("?r", "DECLARES", "?e")],
+        optional=[("?e", "INSTANCE_OF", "?cls")],  # never matches here
+        values=(["?cls"], [("Entity",)]))
+    rows = sorted((r["r"], r["e"], r["cls"]) for r in out.collect())
+    assert rows == [("repo:a", "e1", "Entity"), ("repo:b", "e2", "Entity")]
+
+
+def test_match_pattern_values_validation(spark):
+    t = _union_graph(spark)
+    with pytest.raises(ValueError, match="at least one variable"):
+        match_pattern(t, [("?a", "?p", "?b")], values=([], [()]))
+    with pytest.raises(ValueError, match="not a .name"):
+        match_pattern(t, [("?a", "?p", "?b")], values=(["p"], [("A",)]))
+    with pytest.raises(ValueError, match="twice"):
+        match_pattern(t, [("?a", "?p", "?b")],
+                      values=(["?p", "?p"], [("A", "B")]))
+    with pytest.raises(ValueError, match="terms for"):
+        match_pattern(t, [("?a", "?p", "?b")], values=(["?p"], [("A", "B")]))
+    with pytest.raises(ValueError, match="neither a string"):
+        match_pattern(t, [("?a", "?p", "?b")], values=(["?p"], [(3,)]))
+    from ner_spark.plans.kg_query import solutions
+    with pytest.raises(ValueError, match="EITHER"):
+        solutions(t, union=[[("?a", "P", "?b")], [("?a", "Q", "?b")]],
+                  values=(["?p"], [("A",)]))
+
+
+def test_match_pattern_values_matches_duckdb_twin(spark):
+    import duckdb
+
+    from tests.oracle_compare import assert_df_matches_duckdb
+
+    out = match_pattern(
+        _union_graph(spark), [("?a", "?p", "?b")],
+        values=(["?p", "?tag"],
+                [("DECLARES", "decl"), ("LINKED_TO", None)]),
+    ).fillna({"tag": ""})
+    con = duckdb.connect()
+    sql = """
+WITH t(subj, pred, obj) AS (VALUES
+  ('repo:a','DECLARES','e1'), ('repo:b','DECLARES','e2'),
+  ('e1','MENTIONED_WITH','e2'),
+  ('e1','LINKED_TO','kb:Q1'), ('e2','LINKED_TO','kb:Q2'),
+  ('e3','LINKED_TO','kb:Q3'))
+SELECT t0.subj AS a, t0.pred AS p, t0.obj AS b,
+       coalesce(vv.tag, '') AS tag
+FROM t t0
+JOIN (VALUES ('DECLARES', 'decl'),
+             ('LINKED_TO', CAST(NULL AS VARCHAR))) vv(p, tag)
+  ON vv.p = t0.pred
+"""
+    assert_df_matches_duckdb(out, con, sql, "values_twin")
+
+
+def test_query_cli_match_values(spark, tmp_path, capsys, monkeypatch):
+    from ner_spark.plans import job as jobmod
+    from ner_spark.plans.job import KgJob
+    from ner_spark.sources.fixtures import source_table
+
+    out = str(tmp_path / "kg")
+    KgJob(spark, out, run_id="qv").run(source_table(spark, n_rows=20))
+    monkeypatch.setattr("sys.argv", [
+        "job", "--output", out,
+        "--match", "?s ?p ?o",
+        "--match-values", "?p = DECLARES | LINKED_TO",
+        "--match-group-by", "?p",
+        "--match-agg", "count(*) AS n",
+        "--match-order-by", "?p ASC",
+    ])
+    jobmod.main()
+    outp = capsys.readouterr().out
+    assert outp.splitlines()[0] == "p\tn"
+    assert "stage=query rows=2 " in outp

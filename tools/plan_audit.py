@@ -603,6 +603,25 @@ def main() -> int:
           "CartesianProduct" not in p and
           "BroadcastNestedLoopJoin" not in p)
 
+    # VALUES: the inline data block must broadcast — never shuffle the
+    # bindings.  Clean keys (required var, no UNDEF) compile to a hash
+    # equi-join; UNDEF wildcards fall back to a broadcast nested-loop
+    # over the k-row literal table, still shuffle-free
+    p = plans["kg_values"] = plan_of(match_pattern(
+        tri, [("?a", "?p", "?b")],
+        values=(["?p"], [("DECLARES",), ("LINKED_TO",)])))
+    check("kg_values", "clean-key inline data hash-equi-joins",
+          "BroadcastHashJoin" in p and
+          "BroadcastNestedLoopJoin" not in p)
+    p2 = plans["kg_values_undef"] = plan_of(match_pattern(
+        tri, [("?a", "?p", "?b")],
+        values=(["?p", "?b"], [("DECLARES", None), ("LINKED_TO", "x")])))
+    check("kg_values_undef",
+          "undef shared var rides as residual on the equi-join",
+          "BroadcastHashJoin" in p2 and "CartesianProduct" not in p2)
+    check("kg_values_undef", "bindings never exchange for the join",
+          "Exchange hashpartitioning" not in p2)
+
     # contamination: the eval side must broadcast (the 100 TB corpus
     # never shuffles for the overlap join) and the per-pair shingle
     # counts partial-aggregate map-side
