@@ -536,6 +536,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             values=_PATTERN_VALUES)
         return out.withColumn("tag", F.coalesce("tag", F.lit("")))
 
+    def _sparql_gold(spark, text):
+        from ner_spark.plans.kg_gold import kg_triples_gold
+        from ner_spark.plans.sparql import sparql
+
+        return sparql(kg_triples_gold(spark), text)
+
+    def q_kg_sparql(spark, sf):
+        # the SPARQL text front-end, SELECT form: parse → solutions()
+        # — the same aggregate/order/limit machinery the kg_pattern_agg
+        # key certifies, but entered as the query string a user types
+        return _sparql_gold(spark, _SPARQL_SELECT)
+
+    def q_kg_sparql_ask(spark, sf):
+        # ASK form: existence probe compiled as LIMIT 1 over the
+        # bindings (stops at the first match, never materializes all)
+        return _sparql_gold(spark, _SPARQL_ASK)
+
+    def q_kg_sparql_construct(spark, sf):
+        # CONSTRUCT form: two-element template with evidence_count
+        return _sparql_gold(spark, _SPARQL_CONSTRUCT)
+
     def q_dataset_split(spark, sf):
         return curate.dataset_split(_docs(spark, sf))
 
@@ -633,6 +654,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pattern_agg": q_kg_pattern_agg,
         "kg_pattern_union": q_kg_pattern_union,
         "kg_pattern_values": q_kg_pattern_values,
+        "kg_sparql": q_kg_sparql,
+        "kg_sparql_ask": q_kg_sparql_ask,
+        "kg_sparql_construct": q_kg_sparql_construct,
         "sota_gliner": q_sota_gliner,
         "dataset_split": q_dataset_split,
         "leakage_split": q_leakage_split,
@@ -694,6 +718,22 @@ _PATTERN_UNION_FILTERS = ['regex(?kb, "[0-9]$")']
 # and annotate with a data-only ?tag (UNDEF = unbound for LINKED_TO)
 _PATTERN_VALUES = (["?p", "?tag"],
                    [("DECLARES", "declared"), ("LINKED_TO", None)])
+
+# the kg_sparql_* contract queries: one per query form, written as the
+# TEXT a user would type — the Spark side and the oracle both consume
+# the same parse (plans.sparql.parse_sparql), certifying text → plan
+_SPARQL_SELECT = """
+SELECT ?repo (COUNT(*) AS ?n) (COUNT(DISTINCT ?kb) AS ?kbs)
+       (MIN(?kb) AS ?lo)
+WHERE { ?repo DECLARES ?e . ?e MENTIONED_WITH ?x . ?x LINKED_TO ?kb
+        FILTER STRSTARTS(?repo, "repo:") }
+GROUP BY ?repo ORDER BY DESC(?n) ?repo LIMIT 6
+"""
+_SPARQL_ASK = 'ASK { ?e MENTIONED_WITH ?x . ?x LINKED_TO ?kb }'
+_SPARQL_CONSTRUCT = """
+CONSTRUCT { ?r MENTIONS_KB ?kb . ?kb BACKED_BY ?r }
+WHERE { ?r DECLARES ?e . ?e LINKED_TO ?kb }
+"""
 
 # the kg_pattern_agg contract modifiers: one aggregate of each
 # portable kind over the 3-hop bindings, grouped per repo —
@@ -1739,6 +1779,31 @@ def _kg_solutions_oracle(pattern=(), optional=(), filters=(),
 """
 
 
+def _kg_sparql_oracle(text: str, fill_null=(),
+                      kg_sql: str | None = None) -> str:
+    """SQL twin of plans.sparql.sparql: the query TEXT parses once
+    (plans.sparql.parse_sparql — no Spark dependency) and the same
+    kwargs feed the form's existing oracle generator, so the text
+    front-end and its DuckDB twin cannot drift apart."""
+    from ner_spark.plans.sparql import parse_sparql
+
+    kw = parse_sparql(text)
+    form = kw.pop("form")
+    if form == "select":
+        return _kg_solutions_oracle(**kw, fill_null=fill_null,
+                                    kg_sql=kg_sql)
+    if form == "ask":
+        if "union" in kw:
+            inner = _kg_union_oracle(kw["union"], kg_sql=kg_sql)
+        else:
+            inner = _kg_pattern_oracle(**kw, kg_sql=kg_sql)
+        return (f"SELECT count(*) > 0 AS ask FROM "
+                f"(SELECT 1 FROM (\n{inner}) b LIMIT 1) c\n")
+    template = kw.pop("template")
+    return _kg_construct_oracle(kw.pop("pattern"), template, **kw,
+                                kg_sql=kg_sql)
+
+
 def _kg_entities_fuzzy_oracle(threshold: float = 0.5) -> str:
     """SQL twin of plans.kg_gold.entities_fuzzy_gold: the gold NEL
     table's surfaces canonicalized over shared-KB-id edges PLUS exact
@@ -2167,6 +2232,9 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "kg_pattern_values": _kg_pattern_oracle(
             [("?s", "?p", "?o")], values=_PATTERN_VALUES,
             fill_null=("?tag",)),
+        "kg_sparql": _kg_sparql_oracle(_SPARQL_SELECT),
+        "kg_sparql_ask": _kg_sparql_oracle(_SPARQL_ASK),
+        "kg_sparql_construct": _kg_sparql_oracle(_SPARQL_CONSTRUCT),
         "mentions_hybrid": _mentions_oracle("hybrid"),
         "mentions_crf": _mentions_oracle("crf_only"),
         "sota_gliner": _sota_gold_oracle(),

@@ -1284,6 +1284,22 @@ class KgJob:
                          select=select, distinct=distinct,
                          order_by=order_by, limit=limit)
 
+    def sparql(self, text: str) -> "DataFrame":
+        """Run a SPARQL SELECT / ASK / CONSTRUCT string over the
+        committed triple table — the text twin of :meth:`query`; see
+        :mod:`ner_spark.plans.sparql` for the supported subset.  Same
+        partitioned-checkpoint read, so constant predicates still
+        prune ``pred`` partitions under the parsed plan."""
+        from ner_spark.plans.sparql import sparql as run_sparql
+
+        if not self._committed("materialize"):
+            raise ValueError(
+                f"no committed materialize stage in {self.out}; run() first"
+            )
+        triples = self._read_committed(self._path("materialize"),
+                                       partitioned=True)
+        return run_sparql(triples, text)
+
     def publish_iceberg(self, table: str,
                         metrics_table: str | None = None) -> None:
         """Publish the committed triple table to an Iceberg table — the
@@ -1405,6 +1421,15 @@ def main() -> None:
                              "<output>/analytics/")
     parser.add_argument("--pagerank-iterations", type=int, default=3,
                         help="--analytics: PageRank iteration count")
+    parser.add_argument("--sparql", default=None, metavar="QUERY",
+                        help="query the committed KG with a SPARQL "
+                             "SELECT/ASK/CONSTRUCT string (see "
+                             "ner_spark.plans.sparql for the supported "
+                             "subset) — e.g. \"SELECT ?r (COUNT(?e) AS "
+                             "?n) WHERE { ?r DECLARES ?e } GROUP BY ?r "
+                             "ORDER BY DESC(?n) LIMIT 5\" (standalone, "
+                             "like --match; prints the first "
+                             "--match-limit rows + the count)")
     parser.add_argument("--match", default=None, metavar="PATTERN",
                         help="query the committed KG with a basic graph "
                              "pattern: dot-separated triples of "
@@ -1541,6 +1566,18 @@ def main() -> None:
         source = source_table(spark, n_rows=args.fixture_rows)
     elif args.input:
         source = spark.read.parquet(args.input)
+    elif args.sparql:
+        # standalone SPARQL query over an already-committed output
+        job = KgJob(spark, args.output, mode=args.mode,
+                    tokenizer_mode=args.tokenizer_mode, run_id=args.run_id)
+        out = job.sparql(args.sparql)
+        head = out.limit(args.match_limit).collect()  # bounded control read
+        print("\t".join(out.columns))
+        for r in head:
+            print("\t".join("∅" if v is None else str(v) for v in r))
+        print(f"stage=sparql rows={out.count()} vars={len(out.columns)} "
+              f"output={args.output}")
+        return
     elif args.match:
         # standalone query over an already-committed output
         from ner_spark.plans.kg_query import parse_pattern, parse_values

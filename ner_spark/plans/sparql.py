@@ -1,0 +1,478 @@
+"""A SPARQL 1.1 text front-end for the KG query layer: parse a
+SELECT / ASK / CONSTRUCT query string into the exact keyword arguments
+:func:`ner_spark.plans.kg_query.solutions` (and
+:func:`~ner_spark.plans.kg_query.construct`) consume, so the whole
+surface that module implements — BGPs, OPTIONAL, FILTER (comparisons,
+REGEX/STRSTARTS/STRENDS/CONTAINS), FILTER NOT EXISTS, property paths
+``P+``/``P*``, UNION, VALUES with UNDEF, GROUP BY + aggregates,
+SELECT projection, DISTINCT, ORDER BY, LIMIT — is reachable from one
+query string::
+
+    sparql(triples, '''
+        SELECT ?repo (COUNT(DISTINCT ?e) AS ?n)
+        WHERE { ?repo DECLARES ?e . ?e LINKED_TO ?kb
+                FILTER STRSTARTS(?kb, "kb:") }
+        GROUP BY ?repo ORDER BY DESC(?n) ?repo LIMIT 10
+    ''')
+
+The reference engine answers entity queries over HTTP
+(``ner-web/src/main.rs:100-116``); this module is the equivalent
+"ask the graph" surface for the KG this repo materializes, expressed
+as a compiler onto the Spark relational layer rather than a bespoke
+executor: the TEXT is parsed here, but every operator it denotes is
+the already-plan-audited DataFrame composition in ``kg_query`` —
+parsing adds zero runtime cost and no new physical shapes.
+
+Supported grammar (a strict subset of SPARQL 1.1; anything outside it
+raises with the offending token rather than mis-parsing):
+
+.. code-block:: text
+
+    Query     := Select | Ask | Construct
+    Select    := 'SELECT' 'DISTINCT'? ('*' | Proj+) 'WHERE'? Group
+                 ('GROUP' 'BY' Var+)? ('ORDER' 'BY' Ord+)?
+                 ('LIMIT' INT)?
+    Proj      := Var | '(' Agg '(' ('DISTINCT'? Var | '*') ')'
+                 'AS' Var ')'
+    Agg       := 'COUNT' | 'MIN' | 'MAX' | 'GROUP_CONCAT'
+    Ask       := 'ASK' 'WHERE'? Group
+    Construct := 'CONSTRUCT' '{' Triple+ '}' 'WHERE' Group
+    Group     := '{' GroupBody '}'
+    GroupBody := Union | (Triple | Optional | Filter | Values)*
+    Union     := Group ('UNION' Group)+
+    Optional  := 'OPTIONAL' '{' Triple+ '}'
+    Filter    := 'FILTER' ('NOT' 'EXISTS' '{' Triple+ '}'
+                 | '(' Expr ')' | Func)
+    Expr      := Term ('='|'!='|'<'|'<='|'>'|'>=') Term | Func
+    Func      := ('REGEX'|'STRSTARTS'|'STRENDS'|'CONTAINS')
+                 '(' Var ',' String ')'
+    Values    := 'VALUES' (Var '{' Datum+ '}'
+                 | '(' Var+ ')' '{' ('(' Datum+ ')')+ '}')
+    Datum     := String | Word | 'UNDEF'
+    Triple    := Term Term Term '.'?
+    Term      := Var | String | '<' IRI '>' | Word
+
+Deliberate restrictions, matching the engine's semantics:
+
+- Terms are strings (the triple table is string-typed); numeric
+  literals go in quotes and compare lexicographically, like the rest
+  of the engine and its DuckDB twins.
+- A group mixes triples with OPTIONAL/FILTER/VALUES **or** is a
+  UNION of sub-groups — SPARQL's join-of-union-with-BGP inside one
+  group is not expressible in :func:`~ner_spark.plans.kg_query.
+  match_union` and raises here instead of silently reassociating.
+- Aggregates are the engine's portable set (COUNT / COUNT DISTINCT /
+  MIN / MAX / GROUP_CONCAT); SUM/AVG raise (string terms).
+- Keywords are case-insensitive; bare constants that collide with a
+  keyword (a predicate literally named ``FILTER``) need quotes.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, functions as F
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<string>"(?:[^"\\]|\\.)*")   # quoted literal
+      | (?P<iri><[^<>\s]*>)             # <iri>
+      | (?P<punct>[{}().,]|!=|<=|>=|=|<|>|\*)
+      | (?P<word>[^\s{}().,"<>=!]+)     # vars, keywords, constants
+    )""",
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "SELECT", "DISTINCT", "WHERE", "OPTIONAL", "FILTER", "NOT",
+    "EXISTS", "UNION", "VALUES", "UNDEF", "GROUP", "BY", "ORDER",
+    "ASC", "DESC", "LIMIT", "ASK", "CONSTRUCT", "AS",
+}
+_AGG_FNS = {"COUNT", "MIN", "MAX", "GROUP_CONCAT"}
+_FILTER_FNS = {"REGEX": "regex", "STRSTARTS": "strstarts",
+               "STRENDS": "strends", "CONTAINS": "contains"}
+_CMP_OPS = {"=", "!=", "<", "<=", ">", ">="}
+
+
+def tokenize(text: str) -> list[str]:
+    """Split a query into tokens; quoted strings keep their quotes so
+    later stages can tell a literal from a keyword."""
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m or m.end() == pos:
+            rest = text[pos:].lstrip()
+            if not rest:
+                break
+            raise ValueError(f"cannot tokenize at: {rest[:40]!r}")
+        pos = m.end()
+        out.append(m.group().strip())
+    return out
+
+
+class _Cursor:
+    """Token stream with one-token lookahead and keyword-aware eats."""
+
+    def __init__(self, tokens: list[str]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def peek_kw(self) -> str | None:
+        t = self.peek()
+        return t.upper() if t is not None and t.upper() in _KEYWORDS \
+            else None
+
+    def next(self) -> str:
+        t = self.peek()
+        if t is None:
+            raise ValueError("unexpected end of query")
+        self.i += 1
+        return t
+
+    def eat(self, tok: str) -> None:
+        t = self.next()
+        if t.upper() != tok.upper():
+            raise ValueError(f"expected {tok!r}, got {t!r}")
+
+    def at(self, tok: str) -> bool:
+        t = self.peek()
+        return t is not None and t.upper() == tok.upper()
+
+    def done(self) -> bool:
+        return self.i >= len(self.toks)
+
+
+def _unquote(tok: str) -> str:
+    if tok.startswith('"'):
+        return re.sub(r"\\(.)", r"\1", tok[1:-1])
+    if tok.startswith("<"):
+        return tok[1:-1]
+    return tok
+
+
+def _term(tok: str) -> str:
+    """A triple/VALUES term: variables pass through, quoted strings
+    and <iris> unquote, bare words are constants."""
+    if tok.startswith("?"):
+        return tok
+    return _unquote(tok)
+
+
+def _parse_triples(cur: _Cursor) -> list[tuple[str, str, str]]:
+    """Dot-separated triples up to the closing brace (not consumed)."""
+    def term() -> str:
+        t = cur.next()
+        if t in "{}().,":
+            raise ValueError(
+                f"expected a triple term, got {t!r} — a sub-group "
+                "cannot join with triples in the same group (only a "
+                "pure UNION alternation)")
+        return _term(t)
+
+    out = []
+    while not cur.at("}"):
+        if cur.peek_kw() in ("OPTIONAL", "FILTER", "VALUES", "UNION"):
+            break
+        out.append((term(), term(), term()))
+        if cur.at("."):
+            cur.next()
+    return out
+
+
+def _parse_filter_expr(cur: _Cursor) -> tuple:
+    """One FILTER body → a kg_query parsed-filter tuple."""
+    t = cur.peek()
+    if t is not None and t.upper() in _FILTER_FNS:
+        fn = _FILTER_FNS[cur.next().upper()]
+        cur.eat("(")
+        var = cur.next()
+        if not var.startswith("?"):
+            raise ValueError(f"FILTER {fn} needs a ?variable, got {var!r}")
+        cur.eat(",")
+        lit = cur.next()
+        if not lit.startswith('"'):
+            raise ValueError(f"FILTER {fn} needs a quoted literal")
+        cur.eat(")")
+        return (fn, var, _unquote(lit))
+    if cur.at("("):
+        cur.next()
+        inner = _parse_filter_expr(cur)
+        if inner[0] != "cmp" or cur.peek() == ")":
+            cur.eat(")")
+            return inner
+        raise ValueError("unbalanced FILTER expression")
+    lhs = cur.next()
+    if not lhs.startswith("?"):
+        raise ValueError(
+            f"FILTER comparison must start with a ?variable, got {lhs!r}")
+    op = cur.next()
+    if op not in _CMP_OPS:
+        raise ValueError(f"unsupported FILTER operator {op!r}")
+    rhs = cur.next()
+    rv = ("var", rhs) if rhs.startswith("?") else ("const", _unquote(rhs))
+    return ("cmp", lhs, op, rv)
+
+
+def _parse_values(cur: _Cursor) -> tuple[list[str], list[tuple]]:
+    """VALUES ?v { d... }  or  VALUES (?v1 ?v2) { (d d)... }"""
+    if cur.at("("):
+        cur.next()
+        vars_ = []
+        while not cur.at(")"):
+            vars_.append(cur.next())
+        cur.next()
+        cur.eat("{")
+        rows = []
+        while not cur.at("}"):
+            cur.eat("(")
+            row = []
+            while not cur.at(")"):
+                t = cur.next()
+                row.append(None if t.upper() == "UNDEF" else _term(t))
+            cur.next()
+            rows.append(tuple(row))
+        cur.next()
+        return vars_, rows
+    var = cur.next()
+    cur.eat("{")
+    rows = []
+    while not cur.at("}"):
+        t = cur.next()
+        rows.append((None if t.upper() == "UNDEF" else _term(t),))
+    cur.next()
+    return [var], rows
+
+
+def _parse_group_body(cur: _Cursor) -> dict:
+    """The body of a ``{ ... }`` group → match_pattern kwargs (or a
+    ``{"union": [...]}`` wrapper when the group is an alternation)."""
+    if cur.at("{"):  # alternation: { {g1} UNION {g2} ... }
+        groups = []
+        for g in [_parse_group(cur)]:
+            groups.extend(g["union"] if set(g) == {"union"} else [g])
+        while cur.at("UNION"):
+            cur.next()
+            g = _parse_group(cur)
+            # nested unions flatten (SPARQL alternation associates)
+            groups.extend(g["union"] if set(g) == {"union"} else [g])
+        if len(groups) < 2:
+            raise ValueError(
+                "a nested group must be part of a UNION alternation")
+        if not cur.at("}"):
+            raise ValueError(
+                "cannot join a UNION with further patterns in the same "
+                "group; wrap the query so the UNION is the whole group")
+        return {"union": groups}
+    kwargs: dict = {"pattern": [], "optional": [], "filters": [],
+                    "negation": []}
+    while not cur.at("}"):
+        kw = cur.peek_kw()
+        if kw == "OPTIONAL":
+            cur.next()
+            cur.eat("{")
+            kwargs["optional"].extend(_parse_triples(cur))
+            cur.eat("}")
+        elif kw == "FILTER":
+            cur.next()
+            if cur.at("NOT"):
+                cur.next()
+                cur.eat("EXISTS")
+                cur.eat("{")
+                kwargs["negation"].append(_parse_triples(cur))
+                cur.eat("}")
+            else:
+                kwargs["filters"].append(_parse_filter_expr(cur))
+        elif kw == "VALUES":
+            cur.next()
+            if "values" in kwargs:
+                raise ValueError("one VALUES block per group")
+            kwargs["values"] = _parse_values(cur)
+        elif kw == "UNION":
+            raise ValueError(
+                "UNION branches must each be braced: "
+                "{ { ... } UNION { ... } }")
+        else:
+            kwargs["pattern"].extend(_parse_triples(cur))
+    return {k: v for k, v in kwargs.items() if v}
+
+
+def _parse_group(cur: _Cursor) -> dict:
+    cur.eat("{")
+    body = _parse_group_body(cur)
+    cur.eat("}")
+    return body
+
+
+def _parse_projection(cur: _Cursor) -> tuple[list[str], list[str]]:
+    """SELECT list → (select terms, aggregate specs)."""
+    select: list[str] = []
+    aggregates: list[str] = []
+    while True:
+        t = cur.peek()
+        if t is None:
+            raise ValueError("SELECT list ends without a WHERE group")
+        if t == "*":
+            cur.next()
+            if select or aggregates:
+                raise ValueError("SELECT * cannot mix with projections")
+            return None, []
+        if t.startswith("?"):
+            select.append(cur.next())
+            continue
+        if t == "(":
+            cur.next()
+            fn = cur.next().upper()
+            if fn in ("SUM", "AVG"):
+                raise ValueError(
+                    f"{fn} is not supported: triple terms are strings "
+                    "(quote numbers and use MIN/MAX for lexicographic "
+                    "extremes)")
+            if fn not in _AGG_FNS:
+                raise ValueError(f"unknown aggregate {fn!r}")
+            cur.eat("(")
+            distinct = False
+            if cur.at("DISTINCT"):
+                cur.next()
+                distinct = True
+            term = cur.next()  # ?var or *
+            cur.eat(")")
+            cur.eat("AS")
+            alias = cur.next()
+            if not alias.startswith("?"):
+                raise ValueError(
+                    f"aggregate alias must be a ?variable, got {alias!r}")
+            cur.eat(")")
+            name = ("count_distinct" if fn == "COUNT" and distinct
+                    else fn.lower())
+            if distinct and fn != "COUNT":
+                raise ValueError(f"DISTINCT inside {fn} is not supported")
+            aggregates.append(f"{name}({term}) AS {alias[1:]}")
+            select.append(alias[1:])
+            continue
+        break
+    if not select and not aggregates:
+        raise ValueError("empty SELECT list (use SELECT * for all)")
+    return select, aggregates
+
+
+def _parse_modifiers(cur: _Cursor) -> dict:
+    """Trailing GROUP BY / ORDER BY / LIMIT."""
+    out: dict = {}
+    if cur.at("GROUP"):
+        cur.next()
+        cur.eat("BY")
+        keys = []
+        while (t := cur.peek()) is not None and t.startswith("?"):
+            keys.append(cur.next())
+        if not keys:
+            raise ValueError("GROUP BY needs at least one ?variable")
+        out["group_by"] = keys
+    if cur.at("ORDER"):
+        cur.next()
+        cur.eat("BY")
+        terms = []
+        while (t := cur.peek()) is not None:
+            if t.upper() in ("ASC", "DESC"):
+                asc = cur.next().upper() == "ASC"
+                cur.eat("(")
+                name = cur.next()
+                cur.eat(")")
+                terms.append((name.lstrip("?"), asc))
+            elif t.startswith("?"):
+                terms.append((cur.next().lstrip("?"), True))
+            else:
+                break
+        if not terms:
+            raise ValueError("ORDER BY needs at least one term")
+        out["order_by"] = terms
+    if cur.at("LIMIT"):
+        cur.next()
+        n = cur.next()
+        if not n.isdigit():
+            raise ValueError(f"LIMIT needs an integer, got {n!r}")
+        out["limit"] = int(n)
+    if not cur.done():
+        raise ValueError(f"unexpected trailing token {cur.peek()!r}")
+    return out
+
+
+def parse_sparql(text: str) -> dict:
+    """Parse a query string into ``{"form": "select"|"ask"|
+    "construct", ...kwargs}`` — the kwargs being exactly what
+    :func:`~ner_spark.plans.kg_query.solutions` (plus ``template``
+    for CONSTRUCT) accepts, so callers (and the DuckDB oracle
+    generator) share one parse."""
+    cur = _Cursor(tokenize(text))
+    form = cur.next().upper()
+    if form == "SELECT":
+        distinct = False
+        if cur.at("DISTINCT"):
+            cur.next()
+            distinct = True
+        select, aggregates = _parse_projection(cur)
+        if cur.at("WHERE"):
+            cur.next()
+        kwargs = _parse_group(cur)
+        kwargs.update(_parse_modifiers(cur))
+        if aggregates:
+            kwargs["aggregates"] = aggregates
+        if select:
+            kwargs["select"] = select
+        if distinct:
+            kwargs["distinct"] = True
+        kwargs["form"] = "select"
+        return kwargs
+    if form == "ASK":
+        if cur.at("WHERE"):
+            cur.next()
+        kwargs = _parse_group(cur)
+        if not cur.done():
+            raise ValueError(f"unexpected trailing token {cur.peek()!r}")
+        kwargs["form"] = "ask"
+        return kwargs
+    if form == "CONSTRUCT":
+        cur.eat("{")
+        template = _parse_triples(cur)
+        cur.eat("}")
+        cur.eat("WHERE")
+        kwargs = _parse_group(cur)
+        if not cur.done():
+            raise ValueError(f"unexpected trailing token {cur.peek()!r}")
+        if "union" in kwargs or "values" in kwargs:
+            raise ValueError(
+                "CONSTRUCT supports a single BGP group (no UNION/VALUES)")
+        kwargs["template"] = template
+        kwargs["form"] = "construct"
+        return kwargs
+    raise ValueError(
+        f"query must start with SELECT, ASK or CONSTRUCT, got {form!r}")
+
+
+def sparql(triples: DataFrame, text: str) -> DataFrame:
+    """Run a SPARQL query string over a triple table.
+
+    SELECT compiles to :func:`~ner_spark.plans.kg_query.solutions`,
+    CONSTRUCT to :func:`~ner_spark.plans.kg_query.construct`, and ASK
+    to a one-row boolean (``ask``) computed as ``LIMIT 1`` over the
+    bindings — the existence probe stops at the first match per
+    partition, never materializing the full solution set.
+    """
+    from ner_spark.plans.kg_query import construct, match_pattern, \
+        solutions
+
+    kwargs = parse_sparql(text)
+    form = kwargs.pop("form")
+    if form == "select":
+        return solutions(triples, **kwargs)
+    if form == "ask":
+        bound = (match_pattern(triples, **kwargs)
+                 if "union" not in kwargs else
+                 solutions(triples, union=kwargs["union"],
+                           filters=kwargs.get("filters", ())))
+        return (bound.limit(1)
+                .agg((F.count(F.lit(1)) > 0).alias("ask")))
+    template = kwargs.pop("template")
+    return construct(triples, kwargs.pop("pattern"), template, **kwargs)

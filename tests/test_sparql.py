@@ -1,0 +1,259 @@
+"""The SPARQL text front-end: tokenizer, parser (text → the exact
+solutions()/construct() kwargs), execution of all three query forms,
+and the parse-shared DuckDB twin.  The three kg_sparql* contract keys
+hash-check the forms against _kg_sparql_oracle at sf0.01; these tests
+pin the grammar and its error surface."""
+
+from __future__ import annotations
+
+import pytest
+
+from ner_spark.plans.sparql import parse_sparql, sparql, tokenize
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, evidence_count bigint"
+    )
+
+
+def _graph(spark):
+    return _triples(spark, [
+        ("repo:a", "DECLARES", "e1", 1),
+        ("repo:a", "DECLARES", "e3", 1),
+        ("repo:b", "DECLARES", "e2", 1),
+        ("e1", "MENTIONED_WITH", "e2", 1),
+        ("e1", "LINKED_TO", "kb:Q1", 1),
+        ("e2", "LINKED_TO", "kb:Q2", 1),
+    ])
+
+
+# ------------------------------------------------------------ parsing
+
+
+def test_tokenize_strings_iris_punct():
+    assert tokenize('?a <http://x/y> "lit \\" q" . { } ( ) != <= *') == [
+        "?a", "<http://x/y>", '"lit \\" q"', ".", "{", "}", "(", ")",
+        "!=", "<=", "*"]
+    with pytest.raises(ValueError, match="cannot tokenize"):
+        tokenize('?a "unterminated')
+
+
+def test_parse_select_full_form():
+    kw = parse_sparql("""
+        SELECT ?r (COUNT(DISTINCT ?e) AS ?n) (MIN(?e) AS ?lo)
+        WHERE { ?r DECLARES ?e . ?e LINKED_TO ?kb
+                FILTER STRSTARTS(?kb, "kb:") }
+        GROUP BY ?r ORDER BY DESC(?n) ?r LIMIT 10
+    """)
+    assert kw == {
+        "form": "select",
+        "pattern": [("?r", "DECLARES", "?e"), ("?e", "LINKED_TO", "?kb")],
+        "filters": [("strstarts", "?kb", "kb:")],
+        "group_by": ["?r"],
+        "aggregates": ["count_distinct(?e) AS n", "min(?e) AS lo"],
+        "select": ["?r", "n", "lo"],
+        "order_by": [("n", False), ("r", True)],
+        "limit": 10,
+    }
+
+
+def test_parse_term_forms():
+    kw = parse_sparql('SELECT * WHERE { <http://kb/Q1> ?p "two words" }')
+    assert kw["pattern"] == [("http://kb/Q1", "?p", "two words")]
+
+
+def test_parse_optional_negation_values_union():
+    kw = parse_sparql("""
+        SELECT * WHERE { ?r DECLARES ?e
+            OPTIONAL { ?e LINKED_TO ?kb }
+            FILTER NOT EXISTS { ?e MENTIONED_WITH ?z }
+            VALUES ?r { "repo:a" UNDEF } }
+    """)
+    assert kw["optional"] == [("?e", "LINKED_TO", "?kb")]
+    assert kw["negation"] == [[("?e", "MENTIONED_WITH", "?z")]]
+    assert kw["values"] == (["?r"], [("repo:a",), (None,)])
+    kw = parse_sparql("""
+        ASK { { ?a DECLARES ?b } UNION { ?a LINKED_TO ?b }
+              UNION { ?a MENTIONED_WITH ?b } }
+    """)
+    assert kw == {"form": "ask", "union": [
+        {"pattern": [("?a", "DECLARES", "?b")]},
+        {"pattern": [("?a", "LINKED_TO", "?b")]},
+        {"pattern": [("?a", "MENTIONED_WITH", "?b")]},
+    ]}
+
+
+def test_parse_multi_var_values():
+    kw = parse_sparql("""
+        SELECT * WHERE { ?s ?p ?o
+            VALUES (?p ?tag) { (DECLARES d) (LINKED_TO UNDEF) } }
+    """)
+    assert kw["values"] == (
+        ["?p", "?tag"], [("DECLARES", "d"), ("LINKED_TO", None)])
+
+
+def test_parse_filter_comparison_forms():
+    kw = parse_sparql(
+        'SELECT * WHERE { ?a ?p ?b FILTER(?a != ?b) '
+        'FILTER(?b >= "e") FILTER REGEX(?p, "^L") }')
+    assert kw["filters"] == [
+        ("cmp", "?a", "!=", ("var", "?b")),
+        ("cmp", "?b", ">=", ("const", "e")),
+        ("regex", "?p", "^L"),
+    ]
+
+
+def test_parse_errors():
+    cases = [
+        ("SELECT WHERE { ?a ?p ?b }", "empty SELECT"),
+        ("SELECT (SUM(?x) AS ?s) WHERE { ?a ?p ?x }", "SUM is not"),
+        ("SELECT (AVG(?x) AS ?s) WHERE { ?a ?p ?x }", "AVG is not"),
+        ("SELECT (COUNT(*) AS n) WHERE { ?a ?p ?x }", "alias must be"),
+        ("SELECT * WHERE { ?a ?p ?b . { ?a DECLARES ?c } "
+         "UNION { ?a LINKED_TO ?c } }", "expected a triple term"),
+        ("SELECT * WHERE { { ?a DECLARES ?c } }", "part of a UNION"),
+        ("SELECT * WHERE { { ?a DECLARES ?c } UNION "
+         "{ ?a LINKED_TO ?c } ?x ?y ?z }", "cannot join a UNION"),
+        ("SELECT * WHERE { ?a ?p ?b } GROUP BY", "at least one"),
+        ("SELECT * WHERE { ?a ?p ?b } LIMIT ten", "needs an integer"),
+        ("SELECT * WHERE { ?a ?p ?b } BOGUS", "trailing token"),
+        ("DESCRIBE ?x", "must start with"),
+        ("CONSTRUCT { ?a X ?b } WHERE { { ?a P ?b } UNION { ?a Q ?b } }",
+         "single BGP group"),
+        ("SELECT * WHERE { ?a ?p ?b FILTER LCASE(?a) }",
+         "must start with a .variable|unsupported FILTER|expected"),
+    ]
+    for text, msg in cases:
+        with pytest.raises(ValueError, match=msg.split("|")[0]):
+            parse_sparql(text)
+
+
+def test_parse_nested_union_flattens():
+    kw = parse_sparql("""
+        ASK { { { ?a P ?b } UNION { ?a Q ?b } } UNION { ?a R ?b } }
+    """)
+    assert [g["pattern"][0][1] for g in kw["union"]] == ["P", "Q", "R"]
+
+
+# ---------------------------------------------------------- execution
+
+
+def test_sparql_select_aggregates(spark):
+    out = sparql(_graph(spark), """
+        SELECT ?r (COUNT(DISTINCT ?e) AS ?n) WHERE { ?r DECLARES ?e }
+        GROUP BY ?r ORDER BY DESC(?n) ?r LIMIT 5
+    """)
+    assert out.columns == ["r", "n"]
+    assert [tuple(r) for r in out.collect()] == [
+        ("repo:a", 2), ("repo:b", 1)]
+
+
+def test_sparql_select_star_optional(spark):
+    out = sparql(_graph(spark), """
+        SELECT * WHERE { ?r DECLARES ?e OPTIONAL { ?e LINKED_TO ?kb } }
+    """)
+    rows = {r["e"]: r["kb"] for r in out.collect()}
+    assert rows == {"e1": "kb:Q1", "e2": "kb:Q2", "e3": None}
+
+
+def test_sparql_select_distinct_projection(spark):
+    out = sparql(_graph(spark),
+                 "SELECT DISTINCT ?p WHERE { ?s ?p ?o }")
+    assert sorted(r["p"] for r in out.collect()) == [
+        "DECLARES", "LINKED_TO", "MENTIONED_WITH"]
+
+
+def test_sparql_ask(spark):
+    t = _graph(spark)
+    assert sparql(t, 'ASK { ?x LINKED_TO "kb:Q1" }').collect()[0][0] is True
+    assert sparql(t, 'ASK { ?x LINKED_TO "kb:Q9" }').collect()[0][0] is False
+    # union'd ASK
+    assert sparql(t, 'ASK { { ?x NOPE ?y } UNION { ?x DECLARES ?y } }') \
+        .collect()[0][0] is True
+
+
+def test_sparql_construct(spark):
+    out = sparql(_graph(spark), """
+        CONSTRUCT { ?r MENTIONS_KB ?kb } WHERE {
+            ?r DECLARES ?e . ?e LINKED_TO ?kb }
+    """)
+    assert sorted(map(tuple, out.collect())) == [
+        ("repo:a", "MENTIONS_KB", "kb:Q1", 1),
+        ("repo:b", "MENTIONS_KB", "kb:Q2", 1)]
+
+
+def test_sparql_union_values_paths(spark):
+    t = _graph(spark)
+    out = sparql(t, """
+        SELECT ?e ?kb WHERE {
+          { ?r DECLARES ?e . ?e LINKED_TO ?kb }
+          UNION { ?e MENTIONED_WITH ?x . ?x LINKED_TO ?kb } }
+    """)
+    assert sorted(map(tuple, out.collect())) == [
+        ("e1", "kb:Q1"), ("e1", "kb:Q2"), ("e2", "kb:Q2")]
+    out = sparql(t, """
+        SELECT ?a ?b WHERE { ?a MENTIONED_WITH+ ?b FILTER(?a != ?b) }
+    """)
+    assert [tuple(r) for r in out.collect()] == [("e1", "e2")]
+    out = sparql(t, """
+        SELECT ?s ?o WHERE { ?s ?p ?o
+            VALUES ?p { DECLARES } } ORDER BY ?s ?o
+    """)
+    assert [tuple(r) for r in out.collect()] == [
+        ("repo:a", "e1"), ("repo:a", "e3"), ("repo:b", "e2")]
+
+
+def test_sparql_matches_generated_twin(spark):
+    # text → kwargs feeds BOTH engines (solutions and the oracle
+    # generator); this pins the full chain on a literal graph
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tests.oracle_compare import assert_df_matches_duckdb
+
+    kg_sql = """SELECT * FROM (VALUES
+        ('repo:a','DECLARES','e1'), ('repo:a','DECLARES','e3'),
+        ('repo:b','DECLARES','e2'), ('e1','MENTIONED_WITH','e2'),
+        ('e1','LINKED_TO','kb:Q1'), ('e2','LINKED_TO','kb:Q2')
+        ) t(subj, pred, obj)"""
+    con = duckdb.connect()
+    for text in (
+        """SELECT ?r (COUNT(*) AS ?n) (GROUP_CONCAT(?e) AS ?es)
+           WHERE { ?r DECLARES ?e } GROUP BY ?r ORDER BY ?r""",
+        'ASK { ?a MENTIONED_WITH ?b }',
+        """CONSTRUCT { ?kb BACKED_BY ?r } WHERE {
+           ?r DECLARES ?e . ?e LINKED_TO ?kb }""",
+        """SELECT DISTINCT ?p WHERE {
+           { ?a ?p ?b . FILTER(?a != ?b) } UNION
+           { ?a ?p ?b . VALUES ?p { MENTIONED_WITH } } } ORDER BY ?p""",
+    ):
+        assert_df_matches_duckdb(
+            sparql(_graph(spark), text), con,
+            entrymod._kg_sparql_oracle(text, kg_sql=kg_sql),
+            name=f"sparql:{text[:30]}")
+
+
+def test_job_sparql_and_cli(spark, tmp_path, capsys, monkeypatch):
+    from ner_spark.plans import job as jobmod
+    from ner_spark.plans.job import KgJob
+    from ner_spark.sources.fixtures import source_table
+
+    out = str(tmp_path / "kg")
+    job = KgJob(spark, out, run_id="sq")
+    job.run(source_table(spark, n_rows=20))
+    df = job.sparql(
+        "SELECT ?repo (COUNT(DISTINCT ?e) AS ?n) WHERE "
+        "{ ?repo DECLARES ?e } GROUP BY ?repo ORDER BY DESC(?n) ?repo "
+        "LIMIT 3")
+    assert df.columns == ["repo", "n"]
+    assert df.count() == 3
+    monkeypatch.setattr("sys.argv", [
+        "job", "--output", out,
+        "--sparql", 'ASK { ?e LINKED_TO ?kb }',
+    ])
+    jobmod.main()
+    outp = capsys.readouterr().out
+    assert outp.splitlines()[0] == "ask"
+    assert "True" in outp
+    assert "stage=sparql rows=1 " in outp

@@ -622,6 +622,21 @@ def main() -> int:
     check("kg_values_undef", "bindings never exchange for the join",
           "Exchange hashpartitioning" not in p2)
 
+    # SPARQL text front-end: the parse must land on the SAME audited
+    # physical shapes as the programmatic API — text adds no new plans
+    from ner_spark.plans.sparql import sparql as sparql_run
+
+    p = plans["kg_sparql_text"] = plan_of(sparql_run(
+        tri,
+        "SELECT ?r (COUNT(*) AS ?n) WHERE { ?r DECLARES ?e } "
+        "GROUP BY ?r ORDER BY DESC(?n) ?r LIMIT 5"))
+    check("kg_sparql_text", "parsed SELECT top-k is TakeOrderedAndProject",
+          "TakeOrderedAndProject" in p and "partial_count" in p)
+    p = plans["kg_sparql_ask"] = plan_of(sparql_run(
+        tri, "ASK { ?a DECLARES ?b }"))
+    check("kg_sparql_ask", "ASK probes LIMIT 1, never full materialize",
+          "Limit" in p)
+
     # contamination: the eval side must broadcast (the 100 TB corpus
     # never shuffles for the overlap join) and the per-pair shingle
     # counts partial-aggregate map-side
