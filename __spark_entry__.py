@@ -557,6 +557,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CONSTRUCT form: two-element template with evidence_count
         return _sparql_gold(spark, _SPARQL_CONSTRUCT)
 
+    def q_kg_sparql_pathforms(spark, sf):
+        # inverse + alternation path forms entered as text
+        return _sparql_gold(spark, _SPARQL_PATHFORMS)
+
     def q_dataset_split(spark, sf):
         return curate.dataset_split(_docs(spark, sf))
 
@@ -657,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql": q_kg_sparql,
         "kg_sparql_ask": q_kg_sparql_ask,
         "kg_sparql_construct": q_kg_sparql_construct,
+        "kg_sparql_pathforms": q_kg_sparql_pathforms,
         "sota_gliner": q_sota_gliner,
         "dataset_split": q_dataset_split,
         "leakage_split": q_leakage_split,
@@ -730,6 +735,12 @@ WHERE { ?repo DECLARES ?e . ?e MENTIONED_WITH ?x . ?x LINKED_TO ?kb
 GROUP BY ?repo ORDER BY DESC(?n) ?repo LIMIT 6
 """
 _SPARQL_ASK = 'ASK { ?e MENTIONED_WITH ?x . ?x LINKED_TO ?kb }'
+# inverse path (^P = endpoint swap) + predicate alternation (P1|P2 =
+# pred IN, one edge scan) through the text front-end
+_SPARQL_PATHFORMS = """
+SELECT ?repo ?t WHERE { ?e ^DECLARES ?repo .
+                        ?e MENTIONED_WITH|LINKED_TO ?t }
+"""
 _SPARQL_CONSTRUCT = """
 CONSTRUCT { ?r MENTIONS_KB ?kb . ?kb BACKED_BY ?r }
 WHERE { ?r DECLARES ?e . ?e LINKED_TO ?kb }
@@ -1435,8 +1446,9 @@ def _kg_path_ctes(idx: int, pred: str, zero: bool,
     e = f"pe{idx}"
     c = f"pc{idx}"
     p = f"pp{idx}"
+    alts = ", ".join(_sql_str(a) for a in pred.split("|"))
     ctes = [f"{e} AS (SELECT DISTINCT subj, obj FROM kg "
-            f"WHERE pred = {_sql_str(pred)})"]
+            f"WHERE pred IN ({alts}))"]
     if max_hops is None:
         ctes.append(
             f"{c} AS (SELECT subj, obj FROM {e} "
@@ -1474,6 +1486,9 @@ def _kg_element_sql(alias: str, element, first: dict, ctes: list,
     CTEs and bind (subj, obj) of the closure relation."""
     from ner_spark.plans.kg_query import _path_pred
 
+    if not element[1].startswith("?") and element[1].startswith("^"):
+        # inverse path: swap endpoints, same as the Spark compile
+        element = (element[2], element[1][1:], element[0])
     path = _path_pred(element[1])
     if path is not None:
         cte, rel = _kg_path_ctes(len(ctes), path[0], path[1],
@@ -1493,6 +1508,9 @@ def _kg_element_sql(alias: str, element, first: dict, ctes: list,
                 conds.append(f"{ref} = {first[term]}")
             else:
                 first[term] = ref
+        elif field == "pred" and "|" in term:
+            alts = ", ".join(_sql_str(a) for a in term.split("|"))
+            conds.append(f"{ref} IN ({alts})")
         else:
             conds.append(f"{ref} = {_sql_str(term)}")
     return rel, conds
@@ -2235,6 +2253,7 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "kg_sparql": _kg_sparql_oracle(_SPARQL_SELECT),
         "kg_sparql_ask": _kg_sparql_oracle(_SPARQL_ASK),
         "kg_sparql_construct": _kg_sparql_oracle(_SPARQL_CONSTRUCT),
+        "kg_sparql_pathforms": _kg_sparql_oracle(_SPARQL_PATHFORMS),
         "mentions_hybrid": _mentions_oracle("hybrid"),
         "mentions_crf": _mentions_oracle("crf_only"),
         "sota_gliner": _sota_gold_oracle(),

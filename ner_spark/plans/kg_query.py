@@ -186,6 +186,16 @@ def _is_var(term: str) -> bool:
     return term.startswith("?")
 
 
+def _pred_alternatives(pred: str) -> list[str]:
+    """A constant predicate may be a SPARQL path alternation
+    ``P1|P2`` — one edge relation, ``pred IN (...)``.  A trailing
+    ``+``/``*`` closes over the whole alternation (``(P1|P2)+``)."""
+    parts = pred.split("|")
+    if not all(parts):
+        raise ValueError(f"malformed predicate alternation {pred!r}")
+    return parts
+
+
 def _path_pred(term: str) -> tuple[str, bool] | None:
     """A constant predicate ending in ``+`` or ``*`` is a SPARQL
     property path: ``P+`` = one-or-more hops, ``P*`` = zero-or-more.
@@ -229,7 +239,7 @@ def path_closure(
     duplicates, and the recursive-CTE oracle's UNION matches.
     """
     edges = (
-        triples.where(F.col("pred") == pred)
+        triples.where(F.col("pred").isin(_pred_alternatives(pred)))
         .select("subj", "obj").distinct()
         .localCheckpoint(eager=True)
     )
@@ -313,6 +323,14 @@ def _element_relation(
     equalities applied, projected to the variable columns."""
     if len(element) != 3:
         raise ValueError(f"pattern element {element!r} is not a triple")
+    if not _is_var(element[1]) and element[1].startswith("^"):
+        # SPARQL inverse path: ^P is P with the endpoints swapped —
+        # and inversion commutes with closure and alternation
+        # (^(P+) = (^P)+, ^(P1|P2) = ^P1|^P2), so one swap covers
+        # every composed form
+        if element[1] == "^":
+            raise ValueError(f"bare inverse marker in {element!r}")
+        element = (element[2], element[1][1:], element[0])
     path = _path_pred(element[1])
     if path is not None:
         base, zero = path
@@ -333,6 +351,9 @@ def _element_relation(
                 rel = rel.where(F.col(field) == F.col(cols[term]))
             else:
                 cols[term] = field
+        elif field == "pred":
+            # constant predicate, possibly an alternation P1|P2
+            rel = rel.where(F.col(field).isin(_pred_alternatives(term)))
         else:
             rel = rel.where(F.col(field) == F.lit(term))
     rel = rel.select(*[F.col(f).alias(v[1:]) for v, f in cols.items()])

@@ -349,6 +349,20 @@ def test_graph_ops_match_oracles_on_random_graphs(spark, rows):
                 kg_sql=kg_sql),
             name="kg_union:u_solutions",
         )
+        # path forms on random graphs: inverse ^P (endpoint swap),
+        # predicate alternation P1|P2, and their closure composition
+        for pname, ppat in (
+            ("p_inverse", [("?b", "^MENTIONED_WITH", "?a")]),
+            ("p_alt", [("?a", "MENTIONED_WITH|LINKED_TO", "?b")]),
+            ("p_alt_plus", [("?a", "DECLARES", "?b"),
+                            ("?b", "MENTIONED_WITH|LINKED_TO+", "?c")]),
+            ("p_inv_plus", [("?a", "^MENTIONED_WITH+", "?b")]),
+        ):
+            assert_df_matches_duckdb(
+                match_pattern(tri, ppat), con,
+                entrymod._kg_pattern_oracle(ppat, kg_sql=kg_sql),
+                name=f"kg_pathforms:{pname}",
+            )
         # VALUES on random graphs: required-var set constraint (equi
         # path), UNDEF wildcard + data-only annotation var (nullable
         # residual path), merged through filters and negation

@@ -1043,3 +1043,38 @@ def test_query_cli_match_values(spark, tmp_path, capsys, monkeypatch):
     outp = capsys.readouterr().out
     assert outp.splitlines()[0] == "p\tn"
     assert "stage=query rows=2 " in outp
+
+
+# ----------------------------------------------- path forms ^P, P1|P2
+
+
+def test_match_pattern_inverse_predicate(spark):
+    # ^P swaps the endpoints: the object position binds the subject
+    t = _union_graph(spark)
+    out = match_pattern(t, [("?e", "^DECLARES", "?r")])
+    assert sorted(out.columns) == ["e", "r"]
+    assert sorted((r["r"], r["e"]) for r in out.collect()) == [
+        ("repo:a", "e1"), ("repo:b", "e2")]
+    with pytest.raises(ValueError, match="bare inverse"):
+        match_pattern(t, [("?a", "^", "?b")])
+
+
+def test_match_pattern_predicate_alternation(spark):
+    # P1|P2 is one element matching either predicate (pred IN ...)
+    t = _union_graph(spark)
+    out = match_pattern(t, [("e1", "MENTIONED_WITH|LINKED_TO", "?b")])
+    assert sorted(r["b"] for r in out.collect()) == ["e2", "kb:Q1"]
+    with pytest.raises(ValueError, match="malformed predicate"):
+        match_pattern(t, [("?a", "P|", "?b")])
+
+
+def test_match_pattern_alternation_closure_and_inverse_path(spark):
+    # (P1|P2)+ closes over the union of both edge sets; ^(P+) walks
+    # the closure backwards (inversion commutes with closure)
+    t = _triples(spark, [
+        ("a", "P", "b", 1), ("b", "Q", "c", 1), ("c", "P", "d", 1),
+    ])
+    out = match_pattern(t, [("a", "P|Q+", "?x")])
+    assert sorted(r["x"] for r in out.collect()) == ["b", "c", "d"]
+    out = match_pattern(t, [("d", "^P|Q+", "?x")])
+    assert sorted(r["x"] for r in out.collect()) == ["a", "b", "c"]
