@@ -561,6 +561,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inverse + alternation path forms entered as text
         return _sparql_gold(spark, _SPARQL_PATHFORMS)
 
+    def q_kg_sparql_having(spark, sf):
+        # HAVING over a COUNT alias + ORDER/LIMIT/OFFSET paging (page
+        # 2 of the deterministic (n DESC, repo) order)
+        return _sparql_gold(spark, _SPARQL_HAVING)
+
     def q_dataset_split(spark, sf):
         return curate.dataset_split(_docs(spark, sf))
 
@@ -662,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_ask": q_kg_sparql_ask,
         "kg_sparql_construct": q_kg_sparql_construct,
         "kg_sparql_pathforms": q_kg_sparql_pathforms,
+        "kg_sparql_having": q_kg_sparql_having,
         "sota_gliner": q_sota_gliner,
         "dataset_split": q_dataset_split,
         "leakage_split": q_leakage_split,
@@ -735,6 +741,13 @@ WHERE { ?repo DECLARES ?e . ?e MENTIONED_WITH ?x . ?x LINKED_TO ?kb
 GROUP BY ?repo ORDER BY DESC(?n) ?repo LIMIT 6
 """
 _SPARQL_ASK = 'ASK { ?e MENTIONED_WITH ?x . ?x LINKED_TO ?kb }'
+# HAVING (COUNT-alias group filter) + ORDER/LIMIT/OFFSET paging
+_SPARQL_HAVING = """
+SELECT ?repo (COUNT(*) AS ?n)
+WHERE { ?repo DECLARES ?e . ?e MENTIONED_WITH ?x }
+GROUP BY ?repo HAVING(?n >= 3) ORDER BY DESC(?n) ?repo
+LIMIT 4 OFFSET 2
+"""
 # inverse path (^P = endpoint swap) + predicate alternation (P1|P2 =
 # pred IN, one edge scan) through the text front-end
 _SPARQL_PATHFORMS = """
@@ -1731,8 +1744,9 @@ GROUP BY 1, 2, 3
 def _kg_solutions_oracle(pattern=(), optional=(), filters=(),
                          negation=(), union=None, values=None,
                          fill_null=(), path_max_hops=None,
-                         group_by=(), aggregates=(), select=None,
-                         distinct=False, order_by=(), limit=None,
+                         group_by=(), aggregates=(), having=(),
+                         select=None, distinct=False, order_by=(),
+                         offset=None, limit=None,
                          kg_sql: str | None = None) -> str:
     """SQL twin of plans.kg_query.solutions: the BGP oracle as a CTE
     with GROUP BY / aggregates / projection / DISTINCT / ORDER BY /
@@ -1775,6 +1789,14 @@ def _kg_solutions_oracle(pattern=(), optional=(), filters=(),
         group = (f"GROUP BY {', '.join(keys)}" if keys else "")
     else:
         sel, group = "*", ""
+    if having:
+        from ner_spark.plans.kg_query import parse_having
+
+        hv = [parse_having(h) if isinstance(h, str) else h
+              for h in having]
+        group += " HAVING " + " AND ".join(
+            f"{name} {'<>' if op == '!=' else op} {n}"
+            for name, op, n in hv)
     if select is not None:
         proj = ", ".join(s[1:] if s.startswith("?") else s for s in select)
         body = (f"SELECT {proj} FROM "
@@ -1791,9 +1813,10 @@ def _kg_solutions_oracle(pattern=(), optional=(), filters=(),
             parts.append(f"{name} {'ASC' if asc else 'DESC'}")
         order = f"ORDER BY {', '.join(parts)}"
     lim = f"LIMIT {limit}" if limit is not None else ""
+    off = f"OFFSET {offset}" if offset is not None else ""
     return f"""WITH b AS ({inner})
 {body}
-{order} {lim}
+{order} {lim} {off}
 """
 
 
@@ -2254,6 +2277,7 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "kg_sparql_ask": _kg_sparql_oracle(_SPARQL_ASK),
         "kg_sparql_construct": _kg_sparql_oracle(_SPARQL_CONSTRUCT),
         "kg_sparql_pathforms": _kg_sparql_oracle(_SPARQL_PATHFORMS),
+        "kg_sparql_having": _kg_sparql_oracle(_SPARQL_HAVING),
         "mentions_hybrid": _mentions_oracle("hybrid"),
         "mentions_crf": _mentions_oracle("crf_only"),
         "sota_gliner": _sota_gold_oracle(),

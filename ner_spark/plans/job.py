@@ -1246,9 +1246,11 @@ class KgJob:
         path_max_hops: int | None = None,
         group_by: list[str] = (),
         aggregates: list = (),
+        having: list = (),
         select: list[str] | None = None,
         distinct: bool = False,
         order_by: list = (),
+        offset: int | None = None,
         limit: int | None = None,
     ) -> "DataFrame":
         """Basic-graph-pattern query over the committed triple table
@@ -1281,8 +1283,9 @@ class KgJob:
                          values=values,
                          path_max_hops=path_max_hops,
                          group_by=group_by, aggregates=aggregates,
-                         select=select, distinct=distinct,
-                         order_by=order_by, limit=limit)
+                         having=having, select=select,
+                         distinct=distinct, order_by=order_by,
+                         offset=offset, limit=limit)
 
     def sparql(self, text: str) -> "DataFrame":
         """Run a SPARQL SELECT / ASK / CONSTRUCT string over the
@@ -1477,6 +1480,14 @@ def main() -> None:
                              "max, group_concat) or 'count(*) AS alias', "
                              "repeatable; with no --match-group-by the "
                              "whole binding set is one group")
+    parser.add_argument("--match-having", action="append", default=[],
+                        metavar="TERM",
+                        help="with --match: group filter 'alias op INT' "
+                             "over a COUNT aggregate alias, repeatable "
+                             "(e.g. 'n >= 2')")
+    parser.add_argument("--match-offset", type=int, default=None,
+                        help="with --match: skip the first N ordered "
+                             "solutions (requires --match-order-by)")
     parser.add_argument("--match-select", default=None, metavar="VARS",
                         help="with --match: project to these "
                              "whitespace-separated ?variables / "
@@ -1596,10 +1607,12 @@ def main() -> None:
             group_by=(args.match_group_by.split()
                       if args.match_group_by else ()),
             aggregates=args.match_agg,
+            having=args.match_having,
             select=(args.match_select.split()
                     if args.match_select else None),
             distinct=args.match_distinct,
             order_by=args.match_order_by,
+            offset=args.match_offset,
             limit=args.match_top,
         )
         head = out.limit(args.match_limit).collect()  # bounded control read

@@ -724,6 +724,24 @@ def parse_aggregate(text: str) -> tuple[str, str, str]:
     return fn, term, alias
 
 
+_HAVING_RE = re.compile(
+    r"^(\?\w+|\w+)\s*(=|!=|<=|>=|<|>)\s*(\d+)$")
+
+
+def parse_having(text: str) -> tuple[str, str, int]:
+    """Parse one HAVING term — ``alias op INT`` over a COUNT
+    aggregate's alias (the engine's only numeric values) — into
+    ``(column_name, op, n)``."""
+    m = _HAVING_RE.match(text.strip())
+    if not m:
+        raise ValueError(
+            f"unparseable HAVING term {text!r}: expected "
+            "'alias op INT' with op in (=, !=, <, <=, >, >=)")
+    name = m.group(1)
+    return (name[1:] if name.startswith("?") else name,
+            m.group(2), int(m.group(3)))
+
+
 def parse_order(text: str) -> tuple[str, bool]:
     """Parse one ORDER BY term — ``?var`` / ``alias`` with an optional
     trailing ``ASC``/``DESC`` — into ``(column_name, ascending)``."""
@@ -749,9 +767,11 @@ def solutions(
     path_max_hops: int | None = None,
     group_by: list[str] = (),
     aggregates: list = (),
+    having: list = (),
     select: list[str] | None = None,
     distinct: bool = False,
     order_by: list = (),
+    offset: int | None = None,
     limit: int | None = None,
 ) -> DataFrame:
     """SPARQL solution modifiers over a basic graph pattern: GROUP BY
@@ -803,6 +823,13 @@ def solutions(
     (alternation); the modifiers then apply to the union'd binding
     set — null (branch-unbound) values behave as SPARQL unbound terms
     everywhere (aggregates skip them, GROUP BY treats null as a key).
+
+    ``having`` filters groups by COUNT-aggregate aliases (``"n >= 2"``
+    — the engine's only numeric values; a group filter over MIN/MAX
+    strings would be a lexicographic trap, so it raises).  ``offset``
+    skips the first n ordered solutions (requires ``order_by`` — an
+    unordered OFFSET is nondeterministic in any engine); with
+    ``limit`` it pages: rows [offset, offset+limit).
     """
     if union is not None:
         if pattern or optional or negation or values is not None:
@@ -861,6 +888,22 @@ def solutions(
         out_scope = list(bound.columns)
     else:
         out_scope = list(bound.columns)
+    if having and not grouped:
+        raise ValueError("HAVING requires GROUP BY or aggregates")
+    count_aliases = {alias for fn, _, alias in aggs
+                     if fn in ("count", "count_distinct")}
+    for h in having:
+        name, op, rhs = parse_having(h) if isinstance(h, str) else h
+        if name not in count_aliases:
+            raise ValueError(
+                f"HAVING references {name!r}, which is not a COUNT "
+                "aggregate alias (only counts compare numerically — "
+                "every other term in the engine is a string)")
+        c = F.col(name)
+        bound = bound.where({
+            "=": c == rhs, "!=": c != rhs, "<": c < rhs,
+            "<=": c <= rhs, ">": c > rhs, ">=": c >= rhs,
+        }[op])
     if select is not None:
         proj = []
         for s in select:
@@ -886,6 +929,14 @@ def solutions(
                     "output column")
             cols.append(F.col(name).asc() if asc else F.col(name).desc())
         bound = bound.orderBy(*cols)
+    if offset is not None:
+        if offset < 0:
+            raise ValueError("OFFSET must be non-negative")
+        if not order_by:
+            raise ValueError(
+                "OFFSET without a total ORDER BY is nondeterministic; "
+                "order the solutions first")
+        bound = bound.offset(offset)
     if limit is not None:
         if limit < 0:
             raise ValueError("LIMIT must be non-negative")

@@ -30,8 +30,9 @@ raises with the offending token rather than mis-parsing):
 
     Query     := Select | Ask | Construct
     Select    := 'SELECT' 'DISTINCT'? ('*' | Proj+) 'WHERE'? Group
-                 ('GROUP' 'BY' Var+)? ('ORDER' 'BY' Ord+)?
-                 ('LIMIT' INT)?
+                 ('GROUP' 'BY' Var+)? ('HAVING' '(' Var Op INT ')')*
+                 ('ORDER' 'BY' Ord+)?
+                 ('LIMIT' INT | 'OFFSET' INT)*
     Proj      := Var | '(' Agg '(' ('DISTINCT'? Var | '*') ')'
                  'AS' Var ')'
     Agg       := 'COUNT' | 'MIN' | 'MAX' | 'GROUP_CONCAT'
@@ -63,6 +64,10 @@ Deliberate restrictions, matching the engine's semantics:
   match_union` and raises here instead of silently reassociating.
 - Aggregates are the engine's portable set (COUNT / COUNT DISTINCT /
   MIN / MAX / GROUP_CONCAT); SUM/AVG raise (string terms).
+- HAVING compares a COUNT aggregate's ALIAS to an integer
+  (``HAVING(?n >= 2)``) — the engine's only numeric values; SPARQL's
+  inline-aggregate HAVING form is not re-parsed.
+- OFFSET requires ORDER BY (an unordered OFFSET is nondeterministic).
 - Keywords are case-insensitive; bare constants that collide with a
   keyword (a predicate literally named ``FILTER``) need quotes.
 """
@@ -86,7 +91,8 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "SELECT", "DISTINCT", "WHERE", "OPTIONAL", "FILTER", "NOT",
     "EXISTS", "UNION", "VALUES", "UNDEF", "GROUP", "BY", "ORDER",
-    "ASC", "DESC", "LIMIT", "ASK", "CONSTRUCT", "AS",
+    "ASC", "DESC", "LIMIT", "OFFSET", "HAVING", "ASK", "CONSTRUCT",
+    "AS",
 }
 _AGG_FNS = {"COUNT", "MIN", "MAX", "GROUP_CONCAT"}
 _FILTER_FNS = {"REGEX": "regex", "STRSTARTS": "strstarts",
@@ -370,6 +376,20 @@ def _parse_modifiers(cur: _Cursor) -> dict:
         if not keys:
             raise ValueError("GROUP BY needs at least one ?variable")
         out["group_by"] = keys
+    while cur.at("HAVING"):
+        cur.next()
+        cur.eat("(")
+        alias = cur.next()
+        op = cur.next()
+        if op not in _CMP_OPS:
+            raise ValueError(f"unsupported HAVING operator {op!r}")
+        n = cur.next()
+        if not n.isdigit():
+            raise ValueError(
+                f"HAVING compares a COUNT alias to an integer, got {n!r}")
+        cur.eat(")")
+        out.setdefault("having", []).append(
+            (alias.lstrip("?"), op, int(n)))
     if cur.at("ORDER"):
         cur.next()
         cur.eat("BY")
@@ -388,12 +408,15 @@ def _parse_modifiers(cur: _Cursor) -> dict:
         if not terms:
             raise ValueError("ORDER BY needs at least one term")
         out["order_by"] = terms
-    if cur.at("LIMIT"):
-        cur.next()
+    while cur.at("LIMIT") or cur.at("OFFSET"):
+        kw = cur.next().upper()
+        key = kw.lower()
+        if key in out:
+            raise ValueError(f"duplicate {kw} clause")
         n = cur.next()
         if not n.isdigit():
-            raise ValueError(f"LIMIT needs an integer, got {n!r}")
-        out["limit"] = int(n)
+            raise ValueError(f"{kw} needs an integer, got {n!r}")
+        out[key] = int(n)
     if not cur.done():
         raise ValueError(f"unexpected trailing token {cur.peek()!r}")
     return out

@@ -307,6 +307,13 @@ def test_graph_ops_match_oracles_on_random_graphs(spark, rows):
                 group_by=["?a"],
                 aggregates=["count(*) AS n"],
                 order_by=["n DESC", "?a ASC"], limit=3)),
+            ("s_having_page", dict(
+                pattern=[("?a", "?p", "?b")],
+                group_by=["?a"],
+                aggregates=["count(*) AS n"],
+                having=["n >= 2"],
+                order_by=["n DESC", "?a ASC"],
+                offset=1, limit=3)),
         ):
             assert_df_matches_duckdb(
                 solutions(tri, **skw), con,

@@ -1078,3 +1078,58 @@ def test_match_pattern_alternation_closure_and_inverse_path(spark):
     assert sorted(r["x"] for r in out.collect()) == ["b", "c", "d"]
     out = match_pattern(t, [("d", "^P|Q+", "?x")])
     assert sorted(r["x"] for r in out.collect()) == ["a", "b", "c"]
+
+
+# ----------------------------------------------- HAVING and OFFSET
+
+
+def test_parse_having_grammar():
+    from ner_spark.plans.kg_query import parse_having
+
+    assert parse_having("n >= 2") == ("n", ">=", 2)
+    assert parse_having("?n != 0") == ("n", "!=", 0)
+    with pytest.raises(ValueError, match="unparseable HAVING"):
+        parse_having("n >= ?m")
+    with pytest.raises(ValueError, match="unparseable HAVING"):
+        parse_having('n >= "2"')
+
+
+def test_solutions_having_filters_groups(spark):
+    from ner_spark.plans.kg_query import solutions
+
+    out = solutions(
+        _agg_graph(spark), [("?r", "DECLARES", "?e")],
+        group_by=["?r"], aggregates=["count(*) AS n"],
+        having=["n >= 2"], order_by=["n DESC", "?r ASC"])
+    assert [tuple(r) for r in out.collect()] == [
+        ("repo:a", 3), ("repo:b", 2)]
+
+
+def test_solutions_offset_pages_ordered_solutions(spark):
+    from ner_spark.plans.kg_query import solutions
+
+    base = dict(group_by=["?r"], aggregates=["count(*) AS n"],
+                order_by=["n DESC", "?r ASC"])
+    t = _agg_graph(spark)
+    full = [tuple(r) for r in
+            solutions(t, [("?r", "DECLARES", "?e")], **base).collect()]
+    page = [tuple(r) for r in
+            solutions(t, [("?r", "DECLARES", "?e")], **base,
+                      offset=1, limit=2).collect()]
+    assert page == full[1:3]
+
+
+def test_solutions_having_offset_validation(spark):
+    from ner_spark.plans.kg_query import solutions
+
+    t = _agg_graph(spark)
+    with pytest.raises(ValueError, match="HAVING requires"):
+        solutions(t, [("?r", "DECLARES", "?e")], having=["n >= 2"])
+    with pytest.raises(ValueError, match="not a COUNT"):
+        solutions(t, [("?r", "DECLARES", "?e")], group_by=["?r"],
+                  aggregates=["min(?e) AS lo"], having=["lo >= 2"])
+    with pytest.raises(ValueError, match="nondeterministic"):
+        solutions(t, [("?r", "DECLARES", "?e")], offset=2)
+    with pytest.raises(ValueError, match="OFFSET must be"):
+        solutions(t, [("?r", "DECLARES", "?e")],
+                  order_by=["?r ASC"], offset=-1)

@@ -257,3 +257,46 @@ def test_job_sparql_and_cli(spark, tmp_path, capsys, monkeypatch):
     assert outp.splitlines()[0] == "ask"
     assert "True" in outp
     assert "stage=sparql rows=1 " in outp
+
+
+def test_parse_having_offset():
+    kw = parse_sparql("""
+        SELECT ?r (COUNT(*) AS ?n) WHERE { ?r DECLARES ?e }
+        GROUP BY ?r HAVING(?n >= 2) HAVING(?n < 9)
+        ORDER BY DESC(?n) ?r LIMIT 4 OFFSET 2
+    """)
+    assert kw["having"] == [("n", ">=", 2), ("n", "<", 9)]
+    assert kw["limit"] == 4 and kw["offset"] == 2
+    with pytest.raises(ValueError, match="duplicate LIMIT"):
+        parse_sparql("SELECT * WHERE { ?a ?p ?b } LIMIT 2 LIMIT 3")
+    with pytest.raises(ValueError, match="integer"):
+        parse_sparql("SELECT (COUNT(*) AS ?n) WHERE { ?a ?p ?b } "
+                     "GROUP BY ?a HAVING(?n > x)")
+
+
+def test_sparql_having_offset_matches_twin(spark):
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tests.oracle_compare import assert_df_matches_duckdb
+
+    kg_sql = """SELECT * FROM (VALUES
+        ('repo:a','DECLARES','e1'), ('repo:a','DECLARES','e3'),
+        ('repo:b','DECLARES','e2'), ('repo:b','DECLARES','e4'),
+        ('repo:c','DECLARES','e5'), ('e1','MENTIONED_WITH','e2')
+        ) t(subj, pred, obj)"""
+    text = """
+        SELECT ?r (COUNT(?e) AS ?n) WHERE { ?r DECLARES ?e }
+        GROUP BY ?r HAVING(?n >= 2) ORDER BY DESC(?n) ?r
+        LIMIT 3 OFFSET 1
+    """
+    t = _triples(spark, [
+        ("repo:a", "DECLARES", "e1", 1), ("repo:a", "DECLARES", "e3", 1),
+        ("repo:b", "DECLARES", "e2", 1), ("repo:b", "DECLARES", "e4", 1),
+        ("repo:c", "DECLARES", "e5", 1), ("e1", "MENTIONED_WITH", "e2", 1),
+    ])
+    out = sparql(t, text)
+    assert [tuple(r) for r in out.collect()] == [("repo:b", 2)]
+    assert_df_matches_duckdb(
+        out, duckdb.connect(),
+        entrymod._kg_sparql_oracle(text, kg_sql=kg_sql), "having_page")

@@ -585,6 +585,21 @@ def main() -> int:
           "Sort [" not in p.replace("TakeOrderedAndProject", ""))
     check("kg_solutions", "aggregate partial-combines map-side",
           "partial_count" in p)
+    # HAVING + OFFSET paging: the group filter sits on the aggregate
+    # and the offset FOLDS INTO TakeOrderedAndProject (Spark carries
+    # (limit+offset, offset) in the operator — still per-partition
+    # heaps + a bounded driver merge, never a global sort)
+    p = plans["kg_solutions_page"] = plan_of(solutions(
+        tri, [("?r", "DECLARES", "?e")],
+        group_by=["?r"], aggregates=["count(*) AS n"],
+        having=["n >= 1"],
+        order_by=["n DESC", "?r ASC"], offset=2, limit=10))
+    check("kg_solutions_page", "offset folds into TakeOrderedAndProject",
+          "TakeOrderedAndProject" in p and
+          "Sort [" not in p.replace("TakeOrderedAndProject", ""))
+    check("kg_solutions_page", "having filters the aggregate output",
+          bool(re.search(r"Filter \(?\s*\(n#\d+L? >= 1\)", p))
+          or "(n#" in p)
 
     # UNION: plan-level alternation — each branch keeps its own
     # pushed scans (the outer FILTER must reach BOTH branch scans
