@@ -561,6 +561,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inverse + alternation path forms entered as text
         return _sparql_gold(spark, _SPARQL_PATHFORMS)
 
+    def q_kg_sparql_describe(spark, sf):
+        # DESCRIBE form: the triple set touching the described nodes
+        # (two hash joins on the deduped node set + union + distinct)
+        return _sparql_gold(spark, _SPARQL_DESCRIBE)
+
     def q_kg_sparql_having(spark, sf):
         # HAVING over a COUNT alias + ORDER/LIMIT/OFFSET paging (page
         # 2 of the deterministic (n DESC, repo) order)
@@ -668,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_construct": q_kg_sparql_construct,
         "kg_sparql_pathforms": q_kg_sparql_pathforms,
         "kg_sparql_having": q_kg_sparql_having,
+        "kg_sparql_describe": q_kg_sparql_describe,
         "sota_gliner": q_sota_gliner,
         "dataset_split": q_dataset_split,
         "leakage_split": q_leakage_split,
@@ -741,6 +747,10 @@ WHERE { ?repo DECLARES ?e . ?e MENTIONED_WITH ?x . ?x LINKED_TO ?kb
 GROUP BY ?repo ORDER BY DESC(?n) ?repo LIMIT 6
 """
 _SPARQL_ASK = 'ASK { ?e MENTIONED_WITH ?x . ?x LINKED_TO ?kb }'
+# DESCRIBE: every triple touching a KB-linked declared entity
+_SPARQL_DESCRIBE = """
+DESCRIBE ?e WHERE { ?repo DECLARES ?e . ?e LINKED_TO ?kb }
+"""
 # HAVING (COUNT-alias group filter) + ORDER/LIMIT/OFFSET paging
 _SPARQL_HAVING = """
 SELECT ?repo (COUNT(*) AS ?n)
@@ -1820,6 +1830,37 @@ def _kg_solutions_oracle(pattern=(), optional=(), filters=(),
 """
 
 
+def _kg_describe_oracle(terms, pattern=(), optional=(), filters=(),
+                        negation=(), values=None, path_max_hops=None,
+                        kg_sql: str | None = None) -> str:
+    """SQL twin of plans.kg_query.describe: the described node set
+    (constants + every value a DESCRIBE ?variable binds in the WHERE
+    pattern) joined against the triple table on subject-or-object,
+    as a DISTINCT triple set."""
+    var_terms = [t for t in terms if t.startswith("?")]
+    consts = [t for t in terms if not t.startswith("?")]
+    # the triple relation is kg0 here: the nested pattern oracle
+    # declares its own `kg` CTE, and DuckDB rejects duplicate aliases
+    ctes = [f"kg0 AS MATERIALIZED ({kg_sql or _kg_gold_oracle()})"]
+    arms = []
+    if var_terms:
+        inner = _kg_pattern_oracle(pattern, optional=optional,
+                                   filters=filters, negation=negation,
+                                   values=values,
+                                   path_max_hops=path_max_hops,
+                                   kg_sql=kg_sql)
+        ctes.append(f"b AS ({inner})")
+        arms += [f"SELECT {v[1:]} AS node FROM b" for v in var_terms]
+    arms += [f"SELECT {_sql_str(c)} AS node" for c in consts]
+    ctes.append(
+        "n AS (SELECT DISTINCT node FROM ("
+        + " UNION ALL ".join(arms)
+        + ") WHERE node IS NOT NULL)")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            "SELECT DISTINCT kg0.subj, kg0.pred, kg0.obj\n"
+            "FROM kg0 JOIN n ON kg0.subj = n.node OR kg0.obj = n.node\n")
+
+
 def _kg_sparql_oracle(text: str, fill_null=(),
                       kg_sql: str | None = None) -> str:
     """SQL twin of plans.sparql.sparql: the query TEXT parses once
@@ -1840,6 +1881,8 @@ def _kg_sparql_oracle(text: str, fill_null=(),
             inner = _kg_pattern_oracle(**kw, kg_sql=kg_sql)
         return (f"SELECT count(*) > 0 AS ask FROM "
                 f"(SELECT 1 FROM (\n{inner}) b LIMIT 1) c\n")
+    if form == "describe":
+        return _kg_describe_oracle(kw.pop("terms"), **kw, kg_sql=kg_sql)
     template = kw.pop("template")
     return _kg_construct_oracle(kw.pop("pattern"), template, **kw,
                                 kg_sql=kg_sql)
@@ -2278,6 +2321,7 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "kg_sparql_construct": _kg_sparql_oracle(_SPARQL_CONSTRUCT),
         "kg_sparql_pathforms": _kg_sparql_oracle(_SPARQL_PATHFORMS),
         "kg_sparql_having": _kg_sparql_oracle(_SPARQL_HAVING),
+        "kg_sparql_describe": _kg_sparql_oracle(_SPARQL_DESCRIBE),
         "mentions_hybrid": _mentions_oracle("hybrid"),
         "mentions_crf": _mentions_oracle("crf_only"),
         "sota_gliner": _sota_gold_oracle(),

@@ -640,6 +640,67 @@ def construct(
     )
 
 
+def describe(
+    triples: DataFrame,
+    terms: list[str],
+    pattern: list[tuple[str, str, str]] = (),
+    optional: list[tuple[str, str, str]] = (),
+    filters: list = (),
+    negation: list = (),
+    values: tuple | None = None,
+    path_max_hops: int | None = None,
+) -> DataFrame:
+    """SPARQL DESCRIBE: the set of triples touching the described
+    nodes — constants name nodes directly, ``?variables`` describe
+    every node they bind in the WHERE pattern::
+
+        describe(triples, ["?e"], pattern=[("repo:a", "DECLARES", "?e")])
+
+    The description is this engine's (implementation-defined per the
+    SPARQL spec): all triples whose subject OR object is a described
+    node, as a SET of ``(subj, pred, obj)`` rows.
+
+    Scale shape: the OR-membership compiles as two equi-joins on the
+    deduped node set (subject side, object side) union'd and
+    distinct'd — hash joins both, never a nested-loop over the
+    disjunction; the node set is the only shuffled side when it is
+    small enough to broadcast.
+    """
+    if not terms:
+        raise ValueError("DESCRIBE needs at least one term")
+    var_terms = [t for t in terms if _is_var(t)]
+    consts = [t for t in terms if not _is_var(t)]
+    parts = []
+    if var_terms:
+        if not pattern:
+            raise ValueError(
+                "DESCRIBE with ?variables needs a WHERE pattern that "
+                "binds them")
+        bound = match_pattern(triples, pattern, optional=optional,
+                              filters=filters, negation=negation,
+                              values=values,
+                              path_max_hops=path_max_hops)
+        for v in var_terms:
+            if v[1:] not in bound.columns:
+                raise ValueError(
+                    f"DESCRIBE term {v} is not bound by the pattern")
+            parts.append(bound.select(F.col(v[1:]).alias("node")))
+    if consts:
+        parts.append(triples.sparkSession.createDataFrame(
+            [(c,) for c in consts], "node string"))
+    nodes = parts[0]
+    for p in parts[1:]:
+        nodes = nodes.unionByName(p)
+    nodes = nodes.where(F.col("node").isNotNull()).distinct()
+    tri = triples.select(*_FIELDS)
+    return (
+        tri.join(nodes, tri["subj"] == nodes["node"]).select(*_FIELDS)
+        .unionByName(
+            tri.join(nodes, tri["obj"] == nodes["node"]).select(*_FIELDS))
+        .distinct()
+    )
+
+
 def match_union(
     triples: DataFrame,
     groups: list,

@@ -28,7 +28,7 @@ raises with the offending token rather than mis-parsing):
 
 .. code-block:: text
 
-    Query     := Select | Ask | Construct
+    Query     := Select | Ask | Construct | Describe
     Select    := 'SELECT' 'DISTINCT'? ('*' | Proj+) 'WHERE'? Group
                  ('GROUP' 'BY' Var+)? ('HAVING' '(' Var Op INT ')')*
                  ('ORDER' 'BY' Ord+)?
@@ -38,6 +38,7 @@ raises with the offending token rather than mis-parsing):
     Agg       := 'COUNT' | 'MIN' | 'MAX' | 'GROUP_CONCAT'
     Ask       := 'ASK' 'WHERE'? Group
     Construct := 'CONSTRUCT' '{' Triple+ '}' 'WHERE' Group
+    Describe  := 'DESCRIBE' Term+ ('WHERE'? Group)?
     Group     := '{' GroupBody '}'
     GroupBody := Union | (Triple | Optional | Filter | Values)*
     Union     := Group ('UNION' Group)+
@@ -92,7 +93,7 @@ _KEYWORDS = {
     "SELECT", "DISTINCT", "WHERE", "OPTIONAL", "FILTER", "NOT",
     "EXISTS", "UNION", "VALUES", "UNDEF", "GROUP", "BY", "ORDER",
     "ASC", "DESC", "LIMIT", "OFFSET", "HAVING", "ASK", "CONSTRUCT",
-    "AS",
+    "DESCRIBE", "AS",
 }
 _AGG_FNS = {"COUNT", "MIN", "MAX", "GROUP_CONCAT"}
 _FILTER_FNS = {"REGEX": "regex", "STRSTARTS": "strstarts",
@@ -470,8 +471,30 @@ def parse_sparql(text: str) -> dict:
         kwargs["template"] = template
         kwargs["form"] = "construct"
         return kwargs
+    if form == "DESCRIBE":
+        terms = []
+        while (t := cur.peek()) is not None and not cur.at("WHERE") \
+                and t != "{":
+            terms.append(_term(cur.next()))
+        if not terms:
+            raise ValueError("DESCRIBE needs at least one term")
+        kwargs = {}
+        if not cur.done():
+            if cur.at("WHERE"):
+                cur.next()
+            kwargs = _parse_group(cur)
+            if not cur.done():
+                raise ValueError(
+                    f"unexpected trailing token {cur.peek()!r}")
+            if "union" in kwargs:
+                raise ValueError(
+                    "DESCRIBE supports a single BGP group (no UNION)")
+        kwargs["terms"] = terms
+        kwargs["form"] = "describe"
+        return kwargs
     raise ValueError(
-        f"query must start with SELECT, ASK or CONSTRUCT, got {form!r}")
+        "query must start with SELECT, ASK, CONSTRUCT or DESCRIBE, "
+        f"got {form!r}")
 
 
 def sparql(triples: DataFrame, text: str) -> DataFrame:
@@ -483,13 +506,15 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
     bindings — the existence probe stops at the first match per
     partition, never materializing the full solution set.
     """
-    from ner_spark.plans.kg_query import construct, match_pattern, \
-        solutions
+    from ner_spark.plans.kg_query import construct, describe, \
+        match_pattern, solutions
 
     kwargs = parse_sparql(text)
     form = kwargs.pop("form")
     if form == "select":
         return solutions(triples, **kwargs)
+    if form == "describe":
+        return describe(triples, kwargs.pop("terms"), **kwargs)
     if form == "ask":
         bound = (match_pattern(triples, **kwargs)
                  if "union" not in kwargs else

@@ -370,6 +370,22 @@ def test_graph_ops_match_oracles_on_random_graphs(spark, rows):
                 entrymod._kg_pattern_oracle(ppat, kg_sql=kg_sql),
                 name=f"kg_pathforms:{pname}",
             )
+        # DESCRIBE on random graphs: constant nodes, pattern-bound
+        # nodes, and the mixed form — all against the generated twin
+        from ner_spark.plans.kg_query import describe
+        for dname, dterms, dkw in (
+            ("d_const", ["e1", "e2"], {}),
+            ("d_var", ["?b"],
+             {"pattern": [("?a", "MENTIONED_WITH", "?b")]}),
+            ("d_mixed", ["e1", "?k"],
+             {"pattern": [("?a", "LINKED_TO", "?k")]}),
+        ):
+            assert_df_matches_duckdb(
+                describe(tri, dterms, **dkw), con,
+                entrymod._kg_describe_oracle(dterms, **dkw,
+                                             kg_sql=kg_sql),
+                name=f"kg_describe:{dname}",
+            )
         # VALUES on random graphs: required-var set constraint (equi
         # path), UNDEF wildcard + data-only annotation var (nullable
         # residual path), merged through filters and negation

@@ -300,3 +300,54 @@ def test_sparql_having_offset_matches_twin(spark):
     assert_df_matches_duckdb(
         out, duckdb.connect(),
         entrymod._kg_sparql_oracle(text, kg_sql=kg_sql), "having_page")
+
+
+def test_sparql_describe(spark):
+    t = _graph(spark)
+    # constant: every triple touching e1
+    out = sparql(t, "DESCRIBE e1")
+    assert out.columns == ["subj", "pred", "obj"]
+    assert sorted(map(tuple, out.collect())) == [
+        ("e1", "LINKED_TO", "kb:Q1"),
+        ("e1", "MENTIONED_WITH", "e2"),
+        ("repo:a", "DECLARES", "e1")]
+    # variable: nodes bound by the WHERE pattern; set semantics
+    out = sparql(t, "DESCRIBE ?kb WHERE { ?e LINKED_TO ?kb }")
+    assert sorted(map(tuple, out.collect())) == [
+        ("e1", "LINKED_TO", "kb:Q1"), ("e2", "LINKED_TO", "kb:Q2")]
+    # mixed constants and variables accumulate
+    out = sparql(t, 'DESCRIBE e3 ?kb WHERE { ?e LINKED_TO ?kb }')
+    assert ("repo:a", "DECLARES", "e3") in set(map(tuple, out.collect()))
+
+
+def test_sparql_describe_matches_twin(spark):
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tests.oracle_compare import assert_df_matches_duckdb
+
+    kg_sql = """SELECT * FROM (VALUES
+        ('repo:a','DECLARES','e1'), ('repo:a','DECLARES','e3'),
+        ('repo:b','DECLARES','e2'), ('e1','MENTIONED_WITH','e2'),
+        ('e1','LINKED_TO','kb:Q1'), ('e2','LINKED_TO','kb:Q2')
+        ) t(subj, pred, obj)"""
+    con = duckdb.connect()
+    for text in ("DESCRIBE e1 e3",
+                 "DESCRIBE ?e WHERE { ?r DECLARES ?e "
+                 "FILTER NOT EXISTS { ?e LINKED_TO ?kb } }"):
+        assert_df_matches_duckdb(
+            sparql(_graph(spark), text), con,
+            entrymod._kg_sparql_oracle(text, kg_sql=kg_sql),
+            name=text)
+
+
+def test_sparql_describe_errors(spark):
+    t = _graph(spark)
+    with pytest.raises(ValueError, match="at least one term"):
+        sparql(t, "DESCRIBE")
+    with pytest.raises(ValueError, match="needs a WHERE pattern"):
+        sparql(t, "DESCRIBE ?e")
+    with pytest.raises(ValueError, match="not bound by the pattern"):
+        sparql(t, "DESCRIBE ?e WHERE { ?x ?p ?y }")
+    with pytest.raises(ValueError, match="single BGP group"):
+        sparql(t, "DESCRIBE ?a WHERE { { ?a P ?b } UNION { ?a Q ?b } }")

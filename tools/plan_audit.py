@@ -637,6 +637,21 @@ def main() -> int:
     check("kg_values_undef", "bindings never exchange for the join",
           "Exchange hashpartitioning" not in p2)
 
+    # DESCRIBE: the subject-or-object membership must compile as two
+    # hash equi-joins on the deduped node set + union + distinct —
+    # never a nested-loop over the OR disjunction
+    from ner_spark.plans.kg_query import describe
+
+    p = plans["kg_describe"] = plan_of(describe(
+        tri, ["?e"], pattern=[("?r", "DECLARES", "?e")]))
+    check("kg_describe", "or-membership is two hash joins, not BNLJ",
+          "BroadcastNestedLoopJoin" not in p and
+          "CartesianProduct" not in p and "Union" in p)
+    check("kg_describe", "triple set dedups map-side",
+          bool(re.search(r"HashAggregate \(\d+\)\s+\+- Exchange "
+                         r"\(\d+\)\s+\+- HashAggregate \(\d+\)\s+"
+                         r"\+- Union", p)))
+
     # SPARQL text front-end: the parse must land on the SAME audited
     # physical shapes as the programmatic API — text adds no new plans
     from ner_spark.plans.sparql import sparql as sparql_run
