@@ -1469,7 +1469,9 @@ def _kg_path_ctes(idx: int, pred: str, zero: bool,
     e = f"pe{idx}"
     c = f"pc{idx}"
     p = f"pp{idx}"
-    alts = ", ".join(_sql_str(a) for a in pred.split("|"))
+    from ner_spark.plans.kg_query import _pred_alternatives
+
+    alts = ", ".join(_sql_str(a) for a in _pred_alternatives(pred))
     ctes = [f"{e} AS (SELECT DISTINCT subj, obj FROM kg "
             f"WHERE pred IN ({alts}))"]
     if max_hops is None:
@@ -1509,7 +1511,7 @@ def _kg_element_sql(alias: str, element, first: dict, ctes: list,
     CTEs and bind (subj, obj) of the closure relation."""
     from ner_spark.plans.kg_query import _path_pred
 
-    if not element[1].startswith("?") and element[1].startswith("^"):
+    if element[1].startswith("^"):
         # inverse path: swap endpoints, same as the Spark compile
         element = (element[2], element[1][1:], element[0])
     path = _path_pred(element[1])
@@ -1532,7 +1534,10 @@ def _kg_element_sql(alias: str, element, first: dict, ctes: list,
             else:
                 first[term] = ref
         elif field == "pred" and "|" in term:
-            alts = ", ".join(_sql_str(a) for a in term.split("|"))
+            from ner_spark.plans.kg_query import _pred_alternatives
+
+            alts = ", ".join(_sql_str(a)
+                             for a in _pred_alternatives(term))
             conds.append(f"{ref} IN ({alts})")
         else:
             conds.append(f"{ref} = {_sql_str(term)}")
@@ -1820,7 +1825,13 @@ def _kg_solutions_oracle(pattern=(), optional=(), filters=(),
         parts = []
         for o in order_by:
             name, asc = parse_order(o) if isinstance(o, str) else o
-            parts.append(f"{name} {'ASC' if asc else 'DESC'}")
+            # Spark's sort defaults: ASC NULLS FIRST / DESC NULLS LAST;
+            # DuckDB defaults to NULLS LAST on ASC, so pin the null
+            # order explicitly or a nullable ORDER BY under LIMIT
+            # would page differently in the two engines
+            parts.append(f"{name} "
+                         + ("ASC NULLS FIRST" if asc
+                            else "DESC NULLS LAST"))
         order = f"ORDER BY {', '.join(parts)}"
     lim = f"LIMIT {limit}" if limit is not None else ""
     off = f"OFFSET {offset}" if offset is not None else ""

@@ -1364,6 +1364,19 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def _print_query_result(out: "DataFrame", args, stage: str) -> None:
+    """Shared result printer for the --match / --sparql CLI branches:
+    header, the first --match-limit rows (∅ = null), and the stage
+    line with the full count.  The head read is bounded (limit +
+    collect of control rows, not the solution set)."""
+    head = out.limit(args.match_limit).collect()
+    print("\t".join(out.columns))
+    for r in head:
+        print("\t".join("∅" if v is None else str(v) for v in r))
+    print(f"stage={stage} rows={out.count()} vars={len(out.columns)} "
+          f"output={args.output}")
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description="NER-Spark KG construction job")
     parser.add_argument("--input", help="parquet source table (repo,path,commit,lang,content)")
@@ -1581,13 +1594,7 @@ def main() -> None:
         # standalone SPARQL query over an already-committed output
         job = KgJob(spark, args.output, mode=args.mode,
                     tokenizer_mode=args.tokenizer_mode, run_id=args.run_id)
-        out = job.sparql(args.sparql)
-        head = out.limit(args.match_limit).collect()  # bounded control read
-        print("\t".join(out.columns))
-        for r in head:
-            print("\t".join("∅" if v is None else str(v) for v in r))
-        print(f"stage=sparql rows={out.count()} vars={len(out.columns)} "
-              f"output={args.output}")
+        _print_query_result(job.sparql(args.sparql), args, "sparql")
         return
     elif args.match:
         # standalone query over an already-committed output
@@ -1615,12 +1622,7 @@ def main() -> None:
             offset=args.match_offset,
             limit=args.match_top,
         )
-        head = out.limit(args.match_limit).collect()  # bounded control read
-        print("\t".join(out.columns))
-        for r in head:
-            print("\t".join("∅" if v is None else str(v) for v in r))
-        print(f"stage=query rows={out.count()} vars={len(out.columns)} "
-              f"output={args.output}")
+        _print_query_result(out, args, "query")
         return
     elif args.analytics:
         # standalone analytics over an already-committed output

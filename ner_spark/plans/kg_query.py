@@ -186,23 +186,49 @@ def _is_var(term: str) -> bool:
     return term.startswith("?")
 
 
+_ALT_ARM_BAD = set("?^|+*() \t")
+
+
 def _pred_alternatives(pred: str) -> list[str]:
-    """A constant predicate may be a SPARQL path alternation
-    ``P1|P2`` — one edge relation, ``pred IN (...)``.  A trailing
-    ``+``/``*`` closes over the whole alternation (``(P1|P2)+``)."""
+    """A constant predicate may be a SPARQL path alternation —
+    ``P1|P2`` or the parenthesized ``(P1|P2)`` — one edge relation,
+    ``pred IN (...)``.  Every arm must be a plain predicate name:
+    per-arm closure or inversion (``P+|Q``, ``P|^Q``) would need path
+    union, which this engine does not implement, so it raises loudly
+    instead of matching the marker characters as literal predicate
+    text."""
+    if pred.startswith("(") and pred.endswith(")"):
+        pred = pred[1:-1]
     parts = pred.split("|")
-    if not all(parts):
-        raise ValueError(f"malformed predicate alternation {pred!r}")
+    if not all(parts) or any(
+            c in _ALT_ARM_BAD for p in parts for c in p):
+        raise ValueError(
+            f"malformed predicate alternation {pred!r}: arms must be "
+            "plain predicate names (close over the whole alternation "
+            "with (P1|P2)+ — per-arm closure/inversion like P+|Q is "
+            "not supported)")
     return parts
 
 
 def _path_pred(term: str) -> tuple[str, bool] | None:
     """A constant predicate ending in ``+`` or ``*`` is a SPARQL
     property path: ``P+`` = one-or-more hops, ``P*`` = zero-or-more.
-    Returns (base predicate, include_zero) or None for plain terms."""
+    Returns (base predicate, include_zero) or None for plain terms.
+
+    A closure over an alternation must be parenthesized —
+    ``(P1|P2)+``.  Bare ``P1|P2+`` raises: SPARQL 1.1 precedence
+    reads it as ``P1 | (P2+)`` (per-arm closure, which this engine
+    does not implement), so silently closing over the whole
+    alternation would mis-evaluate valid SPARQL."""
     if _is_var(term) or len(term) < 2 or term[-1] not in "+*":
         return None
-    return term[:-1], term.endswith("*")
+    base = term[:-1]
+    if "|" in base and not (base.startswith("(") and base.endswith(")")):
+        raise ValueError(
+            f"ambiguous path {term!r}: SPARQL reads P1|P2+ as "
+            "P1 | (P2+); write (P1|P2)+ to close over the whole "
+            "alternation (per-arm closure is not supported)")
+    return base, term.endswith("*")
 
 
 def path_closure(
@@ -323,7 +349,7 @@ def _element_relation(
     equalities applied, projected to the variable columns."""
     if len(element) != 3:
         raise ValueError(f"pattern element {element!r} is not a triple")
-    if not _is_var(element[1]) and element[1].startswith("^"):
+    if element[1].startswith("^"):
         # SPARQL inverse path: ^P is P with the endpoints swapped —
         # and inversion commutes with closure and alternation
         # (^(P+) = (^P)+, ^(P1|P2) = ^P1|^P2), so one swap covers

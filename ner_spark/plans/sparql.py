@@ -83,6 +83,8 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<string>"(?:[^"\\]|\\.)*")   # quoted literal
       | (?P<iri><[^<>\s]*>)             # <iri>
+      | (?P<altpath>\^?\([^\s()|]+(?:\|[^\s()|]+)+\)[+*]?)
+                                        # (P1|P2)[+*] path alternation
       | (?P<punct>[{}().,]|!=|<=|>=|=|<|>|\*)
       | (?P<word>[^\s{}().,"<>=!]+)     # vars, keywords, constants
     )""",
@@ -303,6 +305,10 @@ def _parse_group_body(cur: _Cursor) -> dict:
                 "{ { ... } UNION { ... } }")
         else:
             kwargs["pattern"].extend(_parse_triples(cur))
+    if not kwargs["pattern"]:
+        raise ValueError(
+            "a group needs at least one triple pattern (a pattern-less "
+            "VALUES/OPTIONAL/FILTER group is not supported)")
     return {k: v for k, v in kwargs.items() if v}
 
 

@@ -362,7 +362,7 @@ def test_graph_ops_match_oracles_on_random_graphs(spark, rows):
             ("p_inverse", [("?b", "^MENTIONED_WITH", "?a")]),
             ("p_alt", [("?a", "MENTIONED_WITH|LINKED_TO", "?b")]),
             ("p_alt_plus", [("?a", "DECLARES", "?b"),
-                            ("?b", "MENTIONED_WITH|LINKED_TO+", "?c")]),
+                            ("?b", "(MENTIONED_WITH|LINKED_TO)+", "?c")]),
             ("p_inv_plus", [("?a", "^MENTIONED_WITH+", "?b")]),
         ):
             assert_df_matches_duckdb(

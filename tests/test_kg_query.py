@@ -1074,10 +1074,19 @@ def test_match_pattern_alternation_closure_and_inverse_path(spark):
     t = _triples(spark, [
         ("a", "P", "b", 1), ("b", "Q", "c", 1), ("c", "P", "d", 1),
     ])
-    out = match_pattern(t, [("a", "P|Q+", "?x")])
+    out = match_pattern(t, [("a", "(P|Q)+", "?x")])
     assert sorted(r["x"] for r in out.collect()) == ["b", "c", "d"]
-    out = match_pattern(t, [("d", "^P|Q+", "?x")])
+    out = match_pattern(t, [("d", "^(P|Q)+", "?x")])
     assert sorted(r["x"] for r in out.collect()) == ["a", "b", "c"]
+    # bare P|Q+ is ambiguous under SPARQL precedence (P | (Q+)) and
+    # raises instead of silently closing over the alternation; arms
+    # with embedded markers raise too
+    with pytest.raises(ValueError, match="ambiguous path"):
+        match_pattern(t, [("a", "P|Q+", "?x")])
+    with pytest.raises(ValueError, match="malformed predicate"):
+        match_pattern(t, [("?a", "P+|Q", "?b")])
+    with pytest.raises(ValueError, match="malformed predicate"):
+        match_pattern(t, [("?a", "P|^Q", "?b")])
 
 
 # ----------------------------------------------- HAVING and OFFSET

@@ -118,7 +118,7 @@ def test_parse_errors():
         ("SELECT * WHERE { ?a ?p ?b } GROUP BY", "at least one"),
         ("SELECT * WHERE { ?a ?p ?b } LIMIT ten", "needs an integer"),
         ("SELECT * WHERE { ?a ?p ?b } BOGUS", "trailing token"),
-        ("DESCRIBE ?x", "must start with"),
+        ("EXPLAIN ?x", "must start with"),
         ("CONSTRUCT { ?a X ?b } WHERE { { ?a P ?b } UNION { ?a Q ?b } }",
          "single BGP group"),
         ("SELECT * WHERE { ?a ?p ?b FILTER LCASE(?a) }",
@@ -351,3 +351,27 @@ def test_sparql_describe_errors(spark):
         sparql(t, "DESCRIBE ?e WHERE { ?x ?p ?y }")
     with pytest.raises(ValueError, match="single BGP group"):
         sparql(t, "DESCRIBE ?a WHERE { { ?a P ?b } UNION { ?a Q ?b } }")
+
+
+def test_parse_path_alternation_token_and_empty_group():
+    # (P1|P2)+ is one token (the tokenizer's altpath class), so the
+    # parenthesized-closure form works from text; a group without
+    # triple patterns raises the promised parse error instead of a
+    # downstream TypeError
+    assert tokenize("?a ^(P|Q)+ ?b") == ["?a", "^(P|Q)+", "?b"]
+    kw = parse_sparql("SELECT * WHERE { ?a (P|Q)+ ?b }")
+    assert kw["pattern"] == [("?a", "(P|Q)+", "?b")]
+    for bad in ('ASK { VALUES ?x { "a" } }',
+                "CONSTRUCT { ?a P ?b } WHERE { OPTIONAL { ?a P ?b } }"):
+        with pytest.raises(ValueError, match="at least one triple"):
+            parse_sparql(bad)
+
+
+def test_sparql_alternation_closure_from_text(spark):
+    t = _triples(spark, [
+        ("a", "P", "b", 1), ("b", "Q", "c", 1), ("c", "P", "d", 1),
+    ])
+    out = sparql(t, "SELECT ?x WHERE { a (P|Q)+ ?x }")
+    assert sorted(r["x"] for r in out.collect()) == ["b", "c", "d"]
+    out = sparql(t, "SELECT ?x WHERE { d ^(P|Q)+ ?x }")
+    assert sorted(r["x"] for r in out.collect()) == ["a", "b", "c"]
