@@ -481,6 +481,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return match_pattern(kg_triples_gold(spark), _PATTERN_PATH)
 
+    def q_kg_pattern_seq(spark, sf):
+        # SPARQL sequence path: repos reaching a KB-linked co-mention
+        # partner through DECLARES/MENTIONED_WITH — ONE element whose
+        # existential intermediate (?e) is projected away WITHOUT
+        # dedup, SPARQL's multiset sequence semantics (two declared
+        # entities co-mentioning the same partner → two rows).  The
+        # chain compiles to equi-joins on fresh intermediate columns;
+        # the oracle joins the same chain in a non-recursive CTE.
+        from ner_spark.plans.kg_gold import kg_triples_gold
+        from ner_spark.plans.kg_query import match_pattern
+
+        return match_pattern(kg_triples_gold(spark), _PATTERN_SEQ)
+
+    def q_kg_pattern_zero_or_one(spark, sf):
+        # SPARQL zero-or-one path (P?): each declared entity paired
+        # with itself (the zero-length path matches every graph term)
+        # plus its direct co-mention partners — SET semantics like the
+        # other closure forms, one bounded closure round (max_hops=1)
+        from ner_spark.plans.kg_gold import kg_triples_gold
+        from ner_spark.plans.kg_query import match_pattern
+
+        return match_pattern(kg_triples_gold(spark), _PATTERN_ZOO)
+
     def q_kg_pattern_negation(spark, sf):
         # SPARQL FILTER NOT EXISTS: declared entities with NO KB link —
         # compiled to a left-anti join on the shared variable, the
@@ -560,6 +583,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_kg_sparql_pathforms(spark, sf):
         # inverse + alternation path forms entered as text
         return _sparql_gold(spark, _SPARQL_PATHFORMS)
+
+    def q_kg_sparql_seq(spark, sf):
+        # sequence path with a parenthesized-alternation segment and a
+        # closure segment, entered as text — exercises the seqpath
+        # token class end-to-end (text → segments → chain join)
+        return _sparql_gold(spark, _SPARQL_SEQ)
+
+    def q_kg_sparql_bind(spark, sf):
+        # BIND assignments: chained (the second references the
+        # first), LCASE/STRLEN scalar builders, and a FILTER over a
+        # BIND variable (binds evaluate before group-scope filters) —
+        # pure projections, no new joins in either engine
+        return _sparql_gold(spark, _SPARQL_BIND)
 
     def q_kg_sparql_describe(spark, sf):
         # DESCRIBE form: the triple set touching the described nodes
@@ -664,6 +700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pattern_filter": q_kg_pattern_filter,
         "kg_construct": q_kg_construct,
         "kg_pattern_path": q_kg_pattern_path,
+        "kg_pattern_seq": q_kg_pattern_seq,
+        "kg_pattern_zero_or_one": q_kg_pattern_zero_or_one,
         "kg_pattern_negation": q_kg_pattern_negation,
         "kg_pattern_agg": q_kg_pattern_agg,
         "kg_pattern_union": q_kg_pattern_union,
@@ -672,6 +710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_ask": q_kg_sparql_ask,
         "kg_sparql_construct": q_kg_sparql_construct,
         "kg_sparql_pathforms": q_kg_sparql_pathforms,
+        "kg_sparql_seq": q_kg_sparql_seq,
+        "kg_sparql_bind": q_kg_sparql_bind,
         "kg_sparql_having": q_kg_sparql_having,
         "kg_sparql_describe": q_kg_sparql_describe,
         "sota_gliner": q_sota_gliner,
@@ -711,6 +751,21 @@ _PATTERN_FILTERS = [
 _PATTERN_PATH = [
     ("?repo", "DECLARES", "?a"),
     ("?a", "MENTIONED_WITH+", "?b"),
+]
+
+# the kg_pattern_seq contract BGP: a 2-step sequence path (the
+# intermediate declared entity is existential and unprojected —
+# multiset semantics) into a plain element on the shared variable
+_PATTERN_SEQ = [
+    ("?repo", "DECLARES/MENTIONED_WITH", "?x"),
+    ("?x", "LINKED_TO", "?kb"),
+]
+
+# the kg_pattern_zero_or_one contract BGP: P? = identity ∪ one hop,
+# set semantics, one bounded closure round
+_PATTERN_ZOO = [
+    ("?repo", "DECLARES", "?e"),
+    ("?e", "MENTIONED_WITH?", "?x"),
 ]
 
 # the kg_pattern_negation contract BGP: declared entities with no KB
@@ -763,6 +818,26 @@ LIMIT 4 OFFSET 2
 _SPARQL_PATHFORMS = """
 SELECT ?repo ?t WHERE { ?e ^DECLARES ?repo .
                         ?e MENTIONED_WITH|LINKED_TO ?t }
+"""
+# sequence path through the text front-end: a parenthesized
+# alternation segment composed with a closure segment — grouped so
+# the aggregate pins the multiset multiplicity the sequence produces
+_SPARQL_SEQ = """
+SELECT ?repo (COUNT(*) AS ?n) (COUNT(DISTINCT ?kb) AS ?kbs)
+WHERE { ?repo DECLARES/(MENTIONED_WITH|LINKED_TO)/LINKED_TO? ?kb }
+GROUP BY ?repo ORDER BY DESC(?n) ?repo LIMIT 8
+"""
+# BIND: chained assignments (?tag references ?lkb) + a filter over a
+# bound variable; LCASE/STRLEN keep to the ASCII KB ids so the scalar
+# semantics are engine-portable byte-for-byte
+_SPARQL_BIND = """
+SELECT ?repo ?tag ?len WHERE {
+  ?repo DECLARES ?e . ?e LINKED_TO ?kb
+  BIND(LCASE(?kb) AS ?lkb)
+  BIND(CONCAT(?lkb, "@", ?repo) AS ?tag)
+  BIND(STRLEN(?e) AS ?len)
+  FILTER STRENDS(?tag, "0")
+}
 """
 _SPARQL_CONSTRUCT = """
 CONSTRUCT { ?r MENTIONS_KB ?kb . ?kb BACKED_BY ?r }
@@ -1459,6 +1534,36 @@ def _kg_filter_sql(filt, first: dict) -> str:
     return f"{fn}({ref}, {_sql_str(filt[2])})"
 
 
+def _kg_bind_sql(expr, refs: dict) -> str:
+    """DuckDB twin of kg_query._bind_column: one parsed BIND
+    expression → a SQL scalar over the variables' binding sites.
+    ``||`` and the scalar functions null-propagate, matching Spark's
+    concat/upper/lower/length — SPARQL's error-→-unbound."""
+    def term(t):
+        kind, val = t
+        if kind == "const":
+            return _sql_str(val)
+        if val not in refs:
+            raise ValueError(f"BIND references unbound variable {val}")
+        return refs[val]
+
+    kind = expr[0]
+    if kind in ("var", "const"):
+        return term(expr)
+    if kind == "concat":
+        return "(" + " || ".join(term(t) for t in expr[1]) + ")"
+    arg = term(expr[1])
+    if kind == "ucase":
+        return f"upper({arg})"
+    if kind == "lcase":
+        return f"lower({arg})"
+    if kind == "str":
+        return arg
+    if kind == "strlen":
+        return f"CAST(length({arg}) AS VARCHAR)"
+    raise ValueError(f"unknown BIND expression kind {kind!r}")
+
+
 def _kg_path_ctes(idx: int, pred: str, zero: bool,
                   max_hops: int | None) -> tuple[str, str]:
     """Recursive-CTE twin of kg_query.path_closure: distinct pairs
@@ -1502,22 +1607,61 @@ def _kg_path_ctes(idx: int, pred: str, zero: bool,
     return ",\n".join(ctes), p
 
 
+def _kg_seq_cte(idx: int, segs: list, ctes: list,
+                path_max_hops) -> tuple[str, str]:
+    """Non-recursive-CTE twin of kg_query._sequence_relation: the
+    sequence path's segments compile through :func:`_kg_element_sql`
+    on fresh ``?__s{i}`` chain variables (so inverse / closure /
+    alternation / nested-sequence segments all compose, closures
+    appending their own recursive CTEs), comma-joined by the repeated
+    chain variables' equality conds, projected to (subj, obj) WITHOUT
+    DISTINCT — SPARQL's multiset sequence semantics, matching the
+    Spark join chain.  Returns (cte_sql, relation_name)."""
+    sfirst: dict[str, str] = {}
+    froms: list[str] = []
+    conds: list[str] = []
+    for i, seg in enumerate(segs):
+        # table aliases are scoped to this CTE's one SELECT, so the
+        # entry idx is fine for them; the CTE NAME is derived from
+        # len(ctes) AFTER the segments compiled — a nested sequence /
+        # closure segment appends its own CTEs first, so naming at
+        # entry would collide (two sq0's for a nested sequence)
+        alias = f"sq{idx}_{i}"
+        rel, ec = _kg_element_sql(
+            alias, (f"?__s{i}", seg, f"?__s{i + 1}"), sfirst, ctes,
+            path_max_hops)
+        froms.append(f"{rel} {alias}")
+        conds.extend(ec)
+    where = " AND ".join(conds) if conds else "TRUE"
+    name = f"sq{len(ctes)}"
+    return (f"{name} AS (SELECT {sfirst['?__s0']} AS subj, "
+            f"{sfirst[f'?__s{len(segs)}']} AS obj "
+            f"FROM {', '.join(froms)} WHERE {where})"), name
+
+
 def _kg_element_sql(alias: str, element, first: dict, ctes: list,
                     path_max_hops, outer: dict | None = None):
     """Shared per-element compile for the pattern oracle: returns
     (relation_name, conds).  Variable first-binding sites register in
     ``first``; with ``outer`` given (negation groups) outer-bound
     variables correlate instead.  Path elements append their recursive
-    CTEs and bind (subj, obj) of the closure relation."""
-    from ner_spark.plans.kg_query import _path_pred
+    CTEs and bind (subj, obj) of the closure relation; sequence-path
+    elements append a chain CTE (:func:`_kg_seq_cte`) the same way."""
+    from ner_spark.plans.kg_query import _path_pred, _sequence_segments
 
     if element[1].startswith("^"):
         # inverse path: swap endpoints, same as the Spark compile
         element = (element[2], element[1][1:], element[0])
-    path = _path_pred(element[1])
-    if path is not None:
-        cte, rel = _kg_path_ctes(len(ctes), path[0], path[1],
-                                 path_max_hops)
+    segs = _sequence_segments(element[1])
+    path = None if segs is not None else _path_pred(element[1])
+    if segs is not None:
+        cte, rel = _kg_seq_cte(len(ctes), segs, ctes, path_max_hops)
+        ctes.append(cte)
+        fields, terms = ("subj", "obj"), (element[0], element[2])
+    elif path is not None:
+        base, mod = path
+        cte, rel = _kg_path_ctes(len(ctes), base, mod in "*?",
+                                 1 if mod == "?" else path_max_hops)
         ctes.append(cte)
         fields, terms = ("subj", "obj"), (element[0], element[2])
     else:
@@ -1601,7 +1745,8 @@ def _kg_values_sql(values, first: dict, required: set) -> tuple:
 
 
 def _kg_pattern_oracle(pattern, optional=(), fill_null=(), filters=(),
-                       negation=(), values=None, path_max_hops=None,
+                       negation=(), values=None, binds=(),
+                       path_max_hops=None,
                        kg_sql: str | None = None) -> str:
     """SQL twin of plans.kg_query.match_pattern: every pattern element
     becomes one alias of the triple relation; constants and repeated
@@ -1638,6 +1783,21 @@ def _kg_pattern_oracle(pattern, optional=(), fill_null=(), filters=(),
         required = set(_kg_branch_vars(pattern))
         vjoin, overrides = _kg_values_sql(values, first, required)
         joins.append(vjoin)
+    # BINDs inline their expression SQL at every reference site
+    # (SELECT and later binds/filters/negation all see the same
+    # scalar — SQL's no-alias-in-WHERE rule makes inlining the only
+    # portable twin of Spark's withColumn)
+    for b in binds:
+        if isinstance(b, str):
+            from ner_spark.plans.kg_query import parse_bind
+            b = parse_bind(b)
+        var, expr = b
+        brefs = {**first, **overrides}
+        if var in brefs:
+            raise ValueError(
+                f"BIND target {var} is already bound — SPARQL forbids "
+                "rebinding a variable in scope")
+        first[var] = f"({_kg_bind_sql(expr, brefs)})"
     # ``fill_null`` vars coalesce to '' — the contract keys (and the
     # fuzz) compare through a sort that cannot order None against str,
     # so the nullable OPTIONAL columns are sentinel-filled in BOTH
@@ -1671,22 +1831,30 @@ WHERE {where}
 """
 
 
-def _kg_branch_vars(pattern, optional=(), values=None) -> list:
+def _kg_branch_vars(pattern, optional=(), values=None,
+                    binds=()) -> list:
     """The ?variables a BGP branch binds, in the same first-appearance
     order match_pattern emits (fields order within an element; path
-    elements bind only their endpoints; VALUES-only variables append
-    after the pattern's)."""
-    from ner_spark.plans.kg_query import _path_pred
+    and sequence elements bind only their endpoints; VALUES-only
+    variables append after the pattern's)."""
+    from ner_spark.plans.kg_query import _path_pred, _sequence_segments
 
     out: list[str] = []
     for el in list(pattern) + list(optional):
-        terms = ((el[0], el[2]) if _path_pred(el[1]) is not None
-                 else tuple(el))
+        is_path = (_sequence_segments(el[1]) is not None
+                   or _path_pred(el[1]) is not None)
+        terms = (el[0], el[2]) if is_path else tuple(el)
         for t in terms:
             if t.startswith("?") and t not in out:
                 out.append(t)
     if values is not None:
         out.extend(v for v in values[0] if v not in out)
+    for b in binds:
+        if isinstance(b, str):
+            from ner_spark.plans.kg_query import parse_bind
+            b = parse_bind(b)
+        if b[0] not in out:
+            out.append(b[0])
     return out
 
 
@@ -1703,7 +1871,7 @@ def _kg_union_oracle(groups, filters=(), fill_null=(),
     norm = [dict(g) if isinstance(g, dict) else {"pattern": g}
             for g in groups]
     branch_vars = [_kg_branch_vars(g["pattern"], g.get("optional", ()),
-                                   g.get("values"))
+                                   g.get("values"), g.get("binds", ()))
                    for g in norm]
     all_vars: list[str] = []
     for bv in branch_vars:
@@ -1717,6 +1885,7 @@ def _kg_union_oracle(groups, filters=(), fill_null=(),
             filters=g.get("filters", ()),
             negation=g.get("negation", ()),
             values=g.get("values"),
+            binds=g.get("binds", ()),
             path_max_hops=path_max_hops, kg_sql=kg_sql)
         sel = ", ".join(
             v[1:] if v in bv else f"NULL AS {v[1:]}" for v in all_vars)
@@ -1732,6 +1901,7 @@ def _kg_union_oracle(groups, filters=(), fill_null=(),
 
 
 def _kg_construct_oracle(pattern, template, optional=(), filters=(),
+                         negation=(), values=None, binds=(),
                          kg_sql: str | None = None) -> str:
     """SQL twin of plans.kg_query.construct: the BGP oracle as a CTE,
     one SELECT per template element (variables → the binding columns,
@@ -1739,7 +1909,9 @@ def _kg_construct_oracle(pattern, template, optional=(), filters=(),
     ill-formed-instantiation skip covers unmatched OPTIONAL vars), and
     the collapsed multiplicity counted as evidence_count."""
     inner = _kg_pattern_oracle(pattern, optional=optional,
-                               filters=filters, kg_sql=kg_sql)
+                               filters=filters, negation=negation,
+                               values=values, binds=binds,
+                               kg_sql=kg_sql)
     arms = []
     for element in template:
         terms = []
@@ -1758,7 +1930,7 @@ GROUP BY 1, 2, 3
 
 def _kg_solutions_oracle(pattern=(), optional=(), filters=(),
                          negation=(), union=None, values=None,
-                         fill_null=(), path_max_hops=None,
+                         binds=(), fill_null=(), path_max_hops=None,
                          group_by=(), aggregates=(), having=(),
                          select=None, distinct=False, order_by=(),
                          offset=None, limit=None,
@@ -1779,7 +1951,7 @@ def _kg_solutions_oracle(pattern=(), optional=(), filters=(),
     else:
         inner = _kg_pattern_oracle(pattern, optional=optional,
                                    filters=filters, negation=negation,
-                                   values=values,
+                                   values=values, binds=binds,
                                    fill_null=fill_null,
                                    path_max_hops=path_max_hops,
                                    kg_sql=kg_sql)
@@ -1842,7 +2014,8 @@ def _kg_solutions_oracle(pattern=(), optional=(), filters=(),
 
 
 def _kg_describe_oracle(terms, pattern=(), optional=(), filters=(),
-                        negation=(), values=None, path_max_hops=None,
+                        negation=(), values=None, binds=(),
+                        path_max_hops=None,
                         kg_sql: str | None = None) -> str:
     """SQL twin of plans.kg_query.describe: the described node set
     (constants + every value a DESCRIBE ?variable binds in the WHERE
@@ -1857,7 +2030,7 @@ def _kg_describe_oracle(terms, pattern=(), optional=(), filters=(),
     if var_terms:
         inner = _kg_pattern_oracle(pattern, optional=optional,
                                    filters=filters, negation=negation,
-                                   values=values,
+                                   values=values, binds=binds,
                                    path_max_hops=path_max_hops,
                                    kg_sql=kg_sql)
         ctes.append(f"b AS ({inner})")
@@ -2316,6 +2489,8 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
             _PATTERN[:2], _CONSTRUCT_TEMPLATE,
             optional=[("?x", "LINKED_TO", "?kb")]),
         "kg_pattern_path": _kg_pattern_oracle(_PATTERN_PATH),
+        "kg_pattern_seq": _kg_pattern_oracle(_PATTERN_SEQ),
+        "kg_pattern_zero_or_one": _kg_pattern_oracle(_PATTERN_ZOO),
         "kg_pattern_negation": _kg_pattern_oracle(
             _PATTERN_NEG, negation=_PATTERN_NEG_GROUPS),
         "kg_pattern_agg": _kg_solutions_oracle(
@@ -2331,6 +2506,8 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "kg_sparql_ask": _kg_sparql_oracle(_SPARQL_ASK),
         "kg_sparql_construct": _kg_sparql_oracle(_SPARQL_CONSTRUCT),
         "kg_sparql_pathforms": _kg_sparql_oracle(_SPARQL_PATHFORMS),
+        "kg_sparql_seq": _kg_sparql_oracle(_SPARQL_SEQ),
+        "kg_sparql_bind": _kg_sparql_oracle(_SPARQL_BIND),
         "kg_sparql_having": _kg_sparql_oracle(_SPARQL_HAVING),
         "kg_sparql_describe": _kg_sparql_oracle(_SPARQL_DESCRIBE),
         "mentions_hybrid": _mentions_oracle("hybrid"),

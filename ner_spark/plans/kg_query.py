@@ -186,17 +186,140 @@ def _is_var(term: str) -> bool:
     return term.startswith("?")
 
 
-_ALT_ARM_BAD = set("?^|+*() \t")
+# BIND expression grammar (SPARQL 1.1's string builders, restricted
+# to the engine's string-typed terms; one function level — nested
+# calls raise rather than mis-parse):
+#   ?var                      "literal"
+#   CONCAT(t1, t2, ...)       UCASE(?v)   LCASE(?v)
+#   STR(?v)                   STRLEN(?v)   [length, cast to string]
+_BIND_FNS = {"concat", "ucase", "lcase", "str", "strlen"}
+_BIND_RE = re.compile(
+    r"^\s*(?:(?P<fn>[A-Za-z_]+)\s*\((?P<args>.*)\)|(?P<term>\?\w+|"
+    r'"(?:[^"\\]|\\.)*"))\s+AS\s+(?P<var>\?\w+)\s*$',
+    re.IGNORECASE | re.DOTALL,
+)
+_BIND_TERM_RE = re.compile(r'^(\?\w+|"(?:[^"\\]|\\.)*")$')
+
+
+def _bind_term(tok: str) -> tuple:
+    tok = tok.strip()
+    if not _BIND_TERM_RE.match(tok):
+        raise ValueError(
+            f"BIND argument {tok!r} must be a ?variable or a quoted "
+            "literal (nested function calls are not supported)")
+    if tok.startswith("?"):
+        return ("var", tok)
+    return ("const", _unescape(tok[1:-1]))
+
+
+def _split_args(text: str) -> list[str]:
+    """Split a function argument list on commas outside quotes."""
+    out, cur, inq, esc = [], [], False, False
+    for ch in text:
+        if esc:
+            cur.append(ch)
+            esc = False
+            continue
+        if ch == "\\" and inq:
+            cur.append(ch)
+            esc = True
+            continue
+        if ch == '"':
+            inq = not inq
+        if ch == "," and not inq:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if inq:
+        raise ValueError(f"unterminated string in arguments {text!r}")
+    out.append("".join(cur))
+    return out
+
+
+def parse_bind(text: str) -> tuple[str, tuple]:
+    """Parse one BIND expression — ``expr AS ?var`` — into the
+    normalized ``(?var, expr_tuple)`` form :func:`match_pattern`
+    consumes, where expr_tuple is ``("var", "?x")``, ``("const", s)``,
+    ``("concat", [term, ...])`` or ``("ucase"|"lcase"|"str"|"strlen",
+    term)``.  Raises on anything outside the grammar — a BIND that
+    silently parsed wrong would bind garbage."""
+    m = _BIND_RE.match(text)
+    if not m:
+        raise ValueError(
+            f"unparseable BIND {text!r}: expected 'expr AS ?var' with "
+            "expr a ?variable, a quoted literal, or one of "
+            "CONCAT/UCASE/LCASE/STR/STRLEN(...)")
+    var = m.group("var")
+    if m.group("term"):
+        return var, _bind_term(m.group("term"))
+    args = [_bind_term(a) for a in _split_args(m.group("args"))]
+    return var, _make_bind_expr(m.group("fn"), args)
+
+
+def _make_bind_expr(fn: str, args: list[tuple]) -> tuple:
+    """Arity-check a BIND function call and return its normalized
+    expression tuple (shared by :func:`parse_bind` and the SPARQL
+    text parser)."""
+    fn = fn.lower()
+    if fn not in _BIND_FNS:
+        raise ValueError(
+            f"unknown BIND function {fn.upper()!r}: supported are "
+            "CONCAT, UCASE, LCASE, STR, STRLEN")
+    if fn == "concat":
+        if len(args) < 2:
+            raise ValueError("CONCAT needs at least two arguments")
+        return ("concat", args)
+    if len(args) != 1:
+        raise ValueError(f"{fn.upper()} takes exactly one argument")
+    return (fn, args[0])
+
+
+def _bind_column(expr: tuple, bound: set[str]) -> Column:
+    """Compile one parsed BIND expression to a Catalyst Column.
+    Unbound variable references raise (like FILTER's rule); a null
+    operand (unmatched OPTIONAL variable) propagates to a null
+    binding — SPARQL's error-→-unbound rule, matched by the oracle's
+    null-propagating ``||`` / scalar functions."""
+    def term_col(t: tuple) -> Column:
+        kind, val = t
+        if kind == "const":
+            return F.lit(val)
+        if val not in bound:
+            raise ValueError(f"BIND references unbound variable {val}")
+        return F.col(val[1:])
+
+    kind = expr[0]
+    if kind in ("var", "const"):
+        return term_col(expr)
+    if kind == "concat":
+        return F.concat(*[term_col(t) for t in expr[1]])
+    col = term_col(expr[1])
+    if kind == "ucase":
+        return F.upper(col)
+    if kind == "lcase":
+        return F.lower(col)
+    if kind == "str":
+        return col
+    if kind == "strlen":
+        # the engine's terms are strings, so the length binds as its
+        # decimal string form (comparisons stay lexicographic, like
+        # every other term; both engines count codepoints)
+        return F.length(col).cast("string")
+    raise ValueError(f"unknown BIND expression kind {kind!r}")
+
+
+_ALT_ARM_BAD = set("?^|+*()/ \t")
 
 
 def _pred_alternatives(pred: str) -> list[str]:
     """A constant predicate may be a SPARQL path alternation —
     ``P1|P2`` or the parenthesized ``(P1|P2)`` — one edge relation,
     ``pred IN (...)``.  Every arm must be a plain predicate name:
-    per-arm closure or inversion (``P+|Q``, ``P|^Q``) would need path
-    union, which this engine does not implement, so it raises loudly
-    instead of matching the marker characters as literal predicate
-    text."""
+    per-arm closure, inversion or sequencing (``P+|Q``, ``P|^Q``,
+    ``P/Q|R``) would need path union, which this engine does not
+    implement, so it raises loudly instead of matching the marker
+    characters as literal predicate text."""
     if pred.startswith("(") and pred.endswith(")"):
         pred = pred[1:-1]
     parts = pred.split("|")
@@ -210,25 +333,106 @@ def _pred_alternatives(pred: str) -> list[str]:
     return parts
 
 
-def _path_pred(term: str) -> tuple[str, bool] | None:
-    """A constant predicate ending in ``+`` or ``*`` is a SPARQL
-    property path: ``P+`` = one-or-more hops, ``P*`` = zero-or-more.
-    Returns (base predicate, include_zero) or None for plain terms.
+def _path_pred(term: str) -> tuple[str, str] | None:
+    """A constant predicate ending in ``+``, ``*`` or ``?`` is a
+    SPARQL property path: ``P+`` = one-or-more hops, ``P*`` =
+    zero-or-more, ``P?`` = zero-or-one.  Returns (base predicate,
+    modifier char) or None for plain terms.
 
     A closure over an alternation must be parenthesized —
     ``(P1|P2)+``.  Bare ``P1|P2+`` raises: SPARQL 1.1 precedence
     reads it as ``P1 | (P2+)`` (per-arm closure, which this engine
     does not implement), so silently closing over the whole
-    alternation would mis-evaluate valid SPARQL."""
-    if _is_var(term) or len(term) < 2 or term[-1] not in "+*":
+    alternation would mis-evaluate valid SPARQL.  A closure over a
+    sequence (``(P1/P2)+``) raises too: the fixpoint of a composite
+    step is path union, not a single-predicate frontier loop."""
+    if _is_var(term) or len(term) < 2 or term[-1] not in "+*?":
         return None
     base = term[:-1]
+    if "/" in base:
+        raise ValueError(
+            f"unsupported path {term!r}: closure over a sequence "
+            "((P1/P2)+) is not implemented — close each step "
+            "separately (P1+/P2+) if that is what the query means")
     if "|" in base and not (base.startswith("(") and base.endswith(")")):
         raise ValueError(
             f"ambiguous path {term!r}: SPARQL reads P1|P2+ as "
             "P1 | (P2+); write (P1|P2)+ to close over the whole "
             "alternation (per-arm closure is not supported)")
-    return base, term.endswith("*")
+    return base, term[-1]
+
+
+def _sequence_segments(pred: str) -> list[str] | None:
+    """A constant predicate containing a top-level ``/`` is a SPARQL
+    sequence path — ``P1/P2`` matches endpoints connected by a P1 edge
+    into a P2 edge through an existential intermediate.  Returns the
+    segment strings (each itself any supported single-step form:
+    ``P``, ``^P``, ``P+``/``P*``/``P?``, ``(P1|P2)`` and their
+    compositions, or a parenthesized nested sequence) or None when the
+    predicate is not a sequence.
+
+    ``/`` binds tighter than ``|`` in SPARQL 1.1 (PathAlternative :=
+    PathSequence ('|' PathSequence)*), so a predicate with BOTH
+    operators at top level (``A|B/C`` = A | (B/C)) is path union —
+    unimplemented, raises loudly.  A fully-parenthesized sequence
+    (``(P1/P2)``, e.g. from inverse rewriting ``^(P1/P2)``) unwraps.
+    """
+    if _is_var(pred) or "/" not in pred:
+        return None
+    core = pred
+    # unwrap one full-width paren layer: "(A/B)" → "A/B" (the wrap is
+    # full-width only if the opening paren's match is the last char)
+    if core.startswith("(") and core.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(core):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if depth == 0:
+                if i == len(core) - 1:
+                    core = core[1:-1]
+                break
+    depth, parts, cur = 0, [], []
+    top_alt = False
+    for ch in core:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                raise ValueError(f"unbalanced parentheses in {pred!r}")
+        if ch == "/" and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            if ch == "|" and depth == 0:
+                top_alt = True
+            cur.append(ch)
+    if depth != 0:
+        raise ValueError(f"unbalanced parentheses in {pred!r}")
+    parts.append("".join(cur))
+    if len(parts) == 1:
+        return None  # '/' only inside parens — the closure guard in
+        # _path_pred / the alternation arm check reject those forms
+    if top_alt:
+        raise ValueError(
+            f"unsupported path {pred!r}: SPARQL reads A|B/C as "
+            "A | (B/C) — alternation of sequences is path union, "
+            "which this engine does not implement; parenthesize "
+            "per-segment alternations like (A|B)/C instead")
+    for p in parts:
+        if not p:
+            raise ValueError(f"empty segment in sequence path {pred!r}")
+        if _is_var(p):
+            raise ValueError(
+                f"variable segment {p!r} in sequence path {pred!r}: "
+                "SPARQL property paths are predicate expressions, "
+                "not variables")
+        if p.startswith("__seq"):
+            raise ValueError(
+                f"segment {p!r} uses the reserved __seq prefix")
+    return parts
 
 
 def path_closure(
@@ -339,6 +543,52 @@ def path_closure(
     return closure
 
 
+def _sequence_relation(
+    triples: DataFrame,
+    element: tuple[str, str, str],
+    segs: list[str],
+    path_max_hops: int | None = None,
+) -> DataFrame:
+    """Compile a sequence path element (``?a P1/P2 ?b``) to one
+    ``(subj, obj)`` relation: each segment compiles through
+    :func:`_element_relation` (so every single-step form — inverse,
+    closure, alternation, nested parenthesized sequences — composes),
+    chained by equi-joins on fresh ``__seq{i}`` intermediate columns
+    that are projected away at the end.
+
+    Semantics follow SPARQL 1.1's sequence translation (``?a P1 ?v .
+    ?v P2 ?b`` with ``?v`` fresh and unprojected): the intermediates
+    are existential and the result is a MULTISET — two distinct
+    intermediates connecting the same endpoints yield two rows, unlike
+    the closure forms' set semantics.  The DuckDB twin joins the same
+    chain without DISTINCT.
+
+    Scale shape: constants at the element's own endpoints are pushed
+    into the first/last segment compile (so a closure segment with a
+    constant endpoint still gets :func:`path_closure`'s seeded BFS,
+    and plain segments get scan-level pushdown) and re-attached as
+    literal columns, keeping the relation's uniform (subj, obj) shape
+    for the generic endpoint handling in the caller.  The chain is
+    equi-joins only — never a cartesian — and each segment is one
+    pruned scan of the triple table (or one closure)."""
+    subj, _, obj = element
+    n = len(segs)
+    rel: DataFrame | None = None
+    for i, seg in enumerate(segs):
+        lt_const = i == 0 and not _is_var(subj)
+        rt_const = i == n - 1 and not _is_var(obj)
+        lt = subj if lt_const else f"?__seq{i}"
+        rt = obj if rt_const else f"?__seq{i + 1}"
+        r, _ = _element_relation(triples, (lt, seg, rt), path_max_hops)
+        if lt_const:
+            r = r.withColumn(f"__seq{i}", F.lit(subj))
+        if rt_const:
+            r = r.withColumn(f"__seq{i + 1}", F.lit(obj))
+        rel = r if rel is None else rel.join(r, f"__seq{i}")
+    return rel.select(F.col("__seq0").alias("subj"),
+                      F.col(f"__seq{n}").alias("obj"))
+
+
 def _element_relation(
     triples: DataFrame,
     element: tuple[str, str, str],
@@ -357,16 +607,22 @@ def _element_relation(
         if element[1] == "^":
             raise ValueError(f"bare inverse marker in {element!r}")
         element = (element[2], element[1][1:], element[0])
-    path = _path_pred(element[1])
-    if path is not None:
-        base, zero = path
+    segs = _sequence_segments(element[1])
+    path = None if segs is not None else _path_pred(element[1])
+    if segs is not None:
+        rel = _sequence_relation(triples, element, segs, path_max_hops)
+        fields: tuple[str, ...] = ("subj", "obj")
+        terms: tuple[str, ...] = (element[0], element[2])
+    elif path is not None:
+        base, mod = path
         rel = path_closure(
-            triples, base, zero=zero, max_hops=path_max_hops,
+            triples, base, zero=mod in "*?",
+            max_hops=1 if mod == "?" else path_max_hops,
             src=None if _is_var(element[0]) else element[0],
             dst=None if _is_var(element[2]) else element[2],
         )
-        fields: tuple[str, ...] = ("subj", "obj")
-        terms: tuple[str, ...] = (element[0], element[2])
+        fields = ("subj", "obj")
+        terms = (element[0], element[2])
     else:
         rel = triples.select(*_FIELDS)
         fields, terms = _FIELDS, element
@@ -473,6 +729,7 @@ def match_pattern(
     filters: list = (),
     negation: list = (),
     values: tuple | None = None,
+    binds: list = (),
     path_max_hops: int | None = None,
 ) -> DataFrame:
     """Match a basic graph pattern; see the module docstring.
@@ -501,16 +758,34 @@ def match_pattern(
     :func:`_join_values` for the join shape and
     :func:`parse_values` for the CLI syntax.
 
-    A constant predicate ending in ``+`` or ``*`` is a **property
-    path** (``?a MENTIONED_WITH+ ?b``): the element matches pairs
-    connected by 1..n (``+``) or 0..n (``*``) hops of that predicate,
-    with SET semantics (one row per distinct pair — SPARQL paths never
-    multiply bindings).  The closure is computed by
-    :func:`path_closure` (semi-naive frontier iteration, seeded BFS
-    when an endpoint is constant), so a path element makes the query
-    eager up to the closure; ``path_max_hops`` bounds the path length
-    (and hence the rounds) for graphs whose full fixpoint is
-    unaffordable.
+    ``binds`` are SPARQL BIND assignments — ``"expr AS ?v"`` strings
+    in the :func:`parse_bind` grammar (or pre-parsed tuples) —
+    evaluated in order after the pattern/VALUES bindings and before
+    the FILTERs (which may reference BIND variables, as may later
+    binds).  The target variable must be new (SPARQL forbids
+    rebinding); a null operand (unmatched OPTIONAL) makes the binding
+    null — SPARQL's error-→-unbound.  Each bind is a pure projection:
+    no join, no shuffle.
+
+    A constant predicate ending in ``+``, ``*`` or ``?`` is a
+    **property path** (``?a MENTIONED_WITH+ ?b``): the element matches
+    pairs connected by 1..n (``+``), 0..n (``*``) or 0..1 (``?``) hops
+    of that predicate, with SET semantics (one row per distinct pair —
+    SPARQL closure paths never multiply bindings).  The closure is
+    computed by :func:`path_closure` (semi-naive frontier iteration,
+    seeded BFS when an endpoint is constant), so a path element makes
+    the query eager up to the closure; ``path_max_hops`` bounds the
+    path length (and hence the rounds) for graphs whose full fixpoint
+    is unaffordable (``?`` is always exactly one round).
+
+    A constant predicate with a top-level ``/`` is a **sequence path**
+    (``?repo DECLARES/MENTIONED_WITH ?x``): the element matches
+    endpoints connected through existential intermediates, one segment
+    per step, where each segment may itself be any single-step form
+    (``^P``, ``P+``, ``(P1|P2)``, a nested parenthesized sequence).
+    Sequences keep SPARQL's MULTISET semantics — the intermediate is
+    projected away without dedup, exactly the spec's fresh-variable
+    translation — see :func:`_sequence_relation`.
 
     ``negation`` is a list of FILTER NOT EXISTS groups, each itself a
     list of pattern elements: a binding survives only if the group
@@ -561,6 +836,19 @@ def match_pattern(
     if values is not None:
         bound, bound_vars, var_order = _join_values(
             bound, bound_vars, var_order, required_vars, values)
+    for b in binds:
+        if isinstance(b, str):
+            b = parse_bind(b)
+        var, expr = b
+        if var in bound_vars:
+            raise ValueError(
+                f"BIND target {var} is already bound — SPARQL forbids "
+                "rebinding a variable in scope")
+        # a pure projection: one new column per binding row, no
+        # shuffle; later binds may reference earlier bind variables
+        bound = bound.withColumn(var[1:], _bind_column(expr, bound_vars))
+        bound_vars.add(var)
+        var_order.append(var)
     for filt in filters:
         if isinstance(filt, str):
             filt = parse_filter(filt)
@@ -608,6 +896,8 @@ def construct(
     optional: list[tuple[str, str, str]] = (),
     filters: list = (),
     negation: list = (),
+    values: tuple | None = None,
+    binds: list = (),
     path_max_hops: int | None = None,
 ) -> DataFrame:
     """SPARQL CONSTRUCT: derive NEW triples from the bindings of a
@@ -637,6 +927,7 @@ def construct(
         raise ValueError("empty CONSTRUCT template")
     bound = match_pattern(triples, pattern, optional=optional,
                           filters=filters, negation=negation,
+                          values=values, binds=binds,
                           path_max_hops=path_max_hops)
     bound_vars = {"?" + c for c in bound.columns}
     outs = []
@@ -674,6 +965,7 @@ def describe(
     filters: list = (),
     negation: list = (),
     values: tuple | None = None,
+    binds: list = (),
     path_max_hops: int | None = None,
 ) -> DataFrame:
     """SPARQL DESCRIBE: the set of triples touching the described
@@ -704,7 +996,7 @@ def describe(
                 "binds them")
         bound = match_pattern(triples, pattern, optional=optional,
                               filters=filters, negation=negation,
-                              values=values,
+                              values=values, binds=binds,
                               path_max_hops=path_max_hops)
         for v in var_terms:
             if v[1:] not in bound.columns:
@@ -762,7 +1054,7 @@ def match_union(
         kwargs = dict(group) if isinstance(group, dict) else {
             "pattern": group}
         unknown = set(kwargs) - {"pattern", "optional", "filters",
-                                 "negation", "values"}
+                                 "negation", "values", "binds"}
         if unknown:
             raise ValueError(
                 f"UNION group {i} has unknown keys {sorted(unknown)}")
@@ -851,6 +1143,7 @@ def solutions(
     negation: list = (),
     union: list | None = None,
     values: tuple | None = None,
+    binds: list = (),
     path_max_hops: int | None = None,
     group_by: list[str] = (),
     aggregates: list = (),
@@ -919,17 +1212,19 @@ def solutions(
     ``limit`` it pages: rows [offset, offset+limit).
     """
     if union is not None:
-        if pattern or optional or negation or values is not None:
+        if pattern or optional or negation or binds or \
+                values is not None:
             raise ValueError(
                 "give the query as EITHER a single pattern (+optional/"
-                "negation/values) OR a union of groups, not both; "
-                "branch-local pattern kwargs go inside the group dicts")
+                "negation/values/binds) OR a union of groups, not "
+                "both; branch-local pattern kwargs go inside the "
+                "group dicts")
         bound = match_union(triples, union, filters=filters,
                             path_max_hops=path_max_hops)
     else:
         bound = match_pattern(triples, pattern, optional=optional,
                               filters=filters, negation=negation,
-                              values=values,
+                              values=values, binds=binds,
                               path_max_hops=path_max_hops)
     bound_vars = {"?" + c for c in bound.columns}
     aggs = [parse_aggregate(a) if isinstance(a, str) else a

@@ -4,9 +4,10 @@ SELECT / ASK / CONSTRUCT query string into the exact keyword arguments
 :func:`~ner_spark.plans.kg_query.construct`) consume, so the whole
 surface that module implements — BGPs, OPTIONAL, FILTER (comparisons,
 REGEX/STRSTARTS/STRENDS/CONTAINS), FILTER NOT EXISTS, property paths
-``P+``/``P*``, UNION, VALUES with UNDEF, GROUP BY + aggregates,
-SELECT projection, DISTINCT, ORDER BY, LIMIT — is reachable from one
-query string::
+``P+``/``P*``/``P?``, sequence paths ``P1/P2``, inverse ``^P``,
+alternation ``(P1|P2)``, UNION, VALUES with UNDEF, GROUP BY +
+aggregates, SELECT projection, DISTINCT, ORDER BY, LIMIT — is
+reachable from one query string::
 
     sparql(triples, '''
         SELECT ?repo (COUNT(DISTINCT ?e) AS ?n)
@@ -40,7 +41,10 @@ raises with the offending token rather than mis-parsing):
     Construct := 'CONSTRUCT' '{' Triple+ '}' 'WHERE' Group
     Describe  := 'DESCRIBE' Term+ ('WHERE'? Group)?
     Group     := '{' GroupBody '}'
-    GroupBody := Union | (Triple | Optional | Filter | Values)*
+    GroupBody := Union | (Triple | Optional | Filter | Values | Bind)*
+    Bind      := 'BIND' '(' (Term | Fn '(' Term (',' Term)* ')')
+                 'AS' Var ')'
+    Fn        := 'CONCAT' | 'UCASE' | 'LCASE' | 'STR' | 'STRLEN'
     Union     := Group ('UNION' Group)+
     Optional  := 'OPTIONAL' '{' Triple+ '}'
     Filter    := 'FILTER' ('NOT' 'EXISTS' '{' Triple+ '}'
@@ -51,7 +55,9 @@ raises with the offending token rather than mis-parsing):
     Values    := 'VALUES' (Var '{' Datum+ '}'
                  | '(' Var+ ')' '{' ('(' Datum+ ')')+ '}')
     Datum     := String | Word | 'UNDEF'
-    Triple    := Term Term Term '.'?
+    Triple    := Term Path Term '.'?
+    Path      := Seg ('/' Seg)*
+    Seg       := '^'? (Word | '(' Word ('|' Word)+ ')') [+*?]?
     Term      := Var | String | '<' IRI '>' | Word
 
 Deliberate restrictions, matching the engine's semantics:
@@ -83,8 +89,22 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<string>"(?:[^"\\]|\\.)*")   # quoted literal
       | (?P<iri><[^<>\s]*>)             # <iri>
-      | (?P<altpath>\^?\([^\s()|]+(?:\|[^\s()|]+)+\)[+*]?)
-                                        # (P1|P2)[+*] path alternation
+      | (?P<seqpath>                    # sequence path with >=1 '/'
+            (?:\^?\([^\s()|/]+(?:\|[^\s()|/]+)+\)[+*?]?
+              |[^\s{}().,"<>=!/]+)      #   segment: (P1|P2)[mod]|word
+            (?:/
+            (?:\^?\([^\s()|/]+(?:\|[^\s()|/]+)+\)[+*?]?
+              |[^\s{}().,"<>=!/]+))+)
+      | (?P<altpath>\^?\([^\s()|]+(?:\|[^\s()|]+)+\)[+*?]?)
+                                        # (P1|P2)[+*?] path alternation
+      | (?P<parenpath>\^?\((?=[^)]*[/|])[\w:|/^+*.-]+\)[+*?]?)
+                                        # other paren path forms — e.g.
+                                        # (P/Q)+ — kept whole so the
+                                        # path layer can reject them
+                                        # with its own clear error; the
+                                        # lookahead requires a path
+                                        # operator inside, so (*) and
+                                        # bare (CONST) stay punct+word
       | (?P<punct>[{}().,]|!=|<=|>=|=|<|>|\*)
       | (?P<word>[^\s{}().,"<>=!]+)     # vars, keywords, constants
     )""",
@@ -95,7 +115,7 @@ _KEYWORDS = {
     "SELECT", "DISTINCT", "WHERE", "OPTIONAL", "FILTER", "NOT",
     "EXISTS", "UNION", "VALUES", "UNDEF", "GROUP", "BY", "ORDER",
     "ASC", "DESC", "LIMIT", "OFFSET", "HAVING", "ASK", "CONSTRUCT",
-    "DESCRIBE", "AS",
+    "DESCRIBE", "AS", "BIND",
 }
 _AGG_FNS = {"COUNT", "MIN", "MAX", "GROUP_CONCAT"}
 _FILTER_FNS = {"REGEX": "regex", "STRSTARTS": "strstarts",
@@ -183,7 +203,8 @@ def _parse_triples(cur: _Cursor) -> list[tuple[str, str, str]]:
 
     out = []
     while not cur.at("}"):
-        if cur.peek_kw() in ("OPTIONAL", "FILTER", "VALUES", "UNION"):
+        if cur.peek_kw() in ("OPTIONAL", "FILTER", "VALUES", "UNION",
+                             "BIND"):
             break
         out.append((term(), term(), term()))
         if cur.at("."):
@@ -223,6 +244,44 @@ def _parse_filter_expr(cur: _Cursor) -> tuple:
     rhs = cur.next()
     rv = ("var", rhs) if rhs.startswith("?") else ("const", _unquote(rhs))
     return ("cmp", lhs, op, rv)
+
+
+def _parse_bind(cur: _Cursor) -> tuple[str, tuple]:
+    """``BIND ( expr AS ?v )`` body (BIND already consumed) → the
+    kg_query parsed-bind tuple.  Expressions are one function level
+    over ?vars / quoted literals, same as :func:`ner_spark.plans.
+    kg_query.parse_bind`."""
+    from ner_spark.plans.kg_query import _make_bind_expr
+
+    def term() -> tuple:
+        t = cur.next()
+        if t.startswith("?"):
+            return ("var", t)
+        if t.startswith('"'):
+            return ("const", _unquote(t))
+        raise ValueError(
+            f"BIND argument {t!r} must be a ?variable or a quoted "
+            "literal (nested function calls are not supported)")
+
+    cur.eat("(")
+    t = cur.peek()
+    if t is not None and (t.startswith("?") or t.startswith('"')):
+        expr = term()
+    else:
+        fn = cur.next()
+        cur.eat("(")
+        args = [term()]
+        while cur.at(","):
+            cur.next()
+            args.append(term())
+        cur.eat(")")
+        expr = _make_bind_expr(fn, args)
+    cur.eat("AS")
+    var = cur.next()
+    if not var.startswith("?"):
+        raise ValueError(f"BIND target must be a ?variable, got {var!r}")
+    cur.eat(")")
+    return var, expr
 
 
 def _parse_values(cur: _Cursor) -> tuple[list[str], list[tuple]]:
@@ -276,10 +335,13 @@ def _parse_group_body(cur: _Cursor) -> dict:
                 "group; wrap the query so the UNION is the whole group")
         return {"union": groups}
     kwargs: dict = {"pattern": [], "optional": [], "filters": [],
-                    "negation": []}
+                    "negation": [], "binds": []}
     while not cur.at("}"):
         kw = cur.peek_kw()
-        if kw == "OPTIONAL":
+        if kw == "BIND":
+            cur.next()
+            kwargs["binds"].append(_parse_bind(cur))
+        elif kw == "OPTIONAL":
             cur.next()
             cur.eat("{")
             kwargs["optional"].extend(_parse_triples(cur))

@@ -1142,3 +1142,207 @@ def test_solutions_having_offset_validation(spark):
     with pytest.raises(ValueError, match="OFFSET must be"):
         solutions(t, [("?r", "DECLARES", "?e")],
                   order_by=["?r ASC"], offset=-1)
+
+
+# ---------------------------------------------------------------- #
+# sequence paths (P1/P2) and zero-or-one (P?)                      #
+# ---------------------------------------------------------------- #
+
+def test_sequence_segments_parser():
+    from ner_spark.plans.kg_query import _sequence_segments
+
+    assert _sequence_segments("A/B") == ["A", "B"]
+    assert _sequence_segments("A/B/C") == ["A", "B", "C"]
+    # segments keep their own single-step forms
+    assert _sequence_segments("^A/B+") == ["^A", "B+"]
+    assert _sequence_segments("(A|B)/C?") == ["(A|B)", "C?"]
+    # full-width parens unwrap (the ^(P1/P2) rewrite path)
+    assert _sequence_segments("(A/B)") == ["A", "B"]
+    # nested parenthesized sequence stays one segment (recursion
+    # unpacks it at compile time)
+    assert _sequence_segments("A/(B/C)") == ["A", "(B/C)"]
+    # not sequences
+    assert _sequence_segments("A") is None
+    assert _sequence_segments("?p") is None
+    assert _sequence_segments("A|B") is None
+    with pytest.raises(ValueError, match="alternation of sequences"):
+        _sequence_segments("A|B/C")
+    with pytest.raises(ValueError, match="empty segment"):
+        _sequence_segments("A//B")
+    with pytest.raises(ValueError, match="variable segment"):
+        _sequence_segments("A/?p")
+    with pytest.raises(ValueError, match="unbalanced"):
+        _sequence_segments("A/(B/C")
+
+
+def test_path_pred_zero_or_one_and_seq_closure_guard():
+    from ner_spark.plans.kg_query import _path_pred
+
+    assert _path_pred("P+") == ("P", "+")
+    assert _path_pred("P*") == ("P", "*")
+    assert _path_pred("P?") == ("P", "?")
+    assert _path_pred("(A|B)?") == ("(A|B)", "?")
+    assert _path_pred("P") is None
+    with pytest.raises(ValueError, match="closure over a sequence"):
+        _path_pred("(A/B)+")
+
+
+def test_match_pattern_sequence_path_basic(spark):
+    t = _triples(
+        spark,
+        [("r", "D", "e1", 1), ("e1", "M", "x", 1), ("x", "L", "k", 1),
+         ("r2", "D", "e9", 1)],
+    )
+    out = match_pattern(t, [("?r", "D/M", "?x")])
+    assert sorted(tuple(r) for r in out.collect()) == [("r", "x")]
+    # 3-segment chain in one element
+    out = match_pattern(t, [("?r", "D/M/L", "?k")])
+    assert sorted(tuple(r) for r in out.collect()) == [("r", "k")]
+
+
+def test_match_pattern_sequence_multiset_semantics(spark):
+    # two distinct intermediates connecting the same endpoints → TWO
+    # rows (SPARQL's fresh-variable translation keeps the multiset;
+    # closure paths would dedup)
+    t = _triples(
+        spark,
+        [("r", "D", "e1", 1), ("r", "D", "e2", 1),
+         ("e1", "M", "x", 1), ("e2", "M", "x", 1)],
+    )
+    out = match_pattern(t, [("?r", "D/M", "?x")])
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("r", "x"), ("r", "x")]
+
+
+def test_match_pattern_sequence_composed_segments(spark):
+    t = _triples(
+        spark,
+        [("r", "D", "e1", 1), ("e1", "M", "e2", 1), ("e2", "M", "e3", 1),
+         ("k", "L", "e3", 1)],
+    )
+    # closure segment inside a sequence
+    out = match_pattern(t, [("?r", "D/M+", "?b")])
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("r", "e2"), ("r", "e3")]
+    # inverse segment inside a sequence (reach the L-subject from e2)
+    out = match_pattern(t, [("?a", "M/^L", "?w")])
+    assert sorted(tuple(r) for r in out.collect()) == [("e2", "k")]
+    # inverse over a whole parenthesized sequence: ^(D/M) = endpoints
+    # swapped (and the swap binds ?r first, like ^P does)
+    out = match_pattern(t, [("?x", "^(D/M)", "?r")])
+    assert [(r["x"], r["r"]) for r in out.collect()] == [("e2", "r")]
+    # nested parenthesized sequence
+    out = match_pattern(t, [("?r", "D/(M/M)", "?b")])
+    assert sorted(tuple(r) for r in out.collect()) == [("r", "e3")]
+
+
+def test_match_pattern_sequence_constant_endpoints(spark):
+    t = _triples(
+        spark,
+        [("r", "D", "e1", 1), ("e1", "M", "x", 1),
+         ("r2", "D", "e2", 1), ("e2", "M", "y", 1)],
+    )
+    out = match_pattern(t, [("r", "D/M", "?x")])
+    assert sorted(r["x"] for r in out.collect()) == ["x"]
+    out = match_pattern(t, [("?r", "D/M", "y")])
+    assert sorted(r["r"] for r in out.collect()) == ["r2"]
+    # same variable at both endpoints = equality constraint
+    t2 = _triples(spark, [("a", "P", "b", 1), ("b", "Q", "a", 1),
+                          ("a", "P", "c", 1)])
+    out = match_pattern(t2, [("?s", "P/Q", "?s")])
+    assert sorted(r["s"] for r in out.collect()) == ["a"]
+
+
+def test_match_pattern_sequence_in_optional_and_negation(spark):
+    t = _triples(
+        spark,
+        [("r", "D", "e1", 1), ("r2", "D", "e2", 1),
+         ("e1", "M", "x", 1), ("x", "L", "k", 1)],
+    )
+    # OPTIONAL sequence: r2's chain has no match → null, survives
+    out = match_pattern(
+        t, [("?r", "D", "?e")], optional=[("?e", "M/L", "?k")])
+    rows = {(r["r"], r["e"]): r["k"] for r in out.collect()}
+    assert rows == {("r", "e1"): "k", ("r2", "e2"): None}
+    # NOT EXISTS with a sequence group element
+    out = match_pattern(
+        t, [("?r", "D", "?e")], negation=[[("?e", "M/L", "?k")]])
+    assert sorted(r["r"] for r in out.collect()) == ["r2"]
+
+
+def test_match_pattern_zero_or_one(spark):
+    t = _triples(
+        spark,
+        [("a", "P", "b", 1), ("b", "P", "c", 1), ("x", "Q", "y", 1)],
+    )
+    out = match_pattern(t, [("?s", "P?", "?o")])
+    got = sorted(tuple(r) for r in out.collect())
+    # one hop: (a,b),(b,c); zero-length: every graph node with itself
+    assert got == [
+        ("a", "a"), ("a", "b"), ("b", "b"), ("b", "c"),
+        ("c", "c"), ("x", "x"), ("y", "y"),
+    ]
+    # P? never reaches two hops even with a generous path_max_hops
+    out = match_pattern(t, [("a", "P?", "?o")], path_max_hops=5)
+    assert sorted(r["o"] for r in out.collect()) == ["a", "b"]
+
+
+# ---------------------------------------------------------------- #
+# BIND (expression assignment)                                      #
+# ---------------------------------------------------------------- #
+
+def test_parse_bind_grammar():
+    from ner_spark.plans.kg_query import parse_bind
+
+    assert parse_bind('?x AS ?y') == ("?y", ("var", "?x"))
+    assert parse_bind('"lit" AS ?y') == ("?y", ("const", "lit"))
+    assert parse_bind('CONCAT(?a, "-", ?b) AS ?v') == (
+        "?v", ("concat", [("var", "?a"), ("const", "-"),
+                          ("var", "?b")]))
+    assert parse_bind('ucase(?a) AS ?u') == ("?u", ("ucase",
+                                                    ("var", "?a")))
+    assert parse_bind('STRLEN(?a) AS ?n') == ("?n", ("strlen",
+                                                     ("var", "?a")))
+    # literals keep commas and escapes
+    assert parse_bind('CONCAT(?a, "x,\\"y") AS ?v') == (
+        "?v", ("concat", [("var", "?a"), ("const", 'x,"y')]))
+    with pytest.raises(ValueError, match="unknown BIND function"):
+        parse_bind("REPLACE(?a) AS ?v")
+    with pytest.raises(ValueError, match="at least two"):
+        parse_bind("CONCAT(?a) AS ?v")
+    with pytest.raises(ValueError, match="exactly one"):
+        parse_bind("UCASE(?a, ?b) AS ?v")
+    with pytest.raises(ValueError, match="nested function"):
+        parse_bind("CONCAT(UCASE(?a), ?b) AS ?v")
+    with pytest.raises(ValueError, match="unparseable BIND"):
+        parse_bind("?x ?y")
+
+
+def test_match_pattern_bind_semantics(spark):
+    t = _triples(
+        spark,
+        [("r", "D", "e1", 1), ("r2", "D", "e2", 1),
+         ("e1", "L", "k", 1)],
+    )
+    # chained binds + a filter over a bind variable
+    out = match_pattern(
+        t, [("?r", "D", "?e")],
+        binds=['UCASE(?e) AS ?u', 'CONCAT(?u, "@", ?r) AS ?tag',
+               'STRLEN(?e) AS ?n'],
+        filters=['strends(?tag, "r")'],
+    )
+    rows = [(r["r"], r["e"], r["u"], r["tag"], r["n"])
+            for r in out.collect()]
+    assert rows == [("r", "e1", "E1", "E1@r", "2")]
+    # a null operand (unmatched OPTIONAL) → null binding, row kept
+    out = match_pattern(
+        t, [("?r", "D", "?e")], optional=[("?e", "L", "?k")],
+        binds=['CONCAT(?e, "/", ?k) AS ?pair'],
+    )
+    rows = {r["r"]: r["pair"] for r in out.collect()}
+    assert rows == {"r": "e1/k", "r2": None}
+    # rebinding and unbound references raise
+    with pytest.raises(ValueError, match="already bound"):
+        match_pattern(t, [("?r", "D", "?e")], binds=["?e AS ?r"])
+    with pytest.raises(ValueError, match="unbound variable"):
+        match_pattern(t, [("?r", "D", "?e")], binds=["?zz AS ?v"])

@@ -375,3 +375,46 @@ def test_sparql_alternation_closure_from_text(spark):
     assert sorted(r["x"] for r in out.collect()) == ["b", "c", "d"]
     out = sparql(t, "SELECT ?x WHERE { d ^(P|Q)+ ?x }")
     assert sorted(r["x"] for r in out.collect()) == ["a", "b", "c"]
+
+
+def test_tokenize_sequence_paths():
+    # plain sequences are single word tokens already; the seqpath
+    # class covers paren-alternation segments and keeps modifiers
+    assert tokenize("?a D/M ?b") == ["?a", "D/M", "?b"]
+    assert tokenize("?a ^D/M+ ?b") == ["?a", "^D/M+", "?b"]
+    assert tokenize("?a D/(M|L)/X? ?b") == ["?a", "D/(M|L)/X?", "?b"]
+    assert tokenize("?a (M|L)?/D ?b") == ["?a", "(M|L)?/D", "?b"]
+    # zero-or-one on a plain pred and on an alternation
+    assert tokenize("?a P? ?b") == ["?a", "P?", "?b"]
+    assert tokenize("?a (P|Q)? ?b") == ["?a", "(P|Q)?", "?b"]
+
+
+def test_sparql_sequence_path_from_text(spark):
+    out = sparql(_graph(spark),
+                 "SELECT ?r ?kb WHERE { ?r DECLARES/LINKED_TO ?kb }")
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("repo:a", "kb:Q1"), ("repo:b", "kb:Q2")]
+    # paren-alternation segment + trailing plain segment
+    out = sparql(
+        _graph(spark),
+        "SELECT ?r ?kb WHERE { "
+        "?r DECLARES/(MENTIONED_WITH|LINKED_TO) ?kb }")
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("repo:a", "e2"), ("repo:a", "kb:Q1"), ("repo:b", "kb:Q2")]
+
+
+def test_sparql_zero_or_one_from_text(spark):
+    out = sparql(
+        _graph(spark),
+        'SELECT ?x WHERE { e1 MENTIONED_WITH? ?x }')
+    assert sorted(r["x"] for r in out.collect()) == ["e1", "e2"]
+
+
+def test_sparql_sequence_error_surface(spark):
+    t = _graph(spark)
+    with pytest.raises(ValueError, match="alternation of sequences"):
+        sparql(t, "SELECT * WHERE { ?a P|Q/R ?b }")
+    with pytest.raises(ValueError, match="closure over a sequence"):
+        sparql(t, "SELECT * WHERE { ?a (P/Q)+ ?b }")
+    with pytest.raises(ValueError, match="empty segment"):
+        sparql(t, "SELECT * WHERE { ?a P//Q ?b }")
