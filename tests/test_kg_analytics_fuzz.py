@@ -370,6 +370,52 @@ def test_graph_ops_match_oracles_on_random_graphs(spark, rows):
                 entrymod._kg_pattern_oracle(ppat, kg_sql=kg_sql),
                 name=f"kg_pathforms:{pname}",
             )
+        # sequence paths + zero-or-one on random graphs: multiset
+        # chain semantics, composed segments (alternation, closure,
+        # inverse), and the P? bounded closure
+        for sname, spat in (
+            ("s_plain", [("?a", "DECLARES/MENTIONED_WITH", "?c")]),
+            ("s_alt_seg",
+             [("?a", "DECLARES/(MENTIONED_WITH|LINKED_TO)", "?c")]),
+            ("s_closure_seg", [("?a", "DECLARES/MENTIONED_WITH+",
+                                "?c")]),
+            ("s_inverse", [("?a", "MENTIONED_WITH/^DECLARES", "?r")]),
+            ("s_zoo", [("?a", "MENTIONED_WITH?", "?b")]),
+            ("s_zoo_chain", [("?r", "DECLARES", "?a"),
+                             ("?a", "LINKED_TO?", "?k")]),
+        ):
+            assert_df_matches_duckdb(
+                match_pattern(tri, spat), con,
+                entrymod._kg_pattern_oracle(spat, kg_sql=kg_sql),
+                name=f"kg_seq:{sname}",
+            )
+        # BIND on random graphs: a chained bind (the second reads the
+        # first) and a bind over a nullable OPTIONAL variable (null
+        # propagates through || / concat in both engines)
+        bnd = ['CONCAT(?a, "->", ?b) AS ?edge',
+               'STRLEN(?edge) AS ?n']
+        assert_df_matches_duckdb(
+            match_pattern(tri, [("?a", "MENTIONED_WITH", "?b")],
+                          binds=bnd),
+            con,
+            entrymod._kg_pattern_oracle(
+                [("?a", "MENTIONED_WITH", "?b")], binds=bnd,
+                kg_sql=kg_sql),
+            name="kg_bind:b_chain",
+        )
+        bopt = ['CONCAT(?b, "/", ?k) AS ?pair']
+        assert_df_matches_duckdb(
+            match_pattern(tri, [("?a", "MENTIONED_WITH", "?b")],
+                          optional=[("?b", "LINKED_TO", "?k")],
+                          binds=bopt)
+            .fillna({"k": "", "pair": ""}),
+            con,
+            entrymod._kg_pattern_oracle(
+                [("?a", "MENTIONED_WITH", "?b")],
+                optional=[("?b", "LINKED_TO", "?k")], binds=bopt,
+                fill_null=("?k", "?pair"), kg_sql=kg_sql),
+            name="kg_bind:b_null",
+        )
         # DESCRIBE on random graphs: constant nodes, pattern-bound
         # nodes, and the mixed form — all against the generated twin
         from ner_spark.plans.kg_query import describe
