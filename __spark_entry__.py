@@ -514,6 +514,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return match_pattern(kg_triples_gold(spark), _PATTERN_NEG,
                              negation=_PATTERN_NEG_GROUPS)
 
+    def q_kg_pattern_exists(spark, sf):
+        # SPARQL FILTER EXISTS: co-mention bindings whose partner HAS
+        # a KB link — the positive twin of negation, compiled to a
+        # left-semi join on the shared variable (the oracle's
+        # correlated EXISTS).  Together with kg_pattern_minus this
+        # partitions the base binding set: |exists| + |minus| = |base|
+        from ner_spark.plans.kg_gold import kg_triples_gold
+        from ner_spark.plans.kg_query import match_pattern
+
+        return match_pattern(kg_triples_gold(spark), _PATTERN_EM_BASE,
+                             existence=_PATTERN_EM_GROUPS)
+
+    def q_kg_pattern_minus(spark, sf):
+        # SPARQL MINUS: the same base minus bindings compatible with a
+        # KB-linked partner — set-difference semantics (the group is
+        # an INDEPENDENT pattern; a disjoint-domain group would remove
+        # nothing, unlike NOT EXISTS), compiled to a distinct-build
+        # hash anti-join on the shared required variable
+        from ner_spark.plans.kg_gold import kg_triples_gold
+        from ner_spark.plans.kg_query import match_pattern
+
+        return match_pattern(kg_triples_gold(spark), _PATTERN_EM_BASE,
+                             minus=_PATTERN_EM_GROUPS)
+
     def q_kg_pattern_agg(spark, sf):
         # SPARQL solution modifiers: GROUP BY + aggregates over the
         # 3-hop BGP, ordered and limited — (n_bindings DESC, repo ASC)
@@ -606,6 +630,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # HAVING over a COUNT alias + ORDER/LIMIT/OFFSET paging (page
         # 2 of the deterministic (n DESC, repo) order)
         return _sparql_gold(spark, _SPARQL_HAVING)
+
+    def q_kg_sparql_minus(spark, sf):
+        # MINUS + FILTER EXISTS entered as text: both negation forms
+        # in one group, parsed once and shared with the oracle
+        return _sparql_gold(spark, _SPARQL_MINUS)
+
+    def q_kg_sparql_negset(spark, sf):
+        # negated property set !(P1|P2) entered as text: one pruned
+        # NOT IN edge scan, aggregated per subject
+        return _sparql_gold(spark, _SPARQL_NEGSET)
 
     def q_dataset_split(spark, sf):
         return curate.dataset_split(_docs(spark, sf))
@@ -703,6 +737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pattern_seq": q_kg_pattern_seq,
         "kg_pattern_zero_or_one": q_kg_pattern_zero_or_one,
         "kg_pattern_negation": q_kg_pattern_negation,
+        "kg_pattern_exists": q_kg_pattern_exists,
+        "kg_pattern_minus": q_kg_pattern_minus,
         "kg_pattern_agg": q_kg_pattern_agg,
         "kg_pattern_union": q_kg_pattern_union,
         "kg_pattern_values": q_kg_pattern_values,
@@ -713,6 +749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_seq": q_kg_sparql_seq,
         "kg_sparql_bind": q_kg_sparql_bind,
         "kg_sparql_having": q_kg_sparql_having,
+        "kg_sparql_minus": q_kg_sparql_minus,
+        "kg_sparql_negset": q_kg_sparql_negset,
         "kg_sparql_describe": q_kg_sparql_describe,
         "sota_gliner": q_sota_gliner,
         "dataset_split": q_dataset_split,
@@ -772,6 +810,16 @@ _PATTERN_ZOO = [
 # link (FILTER NOT EXISTS correlated on ?e)
 _PATTERN_NEG = [("?repo", "DECLARES", "?e")]
 _PATTERN_NEG_GROUPS = [[("?e", "LINKED_TO", "?kb")]]
+
+# the kg_pattern_exists / kg_pattern_minus contract base + group: the
+# two keys partition the co-mention bindings by whether the partner
+# has a KB link (FILTER EXISTS keeps, MINUS removes — the group
+# shares the required ?x, so MINUS takes the hash anti-join path)
+_PATTERN_EM_BASE = [
+    ("?repo", "DECLARES", "?e"),
+    ("?e", "MENTIONED_WITH", "?x"),
+]
+_PATTERN_EM_GROUPS = [[("?x", "LINKED_TO", "?kb")]]
 
 # the kg_pattern_union contract groups: an entity's KB-grounded
 # relationships via its declaring repo (branch 1, never binds ?x) OR
@@ -842,6 +890,24 @@ SELECT ?repo ?tag ?len WHERE {
 _SPARQL_CONSTRUCT = """
 CONSTRUCT { ?r MENTIONS_KB ?kb . ?kb BACKED_BY ?r }
 WHERE { ?r DECLARES ?e . ?e LINKED_TO ?kb }
+"""
+# MINUS (independent-group set difference) + FILTER EXISTS (positive
+# correlated semi-join) in one group, entered as text: declared
+# entities with a co-mention partner (EXISTS) that are NOT themselves
+# KB-linked (MINUS) — the two forms compose conjunctively
+_SPARQL_MINUS = """
+SELECT ?repo ?e WHERE {
+  ?repo DECLARES ?e
+  FILTER EXISTS { ?e MENTIONED_WITH ?x }
+  MINUS { ?e LINKED_TO ?kb }
+}
+"""
+# negated property set !(P1|P2): every edge that is neither a
+# DECLARES nor an INSTANCE_OF, counted per subject — one pruned
+# NOT IN edge scan, map-side-combinable aggregate
+_SPARQL_NEGSET = """
+SELECT ?s (COUNT(*) AS ?n) WHERE { ?s !(DECLARES|INSTANCE_OF) ?o }
+GROUP BY ?s ORDER BY DESC(?n) ?s LIMIT 8
 """
 
 # the kg_pattern_agg contract modifiers: one aggregate of each
@@ -1647,13 +1713,19 @@ def _kg_element_sql(alias: str, element, first: dict, ctes: list,
     variables correlate instead.  Path elements append their recursive
     CTEs and bind (subj, obj) of the closure relation; sequence-path
     elements append a chain CTE (:func:`_kg_seq_cte`) the same way."""
-    from ner_spark.plans.kg_query import _path_pred, _sequence_segments
+    from ner_spark.plans.kg_query import _negated_set, _path_pred, \
+        _sequence_segments
 
     if element[1].startswith("^"):
         # inverse path: swap endpoints, same as the Spark compile
         element = (element[2], element[1][1:], element[0])
     segs = _sequence_segments(element[1])
-    path = None if segs is not None else _path_pred(element[1])
+    # same parse order as _element_relation: sequence, negated set,
+    # closure — so !A/B is a sequence and !P+ raises the engine's own
+    # closure error before any SQL is built
+    negset = None if segs is not None else _negated_set(element[1])
+    path = None if segs is not None or negset is not None \
+        else _path_pred(element[1])
     if segs is not None:
         cte, rel = _kg_seq_cte(len(ctes), segs, ctes, path_max_hops)
         ctes.append(cte)
@@ -1677,6 +1749,9 @@ def _kg_element_sql(alias: str, element, first: dict, ctes: list,
                 conds.append(f"{ref} = {first[term]}")
             else:
                 first[term] = ref
+        elif field == "pred" and negset is not None:
+            alts = ", ".join(_sql_str(a) for a in negset)
+            conds.append(f"{ref} NOT IN ({alts})")
         elif field == "pred" and "|" in term:
             from ner_spark.plans.kg_query import _pred_alternatives
 
@@ -1689,24 +1764,58 @@ def _kg_element_sql(alias: str, element, first: dict, ctes: list,
 
 
 def _kg_negation_sql(gidx: int, group, outer: dict, ctes: list,
-                     path_max_hops) -> str:
-    """NOT EXISTS twin of match_pattern's negation anti-join: group
-    elements comma-join inside the subquery, variables bound in the
-    outer pattern correlate to their first binding site (a null
-    correlation fails the equality, keeping the row — the anti-join's
-    null-never-matches), group-local variables are existential."""
+                     path_max_hops, negated: bool = True) -> str:
+    """(NOT) EXISTS twin of match_pattern's negation anti-join /
+    existence semi-join: group elements comma-join inside the
+    subquery, variables bound in the outer pattern correlate to their
+    first binding site (a null correlation fails the equality — which
+    KEEPS the row under NOT EXISTS and DROPS it under EXISTS, the
+    anti/semi join null rules), group-local variables are
+    existential."""
     gfirst: dict[str, str] = {}
     froms: list[str] = []
     conds: list[str] = []
     for j, element in enumerate(group):
-        alias = f"n{gidx}_{j}"
+        alias = f"{'n' if negated else 'x'}{gidx}_{j}"
         rel, ec = _kg_element_sql(alias, element, gfirst, ctes,
                                   path_max_hops, outer=outer)
         froms.append(f"{rel} {alias}")
         conds.extend(ec)
     where = " AND ".join(conds) if conds else "TRUE"
+    return (f"{'NOT ' if negated else ''}EXISTS "
+            f"(SELECT 1 FROM {', '.join(froms)} WHERE {where})")
+
+
+def _kg_minus_sql(gidx: int, group, outer: dict, ctes: list,
+                  path_max_hops) -> str | None:
+    """SQL twin of match_pattern's MINUS set-difference: the group
+    compiles UNCORRELATED (its elements chain among themselves via
+    ``gfirst``), then the NOT EXISTS applies SPARQL compatibility —
+    null-or-equal per shared variable plus an any-non-null
+    domain-overlap guard — against the outer binding sites.  Returns
+    None when the group shares no variable with the outer pattern
+    (disjoint domains: MINUS removes nothing), mirroring the
+    operator's ``continue``."""
+    gfirst: dict[str, str] = {}
+    froms: list[str] = []
+    conds: list[str] = []
+    for j, element in enumerate(group):
+        alias = f"mi{gidx}_{j}"
+        rel, ec = _kg_element_sql(alias, element, gfirst, ctes,
+                                  path_max_hops)
+        froms.append(f"{rel} {alias}")
+        conds.extend(ec)
+    shared = sorted(v for v in gfirst if v in outer)
+    if not shared:
+        return None
+    for v in shared:
+        conds.append(
+            f"({outer[v]} IS NULL OR {outer[v]} = {gfirst[v]})")
+    conds.append(
+        "(" + " OR ".join(f"{outer[v]} IS NOT NULL" for v in shared)
+        + ")")
     return (f"NOT EXISTS (SELECT 1 FROM {', '.join(froms)} "
-            f"WHERE {where})")
+            f"WHERE {' AND '.join(conds)})")
 
 
 def _kg_values_sql(values, first: dict, required: set) -> tuple:
@@ -1745,7 +1854,8 @@ def _kg_values_sql(values, first: dict, required: set) -> tuple:
 
 
 def _kg_pattern_oracle(pattern, optional=(), fill_null=(), filters=(),
-                       negation=(), values=None, binds=(),
+                       negation=(), existence=(), minus=(),
+                       values=None, binds=(),
                        path_max_hops=None,
                        kg_sql: str | None = None) -> str:
     """SQL twin of plans.kg_query.match_pattern: every pattern element
@@ -1819,6 +1929,19 @@ def _kg_pattern_oracle(pattern, optional=(), fill_null=(), filters=(),
             group = parse_pattern(group)
         conds.append(_kg_negation_sql(g, group, refs, ctes,
                                       path_max_hops))
+    for g, group in enumerate(existence):
+        if isinstance(group, str):
+            from ner_spark.plans.kg_query import parse_pattern
+            group = parse_pattern(group)
+        conds.append(_kg_negation_sql(g, group, refs, ctes,
+                                      path_max_hops, negated=False))
+    for g, group in enumerate(minus):
+        if isinstance(group, str):
+            from ner_spark.plans.kg_query import parse_pattern
+            group = parse_pattern(group)
+        c = _kg_minus_sql(g, group, refs, ctes, path_max_hops)
+        if c is not None:
+            conds.append(c)
     where = " AND ".join(conds) if conds else "TRUE"
     rec = "RECURSIVE " if ctes else ""
     cte_sql = "".join(c + ",\n" for c in ctes)
@@ -1884,6 +2007,8 @@ def _kg_union_oracle(groups, filters=(), fill_null=(),
             g["pattern"], optional=g.get("optional", ()),
             filters=g.get("filters", ()),
             negation=g.get("negation", ()),
+            existence=g.get("existence", ()),
+            minus=g.get("minus", ()),
             values=g.get("values"),
             binds=g.get("binds", ()),
             path_max_hops=path_max_hops, kg_sql=kg_sql)
@@ -1901,7 +2026,8 @@ def _kg_union_oracle(groups, filters=(), fill_null=(),
 
 
 def _kg_construct_oracle(pattern, template, optional=(), filters=(),
-                         negation=(), values=None, binds=(),
+                         negation=(), existence=(), minus=(),
+                         values=None, binds=(),
                          kg_sql: str | None = None) -> str:
     """SQL twin of plans.kg_query.construct: the BGP oracle as a CTE,
     one SELECT per template element (variables → the binding columns,
@@ -1910,6 +2036,7 @@ def _kg_construct_oracle(pattern, template, optional=(), filters=(),
     the collapsed multiplicity counted as evidence_count."""
     inner = _kg_pattern_oracle(pattern, optional=optional,
                                filters=filters, negation=negation,
+                               existence=existence, minus=minus,
                                values=values, binds=binds,
                                kg_sql=kg_sql)
     arms = []
@@ -1929,7 +2056,8 @@ GROUP BY 1, 2, 3
 
 
 def _kg_solutions_oracle(pattern=(), optional=(), filters=(),
-                         negation=(), union=None, values=None,
+                         negation=(), existence=(), minus=(),
+                         union=None, values=None,
                          binds=(), fill_null=(), path_max_hops=None,
                          group_by=(), aggregates=(), having=(),
                          select=None, distinct=False, order_by=(),
@@ -1951,6 +2079,7 @@ def _kg_solutions_oracle(pattern=(), optional=(), filters=(),
     else:
         inner = _kg_pattern_oracle(pattern, optional=optional,
                                    filters=filters, negation=negation,
+                                   existence=existence, minus=minus,
                                    values=values, binds=binds,
                                    fill_null=fill_null,
                                    path_max_hops=path_max_hops,
@@ -2014,7 +2143,8 @@ def _kg_solutions_oracle(pattern=(), optional=(), filters=(),
 
 
 def _kg_describe_oracle(terms, pattern=(), optional=(), filters=(),
-                        negation=(), values=None, binds=(),
+                        negation=(), existence=(), minus=(),
+                        values=None, binds=(),
                         path_max_hops=None,
                         kg_sql: str | None = None) -> str:
     """SQL twin of plans.kg_query.describe: the described node set
@@ -2030,6 +2160,7 @@ def _kg_describe_oracle(terms, pattern=(), optional=(), filters=(),
     if var_terms:
         inner = _kg_pattern_oracle(pattern, optional=optional,
                                    filters=filters, negation=negation,
+                                   existence=existence, minus=minus,
                                    values=values, binds=binds,
                                    path_max_hops=path_max_hops,
                                    kg_sql=kg_sql)
@@ -2493,6 +2624,10 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "kg_pattern_zero_or_one": _kg_pattern_oracle(_PATTERN_ZOO),
         "kg_pattern_negation": _kg_pattern_oracle(
             _PATTERN_NEG, negation=_PATTERN_NEG_GROUPS),
+        "kg_pattern_exists": _kg_pattern_oracle(
+            _PATTERN_EM_BASE, existence=_PATTERN_EM_GROUPS),
+        "kg_pattern_minus": _kg_pattern_oracle(
+            _PATTERN_EM_BASE, minus=_PATTERN_EM_GROUPS),
         "kg_pattern_agg": _kg_solutions_oracle(
             _PATTERN, group_by=["?repo"], aggregates=_PATTERN_AGGS,
             order_by=["n_bindings DESC", "repo ASC"], limit=5),
@@ -2509,6 +2644,8 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "kg_sparql_seq": _kg_sparql_oracle(_SPARQL_SEQ),
         "kg_sparql_bind": _kg_sparql_oracle(_SPARQL_BIND),
         "kg_sparql_having": _kg_sparql_oracle(_SPARQL_HAVING),
+        "kg_sparql_minus": _kg_sparql_oracle(_SPARQL_MINUS),
+        "kg_sparql_negset": _kg_sparql_oracle(_SPARQL_NEGSET),
         "kg_sparql_describe": _kg_sparql_oracle(_SPARQL_DESCRIBE),
         "mentions_hybrid": _mentions_oracle("hybrid"),
         "mentions_crf": _mentions_oracle("crf_only"),

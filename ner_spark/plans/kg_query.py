@@ -309,7 +309,7 @@ def _bind_column(expr: tuple, bound: set[str]) -> Column:
     raise ValueError(f"unknown BIND expression kind {kind!r}")
 
 
-_ALT_ARM_BAD = set("?^|+*()/ \t")
+_ALT_ARM_BAD = set("?^|+*()/! \t")
 
 
 def _pred_alternatives(pred: str) -> list[str]:
@@ -331,6 +331,51 @@ def _pred_alternatives(pred: str) -> list[str]:
             "with (P1|P2)+ — per-arm closure/inversion like P+|Q is "
             "not supported)")
     return parts
+
+
+def _negated_set(pred: str) -> list[str] | None:
+    """A constant predicate starting with ``!`` is a SPARQL negated
+    property set — ``!P`` / ``!(P1|P2)`` matches any edge whose
+    predicate is NOT one of the named predicates (one pruned edge
+    scan with ``pred NOT IN (...)``).  Returns the excluded predicate
+    names, or None when the term is not a negated set.
+
+    Restrictions, each raising loudly instead of mis-matching:
+    inverse arms (``!^P`` / ``!(P|^Q)``) would partition the set into
+    a forward and a reverse match (unimplemented); closure over a
+    negated set (``!P+``) is path union over an open predicate
+    alphabet; and an unparenthesized ``!P1|P2`` is SPARQL's
+    ``(!P1)|P2`` (path union), so it must be written ``!(P1|P2)``.
+    The INVERSE of a whole negated set needs no special case:
+    ``^!P`` rewrites to ``!P`` with swapped endpoints upstream."""
+    if _is_var(pred) or not pred.startswith("!"):
+        return None
+    body = pred[1:]
+    if not body:
+        raise ValueError("bare negation marker '!' is not a predicate")
+    if "^" in body:
+        raise ValueError(
+            f"unsupported negated property set {pred!r}: inverse arms "
+            "(!^P) split the set into forward and reverse matches, "
+            "which this engine does not implement — negate forward "
+            "predicates only (invert the whole set with ^!P instead)")
+    if body[-1] in "+*?":
+        raise ValueError(
+            f"unsupported path {pred!r}: closure over a negated "
+            "property set is not implemented (the frontier would be "
+            "every predicate but the named ones — name the closed "
+            "predicates positively with (P1|P2)+ instead)")
+    if "/" in body:
+        raise ValueError(
+            f"unsupported path {pred!r}: '!' negates a property SET, "
+            "not a sequence — negate per segment (!P1/!P2) if that "
+            "is what the query means")
+    if "|" in body and not (body.startswith("(") and body.endswith(")")):
+        raise ValueError(
+            f"ambiguous path {pred!r}: SPARQL reads !P1|P2 as "
+            "(!P1)|P2 (path union, not supported); write !(P1|P2) "
+            "to negate the whole set")
+    return _pred_alternatives(body)
 
 
 def _path_pred(term: str) -> tuple[str, str] | None:
@@ -608,7 +653,12 @@ def _element_relation(
             raise ValueError(f"bare inverse marker in {element!r}")
         element = (element[2], element[1][1:], element[0])
     segs = _sequence_segments(element[1])
-    path = None if segs is not None else _path_pred(element[1])
+    # negated sets parse after sequences (so !A/B is a sequence whose
+    # first segment is the set) and before closures (so !P+ raises the
+    # negated-set closure error, not a silent literal-"!P" closure)
+    negset = None if segs is not None else _negated_set(element[1])
+    path = None if segs is not None or negset is not None \
+        else _path_pred(element[1])
     if segs is not None:
         rel = _sequence_relation(triples, element, segs, path_max_hops)
         fields: tuple[str, ...] = ("subj", "obj")
@@ -634,8 +684,12 @@ def _element_relation(
             else:
                 cols[term] = field
         elif field == "pred":
-            # constant predicate, possibly an alternation P1|P2
-            rel = rel.where(F.col(field).isin(_pred_alternatives(term)))
+            # constant predicate: a negated set !P / !(P1|P2) becomes
+            # NOT IN, an alternation P1|P2 becomes IN — both one
+            # pruned edge scan, both pushed to the triple source
+            rel = rel.where(
+                ~F.col(field).isin(negset) if negset is not None
+                else F.col(field).isin(_pred_alternatives(term)))
         else:
             rel = rel.where(F.col(field) == F.lit(term))
     rel = rel.select(*[F.col(f).alias(v[1:]) for v, f in cols.items()])
@@ -728,6 +782,8 @@ def match_pattern(
     optional: list[tuple[str, str, str]] = (),
     filters: list = (),
     negation: list = (),
+    existence: list = (),
+    minus: list = (),
     values: tuple | None = None,
     binds: list = (),
     path_max_hops: int | None = None,
@@ -800,6 +856,35 @@ def match_pattern(
     (shared or earlier-in-group) — the same cartesian guard as the
     main pattern.
 
+    ``existence`` is the positive twin — FILTER EXISTS groups with
+    the same shape and guards as ``negation``: a binding survives only
+    if the group matches SOMETHING for its shared-variable values,
+    compiled to a left-semi join.  A null shared variable (unmatched
+    OPTIONAL) never matches, so the binding is DROPPED — the exact
+    complement of the NOT EXISTS null rule, and SQL semi-join
+    semantics in both engines.
+
+    ``minus`` is SPARQL MINUS — groups with *set-difference*
+    semantics, which differ from FILTER NOT EXISTS in two observable
+    ways.  (1) The group is an INDEPENDENT pattern (its elements chain
+    among themselves, uncorrelated with the outer bindings); a group
+    sharing NO variable with the pattern removes nothing (SPARQL's
+    disjoint-domain rule — the same group under NOT EXISTS would drop
+    every binding when the group matches anywhere, which is why
+    ``negation`` raises there instead).  (2) Removal is by binding
+    COMPATIBILITY: a binding is removed iff some group solution agrees
+    with it on every shared variable the binding actually binds, and
+    they overlap on at least one.  When every shared variable is
+    required (bound by a non-OPTIONAL element) this is a plain
+    distinct-build hash anti-join; when a shared variable is nullable
+    (OPTIONAL / VALUES / BIND-over-OPTIONAL) the compatibility
+    condition is non-equi (``null-or-equal`` per variable plus an
+    any-non-null domain-overlap guard), which Spark executes as a
+    nested-loop anti-join against the distinct-projected group
+    solutions — fine for the small solution sets MINUS groups
+    produce in practice, and the required-variable fast path is taken
+    whenever the query allows it.
+
     Returns a DataFrame with one column per distinct ``?variable`` (in
     first-appearance order, ``?`` stripped).
     """
@@ -853,37 +938,79 @@ def match_pattern(
         if isinstance(filt, str):
             filt = parse_filter(filt)
         bound = bound.where(_filter_column(filt, bound_vars))
-    for g, group in enumerate(negation):
+    for kind, groups in (("negation", negation), ("existence", existence)):
+        for g, group in enumerate(groups):
+            if isinstance(group, str):
+                group = parse_pattern(group)
+            group_vars = {t for el in group for t in el if _is_var(t)}
+            shared = bound_vars & group_vars
+            if not shared:
+                raise ValueError(
+                    f"{kind} group {g} {group} shares no variable with "
+                    "the pattern — it would be a whole-graph ASK, not a "
+                    f"per-binding {'NOT ' if kind == 'negation' else ''}"
+                    "EXISTS filter"
+                )
+            seed_cols = [v[1:] for v in sorted(shared)]
+            # correlated semi-match: seed with the bindings' shared-var
+            # values (distinct — the anti/semi join only needs the key
+            # set), chain the group elements on variables already in
+            # scope
+            matched = bound.select(*seed_cols).distinct()
+            seen = set(shared)
+            for j, element in enumerate(group):
+                t, cols = _element_relation(triples, element,
+                                            path_max_hops)
+                s = seen & set(cols)
+                if not s:
+                    raise ValueError(
+                        f"{kind} group {g} element {j} {element} shares "
+                        "no variable with the group's scope so far — "
+                        "reorder the group or bind a shared variable"
+                    )
+                matched = matched.join(t, [v[1:] for v in sorted(s)])
+                seen |= set(cols)
+            bound = bound.join(
+                matched.select(*seed_cols).distinct(), seed_cols,
+                "left_anti" if kind == "negation" else "left_semi",
+            )
+    for g, group in enumerate(minus):
         if isinstance(group, str):
             group = parse_pattern(group)
-        group_vars = {t for el in group for t in el if _is_var(t)}
-        shared = bound_vars & group_vars
+        # the MINUS group is an independent pattern — its own chain
+        # guard, its own scans; SPARQL evaluates it without the outer
+        # bindings in scope
+        msol = match_pattern(triples, group, path_max_hops=path_max_hops)
+        shared = sorted(
+            v[1:] for v in bound_vars & {"?" + c for c in msol.columns})
         if not shared:
+            continue  # disjoint domains: MINUS removes nothing
+        if any(c.startswith("__minus_") for c in bound.columns):
             raise ValueError(
-                f"negation group {g} {group} shares no variable with "
-                "the pattern — it would be a whole-graph ASK, not a "
-                "per-binding NOT EXISTS filter"
-            )
-        seed_cols = [v[1:] for v in sorted(shared)]
-        # correlated semi-match: seed with the bindings' shared-var
-        # values (distinct — the anti-join only needs the key set),
-        # chain the group elements on variables already in scope
-        matched = bound.select(*seed_cols).distinct()
-        seen = set(shared)
-        for j, element in enumerate(group):
-            t, cols = _element_relation(triples, element, path_max_hops)
-            s = seen & set(cols)
-            if not s:
-                raise ValueError(
-                    f"negation group {g} element {j} {element} shares "
-                    "no variable with the group's scope so far — "
-                    "reorder the group or bind a shared variable"
-                )
-            matched = matched.join(t, [v[1:] for v in sorted(s)])
-            seen |= set(cols)
-        bound = bound.join(
-            matched.select(*seed_cols).distinct(), seed_cols, "left_anti"
-        )
+                "variable names with the reserved __minus_ prefix "
+                "cannot combine with MINUS groups")
+        if all("?" + v in required_vars for v in shared):
+            # every shared variable is never-null: compatibility is
+            # plain equality — a distinct-build hash anti-join
+            bound = bound.join(msol.select(*shared).distinct(), shared,
+                               "left_anti")
+        else:
+            # nullable shared variables: SPARQL compatibility is
+            # null-or-equal per variable, plus the domains must
+            # actually overlap (some shared variable non-null) — a
+            # non-equi condition, so a nested-loop anti-join against
+            # the distinct-projected group solutions
+            m = msol.select(
+                *[F.col(v).alias(f"__minus_{v}") for v in shared]
+            ).distinct()
+            compat = F.lit(True)
+            overlap = F.lit(False)
+            for v in shared:
+                compat = compat & (
+                    F.col(v).isNull()
+                    | (F.col(v) == F.col(f"__minus_{v}")))
+                overlap = overlap | F.col(v).isNotNull()
+            bound = bound.join(m, compat & overlap, "left_anti")
     # Spark's equi-join hoists the join-key columns to the front;
     # restore first-appearance order for a stable, readable schema
     return bound.select(*[v[1:] for v in var_order])
@@ -896,6 +1023,8 @@ def construct(
     optional: list[tuple[str, str, str]] = (),
     filters: list = (),
     negation: list = (),
+    existence: list = (),
+    minus: list = (),
     values: tuple | None = None,
     binds: list = (),
     path_max_hops: int | None = None,
@@ -927,6 +1056,7 @@ def construct(
         raise ValueError("empty CONSTRUCT template")
     bound = match_pattern(triples, pattern, optional=optional,
                           filters=filters, negation=negation,
+                          existence=existence, minus=minus,
                           values=values, binds=binds,
                           path_max_hops=path_max_hops)
     bound_vars = {"?" + c for c in bound.columns}
@@ -964,6 +1094,8 @@ def describe(
     optional: list[tuple[str, str, str]] = (),
     filters: list = (),
     negation: list = (),
+    existence: list = (),
+    minus: list = (),
     values: tuple | None = None,
     binds: list = (),
     path_max_hops: int | None = None,
@@ -996,6 +1128,7 @@ def describe(
                 "binds them")
         bound = match_pattern(triples, pattern, optional=optional,
                               filters=filters, negation=negation,
+                              existence=existence, minus=minus,
                               values=values, binds=binds,
                               path_max_hops=path_max_hops)
         for v in var_terms:
@@ -1054,7 +1187,8 @@ def match_union(
         kwargs = dict(group) if isinstance(group, dict) else {
             "pattern": group}
         unknown = set(kwargs) - {"pattern", "optional", "filters",
-                                 "negation", "values", "binds"}
+                                 "negation", "existence", "minus",
+                                 "values", "binds"}
         if unknown:
             raise ValueError(
                 f"UNION group {i} has unknown keys {sorted(unknown)}")
@@ -1141,6 +1275,8 @@ def solutions(
     optional: list[tuple[str, str, str]] = (),
     filters: list = (),
     negation: list = (),
+    existence: list = (),
+    minus: list = (),
     union: list | None = None,
     values: tuple | None = None,
     binds: list = (),
@@ -1212,8 +1348,8 @@ def solutions(
     ``limit`` it pages: rows [offset, offset+limit).
     """
     if union is not None:
-        if pattern or optional or negation or binds or \
-                values is not None:
+        if pattern or optional or negation or existence or minus \
+                or binds or values is not None:
             raise ValueError(
                 "give the query as EITHER a single pattern (+optional/"
                 "negation/values/binds) OR a union of groups, not "
@@ -1224,6 +1360,7 @@ def solutions(
     else:
         bound = match_pattern(triples, pattern, optional=optional,
                               filters=filters, negation=negation,
+                              existence=existence, minus=minus,
                               values=values, binds=binds,
                               path_max_hops=path_max_hops)
     bound_vars = {"?" + c for c in bound.columns}

@@ -3,10 +3,11 @@ SELECT / ASK / CONSTRUCT query string into the exact keyword arguments
 :func:`ner_spark.plans.kg_query.solutions` (and
 :func:`~ner_spark.plans.kg_query.construct`) consume, so the whole
 surface that module implements — BGPs, OPTIONAL, FILTER (comparisons,
-REGEX/STRSTARTS/STRENDS/CONTAINS), FILTER NOT EXISTS, property paths
-``P+``/``P*``/``P?``, sequence paths ``P1/P2``, inverse ``^P``,
-alternation ``(P1|P2)``, UNION, VALUES with UNDEF, GROUP BY +
-aggregates, SELECT projection, DISTINCT, ORDER BY, LIMIT — is
+REGEX/STRSTARTS/STRENDS/CONTAINS), FILTER NOT EXISTS / FILTER EXISTS,
+MINUS, property paths ``P+``/``P*``/``P?``, sequence paths ``P1/P2``,
+inverse ``^P``, alternation ``(P1|P2)``, negated property sets
+``!P``/``!(P1|P2)``, UNION, VALUES with UNDEF, GROUP BY + aggregates,
+SELECT projection, DISTINCT, ORDER BY, LIMIT — is
 reachable from one query string::
 
     sparql(triples, '''
@@ -41,13 +42,15 @@ raises with the offending token rather than mis-parsing):
     Construct := 'CONSTRUCT' '{' Triple+ '}' 'WHERE' Group
     Describe  := 'DESCRIBE' Term+ ('WHERE'? Group)?
     Group     := '{' GroupBody '}'
-    GroupBody := Union | (Triple | Optional | Filter | Values | Bind)*
+    GroupBody := Union | (Triple | Optional | Filter | Values | Bind
+                 | Minus)*
     Bind      := 'BIND' '(' (Term | Fn '(' Term (',' Term)* ')')
                  'AS' Var ')'
     Fn        := 'CONCAT' | 'UCASE' | 'LCASE' | 'STR' | 'STRLEN'
     Union     := Group ('UNION' Group)+
     Optional  := 'OPTIONAL' '{' Triple+ '}'
-    Filter    := 'FILTER' ('NOT' 'EXISTS' '{' Triple+ '}'
+    Minus     := 'MINUS' '{' Triple+ '}'
+    Filter    := 'FILTER' ('NOT'? 'EXISTS' '{' Triple+ '}'
                  | '(' Expr ')' | Func)
     Expr      := Term ('='|'!='|'<'|'<='|'>'|'>=') Term | Func
     Func      := ('REGEX'|'STRSTARTS'|'STRENDS'|'CONTAINS')
@@ -57,7 +60,7 @@ raises with the offending token rather than mis-parsing):
     Datum     := String | Word | 'UNDEF'
     Triple    := Term Path Term '.'?
     Path      := Seg ('/' Seg)*
-    Seg       := '^'? (Word | '(' Word ('|' Word)+ ')') [+*?]?
+    Seg       := '!'? '^'? (Word | '(' Word ('|' Word)+ ')') [+*?]?
     Term      := Var | String | '<' IRI '>' | Word
 
 Deliberate restrictions, matching the engine's semantics:
@@ -90,11 +93,18 @@ _TOKEN_RE = re.compile(
         (?P<string>"(?:[^"\\]|\\.)*")   # quoted literal
       | (?P<iri><[^<>\s]*>)             # <iri>
       | (?P<seqpath>                    # sequence path with >=1 '/'
-            (?:\^?\([^\s()|/]+(?:\|[^\s()|/]+)+\)[+*?]?
-              |[^\s{}().,"<>=!/]+)      #   segment: (P1|P2)[mod]|word
+            (?:!?\^?\([^\s()|/]+(?:\|[^\s()|/]+)+\)[+*?]?
+              |!?[^\s{}().,"<>=!/]+)    #   segment: [!](P1|P2)[mod]|word
             (?:/
-            (?:\^?\([^\s()|/]+(?:\|[^\s()|/]+)+\)[+*?]?
-              |[^\s{}().,"<>=!/]+))+)
+            (?:!?\^?\([^\s()|/]+(?:\|[^\s()|/]+)+\)[+*?]?
+              |!?[^\s{}().,"<>=!/]+))+)
+      | (?P<negset>                     # negated property set !P /
+            !\^?\([^\s()|]+(?:\|[^\s()|]+)*\)[+*?]?
+          | !\^?[^\s{}().,"<>=!/|]+)    # !(P1|P2); trailing mod / ^
+                                        # kept so the path layer can
+                                        # reject them with its own
+                                        # clear error ('!=' never
+                                        # matches: '=' is excluded)
       | (?P<altpath>\^?\([^\s()|]+(?:\|[^\s()|]+)+\)[+*?]?)
                                         # (P1|P2)[+*?] path alternation
       | (?P<parenpath>\^?\((?=[^)]*[/|])[\w:|/^+*.-]+\)[+*?]?)
@@ -113,7 +123,7 @@ _TOKEN_RE = re.compile(
 
 _KEYWORDS = {
     "SELECT", "DISTINCT", "WHERE", "OPTIONAL", "FILTER", "NOT",
-    "EXISTS", "UNION", "VALUES", "UNDEF", "GROUP", "BY", "ORDER",
+    "EXISTS", "MINUS", "UNION", "VALUES", "UNDEF", "GROUP", "BY", "ORDER",
     "ASC", "DESC", "LIMIT", "OFFSET", "HAVING", "ASK", "CONSTRUCT",
     "DESCRIBE", "AS", "BIND",
 }
@@ -204,7 +214,7 @@ def _parse_triples(cur: _Cursor) -> list[tuple[str, str, str]]:
     out = []
     while not cur.at("}"):
         if cur.peek_kw() in ("OPTIONAL", "FILTER", "VALUES", "UNION",
-                             "BIND"):
+                             "BIND", "MINUS"):
             break
         out.append((term(), term(), term()))
         if cur.at("."):
@@ -335,7 +345,8 @@ def _parse_group_body(cur: _Cursor) -> dict:
                 "group; wrap the query so the UNION is the whole group")
         return {"union": groups}
     kwargs: dict = {"pattern": [], "optional": [], "filters": [],
-                    "negation": [], "binds": []}
+                    "negation": [], "existence": [], "minus": [],
+                    "binds": []}
     while not cur.at("}"):
         kw = cur.peek_kw()
         if kw == "BIND":
@@ -346,6 +357,11 @@ def _parse_group_body(cur: _Cursor) -> dict:
             cur.eat("{")
             kwargs["optional"].extend(_parse_triples(cur))
             cur.eat("}")
+        elif kw == "MINUS":
+            cur.next()
+            cur.eat("{")
+            kwargs["minus"].append(_parse_triples(cur))
+            cur.eat("}")
         elif kw == "FILTER":
             cur.next()
             if cur.at("NOT"):
@@ -353,6 +369,11 @@ def _parse_group_body(cur: _Cursor) -> dict:
                 cur.eat("EXISTS")
                 cur.eat("{")
                 kwargs["negation"].append(_parse_triples(cur))
+                cur.eat("}")
+            elif cur.at("EXISTS"):
+                cur.next()
+                cur.eat("{")
+                kwargs["existence"].append(_parse_triples(cur))
                 cur.eat("}")
             else:
                 kwargs["filters"].append(_parse_filter_expr(cur))

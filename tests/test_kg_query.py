@@ -1346,3 +1346,118 @@ def test_match_pattern_bind_semantics(spark):
         match_pattern(t, [("?r", "D", "?e")], binds=["?e AS ?r"])
     with pytest.raises(ValueError, match="unbound variable"):
         match_pattern(t, [("?r", "D", "?e")], binds=["?zz AS ?v"])
+
+
+# --------------------------------- negated sets, EXISTS and MINUS
+
+
+def test_negated_set_parser():
+    from ner_spark.plans.kg_query import _negated_set
+
+    assert _negated_set("P") is None
+    assert _negated_set("?p") is None
+    assert _negated_set("!P") == ["P"]
+    assert _negated_set("!(P|Q)") == ["P", "Q"]
+    with pytest.raises(ValueError, match="bare negation"):
+        _negated_set("!")
+    with pytest.raises(ValueError, match="inverse arms"):
+        _negated_set("!^P")
+    with pytest.raises(ValueError, match="closure over a negated"):
+        _negated_set("!P+")
+    with pytest.raises(ValueError, match="not a sequence"):
+        _negated_set("!(P/Q)")
+    with pytest.raises(ValueError, match="ambiguous path"):
+        _negated_set("!P|Q")
+    # the alternation arm guard now also rejects nested '!' arms
+    with pytest.raises(ValueError, match="malformed predicate"):
+        _negated_set("!(P|!Q)")
+
+
+def test_match_pattern_negated_property_set(spark):
+    t = _triples(spark, [
+        ("a", "P", "b", 1), ("b", "Q", "c", 1),
+        ("a", "R", "c", 1), ("c", "P", "a", 1),
+    ])
+    out = match_pattern(t, [("?s", "!P", "?o")])
+    assert sorted((r["s"], r["o"]) for r in out.collect()) == [
+        ("a", "c"), ("b", "c")]
+    out = match_pattern(t, [("?s", "!(P|Q)", "?o")])
+    assert [tuple(r) for r in out.collect()] == [("a", "c")]
+    # ^!P: the inverse of the negated set (rewrites to !P with the
+    # endpoints swapped before the set compiles)
+    out = match_pattern(t, [("?o", "^!(P|R)", "?s")])
+    assert sorted((r["s"], r["o"]) for r in out.collect()) == [("b", "c")]
+    # a negated set composes as a sequence segment
+    out = match_pattern(t, [("?s", "!Q/!P", "?o")])
+    assert sorted((r["s"], r["o"]) for r in out.collect()) == [
+        ("a", "c"), ("c", "c")]
+
+
+def test_match_pattern_filter_exists(spark):
+    t = _triples(spark, [
+        ("a", "P", "b", 1), ("b", "Q", "c", 1), ("c", "P", "d", 1),
+    ])
+    # keep bindings whose ?o has an outgoing Q edge — left-semi join
+    out = match_pattern(t, [("?s", "P", "?o")],
+                        existence=[[("?o", "Q", "?z")]])
+    assert [tuple(r) for r in out.collect()] == [("a", "b")]
+    # a null shared variable (unmatched OPTIONAL) never matches: the
+    # binding DROPS under EXISTS (complement of the NOT EXISTS rule)
+    out = match_pattern(t, [("?s", "P", "?o")],
+                        optional=[("?o", "Q", "?k")],
+                        existence=[[("?k", "P", "?z")]])
+    assert [tuple(r) for r in out.collect()] == [("a", "b", "c")]
+    # uncorrelated groups raise (whole-graph ASK, not a filter)
+    with pytest.raises(ValueError, match="existence group 0"):
+        match_pattern(t, [("?s", "P", "?o")],
+                      existence=[[("?x", "Q", "?y")]])
+
+
+def test_match_pattern_minus_semantics(spark):
+    t = _triples(spark, [
+        ("a", "P", "b", 1), ("b", "Q", "c", 1),
+        ("a", "R", "c", 1), ("c", "P", "a", 1),
+    ])
+    base = [("?s", "P", "?o")]
+    # set difference on the shared ?o
+    out = match_pattern(t, base, minus=[[("?o", "Q", "?z")]])
+    assert [tuple(r) for r in out.collect()] == [("c", "a")]
+    # disjoint domains: MINUS removes NOTHING (where NOT EXISTS with
+    # the same uncorrelated group would raise here / drop everything
+    # in SPARQL)
+    out = match_pattern(t, base, minus=[[("?x", "Q", "?y")]])
+    assert sorted((r["s"], r["o"]) for r in out.collect()) == [
+        ("a", "b"), ("c", "a")]
+    # EXISTS and MINUS with the same group partition the base bindings
+    ex = match_pattern(t, base, existence=[[("?o", "Q", "?z")]]).count()
+    mi = match_pattern(t, base, minus=[[("?o", "Q", "?z")]]).count()
+    assert ex + mi == match_pattern(t, base).count()
+    # nullable shared variable: compatibility is null-or-equal with a
+    # domain-overlap guard, so an unbound (null) ?k never removes
+    out = match_pattern(t, base, optional=[("?o", "Q", "?k")],
+                        minus=[[("?k", "P", "?z")]])
+    assert [tuple(r) for r in out.collect()] == [("c", "a", None)]
+    # the MINUS group is an independent pattern: a non-chaining group
+    # hits the cartesian guard of its own match_pattern
+    with pytest.raises(ValueError, match="shares no variable"):
+        match_pattern(t, base,
+                      minus=[[("?o", "Q", "?z"), ("?v", "R", "?w")]])
+
+
+def test_minus_required_path_is_hash_anti_join(spark):
+    # every shared variable required → the fast path: a hash
+    # (broadcast or shuffled) anti-join, never a nested-loop join
+    t = _triples(spark, [("a", "P", "b", 1), ("b", "Q", "c", 1)])
+    out = match_pattern(t, [("?s", "P", "?o")],
+                        minus=[[("?o", "Q", "?z")]])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # nullable shared variable → the general compatibility join is
+    # necessarily non-equi (nested-loop against the DISTINCT-projected
+    # group solutions)
+    out = match_pattern(t, [("?s", "P", "?o")],
+                        optional=[("?o", "Q", "?k")],
+                        minus=[[("?k", "Q", "?z")]])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan and "LeftAnti" in plan

@@ -418,3 +418,72 @@ def test_sparql_sequence_error_surface(spark):
         sparql(t, "SELECT * WHERE { ?a (P/Q)+ ?b }")
     with pytest.raises(ValueError, match="empty segment"):
         sparql(t, "SELECT * WHERE { ?a P//Q ?b }")
+
+
+def test_sparql_minus_exists_negset_from_text(spark):
+    t = _graph(spark)
+    # MINUS: declared entities that are not KB-linked
+    out = sparql(t, """
+        SELECT ?r ?e WHERE { ?r DECLARES ?e MINUS { ?e LINKED_TO ?kb } }
+    """)
+    assert sorted(map(tuple, out.collect())) == [("repo:a", "e3")]
+    # FILTER EXISTS: declared entities WITH a co-mention partner
+    out = sparql(t, """
+        SELECT ?e WHERE { ?r DECLARES ?e
+                          FILTER EXISTS { ?e MENTIONED_WITH ?x } }
+    """)
+    assert sorted(map(tuple, out.collect())) == [("e1",)]
+    # negated property set: every edge that is not a DECLARES
+    out = sparql(t, 'SELECT ?s ?o WHERE { ?s !DECLARES ?o } ORDER BY ?s ?o')
+    assert [tuple(r) for r in out.collect()] == [
+        ("e1", "e2"), ("e1", "kb:Q1"), ("e2", "kb:Q2")]
+    out = sparql(t, 'SELECT ?s ?o WHERE { ?s !(DECLARES|LINKED_TO) ?o }')
+    assert [tuple(r) for r in out.collect()] == [("e1", "e2")]
+
+
+def test_sparql_minus_exists_negset_match_twin(spark):
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tests.oracle_compare import assert_df_matches_duckdb
+
+    kg_sql = """SELECT * FROM (VALUES
+        ('repo:a','DECLARES','e1'), ('repo:a','DECLARES','e3'),
+        ('repo:b','DECLARES','e2'), ('e1','MENTIONED_WITH','e2'),
+        ('e1','LINKED_TO','kb:Q1'), ('e2','LINKED_TO','kb:Q2')
+        ) t(subj, pred, obj)"""
+    con = duckdb.connect()
+    for text in (
+        'SELECT ?r ?e WHERE { ?r DECLARES ?e MINUS { ?e LINKED_TO ?kb } }',
+        """SELECT ?e WHERE { ?r DECLARES ?e
+           FILTER EXISTS { ?e MENTIONED_WITH ?x } }""",
+        """SELECT ?s (COUNT(*) AS ?n) WHERE { ?s !(DECLARES) ?o }
+           GROUP BY ?s ORDER BY DESC(?n) ?s""",
+        # MINUS whose group shares nothing: removes nothing
+        'SELECT ?a ?b WHERE { ?a MENTIONED_WITH ?b MINUS { ?x LINKED_TO ?y } }',
+        # both forms composed in one group
+        """SELECT ?r ?e WHERE { ?r DECLARES ?e
+           FILTER EXISTS { ?e !(MENTIONED_WITH) ?kb }
+           MINUS { ?e MENTIONED_WITH ?x } }""",
+    ):
+        assert_df_matches_duckdb(
+            sparql(_graph(spark), text), con,
+            entrymod._kg_sparql_oracle(text, kg_sql=kg_sql),
+            name=f"sparql:{text[:30]}")
+
+
+def test_sparql_negset_tokenizer_and_errors(spark):
+    # '!=' still tokenizes as the comparison operator, never a negset
+    assert tokenize("FILTER (?a != ?b)") == [
+        "FILTER", "(", "?a", "!=", "?b", ")"]
+    assert tokenize("?s !(P|Q) ?o") == ["?s", "!(P|Q)", "?o"]
+    assert tokenize("?s !P/Q ?o") == ["?s", "!P/Q", "?o"]
+    t = _graph(spark)
+    # the path layer's own errors surface through the text front-end
+    with pytest.raises(ValueError, match="closure over a negated"):
+        sparql(t, "SELECT ?s WHERE { ?s !P+ ?o }")
+    with pytest.raises(ValueError, match="inverse arms"):
+        sparql(t, "SELECT ?s WHERE { ?s !^P ?o }")
+    # MINUS needs a braced group
+    with pytest.raises(ValueError, match="expected"):
+        sparql(t, "SELECT ?s WHERE { ?s DECLARES ?o MINUS ?o P ?x }")

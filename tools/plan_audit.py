@@ -667,6 +667,29 @@ def main() -> int:
     check("kg_sparql_ask", "ASK probes LIMIT 1, never full materialize",
           "Limit" in p)
 
+    # MINUS / FILTER EXISTS / negated property sets: the
+    # set-difference's required-variable fast path must be a hash
+    # anti-join on the DISTINCT-projected group solutions (never a
+    # nested-loop — that path exists only for nullable shared vars),
+    # the existence filter a hash semi-join, and a negated set a
+    # pushed NOT-IN filter scan with no join at all
+    p = plans["kg_minus"] = plan_of(match_pattern(
+        tri, [("?r", "DECLARES", "?e")],
+        minus=[[("?e", "LINKED_TO", "?kb")]]))
+    check("kg_minus", "required-shared MINUS is a hash anti-join",
+          "LeftAnti" in p and "BroadcastNestedLoopJoin" not in p
+          and "CartesianProduct" not in p)
+    p = plans["kg_exists"] = plan_of(match_pattern(
+        tri, [("?r", "DECLARES", "?e")],
+        existence=[[("?e", "LINKED_TO", "?kb")]]))
+    check("kg_exists", "FILTER EXISTS is a hash semi-join",
+          "LeftSemi" in p and "BroadcastNestedLoopJoin" not in p
+          and "CartesianProduct" not in p)
+    p = plans["kg_negset"] = plan_of(match_pattern(
+        tri, [("?s", "!(DECLARES|LINKED_TO)", "?o")]))
+    check("kg_negset", "negated set is one filtered scan, no join",
+          "NOT" in p.upper() and "Join" not in p)
+
     # contamination: the eval side must broadcast (the 100 TB corpus
     # never shuffles for the overlap join) and the per-pair shingle
     # counts partial-aggregate map-side
