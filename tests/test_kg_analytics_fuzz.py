@@ -416,6 +416,54 @@ def test_graph_ops_match_oracles_on_random_graphs(spark, rows):
                 fill_null=("?k", "?pair"), kg_sql=kg_sql),
             name="kg_bind:b_null",
         )
+        # negated sets, FILTER EXISTS and MINUS on random graphs:
+        # NOT-IN scans (standalone + sequence-composed), the semi /
+        # anti correlation rules, disjoint-domain MINUS, and the
+        # nullable-shared compatibility path through OPTIONAL
+        for nname, npat in (
+            ("n_negset", [("?s", "!MENTIONED_WITH", "?o")]),
+            ("n_negset_alt", [("?s", "!(DECLARES|LINKED_TO)", "?o")]),
+            ("n_negset_seq", [("?s", "DECLARES/!LINKED_TO", "?o")]),
+        ):
+            assert_df_matches_duckdb(
+                match_pattern(tri, npat), con,
+                entrymod._kg_pattern_oracle(npat, kg_sql=kg_sql),
+                name=f"kg_negset:{nname}",
+            )
+        sbase = [("?a", "MENTIONED_WITH", "?b")]
+        sgrp = [[("?b", "LINKED_TO", "?k")]]
+        for ename, ekw in (
+            ("e_exists", {"existence": sgrp}),
+            ("e_minus", {"minus": sgrp}),
+            ("e_minus_disjoint", {"minus": [[("?x", "DECLARES",
+                                              "?y")]]}),
+        ):
+            assert_df_matches_duckdb(
+                match_pattern(tri, sbase, **ekw), con,
+                entrymod._kg_pattern_oracle(sbase, **ekw,
+                                            kg_sql=kg_sql),
+                name=f"kg_setops:{ename}",
+            )
+        sopt = {"optional": [("?b", "LINKED_TO", "?k")]}
+        sng = [[("?k", "?p2", "?z")]]
+        assert_df_matches_duckdb(
+            match_pattern(tri, sbase, **sopt, existence=sng)
+            .fillna({"k": ""}),
+            con,
+            entrymod._kg_pattern_oracle(
+                sbase, **sopt, existence=sng, fill_null=("?k",),
+                kg_sql=kg_sql),
+            name="kg_setops:e_exists_null",
+        )
+        assert_df_matches_duckdb(
+            match_pattern(tri, sbase, **sopt, minus=sng)
+            .fillna({"k": ""}),
+            con,
+            entrymod._kg_pattern_oracle(
+                sbase, **sopt, minus=sng, fill_null=("?k",),
+                kg_sql=kg_sql),
+            name="kg_setops:e_minus_null",
+        )
         # DESCRIBE on random graphs: constant nodes, pattern-bound
         # nodes, and the mixed form — all against the generated twin
         from ner_spark.plans.kg_query import describe
