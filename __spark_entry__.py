@@ -641,6 +641,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOT IN edge scan, aggregated per subject
         return _sparql_gold(spark, _SPARQL_NEGSET)
 
+    def q_kg_sparql_subquery(spark, sf):
+        # SPARQL 1.1 subquery: nested SELECT aggregates bottom-up,
+        # equi-joins into the outer BGP on the shared required var
+        return _sparql_gold(spark, _SPARQL_SUBQUERY)
+
     def q_dataset_split(spark, sf):
         return curate.dataset_split(_docs(spark, sf))
 
@@ -751,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_having": q_kg_sparql_having,
         "kg_sparql_minus": q_kg_sparql_minus,
         "kg_sparql_negset": q_kg_sparql_negset,
+        "kg_sparql_subquery": q_kg_sparql_subquery,
         "kg_sparql_describe": q_kg_sparql_describe,
         "sota_gliner": q_sota_gliner,
         "dataset_split": q_dataset_split,
@@ -900,6 +906,17 @@ SELECT ?repo ?e WHERE {
   ?repo DECLARES ?e
   FILTER EXISTS { ?e MENTIONED_WITH ?x }
   MINUS { ?e LINKED_TO ?kb }
+}
+"""
+# SPARQL 1.1 subquery: a per-entity co-mention count aggregated
+# bottom-up, joined into the outer declaration BGP on the shared
+# required ?e — the nested SELECT keeps its own audited plan (one
+# map-side-combinable group-by) and the join is a hash equi-join
+_SPARQL_SUBQUERY = """
+SELECT ?repo ?e ?n WHERE {
+  ?repo DECLARES ?e
+  { SELECT ?e (COUNT(*) AS ?n) WHERE { ?e MENTIONED_WITH ?x }
+    GROUP BY ?e }
 }
 """
 # negated property set !(P1|P2): every edge that is neither a
@@ -1631,15 +1648,15 @@ def _kg_bind_sql(expr, refs: dict) -> str:
 
 
 def _kg_path_ctes(idx: int, pred: str, zero: bool,
-                  max_hops: int | None) -> tuple[str, str]:
+                  max_hops: int | None, prefix: str = "") -> tuple[str, str]:
     """Recursive-CTE twin of kg_query.path_closure: distinct pairs
     connected by 1..n (or with ``zero`` 0..n) hops of ``pred``.
     Returns (cte_sql, relation_name).  The recursive UNION dedups, so
     the relation has the same SET semantics as the Spark closure; the
     bounded form carries a hop counter and dedups at the end."""
-    e = f"pe{idx}"
-    c = f"pc{idx}"
-    p = f"pp{idx}"
+    e = f"{prefix}pe{idx}"
+    c = f"{prefix}pc{idx}"
+    p = f"{prefix}pp{idx}"
     from ner_spark.plans.kg_query import _pred_alternatives
 
     alts = ", ".join(_sql_str(a) for a in _pred_alternatives(pred))
@@ -1674,7 +1691,7 @@ def _kg_path_ctes(idx: int, pred: str, zero: bool,
 
 
 def _kg_seq_cte(idx: int, segs: list, ctes: list,
-                path_max_hops) -> tuple[str, str]:
+                path_max_hops, prefix: str = "") -> tuple[str, str]:
     """Non-recursive-CTE twin of kg_query._sequence_relation: the
     sequence path's segments compile through :func:`_kg_element_sql`
     on fresh ``?__s{i}`` chain variables (so inverse / closure /
@@ -1695,18 +1712,19 @@ def _kg_seq_cte(idx: int, segs: list, ctes: list,
         alias = f"sq{idx}_{i}"
         rel, ec = _kg_element_sql(
             alias, (f"?__s{i}", seg, f"?__s{i + 1}"), sfirst, ctes,
-            path_max_hops)
+            path_max_hops, prefix=prefix)
         froms.append(f"{rel} {alias}")
         conds.extend(ec)
     where = " AND ".join(conds) if conds else "TRUE"
-    name = f"sq{len(ctes)}"
+    name = f"{prefix}sq{len(ctes)}"
     return (f"{name} AS (SELECT {sfirst['?__s0']} AS subj, "
             f"{sfirst[f'?__s{len(segs)}']} AS obj "
             f"FROM {', '.join(froms)} WHERE {where})"), name
 
 
 def _kg_element_sql(alias: str, element, first: dict, ctes: list,
-                    path_max_hops, outer: dict | None = None):
+                    path_max_hops, outer: dict | None = None,
+                    prefix: str = ""):
     """Shared per-element compile for the pattern oracle: returns
     (relation_name, conds).  Variable first-binding sites register in
     ``first``; with ``outer`` given (negation groups) outer-bound
@@ -1727,13 +1745,15 @@ def _kg_element_sql(alias: str, element, first: dict, ctes: list,
     path = None if segs is not None or negset is not None \
         else _path_pred(element[1])
     if segs is not None:
-        cte, rel = _kg_seq_cte(len(ctes), segs, ctes, path_max_hops)
+        cte, rel = _kg_seq_cte(len(ctes), segs, ctes, path_max_hops,
+                               prefix=prefix)
         ctes.append(cte)
         fields, terms = ("subj", "obj"), (element[0], element[2])
     elif path is not None:
         base, mod = path
         cte, rel = _kg_path_ctes(len(ctes), base, mod in "*?",
-                                 1 if mod == "?" else path_max_hops)
+                                 1 if mod == "?" else path_max_hops,
+                                 prefix=prefix)
         ctes.append(cte)
         fields, terms = ("subj", "obj"), (element[0], element[2])
     else:
@@ -1764,7 +1784,8 @@ def _kg_element_sql(alias: str, element, first: dict, ctes: list,
 
 
 def _kg_negation_sql(gidx: int, group, outer: dict, ctes: list,
-                     path_max_hops, negated: bool = True) -> str:
+                     path_max_hops, negated: bool = True,
+                     prefix: str = "") -> str:
     """(NOT) EXISTS twin of match_pattern's negation anti-join /
     existence semi-join: group elements comma-join inside the
     subquery, variables bound in the outer pattern correlate to their
@@ -1778,7 +1799,8 @@ def _kg_negation_sql(gidx: int, group, outer: dict, ctes: list,
     for j, element in enumerate(group):
         alias = f"{'n' if negated else 'x'}{gidx}_{j}"
         rel, ec = _kg_element_sql(alias, element, gfirst, ctes,
-                                  path_max_hops, outer=outer)
+                                  path_max_hops, outer=outer,
+                                  prefix=prefix)
         froms.append(f"{rel} {alias}")
         conds.extend(ec)
     where = " AND ".join(conds) if conds else "TRUE"
@@ -1787,7 +1809,7 @@ def _kg_negation_sql(gidx: int, group, outer: dict, ctes: list,
 
 
 def _kg_minus_sql(gidx: int, group, outer: dict, ctes: list,
-                  path_max_hops) -> str | None:
+                  path_max_hops, prefix: str = "") -> str | None:
     """SQL twin of match_pattern's MINUS set-difference: the group
     compiles UNCORRELATED (its elements chain among themselves via
     ``gfirst``), then the NOT EXISTS applies SPARQL compatibility —
@@ -1802,7 +1824,7 @@ def _kg_minus_sql(gidx: int, group, outer: dict, ctes: list,
     for j, element in enumerate(group):
         alias = f"mi{gidx}_{j}"
         rel, ec = _kg_element_sql(alias, element, gfirst, ctes,
-                                  path_max_hops)
+                                  path_max_hops, prefix=prefix)
         froms.append(f"{rel} {alias}")
         conds.extend(ec)
     shared = sorted(v for v in gfirst if v in outer)
@@ -1853,11 +1875,43 @@ def _kg_values_sql(values, first: dict, required: set) -> tuple:
     return join, overrides
 
 
+def _kg_subquery_vars(sub) -> list[str]:
+    """The output column names of a subquery's solutions() kwargs —
+    the same scope rule the engine applies: an explicit SELECT list,
+    else group keys + aggregate aliases when grouped, else every
+    variable the (union of) pattern(s) binds."""
+    from ner_spark.plans.kg_query import parse_aggregate
+
+    if sub.get("select"):
+        return [s[1:] if s.startswith("?") else s
+                for s in sub["select"]]
+    keys = [v[1:] for v in sub.get("group_by", ())]
+    aliases = [(parse_aggregate(a) if isinstance(a, str) else a)[2]
+               for a in sub.get("aggregates", ())]
+    if keys or aliases:
+        return keys + aliases
+    if sub.get("union") is not None:
+        out: list[str] = []
+        for g in sub["union"]:
+            g = dict(g) if isinstance(g, dict) else {"pattern": g}
+            for v in _kg_branch_vars(g["pattern"],
+                                     g.get("optional", ()),
+                                     g.get("values"),
+                                     g.get("binds", ())):
+                if v[1:] not in out:
+                    out.append(v[1:])
+        return out
+    return [v[1:] for v in _kg_branch_vars(
+        sub.get("pattern", ()), sub.get("optional", ()),
+        sub.get("values"), sub.get("binds", ()))]
+
+
 def _kg_pattern_oracle(pattern, optional=(), fill_null=(), filters=(),
                        negation=(), existence=(), minus=(),
-                       values=None, binds=(),
+                       subqueries=(), values=None, binds=(),
                        path_max_hops=None,
-                       kg_sql: str | None = None) -> str:
+                       kg_sql: str | None = None,
+                       prefix: str = "") -> str:
     """SQL twin of plans.kg_query.match_pattern: every pattern element
     becomes one alias of the triple relation; constants and repeated
     variables become equality predicates (first element → WHERE,
@@ -1878,7 +1932,7 @@ def _kg_pattern_oracle(pattern, optional=(), fill_null=(), filters=(),
     ]
     for i, (element, is_optional) in enumerate(elements):
         rel, conds = _kg_element_sql(f"t{i}", element, first, ctes,
-                                     path_max_hops)
+                                     path_max_hops, prefix=prefix)
         if i == 0:
             from0 = f"{rel} t0"
             where0 = conds
@@ -1888,6 +1942,23 @@ def _kg_pattern_oracle(pattern, optional=(), fill_null=(), filters=(),
                 f"{kind} {rel} t{i} ON "
                 + (" AND ".join(conds) if conds else "TRUE")
             )
+    # subqueries join as derived tables on their shared (required)
+    # variables, new projected variables binding from the sub alias —
+    # the sub-SQL carries its own WITH (scoped: the inner kg shadows)
+    for i, sub in enumerate(subqueries):
+        sub_sql = _kg_solutions_oracle(**sub, kg_sql=kg_sql,
+                                       prefix=f"{prefix}sub{i}_")
+        alias = f"{prefix}sub{i}"
+        conds = []
+        for name in _kg_subquery_vars(sub):
+            v, ref = "?" + name, f"{alias}.{name}"
+            if v in first:
+                conds.append(f"{ref} = {first[v]}")
+            else:
+                first[v] = ref
+        joins.append(
+            f"JOIN ({sub_sql.rstrip()}) {alias} ON "
+            + (" AND ".join(conds) if conds else "TRUE"))
     overrides: dict = {}
     if values is not None:
         required = set(_kg_branch_vars(pattern))
@@ -1928,25 +1999,30 @@ def _kg_pattern_oracle(pattern, optional=(), fill_null=(), filters=(),
             from ner_spark.plans.kg_query import parse_pattern
             group = parse_pattern(group)
         conds.append(_kg_negation_sql(g, group, refs, ctes,
-                                      path_max_hops))
+                                      path_max_hops, prefix=prefix))
     for g, group in enumerate(existence):
         if isinstance(group, str):
             from ner_spark.plans.kg_query import parse_pattern
             group = parse_pattern(group)
         conds.append(_kg_negation_sql(g, group, refs, ctes,
-                                      path_max_hops, negated=False))
+                                      path_max_hops, negated=False,
+                                      prefix=prefix))
     for g, group in enumerate(minus):
         if isinstance(group, str):
             from ner_spark.plans.kg_query import parse_pattern
             group = parse_pattern(group)
-        c = _kg_minus_sql(g, group, refs, ctes, path_max_hops)
+        c = _kg_minus_sql(g, group, refs, ctes, path_max_hops,
+                          prefix=prefix)
         if c is not None:
             conds.append(c)
     where = " AND ".join(conds) if conds else "TRUE"
     rec = "RECURSIVE " if ctes else ""
     cte_sql = "".join(c + ",\n" for c in ctes)
-    return f"""WITH {rec}kg AS MATERIALIZED ({kg_sql or _kg_gold_oracle()}),
-{cte_sql}__one AS (SELECT 1)
+    # nested (prefix) form: reference the ancestor's kg CTE instead of
+    # shadowing it (DuckDB rejects duplicate CTE aliases across scopes)
+    kg_cte = ("" if prefix
+              else f"kg AS MATERIALIZED ({kg_sql or _kg_gold_oracle()}),\n")
+    return f"""WITH {rec}{kg_cte}{cte_sql}{prefix}__one AS (SELECT 1)
 SELECT {sel}
 FROM {from0}
 {chr(10).join(joins)}
@@ -1955,7 +2031,7 @@ WHERE {where}
 
 
 def _kg_branch_vars(pattern, optional=(), values=None,
-                    binds=()) -> list:
+                    binds=(), subqueries=()) -> list:
     """The ?variables a BGP branch binds, in the same first-appearance
     order match_pattern emits (fields order within an element; path
     and sequence elements bind only their endpoints; VALUES-only
@@ -1970,6 +2046,9 @@ def _kg_branch_vars(pattern, optional=(), values=None,
         for t in terms:
             if t.startswith("?") and t not in out:
                 out.append(t)
+    for sub in subqueries:
+        out.extend("?" + n for n in _kg_subquery_vars(sub)
+                   if "?" + n not in out)
     if values is not None:
         out.extend(v for v in values[0] if v not in out)
     for b in binds:
@@ -1983,7 +2062,8 @@ def _kg_branch_vars(pattern, optional=(), values=None,
 
 def _kg_union_oracle(groups, filters=(), fill_null=(),
                      path_max_hops=None,
-                     kg_sql: str | None = None) -> str:
+                     kg_sql: str | None = None,
+                     prefix: str = "") -> str:
     """SQL twin of plans.kg_query.match_union: each group's BGP oracle
     becomes one UNION ALL arm, projected to the union of the branch
     variable sets with NULL for the variables a branch does not bind
@@ -1994,7 +2074,8 @@ def _kg_union_oracle(groups, filters=(), fill_null=(),
     norm = [dict(g) if isinstance(g, dict) else {"pattern": g}
             for g in groups]
     branch_vars = [_kg_branch_vars(g["pattern"], g.get("optional", ()),
-                                   g.get("values"), g.get("binds", ()))
+                                   g.get("values"), g.get("binds", ()),
+                                   g.get("subqueries", ()))
                    for g in norm]
     all_vars: list[str] = []
     for bv in branch_vars:
@@ -2009,9 +2090,11 @@ def _kg_union_oracle(groups, filters=(), fill_null=(),
             negation=g.get("negation", ()),
             existence=g.get("existence", ()),
             minus=g.get("minus", ()),
+            subqueries=g.get("subqueries", ()),
             values=g.get("values"),
             binds=g.get("binds", ()),
-            path_max_hops=path_max_hops, kg_sql=kg_sql)
+            path_max_hops=path_max_hops, kg_sql=kg_sql,
+            prefix=f"{prefix}u{i}_")
         sel = ", ".join(
             v[1:] if v in bv else f"NULL AS {v[1:]}" for v in all_vars)
         arms.append(f"SELECT {sel} FROM (\n{inner}) u{i}")
@@ -2021,13 +2104,17 @@ def _kg_union_oracle(groups, filters=(), fill_null=(),
     sel = ", ".join(
         (f"coalesce({v[1:]}, '') AS {v[1:]}"
          if v in fill_null else v[1:]) for v in all_vars)
-    return (f"SELECT {sel} FROM (\n{body}\n) u"
+    # the arms are prefixed (no kg of their own), so the union itself
+    # declares kg once at top level — or, nested, uses the ancestor's
+    head = ("" if prefix else
+            f"WITH kg AS MATERIALIZED ({kg_sql or _kg_gold_oracle()})\n")
+    return (f"{head}SELECT {sel} FROM (\n{body}\n) u"
             + (f"\nWHERE {where}" if where else "") + "\n")
 
 
 def _kg_construct_oracle(pattern, template, optional=(), filters=(),
                          negation=(), existence=(), minus=(),
-                         values=None, binds=(),
+                         subqueries=(), values=None, binds=(),
                          kg_sql: str | None = None) -> str:
     """SQL twin of plans.kg_query.construct: the BGP oracle as a CTE,
     one SELECT per template element (variables → the binding columns,
@@ -2037,6 +2124,7 @@ def _kg_construct_oracle(pattern, template, optional=(), filters=(),
     inner = _kg_pattern_oracle(pattern, optional=optional,
                                filters=filters, negation=negation,
                                existence=existence, minus=minus,
+                               subqueries=subqueries,
                                values=values, binds=binds,
                                kg_sql=kg_sql)
     arms = []
@@ -2057,12 +2145,13 @@ GROUP BY 1, 2, 3
 
 def _kg_solutions_oracle(pattern=(), optional=(), filters=(),
                          negation=(), existence=(), minus=(),
-                         union=None, values=None,
+                         subqueries=(), union=None, values=None,
                          binds=(), fill_null=(), path_max_hops=None,
                          group_by=(), aggregates=(), having=(),
                          select=None, distinct=False, order_by=(),
                          offset=None, limit=None,
-                         kg_sql: str | None = None) -> str:
+                         kg_sql: str | None = None,
+                         prefix: str = "") -> str:
     """SQL twin of plans.kg_query.solutions: the BGP oracle as a CTE
     with GROUP BY / aggregates / projection / DISTINCT / ORDER BY /
     LIMIT layered on top, using the exact same modifier semantics —
@@ -2075,15 +2164,16 @@ def _kg_solutions_oracle(pattern=(), optional=(), filters=(),
         inner = _kg_union_oracle(union, filters=filters,
                                  fill_null=fill_null,
                                  path_max_hops=path_max_hops,
-                                 kg_sql=kg_sql)
+                                 kg_sql=kg_sql, prefix=prefix)
     else:
         inner = _kg_pattern_oracle(pattern, optional=optional,
                                    filters=filters, negation=negation,
                                    existence=existence, minus=minus,
+                                   subqueries=subqueries,
                                    values=values, binds=binds,
                                    fill_null=fill_null,
                                    path_max_hops=path_max_hops,
-                                   kg_sql=kg_sql)
+                                   kg_sql=kg_sql, prefix=prefix)
     keys = [v[1:] for v in group_by]
     aggs = [parse_aggregate(a) if isinstance(a, str) else a
             for a in aggregates]
@@ -2116,9 +2206,9 @@ def _kg_solutions_oracle(pattern=(), optional=(), filters=(),
     if select is not None:
         proj = ", ".join(s[1:] if s.startswith("?") else s for s in select)
         body = (f"SELECT {proj} FROM "
-                f"(SELECT {sel} FROM b {group})")
+                f"(SELECT {sel} FROM {prefix}b {group})")
     else:
-        body = f"SELECT {sel} FROM b {group}"
+        body = f"SELECT {sel} FROM {prefix}b {group}"
     if distinct:
         body = body.replace("SELECT ", "SELECT DISTINCT ", 1)
     order = ""
@@ -2136,7 +2226,7 @@ def _kg_solutions_oracle(pattern=(), optional=(), filters=(),
         order = f"ORDER BY {', '.join(parts)}"
     lim = f"LIMIT {limit}" if limit is not None else ""
     off = f"OFFSET {offset}" if offset is not None else ""
-    return f"""WITH b AS ({inner})
+    return f"""WITH {prefix}b AS ({inner})
 {body}
 {order} {lim} {off}
 """
@@ -2144,7 +2234,7 @@ def _kg_solutions_oracle(pattern=(), optional=(), filters=(),
 
 def _kg_describe_oracle(terms, pattern=(), optional=(), filters=(),
                         negation=(), existence=(), minus=(),
-                        values=None, binds=(),
+                        subqueries=(), values=None, binds=(),
                         path_max_hops=None,
                         kg_sql: str | None = None) -> str:
     """SQL twin of plans.kg_query.describe: the described node set
@@ -2161,6 +2251,7 @@ def _kg_describe_oracle(terms, pattern=(), optional=(), filters=(),
         inner = _kg_pattern_oracle(pattern, optional=optional,
                                    filters=filters, negation=negation,
                                    existence=existence, minus=minus,
+                                   subqueries=subqueries,
                                    values=values, binds=binds,
                                    path_max_hops=path_max_hops,
                                    kg_sql=kg_sql)
@@ -2646,6 +2737,7 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "kg_sparql_having": _kg_sparql_oracle(_SPARQL_HAVING),
         "kg_sparql_minus": _kg_sparql_oracle(_SPARQL_MINUS),
         "kg_sparql_negset": _kg_sparql_oracle(_SPARQL_NEGSET),
+        "kg_sparql_subquery": _kg_sparql_oracle(_SPARQL_SUBQUERY),
         "kg_sparql_describe": _kg_sparql_oracle(_SPARQL_DESCRIBE),
         "mentions_hybrid": _mentions_oracle("hybrid"),
         "mentions_crf": _mentions_oracle("crf_only"),

@@ -784,6 +784,7 @@ def match_pattern(
     negation: list = (),
     existence: list = (),
     minus: list = (),
+    subqueries: list = (),
     values: tuple | None = None,
     binds: list = (),
     path_max_hops: int | None = None,
@@ -885,6 +886,23 @@ def match_pattern(
     produce in practice, and the required-variable fast path is taken
     whenever the query allows it.
 
+    ``subqueries`` are SPARQL 1.1 sub-SELECTs — each entry a dict of
+    :func:`solutions` keyword arguments (what ``{ SELECT ... }``
+    inside a group parses to).  A subquery evaluates bottom-up as its
+    own solution set and inner-joins into the outer bindings on its
+    projected variables.  Each subquery must share at least one
+    REQUIRED outer variable (the cartesian guard; sharing only an
+    OPTIONAL-bound variable would need null-aware join semantics the
+    spec does not give subqueries, so it raises) — which also makes
+    the join order immaterial: the equi-join keys are never-null, so
+    joining after the OPTIONAL left-joins (as both engines do, in
+    matching column order) equals the spec's bottom-up group join.
+    A subquery's other
+    projected variables must be new to the group (aggregate aliases
+    typically).  Scale shape: the subquery is an independent audited
+    plan (its own pushed scans, its own group-by), and the join is a
+    plain hash equi-join on the shared variables.
+
     Returns a DataFrame with one column per distinct ``?variable`` (in
     first-appearance order, ``?`` stripped).
     """
@@ -894,10 +912,38 @@ def match_pattern(
     bound_vars: set[str] = set()
     required_vars: set[str] = set()  # bound by a non-OPTIONAL element
     var_order: list[str] = []  # first-appearance output column order
-    elements = [(el, False) for el in pattern] + [
-        (el, True) for el in optional
-    ]
-    for i, (element, is_optional) in enumerate(elements):
+    steps = ([("element", el, False) for el in pattern]
+             + [("element", el, True) for el in optional]
+             + [("subquery", sq, False) for sq in subqueries])
+    for i, (kind, item, is_optional) in enumerate(steps):
+        if kind == "subquery":
+            sub = solutions(triples, path_max_hops=path_max_hops,
+                            **item)
+            cols = {"?" + c for c in sub.columns}
+            shared = required_vars & cols
+            if not shared:
+                raise ValueError(
+                    f"subquery {item} shares no REQUIRED variable "
+                    "with the outer pattern — joining it would be a "
+                    "cartesian product (or need null-aware OPTIONAL "
+                    "join semantics); project a shared variable"
+                )
+            clash = (bound_vars - required_vars) & cols
+            if clash:
+                raise ValueError(
+                    f"subquery projects {sorted(clash)} which the "
+                    "outer group binds optionally — rename the "
+                    "subquery's aliases or make the outer binding "
+                    "required")
+            bound = bound.join(sub, [v[1:] for v in sorted(shared)])
+            bound_vars |= cols
+            var_order.extend("?" + c for c in sub.columns
+                             if "?" + c not in var_order)
+            # conservatively nullable: a UNION/OPTIONAL inside the
+            # subquery may project nulls, so downstream MINUS /
+            # VALUES treat these as nullable
+            continue
+        element = item
         t, cols = _element_relation(triples, element, path_max_hops)
         if bound is None:
             bound = t
@@ -1025,6 +1071,7 @@ def construct(
     negation: list = (),
     existence: list = (),
     minus: list = (),
+    subqueries: list = (),
     values: tuple | None = None,
     binds: list = (),
     path_max_hops: int | None = None,
@@ -1057,6 +1104,7 @@ def construct(
     bound = match_pattern(triples, pattern, optional=optional,
                           filters=filters, negation=negation,
                           existence=existence, minus=minus,
+                          subqueries=subqueries,
                           values=values, binds=binds,
                           path_max_hops=path_max_hops)
     bound_vars = {"?" + c for c in bound.columns}
@@ -1096,6 +1144,7 @@ def describe(
     negation: list = (),
     existence: list = (),
     minus: list = (),
+    subqueries: list = (),
     values: tuple | None = None,
     binds: list = (),
     path_max_hops: int | None = None,
@@ -1129,6 +1178,7 @@ def describe(
         bound = match_pattern(triples, pattern, optional=optional,
                               filters=filters, negation=negation,
                               existence=existence, minus=minus,
+                              subqueries=subqueries,
                               values=values, binds=binds,
                               path_max_hops=path_max_hops)
         for v in var_terms:
@@ -1188,7 +1238,7 @@ def match_union(
             "pattern": group}
         unknown = set(kwargs) - {"pattern", "optional", "filters",
                                  "negation", "existence", "minus",
-                                 "values", "binds"}
+                                 "subqueries", "values", "binds"}
         if unknown:
             raise ValueError(
                 f"UNION group {i} has unknown keys {sorted(unknown)}")
@@ -1277,6 +1327,7 @@ def solutions(
     negation: list = (),
     existence: list = (),
     minus: list = (),
+    subqueries: list = (),
     union: list | None = None,
     values: tuple | None = None,
     binds: list = (),
@@ -1349,7 +1400,7 @@ def solutions(
     """
     if union is not None:
         if pattern or optional or negation or existence or minus \
-                or binds or values is not None:
+                or subqueries or binds or values is not None:
             raise ValueError(
                 "give the query as EITHER a single pattern (+optional/"
                 "negation/values/binds) OR a union of groups, not "
@@ -1361,6 +1412,7 @@ def solutions(
         bound = match_pattern(triples, pattern, optional=optional,
                               filters=filters, negation=negation,
                               existence=existence, minus=minus,
+                              subqueries=subqueries,
                               values=values, binds=binds,
                               path_max_hops=path_max_hops)
     bound_vars = {"?" + c for c in bound.columns}

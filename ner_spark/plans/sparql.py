@@ -43,7 +43,8 @@ raises with the offending token rather than mis-parsing):
     Describe  := 'DESCRIBE' Term+ ('WHERE'? Group)?
     Group     := '{' GroupBody '}'
     GroupBody := Union | (Triple | Optional | Filter | Values | Bind
-                 | Minus)*
+                 | Minus | SubSelect)*
+    SubSelect := '{' 'SELECT' ... '}'   (a nested Select, same form)
     Bind      := 'BIND' '(' (Term | Fn '(' Term (',' Term)* ')')
                  'AS' Var ')'
     Fn        := 'CONCAT' | 'UCASE' | 'LCASE' | 'STR' | 'STRLEN'
@@ -216,6 +217,8 @@ def _parse_triples(cur: _Cursor) -> list[tuple[str, str, str]]:
         if cur.peek_kw() in ("OPTIONAL", "FILTER", "VALUES", "UNION",
                              "BIND", "MINUS"):
             break
+        if cur.at("{"):  # a subquery starts — group loop handles it
+            break
         out.append((term(), term(), term()))
         if cur.at("."):
             cur.next()
@@ -327,7 +330,10 @@ def _parse_values(cur: _Cursor) -> tuple[list[str], list[tuple]]:
 def _parse_group_body(cur: _Cursor) -> dict:
     """The body of a ``{ ... }`` group → match_pattern kwargs (or a
     ``{"union": [...]}`` wrapper when the group is an alternation)."""
-    if cur.at("{"):  # alternation: { {g1} UNION {g2} ... }
+    if cur.at("{") and (cur.toks[cur.i + 1].upper() != "SELECT"
+                        if cur.i + 1 < len(cur.toks) else True):
+        # alternation: { {g1} UNION {g2} ... } — a brace followed by
+        # SELECT is a subquery instead, handled by the kwargs loop
         groups = []
         for g in [_parse_group(cur)]:
             groups.extend(g["union"] if set(g) == {"union"} else [g])
@@ -349,7 +355,23 @@ def _parse_group_body(cur: _Cursor) -> dict:
                     "binds": []}
     while not cur.at("}"):
         kw = cur.peek_kw()
-        if kw == "BIND":
+        if cur.at("{"):
+            # a braced element inside a triple-bearing group must be
+            # a subquery ({ SELECT ... } — SPARQL 1.1 sub-SELECT);
+            # UNION alternations are whole-group only (checked above)
+            nxt = cur.toks[cur.i + 1] if cur.i + 1 < len(cur.toks) \
+                else ""
+            if nxt.upper() != "SELECT":
+                raise ValueError(
+                    "a nested group inside a triple-bearing group "
+                    "must be a subquery ({ SELECT ... }); UNION "
+                    "alternations must be the whole group")
+            cur.next()  # {
+            cur.next()  # SELECT
+            kwargs.setdefault("subqueries", []).append(
+                _parse_select(cur, nested=True))
+            cur.eat("}")
+        elif kw == "BIND":
             cur.next()
             kwargs["binds"].append(_parse_bind(cur))
         elif kw == "OPTIONAL":
@@ -454,8 +476,32 @@ def _parse_projection(cur: _Cursor) -> tuple[list[str], list[str]]:
     return select, aggregates
 
 
-def _parse_modifiers(cur: _Cursor) -> dict:
-    """Trailing GROUP BY / ORDER BY / LIMIT."""
+def _parse_select(cur: _Cursor, nested: bool = False) -> dict:
+    """The body of a SELECT query (the ``SELECT`` token already
+    consumed): projection, WHERE group, trailing modifiers — used by
+    the top-level form and by ``{ SELECT ... }`` subqueries, which
+    stop at the enclosing brace instead of end-of-input."""
+    distinct = False
+    if cur.at("DISTINCT"):
+        cur.next()
+        distinct = True
+    select, aggregates = _parse_projection(cur)
+    if cur.at("WHERE"):
+        cur.next()
+    kwargs = _parse_group(cur)
+    kwargs.update(_parse_modifiers(cur, nested=nested))
+    if aggregates:
+        kwargs["aggregates"] = aggregates
+    if select:
+        kwargs["select"] = select
+    if distinct:
+        kwargs["distinct"] = True
+    return kwargs
+
+
+def _parse_modifiers(cur: _Cursor, nested: bool = False) -> dict:
+    """Trailing GROUP BY / ORDER BY / LIMIT.  ``nested`` (subquery)
+    modifiers end at the enclosing ``}`` instead of end-of-input."""
     out: dict = {}
     if cur.at("GROUP"):
         cur.next()
@@ -507,7 +553,12 @@ def _parse_modifiers(cur: _Cursor) -> dict:
         if not n.isdigit():
             raise ValueError(f"{kw} needs an integer, got {n!r}")
         out[key] = int(n)
-    if not cur.done():
+    if nested:
+        if not cur.at("}"):
+            raise ValueError(
+                f"unexpected token {cur.peek()!r} in subquery "
+                "modifiers (expected the closing brace)")
+    elif not cur.done():
         raise ValueError(f"unexpected trailing token {cur.peek()!r}")
     return out
 
@@ -521,21 +572,7 @@ def parse_sparql(text: str) -> dict:
     cur = _Cursor(tokenize(text))
     form = cur.next().upper()
     if form == "SELECT":
-        distinct = False
-        if cur.at("DISTINCT"):
-            cur.next()
-            distinct = True
-        select, aggregates = _parse_projection(cur)
-        if cur.at("WHERE"):
-            cur.next()
-        kwargs = _parse_group(cur)
-        kwargs.update(_parse_modifiers(cur))
-        if aggregates:
-            kwargs["aggregates"] = aggregates
-        if select:
-            kwargs["select"] = select
-        if distinct:
-            kwargs["distinct"] = True
+        kwargs = _parse_select(cur)
         kwargs["form"] = "select"
         return kwargs
     if form == "ASK":

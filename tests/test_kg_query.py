@@ -1461,3 +1461,56 @@ def test_minus_required_path_is_hash_anti_join(spark):
                         minus=[[("?k", "Q", "?z")]])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan and "LeftAnti" in plan
+
+
+# ------------------------------------------------- SPARQL subqueries
+
+
+def test_match_pattern_subquery_semantics(spark):
+    t = _triples(spark, [
+        ("r1", "DECLARES", "e1", 1), ("r1", "DECLARES", "e2", 1),
+        ("r2", "DECLARES", "e2", 1),
+        ("e1", "MENTIONED_WITH", "e2", 1),
+        ("e2", "MENTIONED_WITH", "e1", 1),
+        ("e2", "MENTIONED_WITH", "e3", 1),
+    ])
+    sub = {"pattern": [("?e", "MENTIONED_WITH", "?x")],
+           "group_by": ["?e"], "aggregates": ["count(*) AS n"]}
+    out = match_pattern(t, [("?repo", "DECLARES", "?e")],
+                        subqueries=[sub])
+    # subquery vars append after the outer pattern's, aliases join in
+    assert out.columns == ["repo", "e", "n"]
+    assert sorted(map(tuple, out.collect())) == [
+        ("r1", "e1", 1), ("r1", "e2", 2), ("r2", "e2", 2)]
+    # inner join: an outer binding with no subquery solution drops
+    t2 = _triples(spark, [
+        ("r1", "DECLARES", "e9", 1),
+        ("e1", "MENTIONED_WITH", "e2", 1),
+    ])
+    assert match_pattern(t2, [("?repo", "DECLARES", "?e")],
+                         subqueries=[sub]).count() == 0
+    # no shared REQUIRED variable → the cartesian guard raises
+    with pytest.raises(ValueError, match="shares no REQUIRED"):
+        match_pattern(t, [("?repo", "DECLARES", "?e")],
+                      subqueries=[{"pattern":
+                                   [("?a", "MENTIONED_WITH", "?b")]}])
+    # projecting over an outer OPTIONAL-bound variable raises (the
+    # join would need null-aware semantics the spec does not define)
+    with pytest.raises(ValueError, match="binds optionally"):
+        match_pattern(t, [("?repo", "DECLARES", "?e")],
+                      optional=[("?e", "MENTIONED_WITH", "?x")],
+                      subqueries=[{"pattern":
+                                   [("?e", "MENTIONED_WITH", "?x")]}])
+
+
+def test_subquery_join_is_hash_equi(spark):
+    t = _triples(spark, [
+        ("r1", "DECLARES", "e1", 1), ("e1", "MENTIONED_WITH", "e2", 1),
+    ])
+    sub = {"pattern": [("?e", "MENTIONED_WITH", "?x")],
+           "group_by": ["?e"], "aggregates": ["count(*) AS n"]}
+    out = match_pattern(t, [("?repo", "DECLARES", "?e")],
+                        subqueries=[sub])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

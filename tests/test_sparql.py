@@ -111,7 +111,7 @@ def test_parse_errors():
         ("SELECT (AVG(?x) AS ?s) WHERE { ?a ?p ?x }", "AVG is not"),
         ("SELECT (COUNT(*) AS n) WHERE { ?a ?p ?x }", "alias must be"),
         ("SELECT * WHERE { ?a ?p ?b . { ?a DECLARES ?c } "
-         "UNION { ?a LINKED_TO ?c } }", "expected a triple term"),
+         "UNION { ?a LINKED_TO ?c } }", "must be a subquery"),
         ("SELECT * WHERE { { ?a DECLARES ?c } }", "part of a UNION"),
         ("SELECT * WHERE { { ?a DECLARES ?c } UNION "
          "{ ?a LINKED_TO ?c } ?x ?y ?z }", "cannot join a UNION"),
@@ -487,3 +487,72 @@ def test_sparql_negset_tokenizer_and_errors(spark):
     # MINUS needs a braced group
     with pytest.raises(ValueError, match="expected"):
         sparql(t, "SELECT ?s WHERE { ?s DECLARES ?o MINUS ?o P ?x }")
+
+
+def test_sparql_subquery_from_text(spark):
+    t = _graph(spark)
+    out = sparql(t, """
+        SELECT ?r ?e ?n WHERE {
+          ?r DECLARES ?e
+          { SELECT ?e (COUNT(*) AS ?n) WHERE { ?e LINKED_TO ?kb }
+            GROUP BY ?e }
+        }""")
+    assert out.columns == ["r", "e", "n"]
+    assert sorted(map(tuple, out.collect())) == [
+        ("repo:a", "e1", 1), ("repo:b", "e2", 1)]
+    # outer modifiers compose over the joined solutions; the subquery
+    # may come first in the group (triples follow it)
+    out = sparql(t, """
+        SELECT ?r (COUNT(*) AS ?m) WHERE {
+          { SELECT ?e (COUNT(*) AS ?n) WHERE { ?e LINKED_TO ?kb }
+            GROUP BY ?e }
+          ?r DECLARES ?e . FILTER(?n >= "1")
+        } GROUP BY ?r ORDER BY ?r""")
+    assert [tuple(r) for r in out.collect()] == [
+        ("repo:a", 1), ("repo:b", 1)]
+    # a non-SELECT nested group inside a triple-bearing group raises
+    with pytest.raises(ValueError, match="must be a subquery"):
+        sparql(t, "SELECT ?a WHERE { ?a DECLARES ?b { ?a ?p ?c } }")
+
+
+def test_sparql_subquery_matches_twin(spark):
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tests.oracle_compare import assert_df_matches_duckdb
+
+    kg_sql = """SELECT * FROM (VALUES
+        ('repo:a','DECLARES','e1'), ('repo:a','DECLARES','e3'),
+        ('repo:b','DECLARES','e2'), ('e1','MENTIONED_WITH','e2'),
+        ('e1','LINKED_TO','kb:Q1'), ('e2','LINKED_TO','kb:Q2')
+        ) t(subj, pred, obj)"""
+    con = duckdb.connect()
+    for text in (
+        # group-by subquery joined on the shared required var
+        """SELECT ?r ?e ?n WHERE { ?r DECLARES ?e
+           { SELECT ?e (COUNT(*) AS ?n)
+             WHERE { ?e MENTIONED_WITH ?x } GROUP BY ?e } }""",
+        # subquery with a closure path inside + outer path element
+        # (prefixed recursive CTEs must not collide with the outer's)
+        """SELECT ?a ?b ?n WHERE { ?a MENTIONED_WITH+ ?b
+           { SELECT ?a (COUNT(*) AS ?n)
+             WHERE { ?a MENTIONED_WITH+ ?z } GROUP BY ?a } }""",
+        # subquery nested inside a subquery (two prefix levels)
+        """SELECT ?r ?n WHERE { ?r DECLARES ?e
+           { SELECT ?e (COUNT(*) AS ?n) WHERE { ?e MENTIONED_WITH ?x
+             { SELECT ?x (COUNT(*) AS ?k)
+               WHERE { ?x LINKED_TO ?q } GROUP BY ?x } }
+             GROUP BY ?e } }""",
+        # subqueries inside BOTH union branches
+        """SELECT ?e ?n WHERE {
+           { ?e LINKED_TO ?kb
+             { SELECT ?e (COUNT(*) AS ?n)
+               WHERE { ?e MENTIONED_WITH ?x } GROUP BY ?e } }
+           UNION { ?e MENTIONED_WITH ?x
+             { SELECT ?e (COUNT(*) AS ?n)
+               WHERE { ?e LINKED_TO ?k } GROUP BY ?e } } }""",
+    ):
+        assert_df_matches_duckdb(
+            sparql(_graph(spark), text), con,
+            entrymod._kg_sparql_oracle(text, kg_sql=kg_sql),
+            name=f"sparql:{text[:30]}")

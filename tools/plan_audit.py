@@ -689,6 +689,19 @@ def main() -> int:
         tri, [("?s", "!(DECLARES|LINKED_TO)", "?o")]))
     check("kg_negset", "negated set is one filtered scan, no join",
           "NOT" in p.upper() and "Join" not in p)
+    # subquery: the nested SELECT keeps its own map-side-combinable
+    # aggregate and joins into the outer bindings as a hash equi-join
+    # on the shared required variable — never a nested loop
+    p = plans["kg_subquery"] = plan_of(match_pattern(
+        tri, [("?r", "DECLARES", "?e")],
+        subqueries=[{"pattern": [("?e", "P", "?x")],
+                     "group_by": ["?e"],
+                     "aggregates": ["count(*) AS n"]}]))
+    check("kg_subquery", "nested aggregate partial-combines map-side",
+          "partial_count" in p)
+    check("kg_subquery", "subquery joins as a hash equi-join",
+          "BroadcastNestedLoopJoin" not in p
+          and "CartesianProduct" not in p)
 
     # contamination: the eval side must broadcast (the 100 TB corpus
     # never shuffles for the overlap join) and the per-pair shingle
