@@ -70,9 +70,18 @@ def parse_filter(text: str) -> tuple:
 
         ("cmp", "?a", op, ("var", "?b") | ("const", value))
         ("regex" | "strstarts" | "strends" | "contains", "?a", value)
+        ("bound", "?a")
+        ("in" | "notin", "?a", [value, ...])
+        ("and" | "or", [sub, ...])        ("not", sub)
 
-    Raises ``ValueError`` on anything outside the grammar above — a
-    filter that silently parsed to TRUE would un-filter the query.
+    The atomic comparison / string-function forms parse directly; the
+    boolean-expression forms (``?a = ?b || !BOUND(?k)``,
+    ``?p IN ("DECLARES", "LINKED_TO")``) parse through the SPARQL text
+    tokenizer with the same precedence (``!`` > ``&&`` > ``||``) as
+    the text front-end, so the CLI ``--match-filter`` grammar and
+    ``FILTER(...)`` in a query string are one grammar.  Raises
+    ``ValueError`` on anything outside it — a filter that silently
+    parsed to TRUE would un-filter the query.
     """
     text = text.strip()
     m = _FN_RE.match(text)
@@ -86,23 +95,61 @@ def parse_filter(text: str) -> tuple:
         if rhs.startswith('"'):
             return ("cmp", var, op, ("const", _unescape(rhs[1:-1])))
         return ("cmp", var, op, ("const", rhs))
-    raise ValueError(
-        f"unparseable FILTER {text!r}: expected '?var OP term' with OP "
-        "in (= != < <= > >=) or regex/strstarts/strends/contains"
-        '(?var, "literal")'
-    )
+    from ner_spark.plans.sparql import _Cursor, _parse_filter_or, tokenize
+
+    try:
+        cur = _Cursor(tokenize(text))
+        out = _parse_filter_or(cur)
+        if not cur.done():
+            raise ValueError(f"trailing tokens at {cur.peek()!r}")
+    except ValueError as e:
+        raise ValueError(
+            f"unparseable FILTER {text!r}: expected '?var OP term' with "
+            "OP in (= != < <= > >=), regex/strstarts/strends/contains"
+            '(?var, "literal"), BOUND(?var), ?var [NOT] IN (...), or a '
+            f"boolean combination with && || ! — {e}"
+        ) from None
+    return out
 
 
 def _filter_column(filt: tuple, bound: set[str]) -> Column:
     """Compile one parsed filter to a Catalyst boolean Column over the
     output variable columns.  Unbound variables raise — SPARQL would
     evaluate them to an error (eliminating every row), which is never
-    what the caller meant."""
+    what the caller meant.
+
+    Boolean connectives get SPARQL's three-valued error algebra for
+    free from SQL null logic (both engines): a null operand (an
+    unmatched OPTIONAL variable) makes an atom null ("error"),
+    ``TRUE || error = TRUE``, ``FALSE && error = FALSE``, ``!error =
+    error``, and a null top-level result eliminates the row.  BOUND
+    never errors — ``!BOUND(?k) || strstarts(?k, "kb:")`` is the
+    negation-as-failure idiom OPTIONAL enables."""
     kind = filt[0]
+    if kind in ("and", "or"):
+        col = None
+        for sub in filt[1]:
+            c = _filter_column(sub, bound)
+            col = c if col is None else (
+                (col & c) if kind == "and" else (col | c))
+        if col is None:
+            raise ValueError(f"empty {kind!r} filter")
+        return col
+    if kind == "not":
+        return ~_filter_column(filt[1], bound)
     var = filt[1]
     if var not in bound:
         raise ValueError(f"FILTER references unbound variable {var}")
     col = F.col(var[1:])
+    if kind == "bound":
+        return col.isNotNull()
+    if kind in ("in", "notin"):
+        vals = list(filt[2])
+        if not vals:
+            raise ValueError("IN needs at least one term")
+        # NULL IN (...) is null in both engines → row eliminated,
+        # SPARQL's unbound-operand error; same for NOT IN
+        return col.isin(vals) if kind == "in" else ~col.isin(vals)
     if kind == "cmp":
         _, _, op, (rkind, rval) = filt
         if rkind == "var":

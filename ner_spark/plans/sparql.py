@@ -52,10 +52,16 @@ raises with the offending token rather than mis-parsing):
     Optional  := 'OPTIONAL' '{' Triple+ '}'
     Minus     := 'MINUS' '{' Triple+ '}'
     Filter    := 'FILTER' ('NOT'? 'EXISTS' '{' Triple+ '}'
-                 | '(' Expr ')' | Func)
-    Expr      := Term ('='|'!='|'<'|'<='|'>'|'>=') Term | Func
+                 | '(' Expr ')' | Func | Bound)
+    Expr      := AndExpr ('||' AndExpr)*
+    AndExpr   := Unary ('&&' Unary)*
+    Unary     := '!' Unary | Atom
+    Atom      := '(' Expr ')' | Func | Bound
+                 | Var ('='|'!='|'<'|'<='|'>'|'>=') Term
+                 | Var 'NOT'? 'IN' '(' Datum (',' Datum)* ')'
     Func      := ('REGEX'|'STRSTARTS'|'STRENDS'|'CONTAINS')
                  '(' Var ',' String ')'
+    Bound     := 'BOUND' '(' Var ')'
     Values    := 'VALUES' (Var '{' Datum+ '}'
                  | '(' Var+ ')' '{' ('(' Datum+ ')')+ '}')
     Datum     := String | Word | 'UNDEF'
@@ -81,6 +87,10 @@ Deliberate restrictions, matching the engine's semantics:
 - OFFSET requires ORDER BY (an unordered OFFSET is nondeterministic).
 - Keywords are case-insensitive; bare constants that collide with a
   keyword (a predicate literally named ``FILTER``) need quotes.
+- ``&&`` / ``||`` must be whitespace-separated from a preceding bare
+  word (``?a = ?b || ?c = ?d``): predicates may legally contain ``|``
+  (path alternation) and the tokenizer keeps word runs whole, so an
+  unspaced ``?a||?b`` reads as one malformed term and raises.
 """
 
 from __future__ import annotations
@@ -116,7 +126,7 @@ _TOKEN_RE = re.compile(
                                         # lookahead requires a path
                                         # operator inside, so (*) and
                                         # bare (CONST) stay punct+word
-      | (?P<punct>[{}().,]|!=|<=|>=|=|<|>|\*)
+      | (?P<punct>[{}().,]|!=|<=|>=|=|<|>|\*|\|\||&&|!)
       | (?P<word>[^\s{}().,"<>=!]+)     # vars, keywords, constants
     )""",
     re.VERBOSE,
@@ -226,8 +236,67 @@ def _parse_triples(cur: _Cursor) -> list[tuple[str, str, str]]:
 
 
 def _parse_filter_expr(cur: _Cursor) -> tuple:
-    """One FILTER body → a kg_query parsed-filter tuple."""
+    """One FILTER body → a kg_query parsed-filter tuple.  Per the
+    SPARQL grammar a constraint is either a bracketed expression or a
+    bare built-in call — ``FILTER(?a = ?b || !BOUND(?k))`` or
+    ``FILTER STRSTARTS(?e, "ent:")``; a bare unbracketed comparison
+    or connective raises."""
     t = cur.peek()
+    if cur.at("("):
+        cur.next()
+        inner = _parse_filter_or(cur)
+        cur.eat(")")
+        return inner
+    if t is not None and (t.upper() in _FILTER_FNS
+                          or t.upper() == "BOUND"):
+        return _parse_filter_atom(cur)
+    raise ValueError(
+        f"FILTER constraint must be a bracketed expression or a "
+        f"built-in call, got {t!r}")
+
+
+def _parse_filter_or(cur: _Cursor) -> tuple:
+    """``Expr := AndExpr ('||' AndExpr)*`` — SPARQL's logical-or, the
+    lowest-precedence connective."""
+    terms = [_parse_filter_and(cur)]
+    while cur.peek() == "||":
+        cur.next()
+        terms.append(_parse_filter_and(cur))
+    return terms[0] if len(terms) == 1 else ("or", terms)
+
+
+def _parse_filter_and(cur: _Cursor) -> tuple:
+    """``AndExpr := Unary ('&&' Unary)*``."""
+    terms = [_parse_filter_unary(cur)]
+    while cur.peek() == "&&":
+        cur.next()
+        terms.append(_parse_filter_unary(cur))
+    return terms[0] if len(terms) == 1 else ("and", terms)
+
+
+def _parse_filter_unary(cur: _Cursor) -> tuple:
+    """``Unary := '!' Unary | Atom``.  The tokenizer glues ``!`` onto
+    a following bare word (``!BOUND`` arrives as one negated-set
+    token, a triple-context form), so a leading ``!`` is stripped and
+    the remainder pushed back for atom parsing."""
+    t = cur.peek()
+    if t is not None and t != "!=" and t.startswith("!"):
+        cur.next()
+        if len(t) > 1:
+            cur.toks.insert(cur.i, t[1:])
+        return ("not", _parse_filter_unary(cur))
+    return _parse_filter_atom(cur)
+
+
+def _parse_filter_atom(cur: _Cursor) -> tuple:
+    """``Atom`` — parenthesized sub-expression, string function,
+    BOUND, IN / NOT IN membership, or a comparison."""
+    t = cur.peek()
+    if cur.at("("):
+        cur.next()
+        inner = _parse_filter_or(cur)
+        cur.eat(")")
+        return inner
     if t is not None and t.upper() in _FILTER_FNS:
         fn = _FILTER_FNS[cur.next().upper()]
         cur.eat("(")
@@ -240,17 +309,41 @@ def _parse_filter_expr(cur: _Cursor) -> tuple:
             raise ValueError(f"FILTER {fn} needs a quoted literal")
         cur.eat(")")
         return (fn, var, _unquote(lit))
-    if cur.at("("):
+    if t is not None and t.upper() == "BOUND":
         cur.next()
-        inner = _parse_filter_expr(cur)
-        if inner[0] != "cmp" or cur.peek() == ")":
-            cur.eat(")")
-            return inner
-        raise ValueError("unbalanced FILTER expression")
+        cur.eat("(")
+        var = cur.next()
+        if not var.startswith("?"):
+            raise ValueError(f"BOUND needs a ?variable, got {var!r}")
+        cur.eat(")")
+        return ("bound", var)
     lhs = cur.next()
     if not lhs.startswith("?"):
         raise ValueError(
             f"FILTER comparison must start with a ?variable, got {lhs!r}")
+    if cur.at("IN") or cur.at("NOT"):
+        neg = False
+        if cur.at("NOT"):
+            cur.next()
+            neg = True
+        cur.eat("IN")
+        cur.eat("(")
+        vals: list[str] = []
+        while not cur.at(")"):
+            v = cur.next()
+            if v.startswith("?"):
+                raise ValueError(
+                    f"IN list term {v!r} must be a constant (quote "
+                    "literals; variable terms are not supported)")
+            if v in "{}().,":
+                raise ValueError(f"expected an IN list term, got {v!r}")
+            vals.append(_unquote(v))
+            if cur.at(","):
+                cur.next()
+        cur.next()  # )
+        if not vals:
+            raise ValueError("IN needs at least one term")
+        return ("notin" if neg else "in", lhs, vals)
     op = cur.next()
     if op not in _CMP_OPS:
         raise ValueError(f"unsupported FILTER operator {op!r}")

@@ -183,10 +183,26 @@ def test_parse_filter_grammar():
         "strstarts", "?e", "ent:")
     # escaped quote inside the literal
     assert parse_filter(r'contains(?x, "a\"b")') == ("contains", "?x", 'a"b')
+    # boolean expression forms (shared grammar with the text parser)
+    assert parse_filter('!bound(?k) || strstarts(?k, "kb:")') == (
+        "or", [("not", ("bound", "?k")), ("strstarts", "?k", "kb:")])
+    assert parse_filter('?p IN ("A", "B") && ?a != ?b') == (
+        "and", [("in", "?p", ["A", "B"]),
+                ("cmp", "?a", "!=", ("var", "?b"))])
+    assert parse_filter('?p NOT IN ("A")') == ("notin", "?p", ["A"])
+    # precedence: && binds tighter than ||
+    assert parse_filter('?a = "x" || ?b = "y" && ?c = "z"') == (
+        "or", [("cmp", "?a", "=", ("const", "x")),
+               ("and", [("cmp", "?b", "=", ("const", "y")),
+                        ("cmp", "?c", "=", ("const", "z"))])])
     with pytest.raises(ValueError, match="unparseable FILTER"):
         parse_filter("?a ~ ?b")
     with pytest.raises(ValueError, match="unparseable FILTER"):
         parse_filter("lcase(?a) = ?b")
+    with pytest.raises(ValueError, match="unparseable FILTER"):
+        parse_filter('?a IN (?b)')
+    with pytest.raises(ValueError, match="unparseable FILTER"):
+        parse_filter('?a = "x" || ')
 
 
 def test_match_pattern_filters(spark):
@@ -229,6 +245,44 @@ def test_match_pattern_filter_eliminates_null_optional(spark):
                         optional=[("?x", "LINKED_TO", "?kb")],
                         filters=['strstarts(?kb, "kb:")'])
     assert [tuple(r) for r in out.collect()] == [("b", "kb:Q1")]
+
+
+def test_match_pattern_boolean_filters(spark):
+    # SPARQL's error algebra rides SQL null logic: TRUE || error =
+    # TRUE keeps a row whose other arm is a null comparison, !BOUND
+    # keeps the unmatched-OPTIONAL row (negation-as-failure), and a
+    # null operand under && eliminates unless another conjunct is
+    # FALSE first
+    t = _triples(
+        spark,
+        [
+            ("a", "P", "b", 1), ("a", "P", "c", 1),
+            ("b", "LINKED_TO", "kb:Q1", 1),
+        ],
+    )
+    base = ([("a", "P", "?x")], [("?x", "LINKED_TO", "?kb")])
+    out = match_pattern(t, base[0], optional=base[1],
+                        filters=['!bound(?kb) || strstarts(?kb, "kb:")'])
+    assert sorted((r["x"], r["kb"]) for r in out.collect()) == [
+        ("b", "kb:Q1"), ("c", None)]
+    out = match_pattern(t, base[0], optional=base[1],
+                        filters=['bound(?kb)'])
+    assert [tuple(r) for r in out.collect()] == [("b", "kb:Q1")]
+    # TRUE || error: the ?x arm rescues the null-?kb row
+    out = match_pattern(t, base[0], optional=base[1],
+                        filters=['?kb = "kb:Q1" || ?x = "c"'])
+    assert sorted(r["x"] for r in out.collect()) == ["b", "c"]
+    # IN / NOT IN membership; null lhs eliminates (error)
+    out = match_pattern(t, base[0], optional=base[1],
+                        filters=['?kb NOT IN ("zzz")'])
+    assert [r["x"] for r in out.collect()] == ["b"]
+    out = match_pattern(t, [("?a", "?p", "?b")],
+                        filters=['?p IN ("LINKED_TO")'])
+    assert [tuple(r) for r in out.collect()] == [("b", "LINKED_TO", "kb:Q1")]
+    # unbound variables raise anywhere in the tree
+    with pytest.raises(ValueError, match="unbound variable"):
+        match_pattern(t, [("?a", "P", "?b")],
+                      filters=['?a = "a" || bound(?zz)'])
 
 
 def test_query_cli_match_filter(spark, tmp_path, capsys, monkeypatch):

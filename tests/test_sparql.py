@@ -104,6 +104,50 @@ def test_parse_filter_comparison_forms():
     ]
 
 
+def test_parse_boolean_filter_expressions():
+    # precedence: ! > && > ||, parens override; BOUND / IN / NOT IN
+    kw = parse_sparql(
+        'SELECT * WHERE { ?a ?p ?b OPTIONAL { ?b LINKED_TO ?k } '
+        'FILTER(!BOUND(?k) || STRSTARTS(?k, "kb:") && ?a != ?b) '
+        'FILTER(?p IN ("DECLARES", "LINKED_TO")) '
+        'FILTER((?a = "x" || ?b = "y") && ?p NOT IN ("Q")) }')
+    assert kw["filters"] == [
+        ("or", [("not", ("bound", "?k")),
+                ("and", [("strstarts", "?k", "kb:"),
+                         ("cmp", "?a", "!=", ("var", "?b"))])]),
+        ("in", "?p", ["DECLARES", "LINKED_TO"]),
+        ("and", [("or", [("cmp", "?a", "=", ("const", "x")),
+                         ("cmp", "?b", "=", ("const", "y"))]),
+                 ("notin", "?p", ["Q"])]),
+    ]
+    # a bare built-in call still parses without brackets
+    kw = parse_sparql('SELECT * WHERE { ?a ?p ?b FILTER BOUND(?a) }')
+    assert kw["filters"] == [("bound", "?a")]
+
+
+def test_sparql_boolean_filters_from_text(spark):
+    tri = spark.createDataFrame(
+        [("a", "P", "b"), ("a", "P", "c"), ("b", "LINKED_TO", "kb:Q1"),
+         ("c", "Q", "a")],
+        "subj string, pred string, obj string")
+    # !BOUND keeps the unmatched-OPTIONAL row; the IN arm keeps kb:Q1
+    out = sparql(tri, '''
+        SELECT ?x ?k WHERE {
+          a P ?x OPTIONAL { ?x LINKED_TO ?k }
+          FILTER(!BOUND(?k) || ?k IN ("kb:Q1"))
+        }''')
+    assert sorted((r["x"], r["k"]) for r in out.collect()) == [
+        ("b", "kb:Q1"), ("c", None)]
+    # && with a null operand is FALSE-dominated only when a conjunct
+    # is FALSE; here ?k != "z" is error (null) for c → row eliminated
+    out = sparql(tri, '''
+        SELECT ?x WHERE {
+          a P ?x OPTIONAL { ?x LINKED_TO ?k }
+          FILTER(?k != "z" && STRSTARTS(?x, "b"))
+        }''')
+    assert [r["x"] for r in out.collect()] == ["b"]
+
+
 def test_parse_errors():
     cases = [
         ("SELECT WHERE { ?a ?p ?b }", "empty SELECT"),
@@ -122,7 +166,15 @@ def test_parse_errors():
         ("CONSTRUCT { ?a X ?b } WHERE { { ?a P ?b } UNION { ?a Q ?b } }",
          "single BGP group"),
         ("SELECT * WHERE { ?a ?p ?b FILTER LCASE(?a) }",
-         "must start with a .variable|unsupported FILTER|expected"),
+         "bracketed expression or a built-in"),
+        ("SELECT * WHERE { ?a ?p ?b FILTER ?a != ?b }",
+         "bracketed expression or a built-in"),
+        ("SELECT * WHERE { ?a ?p ?b FILTER(?a IN ()) }",
+         "at least one term"),
+        ("SELECT * WHERE { ?a ?p ?b FILTER(?a IN (?b)) }",
+         "must be a constant"),
+        ("SELECT * WHERE { ?a ?p ?b FILTER(BOUND(x)) }",
+         "BOUND needs a .variable"),
     ]
     for text, msg in cases:
         with pytest.raises(ValueError, match=msg.split("|")[0]):
