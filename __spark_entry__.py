@@ -646,6 +646,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # equi-joins into the outer BGP on the shared required var
         return _sparql_gold(spark, _SPARQL_SUBQUERY)
 
+    def q_kg_sparql_update(spark, sf):
+        # SPARQL 1.1 Update as a pure transform over the gold store:
+        # DELETE/INSERT templates instantiated from one pre-update
+        # WHERE evaluation (kept rows keep evidence_count, new rows
+        # enter with the derived binding count)
+        from ner_spark.plans.kg_gold import kg_triples_gold
+        from ner_spark.plans.kg_update import apply_update
+
+        return apply_update(kg_triples_gold(spark), _SPARQL_UPDATE)
+
+    def q_kg_sparql_boolexpr(spark, sf):
+        # boolean FILTER expressions: ||/&&/! precedence, BOUND over
+        # the OPTIONAL ?kb (negation-as-failure), IN / NOT IN — the
+        # nullable ?kb column is sentinel-filled for the hash compare
+        # (the oracle's fill_null does the same)
+        out = _sparql_gold(spark, _SPARQL_BOOLEXPR)
+        return out.withColumn("kb", F.coalesce("kb", F.lit("")))
+
     def q_dataset_split(spark, sf):
         return curate.dataset_split(_docs(spark, sf))
 
@@ -757,6 +775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_minus": q_kg_sparql_minus,
         "kg_sparql_negset": q_kg_sparql_negset,
         "kg_sparql_subquery": q_kg_sparql_subquery,
+        "kg_sparql_boolexpr": q_kg_sparql_boolexpr,
+        "kg_sparql_update": q_kg_sparql_update,
         "kg_sparql_describe": q_kg_sparql_describe,
         "sota_gliner": q_sota_gliner,
         "dataset_split": q_dataset_split,
@@ -917,6 +937,31 @@ SELECT ?repo ?e ?n WHERE {
   ?repo DECLARES ?e
   { SELECT ?e (COUNT(*) AS ?n) WHERE { ?e MENTIONED_WITH ?x }
     GROUP BY ?e }
+}
+"""
+# SPARQL 1.1 Update: re-home each entity's KB link onto its declaring
+# repo — the DELETE drops the entity-level edges, the INSERT derives
+# repo-level ones (evidence = binding multiplicity) plus a grounding
+# marker, surviving triples keep their evidence_count.  One hash
+# anti-join + one counted groupBy; the WHERE bindings evaluate once
+# against the pre-update store (SPARQL's delete-then-insert rule)
+_SPARQL_UPDATE = """
+DELETE { ?e LINKED_TO ?kb }
+INSERT { ?repo MENTIONS_KB ?kb . ?e KB_GROUNDED "yes" }
+WHERE  { ?repo DECLARES ?e . ?e LINKED_TO ?kb }
+"""
+# boolean FILTER expressions: || / && / ! with SPARQL precedence,
+# BOUND over an OPTIONAL variable (negation-as-failure: keep the row
+# when the left join missed OR the KB id passes), IN / NOT IN
+# membership — all riding SQL three-valued null logic, which IS
+# SPARQL's error algebra for the connectives (TRUE||error=TRUE,
+# FALSE&&error=FALSE), so Spark and DuckDB agree row-for-row
+_SPARQL_BOOLEXPR = """
+SELECT ?repo ?e ?kb WHERE {
+  ?repo DECLARES ?e
+  OPTIONAL { ?e LINKED_TO ?kb }
+  FILTER(!BOUND(?kb) || STRENDS(?kb, "0") || ?kb IN ("kb:Q1", "kb:Q2"))
+  FILTER(STRSTARTS(?repo, "repo:") && ?e NOT IN ("ent:none"))
 }
 """
 # negated property set !(P1|P2): every edge that is neither a
@@ -1601,13 +1646,28 @@ def _kg_filter_sql(filt, first: dict) -> str:
     → one WHERE conjunct over the variables' first binding sites.
     Both engines search (not anchor) the regex and compare strings by
     codepoint, and a null operand (unmatched OPTIONAL) fails the
-    predicate in both — SPARQL's error-eliminates-row."""
+    predicate in both — SPARQL's error-eliminates-row.  The boolean
+    connectives recurse; SQL three-valued null logic IS SPARQL's error
+    algebra for them (TRUE OR NULL, FALSE AND NULL, NOT NULL), so the
+    twin is the literal AND/OR/NOT."""
     from ner_spark.plans.kg_query import parse_filter
 
     if isinstance(filt, str):
         filt = parse_filter(filt)
-    kind, var = filt[0], filt[1]
+    kind = filt[0]
+    if kind in ("and", "or"):
+        glue = " AND " if kind == "and" else " OR "
+        return ("(" + glue.join(_kg_filter_sql(f, first)
+                                for f in filt[1]) + ")")
+    if kind == "not":
+        return f"NOT ({_kg_filter_sql(filt[1], first)})"
+    var = filt[1]
     ref = first[var]
+    if kind == "bound":
+        return f"{ref} IS NOT NULL"
+    if kind in ("in", "notin"):
+        vals = ", ".join(_sql_str(v) for v in filt[2])
+        return f"{ref} {'NOT IN' if kind == 'notin' else 'IN'} ({vals})"
     if kind == "cmp":
         _, _, op, (rkind, rval) = filt
         rhs = first[rval] if rkind == "var" else _sql_str(rval)
@@ -2294,6 +2354,115 @@ def _kg_sparql_oracle(text: str, fill_null=(),
                                 kg_sql=kg_sql)
 
 
+def _kg_update_oracle(text: str, kg_sql: str | None = None) -> str:
+    """SQL twin of plans.kg_update.apply_update: the update TEXT
+    parses once (plans.kg_update.parse_update — shared with the Spark
+    side), the WHERE bindings reuse the pattern/union oracle, and the
+    delete/insert template arms project through them.  Deletes are a
+    NOT EXISTS against the distinct delete set, inserts a counted
+    GROUP BY anti-joined against the kept rows — the exact
+    kept-keeps-its-evidence / new-enters-with-derived-count semantics
+    of the operator."""
+    from ner_spark.plans.kg_update import parse_update
+
+    upd = parse_update(text)
+    form = upd["form"]
+
+    def ground_values(tmpl) -> str:
+        rows = ", ".join(
+            "(" + ", ".join(_sql_str(t) for t in el) + ")"
+            for el in tmpl)
+        return (f"SELECT * FROM (VALUES {rows}) "
+                "AS g(subj, pred, obj)")
+
+    def arms(tmpl, refs) -> str:
+        parts = []
+        for el in tmpl:
+            terms = []
+            for field, term in zip(("subj", "pred", "obj"), el):
+                src = (refs["?" + term[1:]] if term.startswith("?")
+                       else _sql_str(term))
+                terms.append(f"{src} AS {field}")
+            parts.append(f"SELECT {', '.join(terms)} FROM b")
+        return (
+            "SELECT subj, pred, obj FROM ("
+            + " UNION ALL ".join(parts)
+            + ") WHERE subj IS NOT NULL AND pred IS NOT NULL "
+            "AND obj IS NOT NULL")
+
+    ctes = [f"kg AS MATERIALIZED ({kg_sql or _kg_gold_oracle()})"]
+    d_sql = i_sql = None
+    if form == "insert_data":
+        i_sql = (f"SELECT subj, pred, obj, count(*) AS evidence_count "
+                 f"FROM ({ground_values(upd['ins_template'])}) "
+                 "GROUP BY 1, 2, 3")
+    elif form == "delete_data":
+        d_sql = f"SELECT DISTINCT * FROM ({ground_values(upd['del_template'])})"
+    else:
+        if form == "delete_where":
+            where_kw: dict = {"pattern": upd["del_template"]}
+            del_t, ins_t = upd["del_template"], None
+            if not any(t.startswith("?") for el in del_t for t in el):
+                d_sql = f"SELECT DISTINCT * FROM ({ground_values(del_t)})"
+                del_t = None
+        else:
+            where_kw = dict(upd["where"])
+            del_t, ins_t = upd["del_template"], upd["ins_template"]
+        if del_t is not None or ins_t is not None:
+            if "union" in where_kw:
+                inner = _kg_union_oracle(where_kw["union"],
+                                         kg_sql=kg_sql, prefix="u_")
+            else:
+                inner = _kg_pattern_oracle(**where_kw, kg_sql=kg_sql,
+                                           prefix="u_")
+            ctes.append(f"b AS ({inner})")
+            # the bindings CTE projects each variable as its bare name
+            refs: dict = {}
+            if "union" in where_kw:
+                for g in where_kw["union"]:
+                    g = dict(g) if isinstance(g, dict) else {"pattern": g}
+                    for v in _kg_branch_vars(g["pattern"],
+                                             g.get("optional", ()),
+                                             g.get("values"),
+                                             g.get("binds", ()),
+                                             g.get("subqueries", ())):
+                        refs.setdefault(v, v[1:])
+            else:
+                for v in _kg_branch_vars(where_kw.get("pattern", ()),
+                                         where_kw.get("optional", ()),
+                                         where_kw.get("values"),
+                                         where_kw.get("binds", ()),
+                                         where_kw.get("subqueries", ())):
+                    refs.setdefault(v, v[1:])
+            if del_t is not None:
+                d_sql = f"SELECT DISTINCT * FROM ({arms(del_t, refs)})"
+            if ins_t is not None:
+                i_sql = ("SELECT subj, pred, obj, count(*) AS "
+                         f"evidence_count FROM ({arms(ins_t, refs)}) "
+                         "GROUP BY 1, 2, 3")
+    if d_sql is not None:
+        ctes.append(f"d AS ({d_sql})")
+        kept = ("SELECT kg.subj, kg.pred, kg.obj, kg.evidence_count "
+                "FROM kg WHERE NOT EXISTS (SELECT 1 FROM d WHERE "
+                "d.subj = kg.subj AND d.pred = kg.pred "
+                "AND d.obj = kg.obj)")
+    else:
+        kept = "SELECT subj, pred, obj, evidence_count FROM kg"
+    ctes.append(f"kept AS ({kept})")
+    if i_sql is None:
+        body = "SELECT * FROM kept"
+    else:
+        ctes.append(f"i AS ({i_sql})")
+        body = """SELECT * FROM kept
+UNION ALL
+SELECT i.subj, i.pred, i.obj, i.evidence_count FROM i
+WHERE NOT EXISTS (SELECT 1 FROM kept k WHERE k.subj = i.subj
+  AND k.pred = i.pred AND k.obj = i.obj)"""
+    # a path in the WHERE group nests its recursive CTEs inside b's
+    # own WITH, so the top level never needs RECURSIVE
+    return "WITH " + ",\n".join(ctes) + "\n" + body + "\n"
+
+
 def _kg_entities_fuzzy_oracle(threshold: float = 0.5) -> str:
     """SQL twin of plans.kg_gold.entities_fuzzy_gold: the gold NEL
     table's surfaces canonicalized over shared-KB-id edges PLUS exact
@@ -2738,6 +2907,9 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "kg_sparql_minus": _kg_sparql_oracle(_SPARQL_MINUS),
         "kg_sparql_negset": _kg_sparql_oracle(_SPARQL_NEGSET),
         "kg_sparql_subquery": _kg_sparql_oracle(_SPARQL_SUBQUERY),
+        "kg_sparql_boolexpr": _kg_sparql_oracle(_SPARQL_BOOLEXPR,
+                                                fill_null=("?kb",)),
+        "kg_sparql_update": _kg_update_oracle(_SPARQL_UPDATE),
         "kg_sparql_describe": _kg_sparql_oracle(_SPARQL_DESCRIBE),
         "mentions_hybrid": _mentions_oracle("hybrid"),
         "mentions_crf": _mentions_oracle("crf_only"),

@@ -199,11 +199,36 @@ def test_graph_ops_match_oracles_on_random_graphs(spark, rows):
               'strends(?p, "WITH")']),
             ("f_optional_null_drop", [("?a", "MENTIONED_WITH", "?b")],
              [("?b", "LINKED_TO", "?k")], ['strstarts(?k, "kb:")']),
+            # boolean expressions: SQL null logic = SPARQL error
+            # algebra (TRUE||error keeps, !BOUND negation-as-failure,
+            # null IN eliminates) — both engines, same truth table
+            ("f_bool_or_and", [("?a", "?p", "?b")], (),
+             ['?a != ?b && (strstarts(?b, "ent:") '
+              '|| ?p IN ("DECLARES", "LINKED_TO"))']),
+            ("f_bool_notbound", [("?a", "MENTIONED_WITH", "?b")],
+             [("?b", "LINKED_TO", "?k")],
+             ['!bound(?k) || strends(?k, "1")']),
+            ("f_bool_or_null_rescue", [("?a", "MENTIONED_WITH", "?b")],
+             [("?b", "LINKED_TO", "?k")],
+             ['?k = "kb:Q1" || ?a = "ent:a"']),
+            ("f_bool_notin_null", [("?a", "MENTIONED_WITH", "?b")],
+             [("?b", "LINKED_TO", "?k")],
+             ['?k NOT IN ("kb:Q1", "zzz")']),
+            ("f_bool_not_over_and", [("?a", "?p", "?b")], (),
+             ['!(?p = "DECLARES" && ?b = "ent:a")']),
         ):
+            # optional cases may keep unmatched rows (null ?k — the
+            # !BOUND and TRUE||error forms), so ?k sentinel-fills on
+            # both sides for the sorted compare
+            df = match_pattern(tri, pat, optional=popt, filters=flt)
+            fill = ("?k",) if popt else ()
+            if popt:
+                df = df.withColumn("k", F.coalesce("k", F.lit("")))
             assert_df_matches_duckdb(
-                match_pattern(tri, pat, optional=popt, filters=flt), con,
+                df, con,
                 entrymod._kg_pattern_oracle(pat, optional=popt,
-                                            filters=flt, kg_sql=kg_sql),
+                                            filters=flt, fill_null=fill,
+                                            kg_sql=kg_sql),
                 name=f"kg_pattern:{fname}",
             )
         # property paths on random graphs (cycles, self-loops, hubs):
@@ -505,6 +530,28 @@ def test_graph_ops_match_oracles_on_random_graphs(spark, rows):
                 fill_null=("?tag",), kg_sql=kg_sql),
             name="kg_values:v_mix",
         )
+        # SPARQL Update on random graphs: delete-then-insert from ONE
+        # pre-update evaluation (re-homing edges), template-as-pattern
+        # DELETE WHERE, duplicate ground data collapsing to one row
+        # with multiplicity, and a closure-driven INSERT — kept rows
+        # keep their evidence_count (dup (s,p,o) store rows survive as
+        # a multiset), new rows enter with the derived binding count
+        from ner_spark.plans.kg_update import apply_update
+        for uname, text in (
+            ("u_modify", "DELETE { ?a MENTIONED_WITH ?b } "
+             "INSERT { ?a SEEN_WITH ?b } "
+             "WHERE { ?a MENTIONED_WITH ?b }"),
+            ("u_del_where", "DELETE WHERE { ?a LINKED_TO ?k }"),
+            ("u_ins_data", "INSERT DATA { ent:a DECLARES ent:b . "
+             "ent:a DECLARES ent:b }"),
+            ("u_ins_path", "INSERT { ?a REACHES ?b } "
+             "WHERE { ?a MENTIONED_WITH+ ?b }"),
+        ):
+            assert_df_matches_duckdb(
+                apply_update(tri, text), con,
+                entrymod._kg_update_oracle(text, kg_sql=kg_sql),
+                name=f"kg_update:{uname}",
+            )
         # float ops: raw doubles, per-key tolerance compare
         pr = pagerank(tri, iterations=2, checkpoint=False).collect()
         pr_d = con.execute(entrymod._kg_pagerank_oracle(
