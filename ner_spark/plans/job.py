@@ -1204,12 +1204,7 @@ class KgJob:
             triangles,
         )
 
-        if not self._committed("materialize"):
-            raise ValueError(
-                f"no committed materialize stage in {self.out}; run() first"
-            )
-        triples = self._read_committed(self._path("materialize"),
-                                       partitioned=True)
+        triples = self.triples()
         tables = {
             "entity_degree": lambda: entity_degree(triples),
             "components": lambda: graph_components(triples),
@@ -1272,13 +1267,7 @@ class KgJob:
         """
         from ner_spark.plans.kg_query import solutions
 
-        if not self._committed("materialize"):
-            raise ValueError(
-                f"no committed materialize stage in {self.out}; run() first"
-            )
-        triples = self._read_committed(self._path("materialize"),
-                                       partitioned=True)
-        return solutions(triples, pattern, optional=optional,
+        return solutions(self.triples(), pattern, optional=optional,
                          filters=filters, negation=negation,
                          values=values,
                          path_max_hops=path_max_hops,
@@ -1295,13 +1284,157 @@ class KgJob:
         prune ``pred`` partitions under the parsed plan."""
         from ner_spark.plans.sparql import sparql as run_sparql
 
+        return run_sparql(self.triples(), text)
+
+    # -- SPARQL Update edit ledger -----------------------------------------
+
+    def edit_ids(self) -> list[int]:
+        """Committed SPARQL-Update edit sequence numbers under
+        ``{out}/edits``, in application order.  An edit is committed
+        iff its ``meta/_SUCCESS`` marker exists (the last thing
+        :meth:`sparql_update` writes), so a crashed submit is simply
+        invisible."""
+        jvm = self.spark.sparkContext._jvm
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(f"{self.out}/edits")
+        fs = root.getFileSystem(conf)
+        if not fs.exists(root):
+            return []
+        out = []
+        for s in fs.listStatus(root):
+            name = s.getPath().getName()
+            if s.isDirectory() and name.isdigit() and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{self.out}/edits/{name}/meta/_SUCCESS")):
+                out.append(int(name))
+        return sorted(out)
+
+    def edits(self) -> list[dict]:
+        """The committed edit ledger — ``[{"seq", "text", "del_rows",
+        "ins_rows"}, ...]`` in application order."""
+        import json
+
+        out = []
+        for seq in self.edit_ids():
+            row = self.spark.read.parquet(
+                f"{self.out}/edits/{seq:06d}/meta").first()
+            out.append(json.loads(row["meta_json"]))
+        return out
+
+    def sparql_update(self, text: str,
+                      path_max_hops: int | None = None) -> int:
+        """Apply a SPARQL 1.1 Update string to the committed KG —
+        ``INSERT DATA`` / ``DELETE DATA`` / ``DELETE WHERE`` /
+        ``DELETE {} INSERT {} WHERE {}``
+        (:mod:`ner_spark.plans.kg_update`) — and return its edit
+        sequence number.
+
+        The store stays LSM-shaped: the update's WHERE evaluates ONCE
+        against the current view (base materialize + earlier edits,
+        SPARQL's pre-update-store rule) and the resulting delete/insert
+        sets are FROZEN as parquet under ``{out}/edits/{seq}`` — an
+        edit is a value, not a replayed query, so later document
+        updates or compactions (which re-derive the base from the
+        mention/link checkpoints) cannot change what an already-applied
+        edit did.  Every triple read (:meth:`triples`, and through it
+        :meth:`query` / :meth:`sparql` / :meth:`analytics` /
+        :meth:`publish_iceberg`) folds the committed edits in order:
+        one hash anti-join on the frozen delete set plus one anti-joined
+        union of the frozen insert set per edit — delta-proportional,
+        never a store rewrite.
+
+        Crash safety: the delete/insert sets write first, the one-row
+        ``meta`` table last — its ``_SUCCESS`` is the commit point, so
+        a killed submit leaves no visible edit and the next submit
+        overwrites the torn directory (the sequence number is
+        max(committed) + 1).
+
+        Interplay with document maintenance: a frozen delete set acts
+        as a persistent TOMBSTONE — if a later :meth:`update` or
+        :meth:`compact` re-derives one of its (subj, pred, obj) rows
+        from new evidence, the fold suppresses it again (the edit
+        recorded "this triple shall not be in the store", and the
+        mention/link checkpoints it was derived from are still there).
+        :meth:`clear_edits` drops the whole ledger when the operator
+        decides the base derivation should stand unedited.
+        """
+        import json
+
+        from ner_spark.plans.kg_update import build_delta, parse_update
+
+        parsed = parse_update(text)  # grammar errors before any IO
         if not self._committed("materialize"):
             raise ValueError(
                 f"no committed materialize stage in {self.out}; run() first"
             )
-        triples = self._read_committed(self._path("materialize"),
-                                       partitioned=True)
-        return run_sparql(triples, text)
+        del_df, ins_df = build_delta(self.triples(), parsed,
+                                     path_max_hops=path_max_hops)
+        ids = self.edit_ids()
+        seq = (ids[-1] + 1) if ids else 1
+        base = f"{self.out}/edits/{seq:06d}"
+        if self._exists(base):
+            self._delete(base)  # torn earlier attempt at this seq
+        spark = self.spark
+        if del_df is None:
+            del_df = spark.createDataFrame(
+                [], "subj string, pred string, obj string")
+        if ins_df is None:
+            ins_df = spark.createDataFrame(
+                [], "subj string, pred string, obj string, "
+                    "evidence_count bigint")
+        del_df.write.mode("overwrite").parquet(f"{base}/del")
+        ins_df.write.mode("overwrite").parquet(f"{base}/ins")
+        meta = {
+            "seq": seq,
+            "text": text,
+            "del_rows": self._read_edit_side(base, "del").count(),
+            "ins_rows": self._read_edit_side(base, "ins").count(),
+        }
+        spark.createDataFrame(
+            [(json.dumps(meta),)], "meta_json string"
+        ).write.mode("overwrite").parquet(f"{base}/meta")
+        self._log_event("sparql_update", meta["del_rows"]
+                        + meta["ins_rows"])
+        return seq
+
+    def clear_edits(self) -> int:
+        """Drop the whole SPARQL-Update edit ledger (the base
+        derivation stands unedited again); returns how many committed
+        edits were removed.  One recursive delete — an interrupted
+        clear leaves only uncommitted (invisible) remnants."""
+        n = len(self.edit_ids())
+        if self._exists(f"{self.out}/edits"):
+            self._delete(f"{self.out}/edits")
+        self._log_event("clear_edits", n)
+        return n
+
+    def _read_edit_side(self, base: str, side: str) -> DataFrame:
+        # explicit schemas: an empty frozen side has zero part files,
+        # where inference would fail
+        schema = ("subj string, pred string, obj string"
+                  + (", evidence_count bigint" if side == "ins" else ""))
+        return self.spark.read.schema(schema).parquet(f"{base}/{side}")
+
+    def triples(self) -> DataFrame:
+        """The KG's current triple view: the committed materialize
+        checkpoint with every committed SPARQL-Update edit folded in
+        order (:func:`ner_spark.plans.kg_update.fold_delta`).  With no
+        edits this is exactly the partitioned checkpoint read — the
+        pred-partition-pruning plan shape the staged audit pins."""
+        from ner_spark.plans.kg_update import fold_delta
+
+        if not self._committed("materialize"):
+            raise ValueError(
+                f"no committed materialize stage in {self.out}; run() first"
+            )
+        out = self._read_committed(self._path("materialize"),
+                                   partitioned=True)
+        for seq in self.edit_ids():
+            base = f"{self.out}/edits/{seq:06d}"
+            out = fold_delta(out,
+                             self._read_edit_side(base, "del"),
+                             self._read_edit_side(base, "ins"))
+        return out
 
     def publish_iceberg(self, table: str,
                         metrics_table: str | None = None) -> None:
@@ -1337,12 +1470,7 @@ class KgJob:
                 "--conf spark.sql.catalog.iceberg.warehouse=<path>\n"
                 "then re-run with --publish-iceberg <catalog.db.table>"
             )
-        if not self._committed("materialize"):
-            raise ValueError(
-                f"no committed materialize stage in {self.out}; run() first"
-            )
-        triples = self._read_committed(self._path("materialize"),
-                                       partitioned=True)
+        triples = self.triples()
         (triples.writeTo(table).using("iceberg")
          .partitionedBy(F.col("pred")).createOrReplace())
         if metrics_table:
@@ -1446,6 +1574,14 @@ def main() -> None:
                              "ORDER BY DESC(?n) LIMIT 5\" (standalone, "
                              "like --match; prints the first "
                              "--match-limit rows + the count)")
+    parser.add_argument("--sparql-update", default=None, metavar="UPDATE",
+                        help="edit the committed KG with a SPARQL 1.1 "
+                             "Update string — INSERT DATA / DELETE DATA "
+                             "/ DELETE WHERE / DELETE {} INSERT {} "
+                             "WHERE {} (see ner_spark.plans.kg_update) "
+                             "— frozen as one crash-safe edit under "
+                             "<output>/edits/ that every later query "
+                             "folds in (standalone, like --sparql)")
     parser.add_argument("--match", default=None, metavar="PATTERN",
                         help="query the committed KG with a basic graph "
                              "pattern: dot-separated triples of "
@@ -1595,6 +1731,17 @@ def main() -> None:
         job = KgJob(spark, args.output, mode=args.mode,
                     tokenizer_mode=args.tokenizer_mode, run_id=args.run_id)
         _print_query_result(job.sparql(args.sparql), args, "sparql")
+        return
+    elif args.sparql_update:
+        # standalone edit of an already-committed output
+        job = KgJob(spark, args.output, mode=args.mode,
+                    tokenizer_mode=args.tokenizer_mode, run_id=args.run_id)
+        seq = job.sparql_update(args.sparql_update,
+                                path_max_hops=args.path_max_hops)
+        meta = job.edits()[-1]
+        print(f"stage=sparql_update seq={seq} "
+              f"deleted={meta['del_rows']} inserted={meta['ins_rows']} "
+              f"output={args.output}/edits")
         return
     elif args.match:
         # standalone query over an already-committed output

@@ -1,0 +1,162 @@
+"""KgJob's SPARQL-Update edit ledger: submits freeze crash-safely
+under {out}/edits, every triple read folds them in order, a torn
+submit is invisible, frozen deletes act as tombstones across document
+maintenance, and the CLI surface works end-to-end."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from ner_spark.plans.job import KgJob
+from ner_spark.sources.fixtures import (
+    SOURCE_SCHEMA,
+    build_source_rows,
+    source_table,
+)
+
+_N_BASE = 20
+
+
+@pytest.fixture(scope="module")
+def base_out(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kg_edit") / "kg")
+    KgJob(spark, out, run_id="e0").run(source_table(spark, n_rows=_N_BASE))
+    return out
+
+
+def _spo(df):
+    return {(r["subj"], r["pred"], r["obj"]) for r in
+            df.select("subj", "pred", "obj").collect()}
+
+
+def test_sparql_update_folds_into_every_read(spark, base_out):
+    job = KgJob(spark, base_out, run_id="e1")
+    before = _spo(job.triples())
+    linked = [t for t in before if t[1] == "LINKED_TO"]
+    assert linked, "fixture KG should have KB links"
+    seq = job.sparql_update("""
+        DELETE { ?e LINKED_TO ?kb }
+        INSERT { ?e WAS_LINKED ?kb . sentinel:edit1 MARKER "yes" }
+        WHERE  { ?e LINKED_TO ?kb }
+    """)
+    assert seq == 1
+    after = _spo(job.triples())
+    assert not [t for t in after if t[1] == "LINKED_TO"]
+    assert ("sentinel:edit1", "MARKER", "yes") in after
+    assert {(s, "WAS_LINKED", o) for s, _, o in linked} <= after
+    # the query/sparql surfaces read the same folded view
+    assert job.query([("?e", "WAS_LINKED", "?kb")]).count() == len(linked)
+    row = job.sparql(
+        'ASK { sentinel:edit1 MARKER ?v }').first()
+    assert bool(row["ask"]) is True
+    meta = job.edits()[-1]
+    assert meta["seq"] == 1 and meta["del_rows"] == len(linked)
+    # evidence discipline: untouched rows keep their original counts
+    base = job._read_committed(job._path("materialize"), partitioned=True)
+    kept_ec = {tuple(r) for r in base.where("pred = 'DECLARES'")
+               .select("subj", "pred", "obj", "evidence_count").collect()}
+    now_ec = {tuple(r) for r in job.triples().where("pred = 'DECLARES'")
+              .select("subj", "pred", "obj", "evidence_count").collect()}
+    assert kept_ec == now_ec
+
+
+def test_second_edit_sees_first_edits_store(spark, base_out):
+    # SPARQL's store-chaining: edit 2's WHERE evaluates over the
+    # edit-1-folded view, so it can match triples edit 1 inserted
+    job = KgJob(spark, base_out, run_id="e2")
+    seq = job.sparql_update("""
+        DELETE { ?e WAS_LINKED ?kb } INSERT { ?e RELINKED ?kb }
+        WHERE  { ?e WAS_LINKED ?kb }
+    """)
+    assert seq == 2
+    after = _spo(job.triples())
+    assert not [t for t in after if t[1] == "WAS_LINKED"]
+    assert [t for t in after if t[1] == "RELINKED"]
+    assert job.edit_ids() == [1, 2]
+
+
+def test_torn_edit_is_invisible_and_seq_reused(spark, base_out):
+    job = KgJob(spark, base_out, run_id="e3")
+    torn = f"{base_out}/edits/000003"
+    # simulate a crash between the frozen sides and the meta commit
+    spark.createDataFrame([("x", "P", "y")],
+                          "subj string, pred string, obj string") \
+        .write.mode("overwrite").parquet(f"{torn}/del")
+    assert job.edit_ids() == [1, 2]  # the torn edit is invisible
+    n_before = job.triples().count()  # and the fold skips it cleanly
+    seq = job.sparql_update('INSERT DATA { sentinel:edit3 MARKER "t" }')
+    assert job.triples().count() == n_before + 1
+    assert seq == 3  # the torn directory was overwritten, not skipped
+    assert ("sentinel:edit3", "MARKER", "t") in _spo(job.triples())
+
+
+def test_tombstone_survives_document_update(spark, base_out):
+    # a frozen delete suppresses its (s,p,o) rows even after a
+    # document update re-derives the base around them
+    job = KgJob(spark, base_out, run_id="e4")
+    assert not [t for t in _spo(job.triples()) if t[1] == "LINKED_TO"]
+    rows = build_source_rows(_N_BASE + 6)[_N_BASE:]  # disjoint keys
+    delta = spark.createDataFrame(rows, SOURCE_SCHEMA)
+    job.update(delta, update_id="upd1")
+    after = _spo(job.triples())
+    # the delta's documents re-derive LINKED_TO rows in the BASE view…
+    base = _spo(job._read_committed(job._path("materialize"),
+                                    partitioned=True))
+    new_links = {t for t in base if t[1] == "LINKED_TO"}
+    assert new_links, "the update should re-derive KB links"
+    # …but the folded view still suppresses the tombstoned subset and
+    # keeps the sentinel inserts
+    old_links = {t for t in new_links if t in after}
+    assert ("sentinel:edit1", "MARKER", "yes") in after
+    # every link present in the folded view must be NEW evidence the
+    # frozen delete set never saw
+    del_set = {(r["subj"], r["pred"], r["obj"])
+               for r in job._read_edit_side(
+                   f"{base_out}/edits/000001", "del").collect()}
+    assert not (old_links & del_set)
+
+
+def test_clear_edits_restores_base_derivation(spark, base_out):
+    job = KgJob(spark, base_out, run_id="e5")
+    n = job.clear_edits()
+    assert n == 3
+    assert job.edit_ids() == []
+    spo = _spo(job.triples())
+    assert [t for t in spo if t[1] == "LINKED_TO"]
+    assert not [t for t in spo if t[0] == "sentinel:edit1"]
+
+
+def test_sparql_update_requires_committed_run(spark, tmp_path):
+    job = KgJob(spark, str(tmp_path / "none"), run_id="e6")
+    with pytest.raises(ValueError, match="no committed materialize"):
+        job.sparql_update('INSERT DATA { a P b }')
+    # grammar errors surface before any IO, even without a run
+    with pytest.raises(ValueError, match="ground triples only"):
+        job.sparql_update('INSERT DATA { ?a P b }')
+
+
+def test_cli_sparql_update(spark, tmp_path, capsys, monkeypatch):
+    from ner_spark.plans import job as jobmod
+
+    out = str(tmp_path / "kg")
+    KgJob(spark, out, run_id="c1").run(source_table(spark, n_rows=10))
+    monkeypatch.setattr("sys.argv", [
+        "job", "--output", out,
+        "--sparql-update",
+        'DELETE { ?e LINKED_TO ?kb } WHERE { ?e LINKED_TO ?kb }',
+    ])
+    jobmod.main()
+    line = capsys.readouterr().out.splitlines()[-1]
+    assert line.startswith("stage=sparql_update seq=1 deleted=")
+    monkeypatch.setattr("sys.argv", [
+        "job", "--output", out,
+        "--sparql", "ASK { ?e LINKED_TO ?kb }",
+    ])
+    jobmod.main()
+    outp = capsys.readouterr().out
+    assert "false" in outp.lower()

@@ -703,6 +703,39 @@ def main() -> int:
           "BroadcastNestedLoopJoin" not in p
           and "CartesianProduct" not in p)
 
+    # boolean FILTER expressions: a single-variable boolean (IN, or a
+    # same-variable disjunction) is one Filter Catalyst can push below
+    # the joins; the connectives never introduce a join
+    p = plans["kg_filter_bool"] = plan_of(match_pattern(
+        tri, [("?a", "?p", "?b"), ("?b", "?q", "?c")],
+        filters=['?p IN ("DECLARES", "LINKED_TO")',
+                 '?a = "x" || strstarts(?a, "repo:")']))
+    check("kg_filter_bool", "IN compiles to a pushable IN filter",
+          bool(re.search(r"\bIN\b", p)))
+    check("kg_filter_bool", "single-var filters sit below the join",
+          bool(re.search(r"Join[\s\S]*Filter[\s\S]*IN", p)))
+    check("kg_filter_bool", "no cartesian product",
+          "CartesianProduct" not in p and
+          "BroadcastNestedLoopJoin" not in p)
+
+    # SPARQL Update: the WHERE keeps its pushed scans, the delete is a
+    # hash anti-join of the store against the DISTINCT delete set, and
+    # the insert is a map-side-combinable (subj,pred,obj) count
+    # anti-joined against the kept rows — never a nested loop, no
+    # store-wide shuffle beyond the anti-join itself
+    from ner_spark.plans.kg_update import apply_update
+
+    p = plans["kg_update"] = plan_of(apply_update(
+        tri,
+        "DELETE { ?e LINKED_TO ?kb } INSERT { ?r MENTIONS_KB ?kb } "
+        "WHERE { ?r DECLARES ?e . ?e LINKED_TO ?kb }"))
+    check("kg_update", "delete/insert are hash anti-joins",
+          p.count("LeftAnti") >= 2 and
+          "BroadcastNestedLoopJoin" not in p and
+          "CartesianProduct" not in p)
+    check("kg_update", "insert evidence partial-combines map-side",
+          "partial_count" in p)
+
     # contamination: the eval side must broadcast (the 100 TB corpus
     # never shuffles for the overlap join) and the per-pair shingle
     # counts partial-aggregate map-side
