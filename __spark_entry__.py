@@ -646,6 +646,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # equi-joins into the outer BGP on the shared required var
         return _sparql_gold(spark, _SPARQL_SUBQUERY)
 
+    def q_kg_sparql_construct_where(spark, sf):
+        # CONSTRUCT WHERE shorthand (pattern = template)
+        return _sparql_gold(spark, _SPARQL_CONSTRUCT_WHERE)
+
+    def q_kg_sparql_sample(spark, sf):
+        # SAMPLE aggregate, pinned to MIN in both engines
+        return _sparql_gold(spark, _SPARQL_SAMPLE)
+
     def q_kg_sparql_update(spark, sf):
         # SPARQL 1.1 Update as a pure transform over the gold store:
         # DELETE/INSERT templates instantiated from one pre-update
@@ -777,6 +785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_subquery": q_kg_sparql_subquery,
         "kg_sparql_boolexpr": q_kg_sparql_boolexpr,
         "kg_sparql_update": q_kg_sparql_update,
+        "kg_sparql_construct_where": q_kg_sparql_construct_where,
+        "kg_sparql_sample": q_kg_sparql_sample,
         "kg_sparql_describe": q_kg_sparql_describe,
         "sota_gliner": q_sota_gliner,
         "dataset_split": q_dataset_split,
@@ -916,6 +926,19 @@ SELECT ?repo ?tag ?len WHERE {
 _SPARQL_CONSTRUCT = """
 CONSTRUCT { ?r MENTIONS_KB ?kb . ?kb BACKED_BY ?r }
 WHERE { ?r DECLARES ?e . ?e LINKED_TO ?kb }
+"""
+# CONSTRUCT WHERE shorthand: the BGP doubles as the template — the
+# matched subgraph (KB-linked co-mentioning entities) comes back as a
+# triple set whose evidence_count pins the binding multiplicity
+_SPARQL_CONSTRUCT_WHERE = """
+CONSTRUCT WHERE { ?e LINKED_TO ?kb . ?e MENTIONED_WITH ?x }
+"""
+# SAMPLE aggregate (pinned to MIN — deterministic engines cannot
+# hash-match an arbitrary pick) alongside a COUNT per group
+_SPARQL_SAMPLE = """
+SELECT ?repo (SAMPLE(?kb) AS ?pick) (COUNT(*) AS ?n)
+WHERE { ?repo DECLARES ?e . ?e LINKED_TO ?kb }
+GROUP BY ?repo ORDER BY ?repo
 """
 # MINUS (independent-group set difference) + FILTER EXISTS (positive
 # correlated semi-join) in one group, entered as text: declared
@@ -2249,6 +2272,8 @@ def _kg_solutions_oracle(pattern=(), optional=(), filters=(),
                 "max": f"max({v})",
                 "group_concat":
                     f"array_to_string(list_sort(list(DISTINCT {v})), ',')",
+                # SAMPLE is pinned to MIN (see kg_query.solutions)
+                "sample": f"min({v})",
             }[fn]
             terms.append(f"{expr} AS {alias}")
         sel = ", ".join(terms)
@@ -2910,6 +2935,9 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "kg_sparql_boolexpr": _kg_sparql_oracle(_SPARQL_BOOLEXPR,
                                                 fill_null=("?kb",)),
         "kg_sparql_update": _kg_update_oracle(_SPARQL_UPDATE),
+        "kg_sparql_construct_where":
+            _kg_sparql_oracle(_SPARQL_CONSTRUCT_WHERE),
+        "kg_sparql_sample": _kg_sparql_oracle(_SPARQL_SAMPLE),
         "kg_sparql_describe": _kg_sparql_oracle(_SPARQL_DESCRIBE),
         "mentions_hybrid": _mentions_oracle("hybrid"),
         "mentions_crf": _mentions_oracle("crf_only"),

@@ -1323,11 +1323,12 @@ class KgJob:
 
     def sparql_update(self, text: str,
                       path_max_hops: int | None = None) -> int:
-        """Apply a SPARQL 1.1 Update string to the committed KG —
+        """Apply a SPARQL 1.1 Update request to the committed KG —
         ``INSERT DATA`` / ``DELETE DATA`` / ``DELETE WHERE`` /
-        ``DELETE {} INSERT {} WHERE {}``
-        (:mod:`ner_spark.plans.kg_update`) — and return its edit
-        sequence number.
+        ``DELETE {} INSERT {} WHERE {}``, chained with ``;``
+        (:mod:`ner_spark.plans.kg_update`) — and return the LAST
+        operation's edit sequence number (one frozen edit per
+        operation).
 
         The store stays LSM-shaped: the update's WHERE evaluates ONCE
         against the current view (base materialize + earlier edits,
@@ -1360,41 +1361,50 @@ class KgJob:
         """
         import json
 
-        from ner_spark.plans.kg_update import build_delta, parse_update
+        from ner_spark.plans.kg_update import build_delta, \
+            parse_update_request
 
-        parsed = parse_update(text)  # grammar errors before any IO
+        ops = parse_update_request(text)  # grammar errors before IO
         if not self._committed("materialize"):
             raise ValueError(
                 f"no committed materialize stage in {self.out}; run() first"
             )
-        del_df, ins_df = build_delta(self.triples(), parsed,
-                                     path_max_hops=path_max_hops)
-        ids = self.edit_ids()
-        seq = (ids[-1] + 1) if ids else 1
-        base = f"{self.out}/edits/{seq:06d}"
-        if self._exists(base):
-            self._delete(base)  # torn earlier attempt at this seq
         spark = self.spark
-        if del_df is None:
-            del_df = spark.createDataFrame(
-                [], "subj string, pred string, obj string")
-        if ins_df is None:
-            ins_df = spark.createDataFrame(
-                [], "subj string, pred string, obj string, "
-                    "evidence_count bigint")
-        del_df.write.mode("overwrite").parquet(f"{base}/del")
-        ins_df.write.mode("overwrite").parquet(f"{base}/ins")
-        meta = {
-            "seq": seq,
-            "text": text,
-            "del_rows": self._read_edit_side(base, "del").count(),
-            "ins_rows": self._read_edit_side(base, "ins").count(),
-        }
-        spark.createDataFrame(
-            [(json.dumps(meta),)], "meta_json string"
-        ).write.mode("overwrite").parquet(f"{base}/meta")
-        self._log_event("sparql_update", meta["del_rows"]
-                        + meta["ins_rows"])
+        seq = -1
+        for parsed in ops:
+            # each chained operation evaluates over the view INCLUDING
+            # the edits frozen for its predecessors (triples() re-reads
+            # the ledger), per the spec's sequential request semantics;
+            # a crash mid-request leaves a committed prefix — each
+            # operation is individually atomic, the request is not
+            del_df, ins_df = build_delta(self.triples(), parsed,
+                                         path_max_hops=path_max_hops)
+            ids = self.edit_ids()
+            seq = (ids[-1] + 1) if ids else 1
+            base = f"{self.out}/edits/{seq:06d}"
+            if self._exists(base):
+                self._delete(base)  # torn earlier attempt at this seq
+            if del_df is None:
+                del_df = spark.createDataFrame(
+                    [], "subj string, pred string, obj string")
+            if ins_df is None:
+                ins_df = spark.createDataFrame(
+                    [], "subj string, pred string, obj string, "
+                        "evidence_count bigint")
+            del_df.write.mode("overwrite").parquet(f"{base}/del")
+            ins_df.write.mode("overwrite").parquet(f"{base}/ins")
+            meta = {
+                "seq": seq,
+                "text": text,
+                "op": parsed["form"],
+                "del_rows": self._read_edit_side(base, "del").count(),
+                "ins_rows": self._read_edit_side(base, "ins").count(),
+            }
+            spark.createDataFrame(
+                [(json.dumps(meta),)], "meta_json string"
+            ).write.mode("overwrite").parquet(f"{base}/meta")
+            self._log_event("sparql_update", meta["del_rows"]
+                            + meta["ins_rows"])
         return seq
 
     def clear_edits(self) -> int:

@@ -1305,11 +1305,13 @@ def match_union(
 
 # aggregate grammar (SPARQL 1.1's set applicable to string terms):
 #   count(*)             count(?v)        count_distinct(?v)
-#   min(?v)  max(?v)     group_concat(?v)
+#   min(?v)  max(?v)     group_concat(?v)  sample(?v)
 # SUM/AVG are omitted on purpose: every term in the triple table is a
 # string, so the numeric aggregates have nothing well-typed to bind.
+# SAMPLE (spec: an arbitrary group value) is pinned to MIN — a
+# nondeterministic aggregate cannot hash-match any oracle.
 _AGG_RE = re.compile(
-    r"^(count|count_distinct|min|max|group_concat)\s*"
+    r"^(count|count_distinct|min|max|group_concat|sample)\s*"
     r"\(\s*(\*|\?\w+)\s*\)\s+AS\s+(\w+)$",
     re.IGNORECASE,
 )
@@ -1326,7 +1328,7 @@ def parse_aggregate(text: str) -> tuple[str, str, str]:
         raise ValueError(
             f"unparseable aggregate {text!r}: expected "
             "'fn(?var) AS alias' with fn in (count, count_distinct, "
-            "min, max, group_concat) or 'count(*) AS alias'"
+            "min, max, group_concat, sample) or 'count(*) AS alias'"
         )
     fn, term, alias = m.group(1).lower(), m.group(2), m.group(3)
     if term == "*" and fn != "count":
@@ -1496,6 +1498,10 @@ def solutions(
                     # (SPARQL aggregates skip error/unbound terms)
                     "group_concat": lambda: F.array_join(
                         F.array_sort(F.collect_set(c)), ","),
+                    # SPARQL leaves SAMPLE's pick arbitrary; a
+                    # deterministic engine pins it to MIN (portable:
+                    # binary collation in both engines)
+                    "sample": lambda: F.min(c),
                 }[fn]()
             exprs.append(col.alias(alias))
         if exprs:

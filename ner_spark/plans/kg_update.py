@@ -12,11 +12,12 @@ natural missing surface is the standard way to edit one::
         WHERE  { ?repo DECLARES ?e . ?e LINKED_TO ?kb }
     ''')
 
-Supported operations (one per request; SPARQL's ``;`` chaining is a
-sequence of calls here):
+Supported operations (a request chains any number with top-level
+``;``; each operation sees its predecessor's result, per the spec):
 
 .. code-block:: text
 
+    Request    := Update (';' Update)*
     Update     := InsertData | DeleteData | DeleteWhere | Modify
     InsertData := 'INSERT' 'DATA' '{' GroundTriple+ '}'
     DeleteData := 'DELETE' 'DATA' '{' GroundTriple+ '}'
@@ -99,14 +100,59 @@ def _check_ground(template: list[tuple[str, str, str]],
 
 
 def parse_update(text: str) -> dict:
-    """Parse one SPARQL Update string into ``{"form": ...}`` kwargs
+    """Parse one SPARQL Update operation into ``{"form": ...}`` kwargs
     for :func:`apply_update`.  Raises on anything outside the grammar
     in the module docstring — an update that silently mis-parsed
-    would corrupt the store."""
-    from ner_spark.plans.sparql import _Cursor, _parse_group, \
-        _parse_triples, tokenize
+    would corrupt the store — and on a multi-operation request
+    (use :func:`parse_update_request` for ``;``-chained ones)."""
+    ops = parse_update_request(text)
+    if len(ops) != 1:
+        raise ValueError(
+            f"request chains {len(ops)} operations; parse_update "
+            "handles exactly one (apply_update and the job surface "
+            "accept ';'-chained requests directly)")
+    return ops[0]
 
-    cur = _Cursor(tokenize(text))
+
+def parse_update_request(text: str) -> list[dict]:
+    """Parse a SPARQL Update REQUEST — one or more operations chained
+    with top-level ``;`` — into a list of operation dicts, in
+    execution order."""
+    from ner_spark.plans.sparql import _Cursor, tokenize
+
+    toks = tokenize(text)
+    chunks: list[list[str]] = []
+    cur_toks: list[str] = []
+    depth = 0
+    for t in toks:
+        if t == "{":
+            depth += 1
+        elif t == "}":
+            depth -= 1
+        if t == ";" and depth == 0:
+            if cur_toks:
+                chunks.append(cur_toks)
+            cur_toks = []
+        else:
+            cur_toks.append(t)
+    if cur_toks:
+        chunks.append(cur_toks)
+    if not chunks:
+        raise ValueError("empty update request")
+    out = []
+    for chunk in chunks:
+        cur = _Cursor(chunk)
+        out.append(_parse_op(cur))
+        if not cur.done():
+            raise ValueError(f"unexpected trailing token {cur.peek()!r}")
+    return out
+
+
+def _parse_op(cur) -> dict:
+    """One update operation off the cursor (the grammar in the module
+    docstring, minus the ``;`` chaining handled by the caller)."""
+    from ner_spark.plans.sparql import _parse_group, _parse_triples
+
     head = cur.next().upper()
 
     def braced_triples() -> list:
@@ -305,7 +351,7 @@ def fold_delta(
 
 def apply_update(
     triples: DataFrame,
-    update: str | dict,
+    update: str | dict | list,
     path_max_hops: int | None = None,
 ) -> DataFrame:
     """Apply one parsed (or textual) SPARQL Update to a triple table
@@ -316,8 +362,19 @@ def apply_update(
     Input needs (subj, pred, obj) and may carry ``evidence_count``
     (defaulted to 1 otherwise); output is exactly
     (subj, pred, obj, evidence_count) under the semantics in the
-    module docstring.
+    module docstring.  A textual REQUEST may chain operations with
+    ``;`` — each evaluates against its predecessor's result; a dict
+    (or a list of dicts) applies pre-parsed operations the same way.
     """
-    del_df, ins_df = build_delta(triples, update,
-                                 path_max_hops=path_max_hops)
-    return fold_delta(triples, del_df, ins_df)
+    if isinstance(update, str):
+        ops: list = parse_update_request(update)
+    elif isinstance(update, dict):
+        ops = [update]
+    else:
+        ops = list(update)
+    out = triples
+    for op in ops:
+        del_df, ins_df = build_delta(out, op,
+                                     path_max_hops=path_max_hops)
+        out = fold_delta(out, del_df, ins_df)
+    return out

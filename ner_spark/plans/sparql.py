@@ -37,9 +37,10 @@ raises with the offending token rather than mis-parsing):
                  ('LIMIT' INT | 'OFFSET' INT)*
     Proj      := Var | '(' Agg '(' ('DISTINCT'? Var | '*') ')'
                  'AS' Var ')'
-    Agg       := 'COUNT' | 'MIN' | 'MAX' | 'GROUP_CONCAT'
+    Agg       := 'COUNT' | 'MIN' | 'MAX' | 'GROUP_CONCAT' | 'SAMPLE'
     Ask       := 'ASK' 'WHERE'? Group
     Construct := 'CONSTRUCT' '{' Triple+ '}' 'WHERE' Group
+               | 'CONSTRUCT' 'WHERE' '{' Triple+ '}'
     Describe  := 'DESCRIBE' Term+ ('WHERE'? Group)?
     Group     := '{' GroupBody '}'
     GroupBody := Union | (Triple | Optional | Filter | Values | Bind
@@ -126,8 +127,10 @@ _TOKEN_RE = re.compile(
                                         # lookahead requires a path
                                         # operator inside, so (*) and
                                         # bare (CONST) stay punct+word
-      | (?P<punct>[{}().,]|!=|<=|>=|=|<|>|\*|\|\||&&|!)
-      | (?P<word>[^\s{}().,"<>=!]+)     # vars, keywords, constants
+      | (?P<punct>[{}().,;]|!=|<=|>=|=|<|>|\*|\|\||&&|!)
+      | (?P<word>[^\s{}().,"<>=!;]+)    # vars, keywords, constants
+                                        # (';' excluded: it separates
+                                        # chained update operations)
     )""",
     re.VERBOSE,
 )
@@ -138,7 +141,7 @@ _KEYWORDS = {
     "ASC", "DESC", "LIMIT", "OFFSET", "HAVING", "ASK", "CONSTRUCT",
     "DESCRIBE", "AS", "BIND",
 }
-_AGG_FNS = {"COUNT", "MIN", "MAX", "GROUP_CONCAT"}
+_AGG_FNS = {"COUNT", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"}
 _FILTER_FNS = {"REGEX": "regex", "STRSTARTS": "strstarts",
                "STRENDS": "strends", "CONTAINS": "contains"}
 _CMP_OPS = {"=", "!=", "<", "<=", ">", ">="}
@@ -215,11 +218,12 @@ def _parse_triples(cur: _Cursor) -> list[tuple[str, str, str]]:
     """Dot-separated triples up to the closing brace (not consumed)."""
     def term() -> str:
         t = cur.next()
-        if t in "{}().,":
+        if t in "{}().,;":
             raise ValueError(
                 f"expected a triple term, got {t!r} — a sub-group "
                 "cannot join with triples in the same group (only a "
-                "pure UNION alternation)")
+                "pure UNION alternation), and ';' separates whole "
+                "update operations, not triples")
         return _term(t)
 
     out = []
@@ -677,6 +681,27 @@ def parse_sparql(text: str) -> dict:
         kwargs["form"] = "ask"
         return kwargs
     if form == "CONSTRUCT":
+        if cur.at("WHERE"):
+            # CONSTRUCT WHERE { ... } shorthand: the pattern doubles
+            # as the template, so it must be template-legal — plain
+            # triples only (the spec restricts the shorthand to a
+            # bare BGP: no FILTER/OPTIONAL, and paths are illegal in
+            # templates; _parse_triples stops at anything else and
+            # the closing-brace eat raises)
+            from ner_spark.plans.kg_update import _check_template
+
+            cur.next()
+            cur.eat("{")
+            pattern = _parse_triples(cur)
+            cur.eat("}")
+            if not cur.done():
+                raise ValueError(
+                    f"unexpected trailing token {cur.peek()!r}")
+            if not pattern:
+                raise ValueError("empty CONSTRUCT WHERE pattern")
+            _check_template(pattern, "CONSTRUCT WHERE")
+            return {"form": "construct", "pattern": pattern,
+                    "template": list(pattern)}
         cur.eat("{")
         template = _parse_triples(cur)
         cur.eat("}")

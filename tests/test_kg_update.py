@@ -186,6 +186,33 @@ def test_update_validation_errors(spark):
                      "FILTER(?nope = \"x\") }")
 
 
+def test_chained_request_each_op_sees_predecessor(spark):
+    from ner_spark.plans.kg_update import parse_update_request
+
+    ops = parse_update_request(
+        "INSERT DATA { a P b } ; DELETE WHERE { ?x P ?y } ; "
+        "INSERT { ?r X ?e } WHERE { ?r DECLARES ?e }")
+    assert [o["form"] for o in ops] == [
+        "insert_data", "delete_where", "modify"]
+    # op2's WHERE matches the triple op1 inserted (and the original
+    # P edges are long gone by the time op3 runs)
+    out = apply_update(_store(spark), """
+        INSERT DATA { tmp:a MARK tmp:b } ;
+        DELETE { ?x LINKED_TO ?k } INSERT { ?x WAS ?k }
+        WHERE { ?x LINKED_TO ?k } ;
+        DELETE WHERE { ?x WAS ?k }
+    """)
+    rows = _rows(out)
+    assert ("tmp:a", "MARK", "tmp:b", 1) in rows
+    assert not [r for r in rows if r[1] in ("LINKED_TO", "WAS")]
+    # parse_update stays single-op
+    with pytest.raises(ValueError, match="chains 2 operations"):
+        parse_update("INSERT DATA { a P b } ; DELETE DATA { a P b }")
+    # a ';' inside a template brace never splits
+    with pytest.raises(ValueError, match="expected a triple term|term"):
+        parse_update_request("INSERT DATA { a P b ; c Q d }")
+
+
 def test_update_defaults_missing_evidence_to_one(spark):
     tri = spark.createDataFrame([("a", "P", "b")],
                                 "subj string, pred string, obj string")

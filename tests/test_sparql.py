@@ -104,6 +104,35 @@ def test_parse_filter_comparison_forms():
     ]
 
 
+def test_sparql_construct_where_shorthand(spark):
+    # CONSTRUCT WHERE { BGP }: the pattern doubles as the template —
+    # the matched subgraph comes back as a set with evidence counts
+    g = _graph(spark)
+    out = sparql(g, "CONSTRUCT WHERE { ?r DECLARES ?e }")
+    assert sorted((r["subj"], r["pred"], r["obj"], r["evidence_count"])
+                  for r in out.collect()) == [
+        ("repo:a", "DECLARES", "e1", 1), ("repo:a", "DECLARES", "e3", 1),
+        ("repo:b", "DECLARES", "e2", 1)]
+    kw = parse_sparql("CONSTRUCT WHERE { ?r DECLARES ?e . ?e ?p ?x }")
+    assert kw["template"] == kw["pattern"]
+    with pytest.raises(ValueError, match="property path"):
+        parse_sparql("CONSTRUCT WHERE { ?a MENTIONED_WITH+ ?b }")
+    with pytest.raises(ValueError, match="expected"):
+        parse_sparql('CONSTRUCT WHERE { ?a ?p ?b FILTER(?a != ?b) }')
+
+
+def test_sparql_sample_aggregate(spark):
+    # SAMPLE is pinned to MIN (deterministic engines cannot hash an
+    # arbitrary pick); twin-checked through the generated oracle
+    g = _graph(spark)
+    out = sparql(g, """
+        SELECT ?r (SAMPLE(?e) AS ?pick) WHERE { ?r DECLARES ?e }
+        GROUP BY ?r ORDER BY ?r
+    """)
+    assert [(r["r"], r["pick"]) for r in out.collect()] == [
+        ("repo:a", "e1"), ("repo:b", "e2")]
+
+
 def test_parse_boolean_filter_expressions():
     # precedence: ! > && > ||, parens override; BOUND / IN / NOT IN
     kw = parse_sparql(
