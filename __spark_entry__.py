@@ -370,6 +370,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rnk",
         )
 
+    def q_kg_hits(spark, sf):
+        # fixed-iteration HITS hubs/authorities, L1-normalized
+        # (quantized to 1e-6 like pagerank — float sums whose order
+        # each engine picks independently)
+        from ner_spark.plans.kg_analytics import hits
+        from ner_spark.plans.kg_gold import kg_triples_gold
+
+        return hits(kg_triples_gold(spark), iterations=3).select(
+            "node",
+            F.floor(F.col("hub") * 1000000 + F.lit(0.5))
+            .cast("bigint").alias("hub_q"),
+            F.floor(F.col("authority") * 1000000 + F.lit(0.5))
+            .cast("bigint").alias("authority_q"),
+        )
+
+    def q_kg_link_prediction(spark, sf):
+        # top-k predicted edges by neighborhood overlap — the ranking
+        # key (jaccard) is a ratio of exact integers, so the cut is
+        # engine-portable; both scores quantize for the hash compare
+        from ner_spark.plans.kg_analytics import link_prediction
+        from ner_spark.plans.kg_gold import kg_triples_gold
+
+        return link_prediction(kg_triples_gold(spark), k=20).select(
+            "node_a", "node_b", "common_neighbors",
+            F.floor(F.col("jaccard") * 1000000 + F.lit(0.5))
+            .cast("bigint").alias("jaccard_q"),
+            F.floor(F.col("adamic_adar") * 1000000 + F.lit(0.5))
+            .cast("bigint").alias("adamic_adar_q"),
+        )
+
     def q_kg_triangles(spark, sf):
         # per-node triangle counts + clustering coefficient via the
         # degree-oriented wedge join; coefficient quantized at 1e-6
@@ -756,6 +786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_components": q_kg_components,
         "kg_comention_pmi": q_kg_comention_pmi,
         "kg_related_topk": q_kg_related_topk,
+        "kg_hits": q_kg_hits,
+        "kg_link_prediction": q_kg_link_prediction,
         "kg_triangles": q_kg_triangles,
         "kg_communities": q_kg_communities,
         "kg_distances": q_kg_distances,
@@ -1454,6 +1486,112 @@ sz AS (SELECT component, count(*) AS component_size FROM lab GROUP BY component)
 SELECT lab.node, lab.component,
        CAST(sz.component_size AS BIGINT) AS component_size
 FROM lab JOIN sz USING (component)
+"""
+
+
+def _kg_hits_oracle(iterations: int = 3, kg_sql: str | None = None,
+                    quantized: bool = True) -> str:
+    """SQL twin of plans.kg_analytics.hits: chained CTEs unroll the
+    fixed iterations — auth = Eᵀ·hub then L1-normalize, hub = E·(new
+    auth) then L1-normalize — with nodes missing a side coalesced to 0
+    and an all-zero guard instead of a division by zero, exactly the
+    operator's update order.  Quantized to 1e-6 ints for the hash
+    compare (the per-node sums are float additions whose order the
+    engines pick independently, like pagerank's)."""
+    # every intermediate is MATERIALIZED and each normalization total
+    # is its own 1-row CTE: without this DuckDB inlines the chain at
+    # every reference site (two scalar subqueries + a join per level
+    # → exponential re-evaluation of the whole gold-KG derivation)
+    ctes = [f"kg AS MATERIALIZED ({kg_sql or _kg_gold_oracle()})",
+            "e AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst "
+            "FROM kg)",
+            "v AS MATERIALIZED (SELECT src AS node FROM e "
+            "UNION SELECT dst FROM e)",
+            "h0 AS MATERIALIZED (SELECT node, "
+            "1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM v) AS hub "
+            "FROM v)"]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"a{i}r AS MATERIALIZED (SELECT v.node, "
+            "coalesce(s.s, 0.0) AS authority "
+            f"FROM v LEFT JOIN (SELECT e.dst AS node, sum(h.hub) AS s "
+            f"FROM e JOIN h{i - 1} h ON h.node = e.src GROUP BY e.dst) s "
+            "ON v.node = s.node)")
+        ctes.append(
+            f"a{i}t AS MATERIALIZED "
+            f"(SELECT sum(authority) AS t FROM a{i}r)")
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT node, CASE WHEN "
+            f"(SELECT t FROM a{i}t) > 0 THEN authority / "
+            f"(SELECT t FROM a{i}t) ELSE 0.0 END "
+            f"AS authority FROM a{i}r)")
+        ctes.append(
+            f"h{i}r AS MATERIALIZED (SELECT v.node, "
+            "coalesce(s.s, 0.0) AS hub "
+            f"FROM v LEFT JOIN (SELECT e.src AS node, sum(a.authority) "
+            f"AS s FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src) s "
+            "ON v.node = s.node)")
+        ctes.append(
+            f"h{i}t AS MATERIALIZED (SELECT sum(hub) AS t FROM h{i}r)")
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT node, CASE WHEN "
+            f"(SELECT t FROM h{i}t) > 0 THEN hub / "
+            f"(SELECT t FROM h{i}t) ELSE 0.0 END AS hub "
+            f"FROM h{i}r)")
+    if quantized:
+        sel = ("CAST(floor(h.hub * 1000000 + 0.5) AS BIGINT) AS hub_q, "
+               "CAST(floor(a.authority * 1000000 + 0.5) AS BIGINT) "
+               "AS authority_q")
+    else:
+        sel = "h.hub, a.authority"
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT h.node, {sel} "
+            f"FROM h{iterations} h JOIN a{iterations} a "
+            "ON a.node = h.node\n")
+
+
+def _kg_linkpred_oracle(k: int = 20, max_degree: int | None = None,
+                        kg_sql: str | None = None,
+                        quantized: bool = True) -> str:
+    """SQL twin of plans.kg_analytics.link_prediction: the wedge
+    self-join on the shared neighbor (with its degree attached for
+    the Adamic-Adar weight and the optional hub cap), pair counts,
+    existing edges anti-joined out, jaccard from exact-integer inputs
+    (engine-portable bit-for-bit — it is the ranking key), ordered by
+    the total (jaccard DESC, node_a, node_b) and cut at k."""
+    cap = (f"WHERE dz.deg <= {float(max_degree)!r}"
+           if max_degree is not None else "")
+    if quantized:
+        sel = ("CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT) "
+               "AS jaccard_q, "
+               "CAST(floor(adamic_adar * 1000000 + 0.5) AS BIGINT) "
+               "AS adamic_adar_q")
+    else:
+        sel = "jaccard, adamic_adar"
+    return f"""WITH kg AS MATERIALIZED ({kg_sql or _kg_gold_oracle()}),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM kg WHERE subj <> obj),
+sym AS MATERIALIZED (SELECT a AS x, b AS y FROM e UNION SELECT b, a FROM e),
+d AS MATERIALIZED (
+  SELECT x AS node, CAST(count(*) AS DOUBLE) AS deg FROM sym GROUP BY x),
+w AS (
+  SELECT s1.x AS node_a, s2.x AS node_b, dz.deg AS zdeg
+  FROM sym s1 JOIN sym s2 ON s1.y = s2.y AND s1.x < s2.x
+  JOIN d dz ON dz.node = s1.y {cap}),
+p AS (
+  SELECT node_a, node_b, count(*) AS cn, sum(1.0 / ln(zdeg)) AS aa
+  FROM w GROUP BY 1, 2),
+np AS (
+  SELECT p.* FROM p WHERE NOT EXISTS (
+    SELECT 1 FROM e WHERE e.a = p.node_a AND e.b = p.node_b)),
+r AS (
+  SELECT node_a, node_b, CAST(cn AS BIGINT) AS common_neighbors,
+    cn / (da.deg + db.deg - cn) AS jaccard, aa AS adamic_adar
+  FROM np JOIN d da ON da.node = np.node_a
+  JOIN d db ON db.node = np.node_b)
+SELECT node_a, node_b, common_neighbors, {sel}
+FROM r ORDER BY jaccard DESC, node_a ASC, node_b ASC LIMIT {k}
 """
 
 
@@ -2890,6 +3028,8 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "kg_components": _kg_components_oracle(),
         "kg_comention_pmi": _kg_pmi_oracle(),
         "kg_related_topk": _kg_related_oracle(),
+        "kg_hits": _kg_hits_oracle(),
+        "kg_link_prediction": _kg_linkpred_oracle(),
         "kg_triangles": _kg_triangles_oracle(),
         "kg_communities": _kg_communities_oracle(),
         "kg_distances": _kg_distances_oracle(),

@@ -1198,7 +1198,9 @@ class KgJob:
             comention_pmi,
             entity_degree,
             graph_components,
+            hits,
             label_propagation,
+            link_prediction,
             pagerank,
             related_topk,
             triangles,
@@ -1215,6 +1217,8 @@ class KgJob:
             "triangles": lambda: triangles(triples),
             "communities": lambda: label_propagation(triples),
             "repo_distances": lambda: bfs_distances(triples),
+            "hits": lambda: hits(triples),
+            "link_prediction": lambda: link_prediction(triples),
         }
         counts: dict[str, int] = {}
         for name, compute in tables.items():

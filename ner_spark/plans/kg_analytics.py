@@ -495,3 +495,169 @@ def pagerank(
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def hits(
+    triples: DataFrame,
+    iterations: int = 3,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Fixed-iteration HITS (hubs and authorities) over the directed
+    triple graph — "which entities AGGREGATE knowledge (hubs: point at
+    good authorities) vs ANCHOR it (authorities: pointed at by good
+    hubs)?", the complementary centrality to :func:`pagerank` for a
+    KG whose repo→entity→kb edges are inherently bipartite-ish.
+
+    Edges are the distinct (subj, obj) pairs, like pagerank.  Each
+    iteration computes ``auth = Eᵀ·hub`` then normalizes, then
+    ``hub = E·auth`` (the NEW auth) then normalizes — the classic
+    update order.  Normalization is pinned to **L1** (divide by the
+    sum): the conventional L2 needs a square root whose last-ulp
+    behaviour differs across engines, while an L1 sum of exact
+    products stays within one quantization epsilon of the chained-CTE
+    DuckDB twin (``__spark_entry__._kg_hits_oracle``), exactly like
+    the pagerank oracle.  Nodes with no in-edges (resp. out-edges)
+    carry authority (resp. hub) 0; an edgeless graph yields all-zero
+    scores rather than a division by zero.
+
+    Scale shape: one iteration = two map-side-combinable groupBys
+    over the edge join (a hub node's contributions partial-aggregate
+    before the shuffle, AQE handles residual skew) with the
+    normalization sum kept in-plan as a broadcast one-row DataFrame —
+    no driver-side state; lineage truncates per iteration.
+
+    Returns (node, hub, authority), every edge-touching node present.
+    """
+    e = (
+        triples.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+    )
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+    v = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if checkpoint:
+        v = v.localCheckpoint(eager=True)
+
+    def _l1(scores: DataFrame, col: str) -> DataFrame:
+        total = scores.agg(F.sum(col).alias("__t"))
+        return scores.join(F.broadcast(total)).select(
+            "node",
+            F.when(F.col("__t") > 0, F.col(col) / F.col("__t"))
+            .otherwise(F.lit(0.0)).alias(col),
+        )
+
+    n_df = v.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    hub = v.join(F.broadcast(n_df)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("hub")
+    )
+    auth = None
+    for _ in range(iterations):
+        a = (
+            e.join(hub.select(F.col("node").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        auth = _l1(
+            v.join(a, "node", "left").select(
+                "node",
+                F.coalesce("authority", F.lit(0.0)).alias("authority"),
+            ),
+            "authority",
+        )
+        h = (
+            e.join(auth.select(F.col("node").alias("dst"), "authority"),
+                   "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        hub = _l1(
+            v.join(h, "node", "left").select(
+                "node", F.coalesce("hub", F.lit(0.0)).alias("hub")
+            ),
+            "hub",
+        )
+        if checkpoint:
+            auth = auth.localCheckpoint(eager=True)
+            hub = hub.localCheckpoint(eager=True)
+    return hub.join(auth, "node").select("node", "hub", "authority")
+
+
+def link_prediction(
+    triples: DataFrame,
+    k: int = 20,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Top-k predicted (missing) edges by neighborhood overlap over
+    the undirected simple graph — the classic link-prediction
+    baselines a KG curator runs to propose new MENTIONED_WITH edges:
+
+    - ``common_neighbors`` — |N(a) ∩ N(b)|;
+    - ``jaccard`` — |N(a) ∩ N(b)| / |N(a) ∪ N(b)| (the ranking key:
+      a ratio of exact integers, so the order is engine-portable
+      bit-for-bit);
+    - ``adamic_adar`` — Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z), which weights
+      rare shared neighbors above hub ones (float summation — output
+      only, never the ranking key).
+
+    Pairs already connected by an edge are excluded (they are not
+    *predictions*); the output order is the total
+    (jaccard DESC, node_a ASC, node_b ASC), compiled to
+    TakeOrderedAndProject — per-partition heaps, never a global sort.
+
+    Scale shape: the candidate enumeration is one wedge equi-join of
+    the symmetrized edge table with itself on the shared neighbor —
+    the same join class as :func:`triangles` — followed by a
+    map-side-combinable pair count.  Its cost is Σ_z deg(z)², so a
+    hub intermediate is quadratic: ``max_degree`` caps the shared
+    neighbors considered (a standard similarity-join guard — at
+    100 TB you set it; the scores then ignore hubs above the cap,
+    documented semantics, and the plan stays bounded).
+
+    Returns (node_a, node_b, common_neighbors, jaccard, adamic_adar).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    sym, _v = _undirected_simple(triples)
+    deg = sym.groupBy(F.col("x").alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("deg")
+    )
+    thru = sym.join(deg.select(F.col("node").alias("y"), "deg"), "y")
+    if max_degree is not None:
+        thru = thru.where(F.col("deg") <= F.lit(float(max_degree)))
+    a = thru.select(F.col("x").alias("node_a"), F.col("y").alias("z"),
+                    F.col("deg").alias("zdeg"))
+    b = sym.select(F.col("x").alias("node_b"), F.col("y").alias("z"))
+    pairs = (
+        a.join(b, "z")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum(F.lit(1.0) / F.log(F.col("zdeg"))).alias("adamic_adar"),
+        )
+    )
+    # drop pairs that are already edges (sym holds both directions;
+    # the a<b orientation needs one)
+    existing = sym.where(F.col("x") < F.col("y")).select(
+        F.col("x").alias("node_a"), F.col("y").alias("node_b")
+    )
+    pairs = pairs.join(existing, ["node_a", "node_b"], "left_anti")
+    da = deg.select(F.col("node").alias("node_a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("node_b"), F.col("deg").alias("db"))
+    return (
+        pairs.join(da, "node_a").join(db, "node_b")
+        .select(
+            "node_a", "node_b", "common_neighbors",
+            (
+                F.col("common_neighbors")
+                / (F.col("da") + F.col("db") - F.col("common_neighbors"))
+            ).alias("jaccard"),
+            "adamic_adar",
+        )
+        .orderBy(F.desc("jaccard"), F.asc("node_a"), F.asc("node_b"))
+        .limit(k)
+    )

@@ -37,7 +37,21 @@ def test_analytics_tables_match_triples(spark, out_dir):
     assert set(counts) == {
         "entity_degree", "components", "pagerank", "comention_pmi",
         "related_topk", "triangles", "communities", "repo_distances",
+        "hits", "link_prediction",
     }
+    # HITS: same node universe as the degree table, L1-normalized
+    ht = spark.read.parquet(f"{out_dir}/analytics/hits")
+    assert ht.count() == counts["entity_degree"]
+    assert abs(ht.agg(F.sum("hub")).first()[0] - 1.0) < 1e-9
+    assert abs(ht.agg(F.sum("authority")).first()[0] - 1.0) < 1e-9
+    # link prediction never proposes an existing edge
+    lp = spark.read.parquet(f"{out_dir}/analytics/link_prediction")
+    mat0 = spark.read.parquet(f"{out_dir}/materialize")
+    existing = {
+        (min(r.subj, r.obj), max(r.subj, r.obj)) for r in mat0.collect()
+    }
+    assert all((r.node_a, r.node_b) not in existing
+               for r in lp.collect())
 
     deg = spark.read.parquet(f"{out_dir}/analytics/entity_degree")
     # degree conservation: both degree sums equal the triple count

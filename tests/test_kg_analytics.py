@@ -19,7 +19,9 @@ from ner_spark.plans.kg_analytics import (
     comention_pmi,
     entity_degree,
     graph_components,
+    hits,
     label_propagation,
+    link_prediction,
     pagerank,
     related_topk,
     triangles,
@@ -263,6 +265,76 @@ def test_label_propagation_separates_components_and_keeps_isolates(spark):
     assert rows["s"]["community"] == "s"
     assert rows["s"]["community_size"] == 1
     assert rows["a"]["community_size"] == rows["z"]["community_size"] == 3
+
+
+def test_hits_hand_computed_star(spark):
+    # a→c, b→c: the fixpoint (reached after one iteration) is
+    # authority = (0, 0, 1) and hub = (1/2, 1/2, 0) under L1
+    t = _triples(spark, [("a", "P", "c", 1), ("b", "Q", "c", 1)])
+    for iters in (1, 3):
+        got = {r["node"]: (r["hub"], r["authority"])
+               for r in hits(t, iterations=iters).collect()}
+        assert got.keys() == {"a", "b", "c"}
+        for node, (h, a) in {"a": (0.5, 0.0), "b": (0.5, 0.0),
+                             "c": (0.0, 1.0)}.items():
+            assert math.isclose(got[node][0], h, abs_tol=1e-12)
+            assert math.isclose(got[node][1], a, abs_tol=1e-12)
+
+
+def test_hits_l1_mass_and_parallel_edges_collapse(spark):
+    # parallel predicates collapse to one edge (like pagerank); both
+    # score vectors stay L1-normalized on an arbitrary digraph
+    t = _triples(
+        spark,
+        [("a", "P", "b", 1), ("a", "Q", "b", 1), ("b", "P", "c", 1),
+         ("c", "P", "a", 1), ("d", "P", "a", 1)],
+    )
+    rows = hits(t, iterations=4).collect()
+    assert math.isclose(sum(r["hub"] for r in rows), 1.0, abs_tol=1e-9)
+    assert math.isclose(sum(r["authority"] for r in rows), 1.0,
+                        abs_tol=1e-9)
+    t2 = _triples(spark, [("a", "P", "b", 1), ("b", "P", "c", 1),
+                          ("c", "P", "a", 1), ("d", "P", "a", 1)])
+    a = sorted(map(tuple, hits(t, iterations=4).collect()))
+    b = sorted(map(tuple, hits(t2, iterations=4).collect()))
+    assert a == b
+
+
+def test_link_prediction_hand_computed_path(spark):
+    # path a—z—b: (a, b) share the single neighbor z (deg 2) →
+    # common=1, jaccard = 1/(1+1−1) = 1, adamic_adar = 1/ln 2; the
+    # existing edges never appear as predictions
+    t = _triples(spark, [("a", "M", "z", 1), ("z", "M", "b", 1)])
+    rows = link_prediction(t, k=10).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["node_a"], r["node_b"], r["common_neighbors"]) == ("a", "b", 1)
+    assert math.isclose(r["jaccard"], 1.0, abs_tol=0)
+    assert math.isclose(r["adamic_adar"], 1.0 / math.log(2.0),
+                        abs_tol=1e-12)
+
+
+def test_link_prediction_ranking_and_hub_cap(spark):
+    # clique-ish: x and y share TWO neighbors (higher jaccard) vs a
+    # pair sharing one; max_degree excludes the hub intermediate
+    t = _triples(
+        spark,
+        [("x", "M", "h1", 1), ("y", "M", "h1", 1),
+         ("x", "M", "h2", 1), ("y", "M", "h2", 1),
+         ("p", "M", "h1", 1)],
+    )
+    rows = link_prediction(t, k=10).collect()
+    top = rows[0]
+    assert (top["node_a"], top["node_b"]) == ("x", "y")
+    assert top["common_neighbors"] == 2
+    # h1 has degree 3 — capping at 2 removes it as an INTERMEDIATE
+    # (the (x,y) pair keeps only its h2 wedge, the p-pairs vanish),
+    # while pairs routed through the low-degree x/y survive
+    capped = {(r["node_a"], r["node_b"]): r["common_neighbors"]
+              for r in link_prediction(t, k=10, max_degree=2).collect()}
+    assert capped == {("x", "y"): 1, ("h1", "h2"): 2}
+    with pytest.raises(ValueError, match="k must be positive"):
+        link_prediction(t, k=0)
 
 
 def test_bfs_distances_multi_source_min(spark):

@@ -30,7 +30,9 @@ from ner_spark.plans.kg_analytics import (  # noqa: E402
     comention_pmi,
     entity_degree,
     graph_components,
+    hits,
     label_propagation,
+    link_prediction,
     pagerank,
     related_topk,
     triangles,
@@ -552,6 +554,36 @@ def test_graph_ops_match_oracles_on_random_graphs(spark, rows):
                 entrymod._kg_update_oracle(text, kg_sql=kg_sql),
                 name=f"kg_update:{uname}",
             )
+        # link prediction: the jaccard ranking key is a ratio of
+        # exact integers (engine-portable cut); both scores compare
+        # through the 1e-6 quantized twin like related_topk
+        assert_df_matches_duckdb(
+            link_prediction(tri, k=5).select(
+                "node_a", "node_b", "common_neighbors",
+                F.floor(F.col("jaccard") * 1000000 + F.lit(0.5))
+                .cast("bigint").alias("jaccard_q"),
+                F.floor(F.col("adamic_adar") * 1000000 + F.lit(0.5))
+                .cast("bigint").alias("adamic_adar_q"),
+            ),
+            con,
+            entrymod._kg_linkpred_oracle(k=5, kg_sql=kg_sql),
+            name="kg_link_prediction",
+        )
+        # HITS: float sums → raw doubles, per-key tolerance compare
+        # (like pagerank below); L1 normalization must hold when any
+        # edge exists
+        ht = hits(tri, iterations=2, checkpoint=False).collect()
+        ht_d = con.execute(entrymod._kg_hits_oracle(
+            iterations=2, kg_sql=kg_sql, quantized=False)).fetchall()
+        for col, j in (("hub", 1), ("authority", 2)):
+            _assert_close(
+                [{"node": r["node"], col: r[col]} for r in ht],
+                [{"node": t[0], col: t[j]} for t in ht_d],
+                ("node",), col, f"kg_hits:{col}",
+            )
+        if ht:
+            assert math.isclose(sum(r["hub"] for r in ht), 1.0,
+                                rel_tol=0, abs_tol=1e-9)
         # float ops: raw doubles, per-key tolerance compare
         pr = pagerank(tri, iterations=2, checkpoint=False).collect()
         pr_d = con.execute(entrymod._kg_pagerank_oracle(

@@ -1,8 +1,9 @@
 """Randomized maintenance-lifecycle differential: any interleaving of
 incremental updates (random flag combinations), derived-stage crash
-injections, compactions, and plain-run recoveries must end with
-exactly the triples of one fresh run over every document whose delta
-committed.  This is the whole-lifecycle analogue of the per-path pins
+injections, compactions, SPARQL edits, and plain-run recoveries must
+end with exactly the triples of one fresh run over every document
+whose delta committed (the base), plus an edit-folded view equal to
+an independent python fold of the frozen edit deltas.  This is the whole-lifecycle analogue of the per-path pins
 in test_job_update.py / test_job_compact.py: those check each branch
 in isolation, this checks that the branches COMPOSE — sidecar
 coverage, marker drops, folded deltas, and the resume coverage check
@@ -31,7 +32,7 @@ def _triples_set(df):
     return sorted(map(tuple, df.collect()))
 
 
-@pytest.mark.parametrize("seed", [11, 23])
+@pytest.mark.parametrize("seed", [11, 23, 19])  # 19 fires the edit op
 def test_lifecycle_fuzz(spark, out_dir, seed):
     rng = random.Random(seed)
     rows = build_source_rows(96)
@@ -46,7 +47,7 @@ def test_lifecycle_fuzz(spark, out_dir, seed):
     last_update = None  # (update_id, chunk) — for idempotent retries
     for step in range(5):
         op = rng.choice(["update", "update", "compact", "crash_resume",
-                         "retry"])
+                         "retry", "edit"])
         if op == "update" and lo < len(rows):
             n = rng.choice([8, 12, 16])
             chunk = rows[lo:lo + n]
@@ -67,6 +68,17 @@ def test_lifecycle_fuzz(spark, out_dir, seed):
             KgJob(spark, out_dir, run_id=f"rt{step}").update(
                 spark.createDataFrame(chunk, SOURCE_SCHEMA), update_id=uid,
             )
+        elif op == "edit":
+            # a SPARQL edit anywhere in the history: frozen against
+            # the view at submit time, folded into every later read
+            txt = rng.choice([
+                'DELETE { ?e LINKED_TO ?kb } '
+                'WHERE { ?e LINKED_TO ?kb FILTER STRENDS(?kb, "1") }',
+                f'INSERT DATA {{ sentinel:s{step} MARKER "m" }}',
+                'DELETE { ?e INSTANCE_OF ?c } INSERT { ?e TYPED ?c } '
+                'WHERE { ?e INSTANCE_OF ?c }',
+            ])
+            KgJob(spark, out_dir, run_id=f"e{step}").sparql_update(txt)
         elif op == "compact":
             KgJob(spark, out_dir, run_id=f"c{step}").compact()
         else:
@@ -82,4 +94,28 @@ def test_lifecycle_fuzz(spark, out_dir, seed):
     fresh = KgJob(spark, out_dir + "_fresh", run_id="f").run(
         spark.createDataFrame(applied_rows, SOURCE_SCHEMA)
     )
+    # edits never perturb the document-derived BASE…
     assert _triples_set(final) == _triples_set(fresh)
+    # …and the edit-folded VIEW equals an independent python fold of
+    # the frozen delete/insert sets over whatever base the history
+    # ended with (tombstones re-suppress triples any compaction or
+    # update re-derived; kept rows keep their evidence_count)
+    job_v = KgJob(spark, out_dir, run_id="vf")
+    state = {
+        (r.subj, r.pred, r.obj): r.evidence_count
+        for r in job_v._read_committed(job_v._path("materialize"),
+                                       partitioned=True).collect()
+    }
+    for seq in job_v.edit_ids():
+        b = f"{out_dir}/edits/{seq:06d}"
+        dels = {(r.subj, r.pred, r.obj)
+                for r in job_v._read_edit_side(b, "del").collect()}
+        ins = {(r.subj, r.pred, r.obj): r.evidence_count
+               for r in job_v._read_edit_side(b, "ins").collect()}
+        state = {k: v for k, v in state.items() if k not in dels}
+        for k, v in ins.items():
+            state.setdefault(k, v)
+    expected = sorted((s, p, o, c) for (s, p, o), c in state.items())
+    got = sorted(map(tuple, job_v.triples().select(
+        "subj", "pred", "obj", "evidence_count").collect()))
+    assert got == expected

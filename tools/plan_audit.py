@@ -488,6 +488,39 @@ def main() -> int:
           rank_window_partitioned(p))
     check("kg_related_topk", "no cartesian product",
           "CartesianProduct" not in p)
+    # HITS: like pagerank — per-side sums partial-aggregate before
+    # the shuffle, the L1 normalization total stays in-plan as a
+    # 1-row broadcast, never a data-sized cartesian
+    from ner_spark.plans.kg_analytics import hits as kg_hits
+
+    p = plans["kg_hits_iteration"] = plan_of(
+        kg_hits(tri, iterations=1, checkpoint=False))
+    check("kg_hits_iteration",
+          "score sums partial-aggregate before the shuffle",
+          "partial_sum" in p)
+    check("kg_hits_iteration",
+          "normalization total stays in-plan as a 1-row broadcast",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" in p)
+    # link prediction: the wedge enumeration is a hash equi-join on
+    # the shared neighbor, pair scores partial-aggregate, existing
+    # edges anti-join out, and the ordered cut is
+    # TakeOrderedAndProject (per-partition heaps, no global sort)
+    from ner_spark.plans.kg_analytics import link_prediction
+
+    p = plans["kg_link_prediction"] = plan_of(link_prediction(tri, k=5))
+    check("kg_link_prediction",
+          "wedge join is a hash equi-join (no cartesian)",
+          "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p)
+    check("kg_link_prediction",
+          "pair scores partial-aggregate before the shuffle",
+          "partial_count" in p)
+    check("kg_link_prediction",
+          "existing edges anti-join out", "LeftAnti" in p)
+    check("kg_link_prediction",
+          "ordered top-k is TakeOrderedAndProject",
+          "TakeOrderedAndProject" in p and
+          "Sort [" not in p.replace("TakeOrderedAndProject", ""))
     # triangles: the oriented wedge join must stay an equi-join chain
     # (the DAG orientation bounds per-key fan-out; a cartesian or a
     # non-equi join here would blow up on any real graph)
