@@ -676,6 +676,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # equi-joins into the outer BGP on the shared required var
         return _sparql_gold(spark, _SPARQL_SUBQUERY)
 
+    def q_kg_sparql_strfns(spark, sf):
+        # COALESCE/SUBSTR/REPLACE builders — all outputs non-null by
+        # construction (coalesce default), so no sentinel fill
+        return _sparql_gold(spark, _SPARQL_STRFNS)
+
     def q_kg_sparql_construct_where(spark, sf):
         # CONSTRUCT WHERE shorthand (pattern = template)
         return _sparql_gold(spark, _SPARQL_CONSTRUCT_WHERE)
@@ -818,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_boolexpr": q_kg_sparql_boolexpr,
         "kg_sparql_update": q_kg_sparql_update,
         "kg_sparql_construct_where": q_kg_sparql_construct_where,
+        "kg_sparql_strfns": q_kg_sparql_strfns,
         "kg_sparql_sample": q_kg_sparql_sample,
         "kg_sparql_describe": q_kg_sparql_describe,
         "sota_gliner": q_sota_gliner,
@@ -992,6 +998,18 @@ SELECT ?repo ?e ?n WHERE {
   ?repo DECLARES ?e
   { SELECT ?e (COUNT(*) AS ?n) WHERE { ?e MENTIONED_WITH ?x }
     GROUP BY ?e }
+}
+"""
+# COALESCE / SUBSTR / REPLACE string builders in BIND: the OPTIONAL
+# default-value idiom (coalesce never yields null, so no sentinel
+# fill), 1-based 3-arg substring, and global regex replace ('g' flag
+# on the DuckDB side — its default replaces only the first match)
+_SPARQL_STRFNS = """
+SELECT ?repo ?grounded ?prefix ?short WHERE {
+  ?repo DECLARES ?e OPTIONAL { ?e LINKED_TO ?kb }
+  BIND(COALESCE(?kb, "kb:none") AS ?grounded)
+  BIND(SUBSTR(?e, 1, 6) AS ?prefix)
+  BIND(REPLACE(?repo, "^repo:", "r/") AS ?short)
 }
 """
 # SPARQL 1.1 Update: re-home each entity's KB link onto its declaring
@@ -1856,6 +1874,16 @@ def _kg_bind_sql(expr, refs: dict) -> str:
         return term(expr)
     if kind == "concat":
         return "(" + " || ".join(term(t) for t in expr[1]) + ")"
+    if kind == "coalesce":
+        return ("coalesce(" + ", ".join(term(t) for t in expr[1])
+                + ")")
+    if kind == "substr":
+        return f"substr({term(expr[1])}, {expr[2]}, {expr[3]})"
+    if kind == "replace":
+        # 'g' flag: DuckDB replaces the FIRST match by default, Spark
+        # regexp_replace is global
+        return (f"regexp_replace({term(expr[1])}, "
+                f"{_sql_str(expr[2])}, {_sql_str(expr[3])}, 'g')")
     arg = term(expr[1])
     if kind == "ucase":
         return f"upper({arg})"
@@ -3078,6 +3106,7 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "kg_sparql_construct_where":
             _kg_sparql_oracle(_SPARQL_CONSTRUCT_WHERE),
         "kg_sparql_sample": _kg_sparql_oracle(_SPARQL_SAMPLE),
+        "kg_sparql_strfns": _kg_sparql_oracle(_SPARQL_STRFNS),
         "kg_sparql_describe": _kg_sparql_oracle(_SPARQL_DESCRIBE),
         "mentions_hybrid": _mentions_oracle("hybrid"),
         "mentions_crf": _mentions_oracle("crf_only"),

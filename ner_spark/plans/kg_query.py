@@ -239,23 +239,33 @@ def _is_var(term: str) -> bool:
 #   ?var                      "literal"
 #   CONCAT(t1, t2, ...)       UCASE(?v)   LCASE(?v)
 #   STR(?v)                   STRLEN(?v)   [length, cast to string]
-_BIND_FNS = {"concat", "ucase", "lcase", "str", "strlen"}
+#   COALESCE(t1, t2, ...)     [first bound argument — the OPTIONAL
+#                              default-value idiom]
+#   SUBSTR(t, start, len)     [1-based positive ints, 3-arg form]
+#   REPLACE(t, "pat", "rep")  [regex, ALL occurrences in both engines]
+_BIND_FNS = {"concat", "ucase", "lcase", "str", "strlen",
+             "coalesce", "substr", "replace"}
 _BIND_RE = re.compile(
     r"^\s*(?:(?P<fn>[A-Za-z_]+)\s*\((?P<args>.*)\)|(?P<term>\?\w+|"
     r'"(?:[^"\\]|\\.)*"))\s+AS\s+(?P<var>\?\w+)\s*$',
     re.IGNORECASE | re.DOTALL,
 )
-_BIND_TERM_RE = re.compile(r'^(\?\w+|"(?:[^"\\]|\\.)*")$')
+_BIND_TERM_RE = re.compile(r'^(\?\w+|"(?:[^"\\]|\\.)*"|\d+)$')
 
 
 def _bind_term(tok: str) -> tuple:
     tok = tok.strip()
     if not _BIND_TERM_RE.match(tok):
         raise ValueError(
-            f"BIND argument {tok!r} must be a ?variable or a quoted "
-            "literal (nested function calls are not supported)")
+            f"BIND argument {tok!r} must be a ?variable, a quoted "
+            "literal or an unsigned integer (nested function calls "
+            "are not supported)")
     if tok.startswith("?"):
         return ("var", tok)
+    if tok.isdigit():
+        # bare integers exist only for SUBSTR positions; every other
+        # function rejects them in _make_bind_expr
+        return ("int", int(tok))
     return ("const", _unescape(tok[1:-1]))
 
 
@@ -312,11 +322,41 @@ def _make_bind_expr(fn: str, args: list[tuple]) -> tuple:
     if fn not in _BIND_FNS:
         raise ValueError(
             f"unknown BIND function {fn.upper()!r}: supported are "
-            "CONCAT, UCASE, LCASE, STR, STRLEN")
-    if fn == "concat":
+            "CONCAT, UCASE, LCASE, STR, STRLEN, COALESCE, SUBSTR, "
+            "REPLACE")
+    ints = [a for a in args if a[0] == "int"]
+    if fn == "substr":
+        if (len(args) != 3 or args[0][0] == "int"
+                or not all(a[0] == "int" for a in args[1:])):
+            raise ValueError(
+                "SUBSTR takes (term, start, length) with positive "
+                "integer positions (the 3-argument SPARQL form)")
+        if args[1][1] < 1 or args[2][1] < 0:
+            raise ValueError(
+                "SUBSTR positions are 1-based and non-negative "
+                "(negative positions behave differently across "
+                "engines, so they raise)")
+        return ("substr", args[0], args[1][1], args[2][1])
+    if ints:
+        raise ValueError(
+            f"{fn.upper()} takes ?variables or quoted literals "
+            "(bare integers exist only for SUBSTR positions)")
+    if fn == "replace":
+        if len(args) != 3 or not all(a[0] == "const" for a in args[1:]):
+            raise ValueError(
+                'REPLACE takes (term, "pattern", "replacement") with '
+                "quoted regex pattern and replacement literals")
+        if set(args[2][1]) & {"$", "\\"}:
+            raise ValueError(
+                "REPLACE backreferences are not supported: the "
+                "engines disagree on the syntax (Java $1 vs RE2 \\1), "
+                "so a replacement containing '$' or '\\' raises")
+        return ("replace", args[0], args[1][1], args[2][1])
+    if fn in ("concat", "coalesce"):
         if len(args) < 2:
-            raise ValueError("CONCAT needs at least two arguments")
-        return ("concat", args)
+            raise ValueError(
+                f"{fn.upper()} needs at least two arguments")
+        return (fn, args)
     if len(args) != 1:
         raise ValueError(f"{fn.upper()} takes exactly one argument")
     return (fn, args[0])
@@ -341,6 +381,20 @@ def _bind_column(expr: tuple, bound: set[str]) -> Column:
         return term_col(expr)
     if kind == "concat":
         return F.concat(*[term_col(t) for t in expr[1]])
+    if kind == "coalesce":
+        # SPARQL COALESCE: the first non-error (non-null) argument —
+        # exactly SQL coalesce; the OPTIONAL default-value idiom
+        return F.coalesce(*[term_col(t) for t in expr[1]])
+    if kind == "substr":
+        # 1-based, positive positions only (validated at parse) —
+        # identical in Spark substring and DuckDB substr; a null
+        # input propagates (error-→-unbound)
+        return F.substring(term_col(expr[1]), expr[2], expr[3])
+    if kind == "replace":
+        # regex replace of ALL occurrences (Spark regexp_replace is
+        # global; the twin passes DuckDB the 'g' flag)
+        return F.regexp_replace(term_col(expr[1]),
+                                F.lit(expr[2]), F.lit(expr[3]))
     col = term_col(expr[1])
     if kind == "ucase":
         return F.upper(col)

@@ -49,6 +49,7 @@ raises with the offending token rather than mis-parsing):
     Bind      := 'BIND' '(' (Term | Fn '(' Term (',' Term)* ')')
                  'AS' Var ')'
     Fn        := 'CONCAT' | 'UCASE' | 'LCASE' | 'STR' | 'STRLEN'
+               | 'COALESCE' | 'SUBSTR' | 'REPLACE'
     Union     := Group ('UNION' Group)+
     Optional  := 'OPTIONAL' '{' Triple+ '}'
     Minus     := 'MINUS' '{' Triple+ '}'
@@ -369,9 +370,12 @@ def _parse_bind(cur: _Cursor) -> tuple[str, tuple]:
             return ("var", t)
         if t.startswith('"'):
             return ("const", _unquote(t))
+        if t.isdigit():
+            return ("int", int(t))  # SUBSTR positions only
         raise ValueError(
-            f"BIND argument {t!r} must be a ?variable or a quoted "
-            "literal (nested function calls are not supported)")
+            f"BIND argument {t!r} must be a ?variable, a quoted "
+            "literal or an unsigned integer (nested function calls "
+            "are not supported)")
 
     cur.eat("(")
     t = cur.peek()

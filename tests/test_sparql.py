@@ -104,6 +104,34 @@ def test_parse_filter_comparison_forms():
     ]
 
 
+def test_sparql_bind_string_builders(spark):
+    # COALESCE is the OPTIONAL default-value idiom; SUBSTR is the
+    # 1-based 3-arg form; REPLACE is a global regex replace
+    tri = _triples(spark, [
+        ("repo:a", "DECLARES", "e1", 1), ("repo:b", "DECLARES", "e2", 1),
+        ("e1", "LINKED_TO", "kb:Q1", 1)])
+    out = sparql(tri, '''
+        SELECT ?r ?d ?s ?x WHERE {
+          ?r DECLARES ?e OPTIONAL { ?e LINKED_TO ?kb }
+          BIND(COALESCE(?kb, "kb:none") AS ?d)
+          BIND(SUBSTR(?e, 2, 1) AS ?s)
+          BIND(REPLACE(?r, "o", "0") AS ?x)
+        }''')
+    assert sorted(map(tuple, out.collect())) == [
+        ("repo:a", "kb:Q1", "1", "rep0:a"),
+        ("repo:b", "kb:none", "2", "rep0:b")]
+    for bad, msg in (
+        ('SELECT * WHERE { ?a ?p ?b BIND(SUBSTR(?a, 0, 2) AS ?x) }',
+         "1-based"),
+        ('SELECT * WHERE { ?a ?p ?b BIND(REPLACE(?a, "x", "$1") AS ?x) }',
+         "backreferences"),
+        ('SELECT * WHERE { ?a ?p ?b BIND(UCASE(2) AS ?x) }',
+         "bare integers"),
+    ):
+        with pytest.raises(ValueError, match=msg):
+            parse_sparql(bad)
+
+
 def test_sparql_construct_where_shorthand(spark):
     # CONSTRUCT WHERE { BGP }: the pattern doubles as the template —
     # the matched subgraph comes back as a set with evidence counts
