@@ -877,6 +877,173 @@ def _join_values(
     return bound, bound_vars, var_order
 
 
+def _element_vars(element: tuple[str, str, str]) -> set[str]:
+    """The ``?variables`` one pattern element binds (inverse marker
+    stripped — ``^P`` swaps endpoints but binds the same set)."""
+    if len(element) != 3:
+        raise ValueError(f"pattern element {element!r} is not a triple")
+    p = element[1]
+    if p.startswith("^") and len(p) > 1:
+        p = p[1:]
+    return {t for t in (element[0], p, element[2]) if _is_var(t)}
+
+
+def _element_static_cost(element: tuple[str, str, str]) -> tuple:
+    """Scan-free selectivity rank of one element, ascending = evaluate
+    first.  The ordering encodes what the triple-store statistics say
+    before any statistics exist: a constant endpoint bounds the scan
+    by a node's degree (smallest), a constant predicate prunes to one
+    predicate's edge partition (middle), a variable predicate or a
+    negated set reads ~the whole edge table (large), and closure /
+    sequence paths are eager materializations whose output exceeds
+    their base-edge scan (largest — defer them until the bindings
+    that seed them are small)."""
+    s, p, o = element
+    if p.startswith("^") and len(p) > 1:
+        s, p, o = o, p[1:], s
+    endpoint_consts = sum(1 for t in (s, o) if not _is_var(t))
+    if _is_var(p):
+        closure, pred_class = 0, 2
+    else:
+        segs = _sequence_segments(p)
+        neg = None if segs is not None else _negated_set(p)
+        path = (None if segs is not None or neg is not None
+                else _path_pred(p))
+        closure = 1 if segs is not None or path is not None else 0
+        pred_class = 2 if neg is not None else 0
+    return (closure, -endpoint_consts, pred_class)
+
+
+def _pred_mass_cond(p: str) -> tuple[Column | None, float]:
+    """(predicate condition, work multiplier) for one constant
+    predicate form — the condition selects the element's base edges
+    in a single shared scan, the multiplier scales that edge mass for
+    forms whose output the scan cannot see: ×4 per closure (``P+`` /
+    ``P*`` expand beyond their base edges), ×2·segments per sequence
+    (each hop joins through an existential intermediate)."""
+    if p.startswith("^") and len(p) > 1:
+        p = p[1:]
+    segs = _sequence_segments(p)
+    if segs is not None:
+        conds, mult = [], 2.0 * len(segs)
+        for seg in segs:
+            c, m = _pred_mass_cond(seg)
+            mult = max(mult, m * 2.0 * len(segs))
+            if c is not None:
+                conds.append(c)
+        if not conds:
+            return None, mult
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond | c
+        return cond, mult
+    neg = _negated_set(p)
+    if neg is not None:
+        return ~F.col("pred").isin(neg), 1.0
+    path = _path_pred(p)
+    if path is not None:
+        base, mod = path
+        c, m = _pred_mass_cond(base)
+        return c, m * (1.0 if mod == "?" else 4.0)
+    return F.col("pred").isin(_pred_alternatives(p)), 1.0
+
+
+def pattern_stats_costs(
+    triples: DataFrame, pattern: list[tuple[str, str, str]],
+) -> list[float]:
+    """Measured per-element costs for :func:`plan_pattern` — ONE
+    conditional-aggregate scan of the triple relation computes every
+    element's matched-edge count exactly (constants applied as
+    ``sum(when(cond, 1))`` conditions, so k elements cost one pass,
+    not k).  Closure and sequence elements report base-edge mass ×
+    the :func:`_pred_mass_cond` multiplier: their true output size is
+    the fixpoint the planner is trying not to seed too early, so an
+    upper-leaning estimate keeps them late.  Use when the triple
+    relation is cheap to scan (a committed table) and the pattern is
+    long enough that one extra scan buys a better join tree; the
+    static rank costs nothing and is the default."""
+    aggs, mults = [], []
+    for i, element in enumerate(pattern):
+        s, p, o = element
+        if len(element) != 3:
+            raise ValueError(
+                f"pattern element {element!r} is not a triple")
+        if p.startswith("^") and len(p) > 1:
+            s, p, o = o, p[1:], s
+        cond = F.lit(True)
+        mult = 1.0
+        if not _is_var(s):
+            cond = cond & (F.col("subj") == F.lit(s))
+        if not _is_var(o):
+            cond = cond & (F.col("obj") == F.lit(o))
+        if not _is_var(p):
+            pc, mult = _pred_mass_cond(p)
+            if pc is not None:
+                cond = cond & pc
+        aggs.append(F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+                    .alias(f"c{i}"))
+        mults.append(mult)
+    row = triples.agg(*aggs).first()
+    return [float(row[f"c{i}"] or 0) * mults[i]
+            for i in range(len(pattern))]
+
+
+def plan_pattern(
+    pattern: list[tuple[str, str, str]],
+    costs: list | None = None,
+) -> list[int]:
+    """Selectivity-ordered join plan for a BGP's required elements:
+    the evaluation order (indices into ``pattern``) that starts from
+    the cheapest element and greedily appends the cheapest element
+    CONNECTED to the variables bound so far — smallest-relation-first
+    with the connectivity constraint, the classic System-R greedy cut
+    down to what triple stores need.
+
+    Why here and not Catalyst: the committed triple relation carries
+    no CBO statistics (and mid-pipeline relations never do), so Spark
+    keeps whatever join order the query author wrote; a pattern
+    written hub-scan-first materializes the hub's full edge fan-out
+    before the selective constant ever prunes it — at 10^12 triples
+    that is the difference between a pointed lookup and a whole-graph
+    shuffle.  Reordering is sound because required BGP elements are
+    inner equi-joins on never-null variable columns (fully
+    commutative; the multiset result is order-invariant, which the
+    plan-invariance fuzz pins).
+
+    ``costs`` overrides the per-element cost (any ascending-comparable
+    values, e.g. :func:`pattern_stats_costs`); default is the
+    scan-free :func:`_element_static_cost` rank.  A pattern whose
+    elements cannot all connect under ANY order raises the cartesian
+    guard — same contract as evaluation, caught at plan time."""
+    n = len(pattern)
+    evars = [_element_vars(el) for el in pattern]
+    if costs is None:
+        costs = [_element_static_cost(el) for el in pattern]
+    if len(costs) != n:
+        raise ValueError(f"{len(costs)} costs for {n} pattern elements")
+    if n <= 1:
+        return list(range(n))
+    remaining = set(range(n))
+    seed = min(remaining, key=lambda i: (costs[i], i))
+    order, bound = [seed], set(evars[seed])
+    remaining.discard(seed)
+    while remaining:
+        conn = [i for i in remaining if evars[i] & bound]
+        if not conn:
+            bad = [pattern[i] for i in sorted(remaining)]
+            raise ValueError(
+                f"each of the pattern elements {bad} shares no "
+                "variable with the rest of the pattern under any join "
+                "order — evaluating them would be a cartesian product "
+                "over the whole graph; bind a shared variable"
+            )
+        nxt = min(conn, key=lambda i: (costs[i], i))
+        order.append(nxt)
+        remaining.discard(nxt)
+        bound |= evars[nxt]
+    return order
+
+
 def match_pattern(
     triples: DataFrame,
     pattern: list[tuple[str, str, str]],
@@ -889,8 +1056,21 @@ def match_pattern(
     values: tuple | None = None,
     binds: list = (),
     path_max_hops: int | None = None,
+    plan: str | None = "static",
 ) -> DataFrame:
     """Match a basic graph pattern; see the module docstring.
+
+    ``plan`` picks the join order for the REQUIRED elements:
+    ``"static"`` (default) evaluates them selectivity-first via
+    :func:`plan_pattern`'s scan-free rank, ``"stats"`` spends one
+    conditional-aggregate scan on exact per-element counts first
+    (:func:`pattern_stats_costs` — worth it when the triple relation
+    is a committed table and the pattern is long), and ``None`` keeps
+    the author's written order (the fuzz baseline).  Reordering never
+    changes results — required elements are inner equi-joins on
+    never-null columns — and never changes the OUTPUT column order,
+    which stays first-appearance in the WRITTEN pattern.  OPTIONAL
+    elements are not reordered (left joins are order-sensitive).
 
     ``optional`` elements have SPARQL OPTIONAL (left-join) semantics:
     a binding of the required pattern survives even when the optional
@@ -1009,14 +1189,30 @@ def match_pattern(
     """
     if not pattern:
         raise ValueError("empty pattern")
+    if plan not in (None, "static", "stats"):
+        raise ValueError(
+            f"unknown plan mode {plan!r}: None (written order), "
+            "'static' or 'stats'")
+    if plan is None or len(pattern) <= 1:
+        order = list(range(len(pattern)))
+    else:
+        order = plan_pattern(
+            pattern,
+            pattern_stats_costs(triples, pattern)
+            if plan == "stats" else None,
+        )
     bound: DataFrame | None = None
     bound_vars: set[str] = set()
     required_vars: set[str] = set()  # bound by a non-OPTIONAL element
-    var_order: list[str] = []  # first-appearance output column order
-    steps = ([("element", el, False) for el in pattern]
-             + [("element", el, True) for el in optional]
-             + [("subquery", sq, False) for sq in subqueries])
-    for i, (kind, item, is_optional) in enumerate(steps):
+    # output column order stays first-appearance in the WRITTEN
+    # pattern regardless of the planned JOIN order: required elements
+    # record (written index, their vars) and assemble after the loop
+    req_cols: list[tuple[int, list[str]]] = []
+    post_vars: list[str] = []  # optional/subquery first-appearance
+    steps = ([("element", pattern[i], False, i) for i in order]
+             + [("element", el, True, -1) for el in optional]
+             + [("subquery", sq, False, -1) for sq in subqueries])
+    for i, (kind, item, is_optional, written_idx) in enumerate(steps):
         if kind == "subquery":
             sub = solutions(triples, path_max_hops=path_max_hops,
                             **item)
@@ -1038,8 +1234,7 @@ def match_pattern(
                     "required")
             bound = bound.join(sub, [v[1:] for v in sorted(shared)])
             bound_vars |= cols
-            var_order.extend("?" + c for c in sub.columns
-                             if "?" + c not in var_order)
+            post_vars.extend("?" + c for c in sub.columns)
             # conservatively nullable: a UNION/OPTIONAL inside the
             # subquery may project nulls, so downstream MINUS /
             # VALUES treat these as nullable
@@ -1062,9 +1257,17 @@ def match_pattern(
                 "left" if is_optional else "inner",
             )
         bound_vars |= set(cols)
-        var_order.extend(v for v in cols if v not in var_order)
-        if not is_optional:
+        if is_optional:
+            post_vars.extend(cols)
+        else:
+            req_cols.append((written_idx, list(cols)))
             required_vars |= set(cols)
+    var_order: list[str] = []  # first-appearance output column order
+    for _, cols_w in sorted(req_cols):
+        var_order.extend(v for v in cols_w if v not in var_order)
+    for v in post_vars:
+        if v not in var_order:
+            var_order.append(v)
     if values is not None:
         bound, bound_vars, var_order = _join_values(
             bound, bound_vars, var_order, required_vars, values)

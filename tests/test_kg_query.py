@@ -1361,6 +1361,8 @@ def test_parse_bind_grammar():
     assert parse_bind('CONCAT(?a, "x,\\"y") AS ?v') == (
         "?v", ("concat", [("var", "?a"), ("const", 'x,"y')]))
     with pytest.raises(ValueError, match="unknown BIND function"):
+        parse_bind("STRBEFORE(?a) AS ?v")
+    with pytest.raises(ValueError, match="quoted regex pattern"):
         parse_bind("REPLACE(?a) AS ?v")
     with pytest.raises(ValueError, match="at least two"):
         parse_bind("CONCAT(?a) AS ?v")

@@ -1,0 +1,253 @@
+"""Selectivity-ordered BGP join planning (kg_query.plan_pattern).
+
+Three layers: the greedy order itself (pure unit tests — constant
+endpoints seed, closures defer, connectivity beats cost, disconnected
+raises the cartesian guard at plan time), the one-scan stats cost
+model (exact counts for plain elements, documented multipliers for
+closure/sequence forms), and plan INVARIANCE — the property that
+makes reordering sound: required BGP elements are inner equi-joins on
+never-null columns, so any connected join order yields the same
+multiset.  The fuzz shuffles randomly-generated connected patterns
+and compares written-order evaluation (plan=None) against the static
+and stats planners on the shuffled listing.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from ner_spark.plans.kg_query import (
+    match_pattern,
+    pattern_stats_costs,
+    plan_pattern,
+)
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, evidence_count bigint"
+    )
+
+
+# ------------------------------------------------- greedy order (pure)
+
+
+def test_plan_pattern_seeds_constant_endpoint():
+    # the constant-object element is degree-bounded: it must seed even
+    # though it is written last
+    order = plan_pattern([
+        ("?a", "MENTIONED_WITH", "?b"),
+        ("?b", "LINKED_TO", "?kb"),
+        ("?b", "INSTANCE_OF", "kb:Q1"),
+    ])
+    assert order == [2, 0, 1]
+
+
+def test_plan_pattern_defers_closures():
+    # a closure is an eager fixpoint materialization — evaluate the
+    # plain scan first so the closure joins into small bindings
+    assert plan_pattern([
+        ("?a", "MENTIONED_WITH+", "?b"),
+        ("?a", "DECLARES", "?c"),
+    ]) == [1, 0]
+    # sequences defer the same way; inverse closures normalize first
+    assert plan_pattern([
+        ("?a", "DECLARES/MENTIONED_WITH", "?b"),
+        ("?b", "^LINKED_TO", "?c"),
+    ]) == [1, 0]
+
+
+def test_plan_pattern_connectivity_beats_cost():
+    # element 1 is as cheap as the seed but shares no variable with it
+    # yet: the bridge (element 2) must run first
+    assert plan_pattern([
+        ("repo:r", "DECLARES", "?e"),
+        ("?x", "LINKED_TO", "kb:Q1"),
+        ("?e", "MENTIONED_WITH", "?x"),
+    ]) == [0, 2, 1]
+
+
+def test_plan_pattern_var_pred_and_negated_set_rank_late():
+    # a variable predicate / negated set reads ~the whole edge table;
+    # a constant-predicate scan goes first
+    assert plan_pattern([
+        ("?a", "?p", "?b"),
+        ("?a", "DECLARES", "?c"),
+    ]) == [1, 0]
+    assert plan_pattern([
+        ("?a", "!(DECLARES)", "?b"),
+        ("?a", "DECLARES", "?c"),
+    ]) == [1, 0]
+
+
+def test_plan_pattern_disconnected_raises_cartesian():
+    with pytest.raises(ValueError, match="cartesian"):
+        plan_pattern([("?a", "P", "?b"), ("?c", "P", "?d")])
+    # connected-overall patterns never raise, whatever the written
+    # order (the evaluator used to reject bad orders; the planner
+    # rescues them)
+    assert plan_pattern([
+        ("?c", "P", "?d"), ("?a", "P", "?b"), ("?b", "P", "?c"),
+    ]) == [0, 2, 1]
+
+
+def test_plan_pattern_costs_override():
+    pat = [("?a", "P", "?b"), ("?a", "Q", "?c")]
+    assert plan_pattern(pat, [5.0, 1.0]) == [1, 0]
+    assert plan_pattern(pat, [1.0, 5.0]) == [0, 1]
+    with pytest.raises(ValueError, match="costs for"):
+        plan_pattern(pat, [1.0])
+
+
+# ------------------------------------------------- stats cost scan
+
+
+def test_pattern_stats_costs_exact_counts(spark):
+    t = _triples(spark, [
+        ("a", "P", "b", 1), ("a", "P", "c", 1),
+        ("b", "P", "c", 1), ("b", "Q", "c", 1),
+    ])
+    costs = pattern_stats_costs(t, [
+        ("?x", "P", "?y"),        # 3 P edges
+        ("?x", "Q", "?y"),        # 1 Q edge
+        ("a", "P", "?y"),         # 2 out of node a
+        ("a", "P", "b"),          # 1 ground edge
+        ("?x", "?p", "?y"),       # whole table
+        ("?x", "!P", "?y"),       # complement of P
+        ("?x", "P+", "?y"),       # closure: base mass x4
+        ("?x", "P/Q", "?y"),      # sequence: union mass x (2*segs)
+        ("?y", "^Q", "?x"),       # inverse normalizes to Q
+    ])
+    assert costs == [3.0, 1.0, 2.0, 1.0, 4.0, 1.0, 12.0, 16.0, 1.0]
+    # the measured costs drive the greedy order: Q-scan before P-scan
+    assert plan_pattern(
+        [("?x", "P", "?y"), ("?x", "Q", "?y")],
+        pattern_stats_costs(t, [("?x", "P", "?y"), ("?x", "Q", "?y")]),
+    ) == [1, 0]
+
+
+# ------------------------------------------------- evaluator wiring
+
+
+def test_match_pattern_output_columns_stay_written_order(spark):
+    # the planner changes the JOIN order (constant element first) but
+    # the OUTPUT schema stays first-appearance in the written pattern
+    t = _triples(spark, [
+        ("repo:r", "DECLARES", "e1", 1),
+        ("e1", "MENTIONED_WITH", "e2", 1),
+        ("e2", "INSTANCE_OF", "kb:Q1", 1),
+    ])
+    pat = [
+        ("?repo", "DECLARES", "?e"),
+        ("?e", "MENTIONED_WITH", "?x"),
+        ("?x", "INSTANCE_OF", "kb:Q1"),
+    ]
+    for mode in (None, "static", "stats"):
+        out = match_pattern(t, pat, plan=mode)
+        assert out.columns == ["repo", "e", "x"]
+        assert [tuple(r) for r in out.collect()] == [
+            ("repo:r", "e1", "e2")]
+
+
+def test_match_pattern_rescues_badly_written_order(spark):
+    # written disconnected-first (the evaluator's in-loop guard would
+    # raise on this order); the planner finds the connected order and
+    # the query runs
+    t = _triples(spark, [
+        ("repo:r", "DECLARES", "e1", 1),
+        ("e1", "LINKED_TO", "kb:Q1", 1),
+    ])
+    pat = [
+        ("?e", "LINKED_TO", "?kb"),
+        ("?repo", "DECLARES", "?e"),
+    ]
+    bad = [("?x", "LINKED_TO", "?kb"), ("?repo", "DECLARES", "?e")]
+    out = match_pattern(t, pat, plan="static")
+    assert sorted(map(tuple, out.collect())) == [
+        ("e1", "kb:Q1", "repo:r")]
+    # a genuinely disconnected pattern still raises — at plan time
+    with pytest.raises(ValueError, match="cartesian"):
+        match_pattern(t, bad, plan="static")
+    with pytest.raises(ValueError, match="cartesian"):
+        match_pattern(t, bad, plan=None)
+    with pytest.raises(ValueError, match="unknown plan mode"):
+        match_pattern(t, pat, plan="cbo")
+
+
+# ------------------------------------------------- plan invariance
+
+
+NODES = ["ent:a", "ent:b", "ent:c", "ent:d", "repo:r1", "kb:Q1"]
+PREDS = ["MENTIONED_WITH", "DECLARES", "LINKED_TO", "INSTANCE_OF"]
+
+
+def _random_graph(rng: random.Random):
+    rows = []
+    for _ in range(rng.randint(3, 15)):
+        rows.append((rng.choice(NODES), rng.choice(PREDS),
+                     rng.choice(NODES), rng.randint(1, 9)))
+    return rows
+
+
+def _random_connected_pattern(rng: random.Random):
+    """2-5 required elements, each chaining on an earlier variable;
+    predicates mix plain names, variables, alternations, inverses and
+    closures; endpoints mix new variables, reused variables and
+    constants."""
+    def pred(i):
+        r = rng.random()
+        if r < 0.55:
+            return rng.choice(PREDS)
+        if r < 0.65:
+            return f"?p{i}"
+        if r < 0.75:
+            a, b = rng.sample(PREDS, 2)
+            return f"({a}|{b})"
+        if r < 0.85:
+            return "^" + rng.choice(PREDS)
+        return rng.choice(PREDS) + "+"
+
+    vars_ = ["?v0", "?v1"]
+    pattern = [("?v0", pred(0), "?v1")]
+    for i in range(1, rng.randint(2, 5)):
+        anchor = rng.choice(vars_)
+        r = rng.random()
+        if r < 0.6:
+            other = f"?v{len(vars_)}"
+            vars_.append(other)
+        elif r < 0.8:
+            other = rng.choice(vars_)
+        else:
+            other = rng.choice(NODES)
+        el = ((anchor, pred(i), other) if rng.random() < 0.5
+              else (other, pred(i), anchor))
+        pattern.append(el)
+    optional = []
+    if rng.random() < 0.4:
+        optional.append((rng.choice(vars_), rng.choice(PREDS),
+                         f"?opt{rng.randint(0, 9)}"))
+    return pattern, optional
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_plan_invariance_on_random_patterns(spark, seed):
+    rng = random.Random(seed)
+    t = _triples(spark, _random_graph(rng))
+    pattern, optional = _random_connected_pattern(rng)
+    base = _canon(match_pattern(t, pattern, optional=optional,
+                                plan=None))
+    shuffled = pattern[:]
+    rng.shuffle(shuffled)
+    for mode in ("static", "stats"):
+        got = _canon(match_pattern(t, shuffled, optional=optional,
+                                   plan=mode))
+        assert got == base, (
+            f"seed {seed} mode {mode}: planned evaluation of "
+            f"{shuffled} diverged from written-order {pattern}")
