@@ -681,6 +681,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # construction (coalesce default), so no sentinel fill
         return _sparql_gold(spark, _SPARQL_STRFNS)
 
+    def q_kg_sparql_condfns(spark, sf):
+        # IF(compound condition)/STRBEFORE/STRAFTER/SHA256 builders —
+        # pure projections over the OPTIONAL-extended BGP
+        return _sparql_gold(spark, _SPARQL_CONDFNS)
+
     def q_kg_sparql_construct_where(spark, sf):
         # CONSTRUCT WHERE shorthand (pattern = template)
         return _sparql_gold(spark, _SPARQL_CONSTRUCT_WHERE)
@@ -824,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_update": q_kg_sparql_update,
         "kg_sparql_construct_where": q_kg_sparql_construct_where,
         "kg_sparql_strfns": q_kg_sparql_strfns,
+        "kg_sparql_condfns": q_kg_sparql_condfns,
         "kg_sparql_sample": q_kg_sparql_sample,
         "kg_sparql_describe": q_kg_sparql_describe,
         "sota_gliner": q_sota_gliner,
@@ -1010,6 +1016,22 @@ SELECT ?repo ?grounded ?prefix ?short WHERE {
   BIND(COALESCE(?kb, "kb:none") AS ?grounded)
   BIND(SUBSTR(?e, 1, 6) AS ?prefix)
   BIND(REPLACE(?repo, "^repo:", "r/") AS ?short)
+}
+"""
+# conditional + splitting + hashing builders: IF with a compound
+# boolean condition over an OPTIONAL variable (error → ELSE in both
+# engines), STRBEFORE/STRAFTER around the namespace colon (over a
+# chained COALESCE bind, so they never see null here), and the
+# SHA256 stable-surrogate-key idiom; every output is non-null by
+# construction, so no sentinel fill
+_SPARQL_CONDFNS = """
+SELECT ?e ?ns ?qid ?status ?key WHERE {
+  ?repo DECLARES ?e OPTIONAL { ?e LINKED_TO ?kb }
+  BIND(COALESCE(?kb, "none:floating") AS ?g)
+  BIND(STRBEFORE(?g, ":") AS ?ns)
+  BIND(STRAFTER(?g, ":") AS ?qid)
+  BIND(IF(BOUND(?kb) && STRENDS(?kb, "2"), "linked-2", "other") AS ?status)
+  BIND(SHA256(?e) AS ?key)
 }
 """
 # SPARQL 1.1 Update: re-home each entity's KB link onto its declaring
@@ -1884,6 +1906,21 @@ def _kg_bind_sql(expr, refs: dict) -> str:
         # regexp_replace is global
         return (f"regexp_replace({term(expr[1])}, "
                 f"{_sql_str(expr[2])}, {_sql_str(expr[3])}, 'g')")
+    if kind in ("strbefore", "strafter"):
+        # FIRST-occurrence prefix/suffix, '' when absent, null stays
+        # null (no CASE branch matches a null strpos) — the literal
+        # twin of the Spark when-chain
+        t, sep = term(expr[1]), _sql_str(expr[2])
+        pos = f"strpos({t}, {sep})"
+        hit = (f"substr({t}, 1, {pos} - 1)" if kind == "strbefore"
+               else f"substr({t}, {pos} + {len(expr[2])})")
+        return (f"(CASE WHEN {pos} > 0 THEN {hit} "
+                f"WHEN {pos} = 0 THEN '' END)")
+    if kind == "if":
+        # null (error) condition falls to ELSE — CASE semantics in
+        # both engines, the documented divergence from SPARQL
+        return (f"(CASE WHEN {_kg_filter_sql(expr[1], refs)} "
+                f"THEN {term(expr[2])} ELSE {term(expr[3])} END)")
     arg = term(expr[1])
     if kind == "ucase":
         return f"upper({arg})"
@@ -1893,6 +1930,10 @@ def _kg_bind_sql(expr, refs: dict) -> str:
         return arg
     if kind == "strlen":
         return f"CAST(length({arg}) AS VARCHAR)"
+    if kind == "sha256":
+        return f"sha256({arg})"
+    if kind == "md5":
+        return f"md5({arg})"
     raise ValueError(f"unknown BIND expression kind {kind!r}")
 
 
@@ -3107,6 +3148,7 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
             _kg_sparql_oracle(_SPARQL_CONSTRUCT_WHERE),
         "kg_sparql_sample": _kg_sparql_oracle(_SPARQL_SAMPLE),
         "kg_sparql_strfns": _kg_sparql_oracle(_SPARQL_STRFNS),
+        "kg_sparql_condfns": _kg_sparql_oracle(_SPARQL_CONDFNS),
         "kg_sparql_describe": _kg_sparql_oracle(_SPARQL_DESCRIBE),
         "mentions_hybrid": _mentions_oracle("hybrid"),
         "mentions_crf": _mentions_oracle("crf_only"),

@@ -1251,6 +1251,7 @@ class KgJob:
         order_by: list = (),
         offset: int | None = None,
         limit: int | None = None,
+        plan: str | None = "static",
     ) -> "DataFrame":
         """Basic-graph-pattern query over the committed triple table
         (:func:`ner_spark.plans.kg_query.match_pattern`) — the "now
@@ -1268,6 +1269,12 @@ class KgJob:
         closure iterates over one pred partition only.  ``negation``
         groups anti-join (FILTER NOT EXISTS); see
         :func:`~ner_spark.plans.kg_query.match_pattern`.
+
+        ``plan`` picks the BGP join order (``"static"`` / ``"stats"``
+        / ``None``, see :func:`~ner_spark.plans.kg_query.
+        match_pattern`); the committed table is exactly where
+        ``"stats"``'s one costing scan is cheapest (pruned parquet,
+        no recompute), so long patterns may want it.
         """
         from ner_spark.plans.kg_query import solutions
 
@@ -1278,9 +1285,10 @@ class KgJob:
                          group_by=group_by, aggregates=aggregates,
                          having=having, select=select,
                          distinct=distinct, order_by=order_by,
-                         offset=offset, limit=limit)
+                         offset=offset, limit=limit, plan=plan)
 
-    def sparql(self, text: str) -> "DataFrame":
+    def sparql(self, text: str,
+               plan: str | None = "static") -> "DataFrame":
         """Run a SPARQL SELECT / ASK / CONSTRUCT string over the
         committed triple table — the text twin of :meth:`query`; see
         :mod:`ner_spark.plans.sparql` for the supported subset.  Same
@@ -1288,7 +1296,7 @@ class KgJob:
         prune ``pred`` partitions under the parsed plan."""
         from ner_spark.plans.sparql import sparql as run_sparql
 
-        return run_sparql(self.triples(), text)
+        return run_sparql(self.triples(), text, plan=plan)
 
     # -- SPARQL Update edit ledger -----------------------------------------
 
@@ -1669,6 +1677,13 @@ def main() -> None:
                              "--match-limit, which only bounds printing")
     parser.add_argument("--match-limit", type=int, default=20,
                         help="--match: how many bindings to print")
+    parser.add_argument("--match-plan", default="static",
+                        choices=["static", "stats", "written"],
+                        help="with --match/--sparql: BGP join-order "
+                             "mode — 'static' selectivity rank "
+                             "(default), 'stats' one measured costing "
+                             "scan of the committed table, 'written' "
+                             "the author's order")
     parser.add_argument("--update-id", default=None,
                         help="stable id for this delta under "
                              "{output}/updates/ (pass the same id to "
@@ -1744,7 +1759,9 @@ def main() -> None:
         # standalone SPARQL query over an already-committed output
         job = KgJob(spark, args.output, mode=args.mode,
                     tokenizer_mode=args.tokenizer_mode, run_id=args.run_id)
-        _print_query_result(job.sparql(args.sparql), args, "sparql")
+        plan = None if args.match_plan == "written" else args.match_plan
+        _print_query_result(job.sparql(args.sparql, plan=plan),
+                            args, "sparql")
         return
     elif args.sparql_update:
         # standalone edit of an already-committed output
@@ -1782,6 +1799,8 @@ def main() -> None:
             order_by=args.match_order_by,
             offset=args.match_offset,
             limit=args.match_top,
+            plan=(None if args.match_plan == "written"
+                  else args.match_plan),
         )
         _print_query_result(out, args, "query")
         return

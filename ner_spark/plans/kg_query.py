@@ -243,10 +243,18 @@ def _is_var(term: str) -> bool:
 #                              default-value idiom]
 #   SUBSTR(t, start, len)     [1-based positive ints, 3-arg form]
 #   REPLACE(t, "pat", "rep")  [regex, ALL occurrences in both engines]
+#   STRBEFORE(t, "sep")       [prefix before the FIRST occurrence,
+#   STRAFTER(t, "sep")         "" when absent — SPARQL 17.4.3.x]
+#   SHA256(t)   MD5(t)        [lowercase hex digest — stable keys]
+#   IF(filter, t1, t2)        [condition is one FILTER expression;
+#                              an error (null) condition takes the
+#                              ELSE branch in BOTH engines, diverging
+#                              from SPARQL's error-propagates rule]
 _BIND_FNS = {"concat", "ucase", "lcase", "str", "strlen",
-             "coalesce", "substr", "replace"}
+             "coalesce", "substr", "replace",
+             "strbefore", "strafter", "sha256", "md5", "if"}
 _BIND_RE = re.compile(
-    r"^\s*(?:(?P<fn>[A-Za-z_]+)\s*\((?P<args>.*)\)|(?P<term>\?\w+|"
+    r"^\s*(?:(?P<fn>[A-Za-z_][A-Za-z0-9_]*)\s*\((?P<args>.*)\)|(?P<term>\?\w+|"
     r'"(?:[^"\\]|\\.)*"))\s+AS\s+(?P<var>\?\w+)\s*$',
     re.IGNORECASE | re.DOTALL,
 )
@@ -270,8 +278,10 @@ def _bind_term(tok: str) -> tuple:
 
 
 def _split_args(text: str) -> list[str]:
-    """Split a function argument list on commas outside quotes."""
-    out, cur, inq, esc = [], [], False, False
+    """Split a function argument list on top-level commas — outside
+    quotes and outside nested parentheses (``IF``'s condition may be
+    a function call like ``contains(?a, "x")``)."""
+    out, cur, inq, esc, depth = [], [], False, False, 0
     for ch in text:
         if esc:
             cur.append(ch)
@@ -283,13 +293,22 @@ def _split_args(text: str) -> list[str]:
             continue
         if ch == '"':
             inq = not inq
-        if ch == "," and not inq:
+        elif not inq and ch == "(":
+            depth += 1
+        elif not inq and ch == ")":
+            depth -= 1
+            if depth < 0:
+                raise ValueError(
+                    f"unbalanced ')' in arguments {text!r}")
+        if ch == "," and not inq and depth == 0:
             out.append("".join(cur))
             cur = []
         else:
             cur.append(ch)
     if inq:
         raise ValueError(f"unterminated string in arguments {text!r}")
+    if depth:
+        raise ValueError(f"unbalanced '(' in arguments {text!r}")
     out.append("".join(cur))
     return out
 
@@ -310,8 +329,30 @@ def parse_bind(text: str) -> tuple[str, tuple]:
     var = m.group("var")
     if m.group("term"):
         return var, _bind_term(m.group("term"))
-    args = [_bind_term(a) for a in _split_args(m.group("args"))]
+    raw = _split_args(m.group("args"))
+    if m.group("fn").lower() == "if":
+        if len(raw) != 3:
+            raise ValueError(
+                "IF takes (condition, then, else) — a FILTER "
+                "expression and two terms")
+        return var, _make_if_expr(parse_filter(raw[0]),
+                                  _bind_term(raw[1]),
+                                  _bind_term(raw[2]))
+    args = [_bind_term(a) for a in raw]
     return var, _make_bind_expr(m.group("fn"), args)
+
+
+def _make_if_expr(cond: tuple, then: tuple, alt: tuple) -> tuple:
+    """Validate an ``IF(condition, then, else)`` form (shared by
+    :func:`parse_bind` and the SPARQL text parser): the condition is
+    a parsed FILTER tuple, the branches are ?variables or quoted
+    literals."""
+    for t in (then, alt):
+        if t[0] == "int":
+            raise ValueError(
+                "IF branches must be ?variables or quoted literals "
+                "(bare integers exist only for SUBSTR positions)")
+    return ("if", cond, then, alt)
 
 
 def _make_bind_expr(fn: str, args: list[tuple]) -> tuple:
@@ -323,7 +364,12 @@ def _make_bind_expr(fn: str, args: list[tuple]) -> tuple:
         raise ValueError(
             f"unknown BIND function {fn.upper()!r}: supported are "
             "CONCAT, UCASE, LCASE, STR, STRLEN, COALESCE, SUBSTR, "
-            "REPLACE")
+            "REPLACE, STRBEFORE, STRAFTER, SHA256, MD5, IF")
+    if fn == "if":
+        raise ValueError(
+            "IF(condition, then, else) takes a FILTER expression "
+            "condition — parse it through parse_bind / the SPARQL "
+            "text parser, not the plain-term argument path")
     ints = [a for a in args if a[0] == "int"]
     if fn == "substr":
         if (len(args) != 3 or args[0][0] == "int"
@@ -352,6 +398,17 @@ def _make_bind_expr(fn: str, args: list[tuple]) -> tuple:
                 "engines disagree on the syntax (Java $1 vs RE2 \\1), "
                 "so a replacement containing '$' or '\\' raises")
         return ("replace", args[0], args[1][1], args[2][1])
+    if fn in ("strbefore", "strafter"):
+        if len(args) != 2 or args[1][0] != "const":
+            raise ValueError(
+                f'{fn.upper()} takes (term, "separator") with a '
+                "quoted separator literal")
+        if not args[1][1]:
+            raise ValueError(
+                f"{fn.upper()} separator must be non-empty (the "
+                "empty-separator edge case differs across engines, "
+                "so it raises)")
+        return (fn, args[0], args[1][1])
     if fn in ("concat", "coalesce"):
         if len(args) < 2:
             raise ValueError(
@@ -395,6 +452,23 @@ def _bind_column(expr: tuple, bound: set[str]) -> Column:
         # global; the twin passes DuckDB the 'g' flag)
         return F.regexp_replace(term_col(expr[1]),
                                 F.lit(expr[2]), F.lit(expr[3]))
+    if kind in ("strbefore", "strafter"):
+        # FIRST occurrence of the (non-empty, validated at parse)
+        # separator; "" when absent, null input stays null (neither
+        # when-branch matches a null instr) — engine-identical
+        col, sep = term_col(expr[1]), expr[2]
+        pos = F.instr(col, sep)
+        hit = (F.substring(col, F.lit(1), pos - 1)
+               if kind == "strbefore"
+               else F.substring(col, pos + len(sep), F.length(col)))
+        return F.when(pos > 0, hit).when(pos == 0, F.lit(""))
+    if kind == "if":
+        # the condition compiles through the FILTER algebra; a null
+        # (error) condition takes the ELSE branch in Spark and the
+        # DuckDB twin alike (CASE semantics) — documented divergence
+        # from SPARQL's error-propagates rule, pinned by the twin
+        return F.when(_filter_column(expr[1], bound),
+                      term_col(expr[2])).otherwise(term_col(expr[3]))
     col = term_col(expr[1])
     if kind == "ucase":
         return F.upper(col)
@@ -407,6 +481,12 @@ def _bind_column(expr: tuple, bound: set[str]) -> Column:
         # decimal string form (comparisons stay lexicographic, like
         # every other term; both engines count codepoints)
         return F.length(col).cast("string")
+    if kind == "sha256":
+        # lowercase hex in both engines — the stable-surrogate-key
+        # idiom (entity ids from surface forms)
+        return F.sha2(col, 256)
+    if kind == "md5":
+        return F.md5(col)
     raise ValueError(f"unknown BIND expression kind {kind!r}")
 
 
@@ -1646,6 +1726,7 @@ def solutions(
     order_by: list = (),
     offset: int | None = None,
     limit: int | None = None,
+    plan: str | None = "static",
 ) -> DataFrame:
     """SPARQL solution modifiers over a basic graph pattern: GROUP BY
     + aggregates, SELECT projection, DISTINCT, ORDER BY and LIMIT —
@@ -1703,6 +1784,11 @@ def solutions(
     skips the first n ordered solutions (requires ``order_by`` — an
     unordered OFFSET is nondeterministic in any engine); with
     ``limit`` it pages: rows [offset, offset+limit).
+
+    ``plan`` is :func:`match_pattern`'s join-order mode for the
+    required elements (``"static"`` selectivity rank by default,
+    ``"stats"`` for one measured costing scan, ``None`` for the
+    written order); UNION branches keep their written order.
     """
     if union is not None:
         if pattern or optional or negation or existence or minus \
@@ -1720,7 +1806,8 @@ def solutions(
                               existence=existence, minus=minus,
                               subqueries=subqueries,
                               values=values, binds=binds,
-                              path_max_hops=path_max_hops)
+                              path_max_hops=path_max_hops,
+                              plan=plan)
     bound_vars = {"?" + c for c in bound.columns}
     aggs = [parse_aggregate(a) if isinstance(a, str) else a
             for a in aggregates]

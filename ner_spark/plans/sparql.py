@@ -381,6 +381,19 @@ def _parse_bind(cur: _Cursor) -> tuple[str, tuple]:
     t = cur.peek()
     if t is not None and (t.startswith("?") or t.startswith('"')):
         expr = term()
+    elif t is not None and t.upper() == "IF":
+        # IF(condition, then, else): the condition is a full FILTER
+        # boolean expression, parsed by the same grammar FILTER uses
+        from ner_spark.plans.kg_query import _make_if_expr
+        cur.next()
+        cur.eat("(")
+        cond = _parse_filter_or(cur)
+        cur.eat(",")
+        then = term()
+        cur.eat(",")
+        alt = term()
+        cur.eat(")")
+        expr = _make_if_expr(cond, then, alt)
     else:
         fn = cur.next()
         cur.eat("(")
@@ -745,7 +758,8 @@ def parse_sparql(text: str) -> dict:
         f"got {form!r}")
 
 
-def sparql(triples: DataFrame, text: str) -> DataFrame:
+def sparql(triples: DataFrame, text: str,
+           plan: str | None = "static") -> DataFrame:
     """Run a SPARQL query string over a triple table.
 
     SELECT compiles to :func:`~ner_spark.plans.kg_query.solutions`,
@@ -753,6 +767,11 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
     to a one-row boolean (``ask``) computed as ``LIMIT 1`` over the
     bindings — the existence probe stops at the first match per
     partition, never materializing the full solution set.
+
+    ``plan`` is the BGP join-order mode (see
+    :func:`~ner_spark.plans.kg_query.match_pattern`): ``"static"``
+    selectivity-first by default, ``"stats"`` spends one costing
+    scan, ``None`` keeps the written order.
     """
     from ner_spark.plans.kg_query import construct, describe, \
         match_pattern, solutions
@@ -760,11 +779,11 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
     kwargs = parse_sparql(text)
     form = kwargs.pop("form")
     if form == "select":
-        return solutions(triples, **kwargs)
+        return solutions(triples, plan=plan, **kwargs)
     if form == "describe":
         return describe(triples, kwargs.pop("terms"), **kwargs)
     if form == "ask":
-        bound = (match_pattern(triples, **kwargs)
+        bound = (match_pattern(triples, plan=plan, **kwargs)
                  if "union" not in kwargs else
                  solutions(triples, union=kwargs["union"],
                            filters=kwargs.get("filters", ())))

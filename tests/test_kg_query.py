@@ -1361,7 +1361,7 @@ def test_parse_bind_grammar():
     assert parse_bind('CONCAT(?a, "x,\\"y") AS ?v') == (
         "?v", ("concat", [("var", "?a"), ("const", 'x,"y')]))
     with pytest.raises(ValueError, match="unknown BIND function"):
-        parse_bind("STRBEFORE(?a) AS ?v")
+        parse_bind("NOSUCHFN(?a) AS ?v")
     with pytest.raises(ValueError, match="quoted regex pattern"):
         parse_bind("REPLACE(?a) AS ?v")
     with pytest.raises(ValueError, match="at least two"):
@@ -1402,6 +1402,102 @@ def test_match_pattern_bind_semantics(spark):
         match_pattern(t, [("?r", "D", "?e")], binds=["?e AS ?r"])
     with pytest.raises(ValueError, match="unbound variable"):
         match_pattern(t, [("?r", "D", "?e")], binds=["?zz AS ?v"])
+
+
+def test_parse_bind_condfns_grammar():
+    from ner_spark.plans.kg_query import parse_bind
+
+    assert parse_bind('STRBEFORE(?g, ":") AS ?ns') == (
+        "?ns", ("strbefore", ("var", "?g"), ":"))
+    assert parse_bind('strafter("a:b", ":") AS ?t') == (
+        "?t", ("strafter", ("const", "a:b"), ":"))
+    assert parse_bind("SHA256(?e) AS ?k") == (
+        "?k", ("sha256", ("var", "?e")))
+    assert parse_bind("MD5(?e) AS ?k") == ("?k", ("md5", ("var", "?e")))
+    # IF: the condition is a full FILTER expression — boolean
+    # connectives and function calls (with their own commas) included
+    assert parse_bind('IF(BOUND(?kb) && STRENDS(?kb, "2"), "a", ?e) '
+                      "AS ?s") == (
+        "?s", ("if", ("and", [("bound", "?kb"),
+                              ("strends", "?kb", "2")]),
+               ("const", "a"), ("var", "?e")))
+    assert parse_bind('IF(contains(?a, "x,y"), "hit", "miss") AS ?v') \
+        == ("?v", ("if", ("contains", "?a", "x,y"),
+                   ("const", "hit"), ("const", "miss")))
+    with pytest.raises(ValueError, match="quoted separator"):
+        parse_bind("STRBEFORE(?a) AS ?v")
+    with pytest.raises(ValueError, match="quoted separator"):
+        parse_bind("STRAFTER(?a, ?b) AS ?v")
+    with pytest.raises(ValueError, match="non-empty"):
+        parse_bind('STRAFTER(?a, "") AS ?v')
+    with pytest.raises(ValueError, match="exactly one"):
+        parse_bind("MD5(?a, ?b) AS ?v")
+    with pytest.raises(ValueError, match="condition, then, else"):
+        parse_bind("IF(?x) AS ?v")
+    with pytest.raises(ValueError, match="quoted literals"):
+        parse_bind('IF(BOUND(?x), 3, "a") AS ?v')
+    with pytest.raises(ValueError, match="unbalanced"):
+        parse_bind('IF(BOUND(?x)), "a", "b") AS ?v')
+
+
+def test_match_pattern_condfns_semantics(spark):
+    import duckdb
+
+    from tests.oracle_compare import assert_df_matches_duckdb
+
+    t = _triples(
+        spark,
+        [("r", "D", "kb:Q42", 1), ("r", "D", "plain", 1),
+         ("r2", "D", "kb:Q7", 1)],
+    )
+    out = match_pattern(
+        t, [("?r", "D", "?e")], optional=[("?e", "L", "?k")],
+        binds=['STRBEFORE(?e, ":") AS ?ns',
+               'STRAFTER(?e, ":") AS ?qid',
+               'IF(STRSTARTS(?e, "kb:") && STRENDS(?e, "2"), '
+               '"q2", "other") AS ?cls',
+               "SHA256(?e) AS ?h", "MD5(?e) AS ?m"],
+    )
+    rows = {(r["r"], r["e"]): (r["ns"], r["qid"], r["cls"])
+            for r in out.collect()}
+    # separator present → split at FIRST occurrence; absent → ""
+    assert rows[("r", "kb:Q42")] == ("kb", "Q42", "q2")
+    assert rows[("r", "plain")] == ("", "", "other")
+    assert rows[("r2", "kb:Q7")] == ("kb", "Q7", "other")
+    # null input (unmatched OPTIONAL var) stays null through
+    # STRBEFORE/STRAFTER/hashes; IF's null condition takes ELSE
+    out2 = match_pattern(
+        t, [("?r", "D", "?e")], optional=[("?e", "L", "?k")],
+        binds=['STRBEFORE(?k, ":") AS ?nb',
+               "SHA256(?k) AS ?hk",
+               'IF(STRENDS(?k, "x"), "y", "n") AS ?c'],
+    )
+    r0 = out2.collect()[0]
+    assert r0["nb"] is None and r0["hk"] is None and r0["c"] == "n"
+    # DuckDB twin: the generated oracle SQL computes the same rows
+    import __spark_entry__ as em
+
+    sql = em._kg_pattern_oracle(
+        [("?r", "D", "?e")],
+        binds=['STRBEFORE(?e, ":") AS ?ns',
+               'STRAFTER(?e, ":") AS ?qid',
+               'IF(STRSTARTS(?e, "kb:") && STRENDS(?e, "2"), '
+               '"q2", "other") AS ?cls',
+               "SHA256(?e) AS ?h"],
+        kg_sql="SELECT * FROM (VALUES ('r','D','kb:Q42',1), "
+               "('r','D','plain',1), ('r2','D','kb:Q7',1)) "
+               "AS t(subj, pred, obj, evidence_count)",
+    )
+    out3 = match_pattern(
+        t, [("?r", "D", "?e")],
+        binds=['STRBEFORE(?e, ":") AS ?ns',
+               'STRAFTER(?e, ":") AS ?qid',
+               'IF(STRSTARTS(?e, "kb:") && STRENDS(?e, "2"), '
+               '"q2", "other") AS ?cls',
+               "SHA256(?e) AS ?h"],
+    )
+    assert_df_matches_duckdb(out3, duckdb.connect(), sql,
+                             "condfns_twin")
 
 
 # --------------------------------- negated sets, EXISTS and MINUS

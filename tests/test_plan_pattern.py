@@ -236,6 +236,46 @@ def _canon(df):
     return sorted(tuple(r[c] for c in cols) for r in df.collect())
 
 
+def test_plan_mode_passes_through_solutions_and_sparql(spark):
+    # the knob reaches the two public front doors: solutions() and
+    # the SPARQL text surface agree across all three modes on a
+    # pattern written in a deliberately bad (hub-first) order
+    from ner_spark.plans.kg_query import solutions
+    from ner_spark.plans.sparql import sparql
+
+    t = _triples(spark, [
+        ("repo:r1", "DECLARES", "ent:a", 1),
+        ("repo:r1", "DECLARES", "ent:b", 1),
+        ("ent:a", "MENTIONED_WITH", "ent:b", 2),
+        ("ent:b", "LINKED_TO", "kb:Q1", 1),
+        ("ent:b", "INSTANCE_OF", "kb:Q1", 1),
+    ])
+    kw = dict(
+        pattern=[("?a", "MENTIONED_WITH", "?b"),
+                 ("?b", "LINKED_TO", "?kb"),
+                 ("?b", "INSTANCE_OF", "kb:Q1")],
+        group_by=["?kb"], aggregates=["count(*) AS n"],
+        order_by=["?kb ASC"],
+    )
+    base = [tuple(r) for r in
+            solutions(t, plan=None, **kw).collect()]
+    assert base == [("kb:Q1", 1)]
+    for mode in ("static", "stats"):
+        assert [tuple(r) for r in
+                solutions(t, plan=mode, **kw).collect()] == base
+    text = """
+        SELECT ?kb (COUNT(*) AS ?n) WHERE {
+          ?a MENTIONED_WITH ?b . ?b LINKED_TO ?kb .
+          ?b INSTANCE_OF kb:Q1
+        } GROUP BY ?kb ORDER BY ?kb
+    """
+    for mode in (None, "static", "stats"):
+        assert [tuple(r) for r in
+                sparql(t, text, plan=mode).collect()] == base
+    with pytest.raises(ValueError, match="unknown plan mode"):
+        solutions(t, plan="greedy", **kw)
+
+
 @pytest.mark.parametrize("seed", range(6))
 def test_plan_invariance_on_random_patterns(spark, seed):
     rng = random.Random(seed)

@@ -132,6 +132,39 @@ def test_sparql_bind_string_builders(spark):
             parse_sparql(bad)
 
 
+def test_sparql_bind_condfns(spark):
+    # IF's condition is a full FILTER boolean expression (parsed by
+    # the same grammar FILTER uses), STRBEFORE/STRAFTER split at the
+    # FIRST separator ('' when absent), SHA256/MD5 are lowercase hex
+    tri = _triples(spark, [
+        ("repo:a", "DECLARES", "e1", 1), ("repo:b", "DECLARES", "e2", 1),
+        ("e1", "LINKED_TO", "kb:Q2", 1)])
+    out = sparql(tri, '''
+        SELECT ?r ?ns ?qid ?cls WHERE {
+          ?r DECLARES ?e OPTIONAL { ?e LINKED_TO ?kb }
+          BIND(COALESCE(?kb, "none:floating") AS ?g)
+          BIND(STRBEFORE(?g, ":") AS ?ns)
+          BIND(STRAFTER(?g, ":") AS ?qid)
+          BIND(IF(BOUND(?kb) && STRENDS(?kb, "2"), "q2", "other") AS ?cls)
+        }''')
+    assert sorted(map(tuple, out.collect())) == [
+        ("repo:a", "kb", "Q2", "q2"),
+        ("repo:b", "none", "floating", "other")]
+    out = sparql(tri, """
+        SELECT ?h WHERE { ?r DECLARES ?e
+                          BIND(SHA256("x") AS ?h) } LIMIT 1""")
+    import hashlib
+    assert out.collect()[0]["h"] == hashlib.sha256(b"x").hexdigest()
+    for bad, msg in (
+        ('SELECT * WHERE { ?a ?p ?b BIND(IF(?a, "y") AS ?x) }',
+         "unsupported FILTER operator"),
+        ('SELECT * WHERE { ?a ?p ?b BIND(STRAFTER(?a, "") AS ?x) }',
+         "non-empty"),
+    ):
+        with pytest.raises(ValueError, match=msg):
+            parse_sparql(bad)
+
+
 def test_sparql_construct_where_shorthand(spark):
     # CONSTRUCT WHERE { BGP }: the pattern doubles as the template —
     # the matched subgraph comes back as a set with evidence counts
