@@ -681,6 +681,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # construction (coalesce default), so no sentinel fill
         return _sparql_gold(spark, _SPARQL_STRFNS)
 
+    def q_kg_sparql_numagg(spark, sf):
+        # SUM/AVG (exact-decimal sums surfacing as DOUBLE),
+        # GROUP_CONCAT with SEPARATOR, SELECT REDUCED
+        return _sparql_gold(spark, _SPARQL_NUMAGG)
+
     def q_kg_sparql_condfns(spark, sf):
         # IF(compound condition)/STRBEFORE/STRAFTER/SHA256 builders —
         # pure projections over the OPTIONAL-extended BGP
@@ -830,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_construct_where": q_kg_sparql_construct_where,
         "kg_sparql_strfns": q_kg_sparql_strfns,
         "kg_sparql_condfns": q_kg_sparql_condfns,
+        "kg_sparql_numagg": q_kg_sparql_numagg,
         "kg_sparql_sample": q_kg_sparql_sample,
         "kg_sparql_describe": q_kg_sparql_describe,
         "sota_gliner": q_sota_gliner,
@@ -1033,6 +1039,17 @@ SELECT ?e ?ns ?qid ?status ?key WHERE {
   BIND(IF(BOUND(?kb) && STRENDS(?kb, "2"), "linked-2", "other") AS ?status)
   BIND(SHA256(?e) AS ?key)
 }
+"""
+# numeric aggregates + parameterized GROUP_CONCAT + REDUCED: SUM/AVG
+# over a STRLEN-bound numeric-string term (TRY_CAST decimal skips
+# nothing here — every length is numeric — but the junk-skipping rule
+# is pinned separately in pytest), a "|"-joined sorted-distinct
+# entity list per repo, and SELECT REDUCED pinned to DISTINCT
+_SPARQL_NUMAGG = """
+SELECT REDUCED ?repo (SUM(?len) AS ?chars) (AVG(?len) AS ?avg_len)
+       (GROUP_CONCAT(?e; SEPARATOR="|") AS ?ents)
+WHERE { ?repo DECLARES ?e BIND(STRLEN(?e) AS ?len) }
+GROUP BY ?repo ORDER BY ?repo
 """
 # SPARQL 1.1 Update: re-home each entity's KB link onto its declaring
 # repo — the DELETE drops the entity-level edges, the INSERT derives
@@ -2470,17 +2487,28 @@ def _kg_solutions_oracle(pattern=(), optional=(), filters=(),
     grouped = bool(keys or aggs)
     if grouped:
         terms = list(keys)
-        for fn, term, alias in aggs:
+        for agg in aggs:
+            fn, term, alias = agg[0], agg[1], agg[2]
+            sep = _sql_str(agg[3] if len(agg) > 3 else ",")
             v = None if term == "*" else term[1:]
+            # exact-decimal cast for SUM/AVG — the twin of Spark's
+            # try_cast("decimal(38,9)") (junk/unbound → null, skipped)
+            d = f"TRY_CAST({v} AS DECIMAL(38,9))"
             expr = {
                 "count": f"count({v})" if v is not None else "count(*)",
                 "count_distinct": f"count(DISTINCT {v})",
                 "min": f"min({v})",
                 "max": f"max({v})",
+                # coalesce('') matches Spark's collect_set-of-nothing
+                # → empty string on an all-null group
                 "group_concat":
-                    f"array_to_string(list_sort(list(DISTINCT {v})), ',')",
+                    "coalesce(array_to_string("
+                    f"list_sort(list(DISTINCT {v})), {sep}), '')",
                 # SAMPLE is pinned to MIN (see kg_query.solutions)
                 "sample": f"min({v})",
+                "sum": f"CAST(sum({d}) AS DOUBLE)",
+                "avg": (f"CASE WHEN count({d}) > 0 THEN "
+                        f"CAST(sum({d}) AS DOUBLE) / count({d}) END"),
             }[fn]
             terms.append(f"{expr} AS {alias}")
         sel = ", ".join(terms)
@@ -3149,6 +3177,7 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "kg_sparql_sample": _kg_sparql_oracle(_SPARQL_SAMPLE),
         "kg_sparql_strfns": _kg_sparql_oracle(_SPARQL_STRFNS),
         "kg_sparql_condfns": _kg_sparql_oracle(_SPARQL_CONDFNS),
+        "kg_sparql_numagg": _kg_sparql_oracle(_SPARQL_NUMAGG),
         "kg_sparql_describe": _kg_sparql_oracle(_SPARQL_DESCRIBE),
         "mentions_hybrid": _mentions_oracle("hybrid"),
         "mentions_crf": _mentions_oracle("crf_only"),

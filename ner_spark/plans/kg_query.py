@@ -1643,33 +1643,49 @@ def match_union(
 # aggregate grammar (SPARQL 1.1's set applicable to string terms):
 #   count(*)             count(?v)        count_distinct(?v)
 #   min(?v)  max(?v)     group_concat(?v)  sample(?v)
-# SUM/AVG are omitted on purpose: every term in the triple table is a
-# string, so the numeric aggregates have nothing well-typed to bind.
-# SAMPLE (spec: an arbitrary group value) is pinned to MIN — a
-# nondeterministic aggregate cannot hash-match any oracle.
+#   group_concat(?v; separator="..")  sum(?v)  avg(?v)
+# SUM/AVG parse terms through TRY_CAST(DECIMAL(38,9)) — non-numeric
+# and unbound terms are skipped (null), the sum is EXACT (decimal,
+# order-independent — a float sum would be partition-order
+# nondeterministic) and surfaces as DOUBLE; AVG is that sum over the
+# cast-count, null for a group with no numeric terms.  SAMPLE (spec:
+# an arbitrary group value) is pinned to MIN — a nondeterministic
+# aggregate cannot hash-match any oracle.
 _AGG_RE = re.compile(
-    r"^(count|count_distinct|min|max|group_concat|sample)\s*"
-    r"\(\s*(\*|\?\w+)\s*\)\s+AS\s+(\w+)$",
+    r"^(count|count_distinct|min|max|group_concat|sample|sum|avg)\s*"
+    r"\(\s*(\*|\?\w+)\s*"
+    r'(?:;\s*separator\s*=\s*"(?P<sep>(?:[^"\\]|\\.)*)"\s*)?'
+    r"\)\s+AS\s+(\w+)$",
     re.IGNORECASE,
 )
 _ORDER_RE = re.compile(r"^(\?\w+|\w+)(?:\s+(asc|desc))?$", re.IGNORECASE)
 
 
-def parse_aggregate(text: str) -> tuple[str, str, str]:
+def parse_aggregate(text: str) -> tuple:
     """Parse ``fn(?var) AS alias`` / ``count(*) AS alias`` into the
-    normalized ``(fn, term, alias)`` tuple :func:`solutions` consumes.
-    Raises on anything outside the grammar — an aggregate that
-    silently parsed wrong would mis-summarize the query."""
+    normalized ``(fn, term, alias)`` tuple :func:`solutions` consumes
+    — or the 4-tuple ``("group_concat", term, alias, separator)``
+    for ``group_concat(?v; separator="..") AS alias``.  Raises on
+    anything outside the grammar — an aggregate that silently parsed
+    wrong would mis-summarize the query."""
     m = _AGG_RE.match(text.strip())
     if not m:
         raise ValueError(
             f"unparseable aggregate {text!r}: expected "
             "'fn(?var) AS alias' with fn in (count, count_distinct, "
-            "min, max, group_concat, sample) or 'count(*) AS alias'"
+            "min, max, group_concat, sample, sum, avg), 'count(*) AS "
+            'alias\', or \'group_concat(?v; separator="..") AS alias\''
         )
-    fn, term, alias = m.group(1).lower(), m.group(2), m.group(3)
+    fn, term, alias = m.group(1).lower(), m.group(2), m.group(4)
     if term == "*" and fn != "count":
         raise ValueError(f"{fn}(*) is not a thing; only count(*)")
+    sep = m.group("sep")
+    if sep is not None:
+        if fn != "group_concat":
+            raise ValueError(
+                f"SEPARATOR only applies to GROUP_CONCAT, not "
+                f"{fn.upper()}")
+        return fn, term, alias, _unescape(sep)
     return fn, term, alias
 
 
@@ -1752,8 +1768,12 @@ def solutions(
       leaves element order unspecified, which is useless for a
       deterministic engine, so it is pinned to *sorted distinct*
       values joined by ``,`` (portable: binary collation in both
-      Spark and DuckDB).  With ``aggregates`` and no ``group_by``
-      the whole binding set is one group (global aggregate, one row).
+      Spark and DuckDB); ``group_concat(?v; separator="..") AS a``
+      overrides the joiner.  ``sum``/``avg`` TRY_CAST terms to an
+      exact decimal (junk/unbound skipped) and surface as DOUBLE —
+      see the grammar note above ``_AGG_RE``.  With ``aggregates``
+      and no ``group_by`` the whole binding set is one group (global
+      aggregate, one row).
     - ``select`` — projection list (``?var`` or aggregate alias);
       under grouping only group keys and aliases are in scope
       (SPARQL's projection restriction — anything else raises).
@@ -1820,7 +1840,9 @@ def solutions(
     if grouped:
         names = set(keys)
         exprs = []
-        for fn, term, alias in aggs:
+        for agg in aggs:
+            fn, term, alias = agg[0], agg[1], agg[2]
+            sep = agg[3] if len(agg) > 3 else ","
             if alias in names:
                 raise ValueError(
                     f"aggregate alias {alias!r} collides with a group "
@@ -1833,6 +1855,12 @@ def solutions(
                     raise ValueError(
                         f"aggregate references unbound variable {term}")
                 c = F.col(term[1:])
+                # numeric terms for SUM/AVG: TRY_CAST to an exact
+                # decimal (null on junk/unbound → skipped, like every
+                # SPARQL aggregate) — decimal addition is
+                # order-independent where a float sum would vary with
+                # partition order; surfaces as DOUBLE
+                d = c.try_cast("decimal(38,9)")
                 col = {
                     "count": lambda: F.count(c),
                     "count_distinct": lambda: F.count_distinct(c),
@@ -1841,11 +1869,16 @@ def solutions(
                     # sorted-distinct concat: collect_set drops nulls
                     # (SPARQL aggregates skip error/unbound terms)
                     "group_concat": lambda: F.array_join(
-                        F.array_sort(F.collect_set(c)), ","),
+                        F.array_sort(F.collect_set(c)), sep),
                     # SPARQL leaves SAMPLE's pick arbitrary; a
                     # deterministic engine pins it to MIN (portable:
                     # binary collation in both engines)
                     "sample": lambda: F.min(c),
+                    "sum": lambda: F.sum(d).cast("double"),
+                    # guarded: all-null group → null, not a 0/0
+                    "avg": lambda: F.when(
+                        F.count(d) > 0,
+                        F.sum(d).cast("double") / F.count(d)),
                 }[fn]()
             exprs.append(col.alias(alias))
         if exprs:
@@ -1858,8 +1891,8 @@ def solutions(
         out_scope = list(bound.columns)
     if having and not grouped:
         raise ValueError("HAVING requires GROUP BY or aggregates")
-    count_aliases = {alias for fn, _, alias in aggs
-                     if fn in ("count", "count_distinct")}
+    count_aliases = {a[2] for a in aggs
+                     if a[0] in ("count", "count_distinct")}
     for h in having:
         name, op, rhs = parse_having(h) if isinstance(h, str) else h
         if name not in count_aliases:

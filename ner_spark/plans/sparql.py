@@ -35,9 +35,10 @@ raises with the offending token rather than mis-parsing):
                  ('GROUP' 'BY' Var+)? ('HAVING' '(' Var Op INT ')')*
                  ('ORDER' 'BY' Ord+)?
                  ('LIMIT' INT | 'OFFSET' INT)*
-    Proj      := Var | '(' Agg '(' ('DISTINCT'? Var | '*') ')'
-                 'AS' Var ')'
+    Proj      := Var | '(' Agg '(' ('DISTINCT'? Var | '*')
+                 (';' 'SEPARATOR' '=' String)? ')' 'AS' Var ')'
     Agg       := 'COUNT' | 'MIN' | 'MAX' | 'GROUP_CONCAT' | 'SAMPLE'
+               | 'SUM' | 'AVG'
     Ask       := 'ASK' 'WHERE'? Group
     Construct := 'CONSTRUCT' '{' Triple+ '}' 'WHERE' Group
                | 'CONSTRUCT' 'WHERE' '{' Triple+ '}'
@@ -46,10 +47,11 @@ raises with the offending token rather than mis-parsing):
     GroupBody := Union | (Triple | Optional | Filter | Values | Bind
                  | Minus | SubSelect)*
     SubSelect := '{' 'SELECT' ... '}'   (a nested Select, same form)
-    Bind      := 'BIND' '(' (Term | Fn '(' Term (',' Term)* ')')
-                 'AS' Var ')'
+    Bind      := 'BIND' '(' (Term | Fn '(' Term (',' Term)* ')'
+                 | 'IF' '(' Expr ',' Term ',' Term ')') 'AS' Var ')'
     Fn        := 'CONCAT' | 'UCASE' | 'LCASE' | 'STR' | 'STRLEN'
                | 'COALESCE' | 'SUBSTR' | 'REPLACE'
+               | 'STRBEFORE' | 'STRAFTER' | 'SHA256' | 'MD5'
     Union     := Group ('UNION' Group)+
     Optional  := 'OPTIONAL' '{' Triple+ '}'
     Minus     := 'MINUS' '{' Triple+ '}'
@@ -82,7 +84,11 @@ Deliberate restrictions, matching the engine's semantics:
   group is not expressible in :func:`~ner_spark.plans.kg_query.
   match_union` and raises here instead of silently reassociating.
 - Aggregates are the engine's portable set (COUNT / COUNT DISTINCT /
-  MIN / MAX / GROUP_CONCAT); SUM/AVG raise (string terms).
+  MIN / MAX / GROUP_CONCAT [with SEPARATOR] / SAMPLE / SUM / AVG —
+  the numeric pair TRY_CASTs terms to an exact decimal, skipping
+  junk/unbound, and surfaces as DOUBLE).
+- SELECT REDUCED is pinned to DISTINCT (the spec's "may deduplicate"
+  cannot hash-match an oracle).
 - HAVING compares a COUNT aggregate's ALIAS to an integer
   (``HAVING(?n >= 2)``) — the engine's only numeric values; SPARQL's
   inline-aggregate HAVING form is not re-parsed.
@@ -140,9 +146,10 @@ _KEYWORDS = {
     "SELECT", "DISTINCT", "WHERE", "OPTIONAL", "FILTER", "NOT",
     "EXISTS", "MINUS", "UNION", "VALUES", "UNDEF", "GROUP", "BY", "ORDER",
     "ASC", "DESC", "LIMIT", "OFFSET", "HAVING", "ASK", "CONSTRUCT",
-    "DESCRIBE", "AS", "BIND",
+    "DESCRIBE", "AS", "BIND", "REDUCED", "SEPARATOR",
 }
-_AGG_FNS = {"COUNT", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"}
+_AGG_FNS = {"COUNT", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE",
+            "SUM", "AVG"}
 _FILTER_FNS = {"REGEX": "regex", "STRSTARTS": "strstarts",
                "STRENDS": "strends", "CONTAINS": "contains"}
 _CMP_OPS = {"=", "!=", "<", "<=", ">", ">="}
@@ -557,11 +564,6 @@ def _parse_projection(cur: _Cursor) -> tuple[list[str], list[str]]:
         if t == "(":
             cur.next()
             fn = cur.next().upper()
-            if fn in ("SUM", "AVG"):
-                raise ValueError(
-                    f"{fn} is not supported: triple terms are strings "
-                    "(quote numbers and use MIN/MAX for lexicographic "
-                    "extremes)")
             if fn not in _AGG_FNS:
                 raise ValueError(f"unknown aggregate {fn!r}")
             cur.eat("(")
@@ -570,6 +572,22 @@ def _parse_projection(cur: _Cursor) -> tuple[list[str], list[str]]:
                 cur.next()
                 distinct = True
             term = cur.next()  # ?var or *
+            sep = None
+            if cur.at(";"):
+                # GROUP_CONCAT(?v; SEPARATOR="..") — the only
+                # parameterized aggregate in SPARQL 1.1
+                cur.next()
+                cur.eat("SEPARATOR")
+                cur.eat("=")
+                lit = cur.next()
+                if not lit.startswith('"'):
+                    raise ValueError(
+                        "SEPARATOR needs a quoted literal")
+                if fn != "GROUP_CONCAT":
+                    raise ValueError(
+                        f"SEPARATOR only applies to GROUP_CONCAT, "
+                        f"not {fn}")
+                sep = _unquote(lit)
             cur.eat(")")
             cur.eat("AS")
             alias = cur.next()
@@ -581,7 +599,12 @@ def _parse_projection(cur: _Cursor) -> tuple[list[str], list[str]]:
                     else fn.lower())
             if distinct and fn != "COUNT":
                 raise ValueError(f"DISTINCT inside {fn} is not supported")
-            aggregates.append(f"{name}({term}) AS {alias[1:]}")
+            if sep is not None:
+                # pre-parsed 4-tuple (escaping a separator back into
+                # the string grammar would just re-parse it)
+                aggregates.append((name, term, alias[1:], sep))
+            else:
+                aggregates.append(f"{name}({term}) AS {alias[1:]}")
             select.append(alias[1:])
             continue
         break
@@ -597,6 +620,12 @@ def _parse_select(cur: _Cursor, nested: bool = False) -> dict:
     stop at the enclosing brace instead of end-of-input."""
     distinct = False
     if cur.at("DISTINCT"):
+        cur.next()
+        distinct = True
+    elif cur.at("REDUCED"):
+        # SPARQL permits (but does not require) REDUCED to eliminate
+        # duplicates; a deterministic engine pins it to DISTINCT —
+        # "maybe deduplicated" output cannot hash-match any oracle
         cur.next()
         distinct = True
     select, aggregates = _parse_projection(cur)

@@ -591,8 +591,16 @@ def test_parse_aggregate_grammar():
     assert parse_aggregate("min(?kb) AS lo") == ("min", "?kb", "lo")
     assert parse_aggregate("group_concat( ?x ) AS xs") == \
         ("group_concat", "?x", "xs")
-    with pytest.raises(ValueError):
-        parse_aggregate("sum(?e) AS s")       # numeric aggs excluded
+    assert parse_aggregate("sum(?len) AS s") == ("sum", "?len", "s")
+    assert parse_aggregate("AVG(?len) AS a") == ("avg", "?len", "a")
+    # parameterized GROUP_CONCAT → 4-tuple carrying the separator
+    assert parse_aggregate('group_concat(?x; separator="|") AS xs') \
+        == ("group_concat", "?x", "xs", "|")
+    assert parse_aggregate(
+        'group_concat(?x; SEPARATOR=", \\"q\\"") AS xs') \
+        == ("group_concat", "?x", "xs", ', "q"')
+    with pytest.raises(ValueError, match="only applies to"):
+        parse_aggregate('sum(?x; separator=",") AS s')
     with pytest.raises(ValueError):
         parse_aggregate("min(*) AS m")        # only count(*) exists
     with pytest.raises(ValueError):
@@ -642,6 +650,68 @@ def test_solutions_group_by_aggregates(spark):
     assert rows["repo:a"]["es"] == "e1,e2,e3"   # sorted distinct concat
     assert rows["repo:b"]["es"] == "e1,e2"
     assert rows["repo:c"]["n"] == 1
+
+
+def test_solutions_numeric_aggregates_and_separator(spark):
+    import duckdb
+
+    import __spark_entry__ as em
+    from ner_spark.plans.kg_query import solutions
+    from tests.oracle_compare import assert_df_matches_duckdb
+
+    # numeric-string terms via BIND(STRLEN); one junk term and one
+    # unmatched OPTIONAL var pin the TRY_CAST-skips rule; the exact
+    # decimal sum surfaces as DOUBLE, avg is sum/cast-count
+    t = _triples(spark, [
+        ("r", "D", "ee", 1), ("r", "D", "eeee", 1),
+        ("r2", "D", "e", 1), ("r2", "V", "junk", 1),
+    ])
+    kw = dict(
+        pattern=[("?r", "?p", "?e")],
+        binds=['IF(?p = "D", ?len0, ?e) AS ?v'],
+        optional=[("?e", "L", "?k")],
+        group_by=["?r"],
+        aggregates=["sum(?v) AS s", "avg(?v) AS a",
+                    'group_concat(?e; separator="|") AS es',
+                    "sum(?k) AS sk", "avg(?k) AS ak"],
+        order_by=["?r ASC"],
+    )
+    out = solutions(
+        t, kw["pattern"],
+        binds=['STRLEN(?e) AS ?len0'] + kw["binds"],
+        optional=kw["optional"], group_by=kw["group_by"],
+        aggregates=kw["aggregates"], order_by=kw["order_by"])
+    rows = {r["r"]: r for r in out.collect()}
+    # r: lengths 2 + 4; r2: length 1 plus the junk term (skipped)
+    assert rows["r"]["s"] == 6.0 and rows["r"]["a"] == 3.0
+    assert rows["r2"]["s"] == 1.0 and rows["r2"]["a"] == 1.0
+    assert rows["r"]["es"] == "ee|eeee"
+    # all-null aggregate group (no L edges): sum/avg null, concat ""
+    assert rows["r"]["sk"] is None and rows["r"]["ak"] is None
+    # generated DuckDB twin computes the identical rows (incl. the
+    # all-null-group coalesce on group_concat)
+    sql = em._kg_solutions_oracle(
+        kw["pattern"],
+        binds=['STRLEN(?e) AS ?len0'] + kw["binds"],
+        optional=kw["optional"], group_by=kw["group_by"],
+        aggregates=kw["aggregates"] + [
+            'group_concat(?k; separator="+") AS ks'],
+        order_by=kw["order_by"],
+        kg_sql="SELECT * FROM (VALUES ('r','D','ee',1), "
+               "('r','D','eeee',1), ('r2','D','e',1), "
+               "('r2','V','junk',1)) "
+               "AS t(subj, pred, obj, evidence_count)",
+    )
+    out2 = solutions(
+        t, kw["pattern"],
+        binds=['STRLEN(?e) AS ?len0'] + kw["binds"],
+        optional=kw["optional"], group_by=kw["group_by"],
+        aggregates=kw["aggregates"] + [
+            'group_concat(?k; separator="+") AS ks'],
+        order_by=kw["order_by"])
+    assert out2.collect()[0]["ks"] == ""   # all-null group → ""
+    assert_df_matches_duckdb(out2, duckdb.connect(), sql,
+                             "numagg_twin")
 
 
 def test_solutions_count_star_vs_count_var_on_null_optional(spark):

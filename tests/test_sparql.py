@@ -241,8 +241,12 @@ def test_sparql_boolean_filters_from_text(spark):
 def test_parse_errors():
     cases = [
         ("SELECT WHERE { ?a ?p ?b }", "empty SELECT"),
-        ("SELECT (SUM(?x) AS ?s) WHERE { ?a ?p ?x }", "SUM is not"),
-        ("SELECT (AVG(?x) AS ?s) WHERE { ?a ?p ?x }", "AVG is not"),
+        ("SELECT (MEDIAN(?x) AS ?s) WHERE { ?a ?p ?x }",
+         "unknown aggregate"),
+        ('SELECT (SUM(?x; SEPARATOR=",") AS ?s) WHERE { ?a ?p ?x }',
+         "only applies to GROUP_CONCAT"),
+        ('SELECT (GROUP_CONCAT(?x; SEPARATOR=y) AS ?s) '
+         "WHERE { ?a ?p ?x }", "quoted literal"),
         ("SELECT (COUNT(*) AS n) WHERE { ?a ?p ?x }", "alias must be"),
         ("SELECT * WHERE { ?a ?p ?b . { ?a DECLARES ?c } "
          "UNION { ?a LINKED_TO ?c } }", "must be a subquery"),
@@ -289,6 +293,26 @@ def test_sparql_select_aggregates(spark):
     assert out.columns == ["r", "n"]
     assert [tuple(r) for r in out.collect()] == [
         ("repo:a", 2), ("repo:b", 1)]
+
+
+def test_sparql_numeric_aggregates_separator_reduced(spark):
+    # SUM/AVG over a STRLEN-bound numeric-string term (exact decimal
+    # sum surfacing as DOUBLE), GROUP_CONCAT's SEPARATOR parameter,
+    # and SELECT REDUCED pinned to DISTINCT
+    out = sparql(_graph(spark), """
+        SELECT ?r (SUM(?len) AS ?s) (AVG(?len) AS ?a)
+               (GROUP_CONCAT(?e; SEPARATOR="|") AS ?es)
+        WHERE { ?r DECLARES ?e BIND(STRLEN(?e) AS ?len) }
+        GROUP BY ?r ORDER BY ?r
+    """)
+    assert out.columns == ["r", "s", "a", "es"]
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [("repo:a", 4.0, 2.0, "e1|e3"),
+                    ("repo:b", 2.0, 2.0, "e2")]
+    red = sparql(_graph(spark),
+                 "SELECT REDUCED ?p WHERE { ?s ?p ?o }")
+    assert sorted(r["p"] for r in red.collect()) == [
+        "DECLARES", "LINKED_TO", "MENTIONED_WITH"]
 
 
 def test_sparql_select_star_optional(spark):
