@@ -2507,6 +2507,7 @@ def _kg_solutions_oracle(pattern=(), optional=(), filters=(),
                 # SAMPLE is pinned to MIN (see kg_query.solutions)
                 "sample": f"min({v})",
                 "sum": f"CAST(sum({d}) AS DOUBLE)",
+                "sum_distinct": f"CAST(sum(DISTINCT {d}) AS DOUBLE)",
                 "avg": (f"CASE WHEN count({d}) > 0 THEN "
                         f"CAST(sum({d}) AS DOUBLE) / count({d}) END"),
             }[fn]

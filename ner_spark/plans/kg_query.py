@@ -1652,7 +1652,8 @@ def match_union(
 # an arbitrary group value) is pinned to MIN — a nondeterministic
 # aggregate cannot hash-match any oracle.
 _AGG_RE = re.compile(
-    r"^(count|count_distinct|min|max|group_concat|sample|sum|avg)\s*"
+    r"^(count|count_distinct|min|max|group_concat|sample|sum|avg"
+    r"|sum_distinct)\s*"
     r"\(\s*(\*|\?\w+)\s*"
     r'(?:;\s*separator\s*=\s*"(?P<sep>(?:[^"\\]|\\.)*)"\s*)?'
     r"\)\s+AS\s+(\w+)$",
@@ -1690,21 +1691,24 @@ def parse_aggregate(text: str) -> tuple:
 
 
 _HAVING_RE = re.compile(
-    r"^(\?\w+|\w+)\s*(=|!=|<=|>=|<|>)\s*(\d+)$")
+    r"^(\?\w+|\w+)\s*(=|!=|<=|>=|<|>)\s*(\d+(?:\.\d+)?)$")
 
 
-def parse_having(text: str) -> tuple[str, str, int]:
-    """Parse one HAVING term — ``alias op INT`` over a COUNT
-    aggregate's alias (the engine's only numeric values) — into
-    ``(column_name, op, n)``."""
+def parse_having(text: str) -> tuple[str, str, int | float]:
+    """Parse one HAVING term — ``alias op NUMBER`` over a numeric
+    aggregate's alias (COUNT/COUNT DISTINCT are bigint, SUM/AVG
+    double — the engine's only numeric values) — into
+    ``(column_name, op, n)``.  An integer literal stays int, a
+    decimal literal becomes float."""
     m = _HAVING_RE.match(text.strip())
     if not m:
         raise ValueError(
             f"unparseable HAVING term {text!r}: expected "
-            "'alias op INT' with op in (=, !=, <, <=, >, >=)")
+            "'alias op NUMBER' with op in (=, !=, <, <=, >, >=)")
     name = m.group(1)
+    lit = m.group(3)
     return (name[1:] if name.startswith("?") else name,
-            m.group(2), int(m.group(3)))
+            m.group(2), float(lit) if "." in lit else int(lit))
 
 
 def parse_order(text: str) -> tuple[str, bool]:
@@ -1875,6 +1879,8 @@ def solutions(
                     # binary collation in both engines)
                     "sample": lambda: F.min(c),
                     "sum": lambda: F.sum(d).cast("double"),
+                    "sum_distinct":
+                        lambda: F.sum_distinct(d).cast("double"),
                     # guarded: all-null group → null, not a 0/0
                     "avg": lambda: F.when(
                         F.count(d) > 0,
@@ -1891,14 +1897,15 @@ def solutions(
         out_scope = list(bound.columns)
     if having and not grouped:
         raise ValueError("HAVING requires GROUP BY or aggregates")
-    count_aliases = {a[2] for a in aggs
-                     if a[0] in ("count", "count_distinct")}
+    numeric_aliases = {a[2] for a in aggs
+                       if a[0] in ("count", "count_distinct",
+                                   "sum", "sum_distinct", "avg")}
     for h in having:
         name, op, rhs = parse_having(h) if isinstance(h, str) else h
-        if name not in count_aliases:
+        if name not in numeric_aliases:
             raise ValueError(
-                f"HAVING references {name!r}, which is not a COUNT "
-                "aggregate alias (only counts compare numerically — "
+                f"HAVING references {name!r}, which is not a numeric "
+                "aggregate alias (COUNT/COUNT DISTINCT/SUM/AVG — "
                 "every other term in the engine is a string)")
         c = F.col(name)
         bound = bound.where({

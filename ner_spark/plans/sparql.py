@@ -89,9 +89,10 @@ Deliberate restrictions, matching the engine's semantics:
   junk/unbound, and surfaces as DOUBLE).
 - SELECT REDUCED is pinned to DISTINCT (the spec's "may deduplicate"
   cannot hash-match an oracle).
-- HAVING compares a COUNT aggregate's ALIAS to an integer
-  (``HAVING(?n >= 2)``) — the engine's only numeric values; SPARQL's
-  inline-aggregate HAVING form is not re-parsed.
+- HAVING compares a numeric aggregate's ALIAS (COUNT / COUNT
+  DISTINCT / SUM / AVG) to an integer (``HAVING(?n >= 2)``); SPARQL's
+  inline-aggregate HAVING form is not re-parsed, and decimal
+  thresholds are programmatic-API-only (the tokenizer owns ``.``).
 - OFFSET requires ORDER BY (an unordered OFFSET is nondeterministic).
 - Keywords are case-insensitive; bare constants that collide with a
   keyword (a predicate literally named ``FILTER``) need quotes.
@@ -595,10 +596,14 @@ def _parse_projection(cur: _Cursor) -> tuple[list[str], list[str]]:
                 raise ValueError(
                     f"aggregate alias must be a ?variable, got {alias!r}")
             cur.eat(")")
-            name = ("count_distinct" if fn == "COUNT" and distinct
-                    else fn.lower())
-            if distinct and fn != "COUNT":
+            if distinct and fn == "COUNT":
+                name = "count_distinct"
+            elif distinct and fn == "SUM":
+                name = "sum_distinct"
+            elif distinct:
                 raise ValueError(f"DISTINCT inside {fn} is not supported")
+            else:
+                name = fn.lower()
             if sep is not None:
                 # pre-parsed 4-tuple (escaping a separator back into
                 # the string grammar would just re-parse it)
@@ -665,7 +670,9 @@ def _parse_modifiers(cur: _Cursor, nested: bool = False) -> dict:
         n = cur.next()
         if not n.isdigit():
             raise ValueError(
-                f"HAVING compares a COUNT alias to an integer, got {n!r}")
+                "HAVING compares a numeric-aggregate alias to an "
+                f"integer, got {n!r} (decimal thresholds are available "
+                "through the programmatic solutions(having=) API)")
         cur.eat(")")
         out.setdefault("having", []).append(
             (alias.lstrip("?"), op, int(n)))

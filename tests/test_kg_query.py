@@ -688,6 +688,22 @@ def test_solutions_numeric_aggregates_and_separator(spark):
     assert rows["r"]["es"] == "ee|eeee"
     # all-null aggregate group (no L edges): sum/avg null, concat ""
     assert rows["r"]["sk"] is None and rows["r"]["ak"] is None
+    # HAVING over a SUM/AVG alias takes decimal thresholds; a
+    # non-numeric alias still raises
+    from ner_spark.plans.kg_query import parse_having
+
+    assert parse_having("a > 2.5") == ("a", ">", 2.5)
+    assert parse_having("?n >= 3") == ("n", ">=", 3)
+    filtered = solutions(
+        t, kw["pattern"],
+        binds=['STRLEN(?e) AS ?len0'] + kw["binds"],
+        optional=kw["optional"], group_by=kw["group_by"],
+        aggregates=["avg(?v) AS a", "min(?e) AS lo"],
+        having=["a > 2.5"])
+    assert [r["r"] for r in filtered.collect()] == ["r"]
+    with pytest.raises(ValueError, match="numeric aggregate alias"):
+        solutions(t, kw["pattern"], group_by=["?r"],
+                  aggregates=["min(?e) AS lo"], having=["lo > 2"])
     # generated DuckDB twin computes the identical rows (incl. the
     # all-null-group coalesce on group_concat)
     sql = em._kg_solutions_oracle(
@@ -1258,7 +1274,7 @@ def test_solutions_having_offset_validation(spark):
     t = _agg_graph(spark)
     with pytest.raises(ValueError, match="HAVING requires"):
         solutions(t, [("?r", "DECLARES", "?e")], having=["n >= 2"])
-    with pytest.raises(ValueError, match="not a COUNT"):
+    with pytest.raises(ValueError, match="not a numeric"):
         solutions(t, [("?r", "DECLARES", "?e")], group_by=["?r"],
                   aggregates=["min(?e) AS lo"], having=["lo >= 2"])
     with pytest.raises(ValueError, match="nondeterministic"):

@@ -313,6 +313,16 @@ def test_sparql_numeric_aggregates_separator_reduced(spark):
                  "SELECT REDUCED ?p WHERE { ?s ?p ?o }")
     assert sorted(r["p"] for r in red.collect()) == [
         "DECLARES", "LINKED_TO", "MENTIONED_WITH"]
+    # SUM(DISTINCT) + HAVING over a SUM alias: repo:a has distinct
+    # lengths {2}, repo:b {2} — the distinct sum collapses repo:a's
+    # two length-2 entities to one contribution
+    out = sparql(_graph(spark), """
+        SELECT ?r (SUM(DISTINCT ?len) AS ?sd) WHERE {
+          ?r DECLARES ?e BIND(STRLEN(?e) AS ?len) }
+        GROUP BY ?r HAVING(?sd >= 2) ORDER BY ?r
+    """)
+    assert [tuple(r) for r in out.collect()] == [
+        ("repo:a", 2.0), ("repo:b", 2.0)]
 
 
 def test_sparql_select_star_optional(spark):
