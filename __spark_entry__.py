@@ -681,6 +681,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # construction (coalesce default), so no sentinel fill
         return _sparql_gold(spark, _SPARQL_STRFNS)
 
+    def q_kg_ntriples(spark, sf):
+        # N-Triples interchange serialization of the gold KG —
+        # data + reified evidence lines, pure per-row projection
+        from ner_spark.plans.kg_export import ntriples_lines
+        from ner_spark.plans.kg_gold import kg_triples_gold
+
+        return ntriples_lines(kg_triples_gold(spark), evidence=True)
+
     def q_kg_sparql_numagg(spark, sf):
         # SUM/AVG (exact-decimal sums surfacing as DOUBLE),
         # GROUP_CONCAT with SEPARATOR, SELECT REDUCED
@@ -836,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_strfns": q_kg_sparql_strfns,
         "kg_sparql_condfns": q_kg_sparql_condfns,
         "kg_sparql_numagg": q_kg_sparql_numagg,
+        "kg_ntriples": q_kg_ntriples,
         "kg_sparql_sample": q_kg_sparql_sample,
         "kg_sparql_describe": q_kg_sparql_describe,
         "sota_gliner": q_sota_gliner,
@@ -2615,6 +2624,38 @@ def _kg_sparql_oracle(text: str, fill_null=(),
                                 kg_sql=kg_sql)
 
 
+def _kg_ntriples_oracle(kg_sql: str | None = None) -> str:
+    """SQL twin of plans.kg_export.ntriples_lines(evidence=True):
+    the same escape chains (imported — one source of truth) applied
+    as nested replace(), concatenated into the data and reified
+    evidence lines."""
+    from ner_spark.plans.kg_export import (DEFAULT_BASE, _EDGE_ESCAPES,
+                                           _ESCAPES)
+
+    def esc(col, escapes):
+        for raw, e in escapes:
+            col = f"replace({col}, {_sql_str(raw)}, {_sql_str(e)})"
+        return col
+
+    b = DEFAULT_BASE
+
+    def iri(col):
+        return f"'<{b}' || {esc(col, _ESCAPES)} || '>'"
+
+    edge = (f"'<{b}edge:' || {esc('subj', _EDGE_ESCAPES)} || '/' || "
+            f"{esc('pred', _EDGE_ESCAPES)} || '/' || "
+            f"{esc('obj', _EDGE_ESCAPES)} || '>'")
+    return f"""WITH kg AS MATERIALIZED ({kg_sql or _kg_gold_oracle()})
+SELECT {iri('subj')} || ' ' || {iri('pred')} || ' ' || {iri('obj')}
+       || ' .' AS line FROM kg
+UNION ALL
+SELECT {edge} || ' <{b}evidence_count> "'
+       || CAST(evidence_count AS VARCHAR)
+       || '"^^<http://www.w3.org/2001/XMLSchema#integer> .' AS line
+FROM kg
+"""
+
+
 def _kg_update_oracle(text: str, kg_sql: str | None = None) -> str:
     """SQL twin of plans.kg_update.apply_update: the update TEXT
     parses once (plans.kg_update.parse_update — shared with the Spark
@@ -3179,6 +3220,7 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "kg_sparql_strfns": _kg_sparql_oracle(_SPARQL_STRFNS),
         "kg_sparql_condfns": _kg_sparql_oracle(_SPARQL_CONDFNS),
         "kg_sparql_numagg": _kg_sparql_oracle(_SPARQL_NUMAGG),
+        "kg_ntriples": _kg_ntriples_oracle(),
         "kg_sparql_describe": _kg_sparql_oracle(_SPARQL_DESCRIBE),
         "mentions_hybrid": _mentions_oracle("hybrid"),
         "mentions_crf": _mentions_oracle("crf_only"),

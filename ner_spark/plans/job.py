@@ -1298,6 +1298,23 @@ class KgJob:
 
         return run_sparql(self.triples(), text, plan=plan)
 
+    def export_ntriples(self, path: str, base: str | None = None,
+                        evidence: bool = False,
+                        single_file: bool = False) -> None:
+        """Serialize the committed triple table (SPARQL-Update edits
+        folded in, like every read) as N-Triples text under ``path``
+        — the hand-the-graph-to-any-RDF-store surface; see
+        :mod:`ner_spark.plans.kg_export` for the term-encoding
+        contract.  A pure per-row projection over the partitioned
+        checkpoint: no shuffle unless ``single_file`` asks for the
+        sorted one-file form."""
+        from ner_spark.plans.kg_export import (DEFAULT_BASE,
+                                               ntriples_save)
+
+        ntriples_save(self.triples(), path,
+                      base=base if base is not None else DEFAULT_BASE,
+                      evidence=evidence, single_file=single_file)
+
     # -- SPARQL Update edit ledger -----------------------------------------
 
     def edit_ids(self) -> list[int]:
@@ -1677,6 +1694,19 @@ def main() -> None:
                              "--match-limit, which only bounds printing")
     parser.add_argument("--match-limit", type=int, default=20,
                         help="--match: how many bindings to print")
+    parser.add_argument("--export-ntriples", default=None, metavar="PATH",
+                        help="serialize the committed KG as N-Triples "
+                             "text under PATH (pure projection, no "
+                             "shuffle) and exit")
+    parser.add_argument("--export-evidence", action="store_true",
+                        help="with --export-ntriples: add one "
+                             "xsd:integer evidence_count line per edge "
+                             "(reified edge-id subject)")
+    parser.add_argument("--export-single-file", action="store_true",
+                        help="with --export-ntriples: sort + coalesce "
+                             "to one byte-stable part file (small "
+                             "graphs only — the sort is a global "
+                             "shuffle)")
     parser.add_argument("--match-plan", default="static",
                         choices=["static", "stats", "written"],
                         help="with --match/--sparql: BGP join-order "
@@ -1762,6 +1792,17 @@ def main() -> None:
         plan = None if args.match_plan == "written" else args.match_plan
         _print_query_result(job.sparql(args.sparql, plan=plan),
                             args, "sparql")
+        return
+    elif args.export_ntriples:
+        # standalone export of an already-committed output
+        job = KgJob(spark, args.output, mode=args.mode,
+                    tokenizer_mode=args.tokenizer_mode, run_id=args.run_id)
+        job.export_ntriples(args.export_ntriples,
+                            evidence=args.export_evidence,
+                            single_file=args.export_single_file)
+        n = spark.read.text(args.export_ntriples).count()
+        print(f"stage=export_ntriples lines={n} "
+              f"output={args.export_ntriples}")
         return
     elif args.sparql_update:
         # standalone edit of an already-committed output

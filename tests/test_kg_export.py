@@ -1,0 +1,113 @@
+"""N-Triples export (plans/kg_export.py): escape round-trip, line
+shapes (data + reified evidence), the byte-stable single-file form,
+and the staged-job surface (KgJob.export_ntriples reads the committed
+table with SPARQL-Update edits folded in)."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ner_spark.plans.kg_export import (
+    _EDGE_ESCAPES,
+    escape_term,
+    ntriples_lines,
+    ntriples_save,
+    unescape_term,
+)
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, evidence_count bigint"
+    )
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_escape_roundtrip(s):
+    e = escape_term(s)
+    assert unescape_term(e) == s
+    # escaped output never contains a forbidden IRIREF character
+    assert not (set(e) & set(' <>"\\'))
+
+
+def test_escape_is_injective_on_the_tricky_cases():
+    # '%' escapes first, so pre-escaped-looking input stays distinct
+    assert escape_term("%20") != escape_term(" ")
+    assert unescape_term(escape_term("%20")) == "%20"
+    # the edge-id chain also escapes '/'
+    chain = "a/b"
+    for raw, esc in _EDGE_ESCAPES:
+        chain = chain.replace(raw, esc)
+    assert chain == "a%2Fb"
+
+
+def test_ntriples_lines_shapes(spark):
+    t = _triples(spark, [("repo:a b", "DEC<L>%S", 'e"1\\x/y', 3)])
+    data = [r["line"] for r in ntriples_lines(t).collect()]
+    assert data == [
+        "<urn:ner:repo:a%20b> <urn:ner:DEC%3CL%3E%25S> "
+        "<urn:ner:e%221%5Cx/y> ."]
+    both = sorted(
+        r["line"] for r in ntriples_lines(t, evidence=True).collect())
+    assert len(both) == 2
+    # the reified evidence subject escapes '/' inside terms, so the
+    # edge id splits unambiguously on '/'
+    assert both[0] == (
+        "<urn:ner:edge:repo:a%20b/DEC%3CL%3E%25S/e%221%5Cx%2Fy> "
+        '<urn:ner:evidence_count> '
+        '"3"^^<http://www.w3.org/2001/XMLSchema#integer> .')
+    # custom base; bad bases raise
+    alt = ntriples_lines(t, base="http://x.test/kg#").collect()
+    assert alt[0]["line"].startswith("<http://x.test/kg#repo")
+    with pytest.raises(ValueError, match="forbids"):
+        ntriples_lines(t, base="bad base")
+
+
+def test_ntriples_single_file_is_byte_stable(spark, tmp_path):
+    t = _triples(spark, [
+        ("b", "P", "c", 1), ("a", "P", "b", 2), ("c", "Q", "a", 1),
+    ]).repartition(4)
+    p1, p2 = str(tmp_path / "x1"), str(tmp_path / "x2")
+    ntriples_save(t, p1, evidence=True, single_file=True)
+    ntriples_save(t, p2, evidence=True, single_file=True)
+
+    def read(p):
+        parts = sorted(glob.glob(p + "/part-*"))
+        assert len(parts) == 1
+        return open(parts[0], "rb").read()
+
+    assert read(p1) == read(p2)
+    assert read(p1).decode().splitlines() == sorted(
+        read(p1).decode().splitlines())
+
+
+def test_job_export_folds_committed_edits(spark, tmp_path):
+    from ner_spark.plans.job import KgJob
+    from ner_spark.sources.fixtures import source_table
+
+    out = str(tmp_path / "kg")
+    job = KgJob(spark, out, run_id="r1")
+    job.run(source_table(spark, n_rows=24))
+    n0 = job.triples().count()
+    exp = str(tmp_path / "nt")
+    job.export_ntriples(exp)
+    lines = spark.read.text(exp)
+    assert lines.count() == n0
+    # every line is a well-formed data line under the default base
+    bad = lines.where(
+        ~lines["value"].rlike(r"^<urn:ner:[^ ]+> <urn:ner:[^ ]+> "
+                              r"<urn:ner:[^ ]+> \.$")).count()
+    assert bad == 0
+    # a committed SPARQL-Update edit is visible in a fresh export
+    job.sparql_update('INSERT DATA { x:new P:edge y:new }')
+    exp2 = str(tmp_path / "nt2")
+    job.export_ntriples(exp2, evidence=True)
+    lines2 = [r["value"] for r in spark.read.text(exp2).collect()]
+    assert ("<urn:ner:x:new> <urn:ner:P:edge> <urn:ner:y:new> ."
+            in lines2)
+    assert len(lines2) == 2 * (n0 + 1)
