@@ -689,6 +689,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ntriples_lines(kg_triples_gold(spark), evidence=True)
 
+    def q_kg_ntriples_roundtrip(spark, sf):
+        # serialize → parse must be the identity on the gold KG
+        # (evidence lines re-attach their counts); the oracle is the
+        # gold triples oracle itself
+        from ner_spark.plans.kg_export import (ntriples_lines,
+                                               ntriples_parse)
+        from ner_spark.plans.kg_gold import kg_triples_gold
+
+        return ntriples_parse(
+            ntriples_lines(kg_triples_gold(spark), evidence=True))
+
     def q_kg_sparql_numagg(spark, sf):
         # SUM/AVG (exact-decimal sums surfacing as DOUBLE),
         # GROUP_CONCAT with SEPARATOR, SELECT REDUCED
@@ -845,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_condfns": q_kg_sparql_condfns,
         "kg_sparql_numagg": q_kg_sparql_numagg,
         "kg_ntriples": q_kg_ntriples,
+        "kg_ntriples_roundtrip": q_kg_ntriples_roundtrip,
         "kg_sparql_sample": q_kg_sparql_sample,
         "kg_sparql_describe": q_kg_sparql_describe,
         "sota_gliner": q_sota_gliner,
@@ -3221,6 +3233,7 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "kg_sparql_condfns": _kg_sparql_oracle(_SPARQL_CONDFNS),
         "kg_sparql_numagg": _kg_sparql_oracle(_SPARQL_NUMAGG),
         "kg_ntriples": _kg_ntriples_oracle(),
+        "kg_ntriples_roundtrip": _kg_gold_oracle(),
         "kg_sparql_describe": _kg_sparql_oracle(_SPARQL_DESCRIBE),
         "mentions_hybrid": _mentions_oracle("hybrid"),
         "mentions_crf": _mentions_oracle("crf_only"),

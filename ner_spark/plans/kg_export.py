@@ -122,6 +122,107 @@ def ntriples_lines(
     return data.unionAll(ev)
 
 
+def _unesc_col(c: Column, escapes=tuple(_ESCAPES)) -> Column:
+    for raw, esc in reversed(escapes):
+        c = F.replace(c, F.lit(esc), F.lit(raw))
+    return c
+
+
+#: data line: three IRIREFs and a dot.  IRIREF content = anything but
+#: the forbidden set (space, <>, ", \) — exactly what escape_term
+#: guarantees never survives inside a term
+_NT_TERM = r'<([^ <>"\\]*)>'
+_NT_DATA_RE = f"^{_NT_TERM} {_NT_TERM} {_NT_TERM} \\.$"
+_NT_EV_RE = (f"^{_NT_TERM} {_NT_TERM} "
+             '"(\\d+)"\\^\\^<http://www\\.w3\\.org/2001/'
+             "XMLSchema#integer> \\.$")
+
+
+def ntriples_parse(
+    lines: DataFrame,
+    base: str = DEFAULT_BASE,
+    strict: bool = True,
+) -> DataFrame:
+    """Parse N-Triples text (the ``line``/``value`` string column a
+    :func:`ntriples_save` directory reads back as) into the engine's
+    ``(subj, pred, obj, evidence_count)`` relation — the import half
+    of the interchange surface, so a graph can round-trip through any
+    RDF tooling and come back queryable.
+
+    Data lines under ``base`` become edges (terms unescaped with the
+    exact inverse of the export chain); ``evidence_count`` literal
+    lines re-attach their count to the edge they reify (left join on
+    the parsed edge id — an edge with no evidence line defaults to
+    count 1, which is what an export with ``evidence=False``
+    round-trips through).  Blank lines and ``#`` comments are
+    allowed, as the format permits.
+
+    ``strict=True`` (default) runs ONE validation aggregate first and
+    raises with up to 5 offending lines if anything else appears —
+    IRIs under a different base included (silently dropping foreign
+    triples would corrupt a round-trip); ``strict=False`` skips the
+    action and drops unparseable/foreign lines, the
+    ingest-what-you-can mode for third-party exports.
+
+    Scale shape: parsing is per-row regexp_extract + replace chains
+    (codegen, no shuffle); the evidence re-attach is one equi-join on
+    the edge id, broadcastable when the evidence side is small and
+    AQE-planned otherwise; ``strict`` adds one full-scan aggregate.
+    """
+    col = "line" if "line" in lines.columns else "value"
+    raw = lines.select(F.col(col).alias("line"))
+    ignorable = (F.trim(F.col("line")) == "") | \
+        F.col("line").startswith("#")
+    data_m = F.regexp_extract("line", _NT_DATA_RE, 0) != ""
+    ev_m = F.regexp_extract("line", _NT_EV_RE, 0) != ""
+
+    def under_base(i: int, pat: str) -> Column:
+        return F.regexp_extract("line", pat, i).startswith(base)
+
+    eb = base + "edge:"
+    data_ok = data_m & under_base(1, _NT_DATA_RE) \
+        & under_base(2, _NT_DATA_RE) & under_base(3, _NT_DATA_RE)
+    ev_ok = ev_m \
+        & F.regexp_extract("line", _NT_EV_RE, 1).startswith(eb) \
+        & (F.regexp_extract("line", _NT_EV_RE, 2)
+           == base + "evidence_count")
+    if strict:
+        bad = (raw.where(~(ignorable | data_ok | ev_ok))
+               .limit(5).collect())
+        if bad:
+            raise ValueError(
+                "unparseable or foreign N-Triples line(s) under base "
+                f"{base!r} (strict=False drops them): "
+                + "; ".join(repr(r["line"]) for r in bad))
+
+    def term(i: int) -> Column:
+        return _unesc_col(F.regexp_extract(
+            "line", _NT_DATA_RE, i).substr(F.lit(len(base) + 1),
+                                           F.length("line")))
+
+    edges = raw.where(data_ok).select(
+        term(1).alias("subj"), term(2).alias("pred"),
+        term(3).alias("obj"))
+    ev_id = F.regexp_extract("line", _NT_EV_RE, 1)
+    ev = raw.where(ev_ok).select(
+        ev_id.substr(F.lit(len(eb) + 1), F.length("line"))
+        .alias("edge_id"),
+        F.regexp_extract("line", _NT_EV_RE, 3).cast("bigint")
+        .alias("evidence_count"))
+    ee = tuple(_EDGE_ESCAPES)
+    parts = F.split(F.col("edge_id"), "/")
+    ev = ev.where(F.size(parts) == 3).select(
+        _unesc_col(parts[0], ee).alias("subj"),
+        _unesc_col(parts[1], ee).alias("pred"),
+        _unesc_col(parts[2], ee).alias("obj"),
+        "evidence_count")
+    out = edges.join(ev, ["subj", "pred", "obj"], "left")
+    return out.select(
+        "subj", "pred", "obj",
+        F.coalesce("evidence_count", F.lit(1).cast("bigint"))
+        .alias("evidence_count"))
+
+
 def ntriples_save(
     triples: DataFrame,
     path: str,

@@ -86,6 +86,48 @@ def test_ntriples_single_file_is_byte_stable(spark, tmp_path):
         read(p1).decode().splitlines())
 
 
+def test_ntriples_parse_roundtrip(spark):
+    from ner_spark.plans.kg_export import ntriples_parse
+
+    t = _triples(spark, [
+        ("repo:a b", "DEC<L>%S", 'e"1\\x/y', 3),
+        ("a", "P", "b", 1), ("x/y", "Q/R", "z", 7),
+    ])
+    # evidence=True round-trips counts exactly (solidus terms incl.)
+    back = ntriples_parse(ntriples_lines(t, evidence=True))
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, t.collect()))
+    # evidence=False round-trips edges with count defaulting to 1
+    b2 = ntriples_parse(ntriples_lines(t))
+    assert sorted(r["evidence_count"] for r in b2.collect()) == [1, 1, 1]
+    # comments and blank lines are permitted
+    extra = spark.createDataFrame([("# c",), ("",)], "line string")
+    assert ntriples_parse(
+        ntriples_lines(t).unionAll(extra)).count() == 3
+
+
+def test_ntriples_parse_strictness(spark):
+    from ner_spark.plans.kg_export import ntriples_parse
+
+    t = _triples(spark, [("a", "P", "b", 1)])
+    foreign = spark.createDataFrame(
+        [("<http://other/a> <http://other/b> <http://other/c> .",),
+         ("not a triple at all",)], "line string")
+    mixed = ntriples_lines(t).unionAll(foreign)
+    # strict: one validation pass, raises listing offenders
+    with pytest.raises(ValueError, match="foreign N-Triples"):
+        ntriples_parse(mixed)
+    # non-strict ingests what it can
+    out = ntriples_parse(mixed, strict=False)
+    assert [tuple(r) for r in out.collect()] == [("a", "P", "b", 1)]
+    # a different base accepts its own lines and rejects urn:ner ones
+    alt = ntriples_parse(
+        ntriples_lines(t, base="urn:x:"), base="urn:x:")
+    assert [tuple(r) for r in alt.collect()] == [("a", "P", "b", 1)]
+    with pytest.raises(ValueError, match="foreign"):
+        ntriples_parse(ntriples_lines(t), base="urn:x:")
+
+
 def test_job_export_folds_committed_edits(spark, tmp_path):
     from ner_spark.plans.job import KgJob
     from ner_spark.sources.fixtures import source_table
