@@ -791,6 +791,28 @@ def main() -> int:
     check("leakage_split", "no cartesian product",
           "CartesianProduct" not in p)
 
+    # N-Triples interchange: the export is a pure per-row projection
+    # (no Exchange, no Join — a 10^12-triple export parallelizes like
+    # a scan), and the import is per-row parsing plus exactly one
+    # equi-join re-attaching evidence counts — never a nested loop
+    from ner_spark.plans.kg_export import ntriples_lines, ntriples_parse
+
+    p = plans["kg_ntriples_export"] = plan_of(
+        ntriples_lines(tri, evidence=True))
+    check("kg_ntriples_export", "serialization is shuffle-free "
+          "(no Exchange)", "Exchange" not in p)
+    check("kg_ntriples_export", "no join in the export path",
+          "Join" not in p)
+    check("kg_ntriples_export", "whole-stage codegen covers the "
+          "projection", "codegen id" in p)
+    p = plans["kg_ntriples_import"] = plan_of(
+        ntriples_parse(ntriples_lines(tri, evidence=True),
+                       strict=False))
+    check("kg_ntriples_import", "evidence re-attach is a hash "
+          "equi-join, never a nested loop",
+          "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p)
+
     ok_all = all(ok for _q, _l, ok, _n in checks)
     lines = ["# PLANS — physical-plan audit", "",
              f"`python tools/plan_audit.py` at {SF_DIR} (local[4]).", "",
