@@ -631,6 +631,12 @@ class KgJob:
         """
         self._check_manifest()
         self._maybe_finish_compact()
+        if self._is_imported():
+            raise ValueError(
+                f"{self.out} holds an IMPORTED graph (import_ntriples)"
+                " — there are no document stages to fold a delta into;"
+                " use sparql_update() for edits, or build from"
+                " documents with run()")
         if not (self._committed("tokenize_tag") and self._committed("link")):
             raise ValueError(
                 f"update() needs a completed base run in {self.out}; "
@@ -1315,6 +1321,57 @@ class KgJob:
                       base=base if base is not None else DEFAULT_BASE,
                       evidence=evidence, single_file=single_file)
 
+    def import_ntriples(self, source, base: str | None = None,
+                        strict: bool = True) -> DataFrame:
+        """Adopt an external N-Triples graph as this output's
+        committed triple table — the inverse of
+        :meth:`export_ntriples`, and the "bring your own graph" door
+        into the whole query stack: after an import, :meth:`sparql` /
+        :meth:`query` / :meth:`analytics` / :meth:`sparql_update` /
+        :meth:`export_ntriples` all work exactly as over a built KG.
+
+        ``source`` is a text path (a ``ntriples_save`` directory or
+        any ``.nt`` file) or a one-string-column DataFrame.  Parsing
+        is :func:`ner_spark.plans.kg_export.ntriples_parse`
+        (``strict`` semantics included); duplicate data lines then
+        collapse by RDF set semantics — one groupBy on the triple key
+        keeping the max evidence count (duplicate lines of a
+        well-formed export carry identical counts; max is the
+        deterministic pick for hand-edited files).
+
+        The result commits as a normal pred-partitioned materialize
+        checkpoint whose sidecar carries ``imported: True`` — the
+        document-stage flows (:meth:`update` / :meth:`compact`)
+        refuse on it (there are no tokenize/link stages to fold
+        into), while the SPARQL-Update edit ledger still applies.
+        Refuses to overwrite an existing committed table unless
+        ``force=True`` was set on the job.
+        """
+        from ner_spark.plans.kg_export import (DEFAULT_BASE,
+                                               ntriples_parse)
+
+        if self._committed("materialize") and not self.force:
+            raise ValueError(
+                f"{self.out} already holds a committed triple table; "
+                "import into a fresh output dir or pass force=True")
+        lines = (self.spark.read.text(source)
+                 if isinstance(source, str) else source)
+        parsed = ntriples_parse(
+            lines, base=base if base is not None else DEFAULT_BASE,
+            strict=strict)
+        triples = (parsed.groupBy("subj", "pred", "obj")
+                   .agg(F.max("evidence_count").alias("evidence_count")))
+        self._check_manifest()
+        return self._run_stage(
+            "materialize", lines, lambda: triples,
+            partition_by=("pred",),
+            meta={"applied_updates": [], "imported": True},
+        )
+
+    def _is_imported(self) -> bool:
+        meta = self._sidecar_meta(self._path("materialize"))
+        return bool(meta and meta.get("imported"))
+
     # -- SPARQL Update edit ledger -----------------------------------------
 
     def edit_ids(self) -> list[int]:
@@ -1694,6 +1751,16 @@ def main() -> None:
                              "--match-limit, which only bounds printing")
     parser.add_argument("--match-limit", type=int, default=20,
                         help="--match: how many bindings to print")
+    parser.add_argument("--import-ntriples", default=None, metavar="PATH",
+                        help="adopt an external N-Triples file/dir as "
+                             "the committed triple table of --output "
+                             "(then --sparql/--match/--analytics/"
+                             "--export-ntriples all work over it); "
+                             "--force overwrites an existing table")
+    parser.add_argument("--import-lenient", action="store_true",
+                        help="with --import-ntriples: drop unparseable/"
+                             "foreign lines instead of raising "
+                             "(strict=False)")
     parser.add_argument("--export-ntriples", default=None, metavar="PATH",
                         help="serialize the committed KG as N-Triples "
                              "text under PATH (pure projection, no "
@@ -1792,6 +1859,16 @@ def main() -> None:
         plan = None if args.match_plan == "written" else args.match_plan
         _print_query_result(job.sparql(args.sparql, plan=plan),
                             args, "sparql")
+        return
+    elif args.import_ntriples:
+        # adopt an external graph as the committed table
+        job = KgJob(spark, args.output, mode=args.mode,
+                    tokenizer_mode=args.tokenizer_mode,
+                    run_id=args.run_id, force=args.force)
+        out = job.import_ntriples(args.import_ntriples,
+                                  strict=not args.import_lenient)
+        print(f"stage=import_ntriples triples={out.count()} "
+              f"output={args.output}/materialize")
         return
     elif args.export_ntriples:
         # standalone export of an already-committed output

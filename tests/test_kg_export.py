@@ -153,3 +153,52 @@ def test_job_export_folds_committed_edits(spark, tmp_path):
     assert ("<urn:ner:x:new> <urn:ner:P:edge> <urn:ner:y:new> ."
             in lines2)
     assert len(lines2) == 2 * (n0 + 1)
+
+
+def test_job_import_adopts_external_graph(spark, tmp_path):
+    from ner_spark.plans.job import KgJob
+    from ner_spark.sources.fixtures import source_table
+
+    # build → export (with evidence) → import into a FRESH output:
+    # the adopted table is identical, and the whole query stack works
+    src_out = str(tmp_path / "src")
+    job = KgJob(spark, src_out, run_id="r1")
+    built = job.run(source_table(spark, n_rows=24))
+    nt = str(tmp_path / "nt")
+    job.export_ntriples(nt, evidence=True)
+
+    imp_out = str(tmp_path / "imp")
+    job2 = KgJob(spark, imp_out, run_id="r2")
+    adopted = job2.import_ntriples(nt)
+    assert sorted(map(tuple, adopted.collect())) == \
+        sorted(map(tuple, built.collect()))
+    # SPARQL + analytics run over the imported table
+    n = job2.sparql(
+        "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }").collect()[0]["n"]
+    assert n == built.count()
+    assert job2.analytics()["entity_degree"] > 0
+    # the edit ledger applies; document-delta maintenance refuses
+    job2.sparql_update("INSERT DATA { a:x P:y b:z }")
+    assert job2.triples().count() == n + 1
+    with pytest.raises(ValueError, match="IMPORTED graph"):
+        job2.update(source_table(spark, n_rows=30))
+    assert job2.compact() == 0  # nothing to fold; safe no-op
+    # a second import refuses without force, proceeds with it
+    with pytest.raises(ValueError, match="already holds"):
+        KgJob(spark, imp_out, run_id="r3").import_ntriples(nt)
+    forced = KgJob(spark, imp_out, run_id="r4",
+                   force=True).import_ntriples(nt)
+    assert forced.count() == built.count()
+
+
+def test_job_import_collapses_duplicate_lines(spark, tmp_path):
+    from ner_spark.plans.job import KgJob
+
+    t = _triples(spark, [("a", "P", "b", 3)])
+    lines = ntriples_lines(t, evidence=True)
+    doubled = lines.unionAll(lines)  # hand-edited file repeats lines
+    job = KgJob(spark, str(tmp_path / "kg"), run_id="d1")
+    out = job.import_ntriples(doubled)
+    assert [tuple(r) for r in
+            out.select("subj", "pred", "obj",
+                       "evidence_count").collect()] == [("a", "P", "b", 3)]
