@@ -700,6 +700,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ntriples_parse(
             ntriples_lines(kg_triples_gold(spark), evidence=True))
 
+    def q_kg_sparql_optgroup(spark, sf):
+        # OPTIONAL GROUP with a local FILTER and BIND: the filter
+        # applies INSIDE the group (left-join-with-condition — outer
+        # rows survive with null group bindings), the BIND projects
+        # inside; nullable outputs sentinel-filled for the compare
+        out = _sparql_gold(spark, _SPARQL_OPTGROUP)
+        return (out.withColumn("kb", F.coalesce("kb", F.lit("")))
+                   .withColumn("tag", F.coalesce("tag", F.lit(""))))
+
     def q_kg_sparql_numagg(spark, sf):
         # SUM/AVG (exact-decimal sums surfacing as DOUBLE),
         # GROUP_CONCAT with SEPARATOR, SELECT REDUCED
@@ -855,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_strfns": q_kg_sparql_strfns,
         "kg_sparql_condfns": q_kg_sparql_condfns,
         "kg_sparql_numagg": q_kg_sparql_numagg,
+        "kg_sparql_optgroup": q_kg_sparql_optgroup,
         "kg_ntriples": q_kg_ntriples,
         "kg_ntriples_roundtrip": q_kg_ntriples_roundtrip,
         "kg_sparql_sample": q_kg_sparql_sample,
@@ -1071,6 +1081,17 @@ SELECT REDUCED ?repo (SUM(?len) AS ?chars) (AVG(?len) AS ?avg_len)
        (GROUP_CONCAT(?e; SEPARATOR="|") AS ?ents)
 WHERE { ?repo DECLARES ?e BIND(STRLEN(?e) AS ?len) }
 GROUP BY ?repo ORDER BY ?repo
+"""
+# OPTIONAL group with a local FILTER + BIND: SPARQL's left-join-with-
+# condition — the even-numbered-KB restriction applies inside the
+# group, so unlinked (and odd-linked) entities keep their rows with
+# null group bindings instead of vanishing
+_SPARQL_OPTGROUP = """
+SELECT ?repo ?e ?kb ?tag WHERE {
+  ?repo DECLARES ?e
+  OPTIONAL { ?e LINKED_TO ?kb FILTER regex(?kb, "[02468]$")
+             BIND(CONCAT("ok:", ?kb) AS ?tag) }
+}
 """
 # SPARQL 1.1 Update: re-home each entity's KB link onto its declaring
 # repo — the DELETE drops the entity-level edges, the INSERT derives
@@ -2255,8 +2276,9 @@ def _kg_pattern_oracle(pattern, optional=(), fill_null=(), filters=(),
     where0: list[str] = []
     joins: list[str] = []
     ctes: list[str] = []
+    opt_groups = [el for el in optional if isinstance(el, dict)]
     elements = [(el, False) for el in pattern] + [
-        (el, True) for el in optional
+        (el, True) for el in optional if not isinstance(el, dict)
     ]
     for i, (element, is_optional) in enumerate(elements):
         rel, conds = _kg_element_sql(f"t{i}", element, first, ctes,
@@ -2286,6 +2308,28 @@ def _kg_pattern_oracle(pattern, optional=(), fill_null=(), filters=(),
                 first[v] = ref
         joins.append(
             f"JOIN ({sub_sql.rstrip()}) {alias} ON "
+            + (" AND ".join(conds) if conds else "TRUE"))
+    # OPTIONAL GROUPS left-join a derived table of the group's own
+    # pattern oracle (its local filters/binds INSIDE the subselect,
+    # the SPARQL placement) on the shared required variables — the
+    # engine raises when only optional variables are shared, so the
+    # plain equality here is never exercised on a nullable site
+    for i, g in enumerate(opt_groups):
+        g_sql = _kg_pattern_oracle(
+            g["pattern"], filters=g.get("filters", ()),
+            binds=g.get("binds", ()), path_max_hops=path_max_hops,
+            kg_sql=kg_sql, prefix=f"{prefix}og{i}_")
+        alias = f"{prefix}og{i}"
+        conds = []
+        for v in _kg_branch_vars(g["pattern"],
+                                 binds=g.get("binds", ())):
+            ref = f"{alias}.{v[1:]}"
+            if v in first:
+                conds.append(f"{ref} = {first[v]}")
+            else:
+                first[v] = ref
+        joins.append(
+            f"LEFT JOIN ({g_sql.rstrip()}) {alias} ON "
             + (" AND ".join(conds) if conds else "TRUE"))
     overrides: dict = {}
     if values is not None:
@@ -2368,6 +2412,12 @@ def _kg_branch_vars(pattern, optional=(), values=None,
 
     out: list[str] = []
     for el in list(pattern) + list(optional):
+        if isinstance(el, dict):  # OPTIONAL group
+            for v in _kg_branch_vars(el["pattern"],
+                                     binds=el.get("binds", ())):
+                if v not in out:
+                    out.append(v)
+            continue
         is_path = (_sequence_segments(el[1]) is not None
                    or _path_pred(el[1]) is not None)
         terms = (el[0], el[2]) if is_path else tuple(el)
@@ -3232,6 +3282,8 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "kg_sparql_strfns": _kg_sparql_oracle(_SPARQL_STRFNS),
         "kg_sparql_condfns": _kg_sparql_oracle(_SPARQL_CONDFNS),
         "kg_sparql_numagg": _kg_sparql_oracle(_SPARQL_NUMAGG),
+        "kg_sparql_optgroup": _kg_sparql_oracle(
+            _SPARQL_OPTGROUP, fill_null=("?kb", "?tag")),
         "kg_ntriples": _kg_ntriples_oracle(),
         "kg_ntriples_roundtrip": _kg_gold_oracle(),
         "kg_sparql_describe": _kg_sparql_oracle(_SPARQL_DESCRIBE),

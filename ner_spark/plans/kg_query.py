@@ -1152,6 +1152,16 @@ def match_pattern(
     which stays first-appearance in the WRITTEN pattern.  OPTIONAL
     elements are not reordered (left joins are order-sensitive).
 
+    An ``optional`` entry may also be a GROUP dict
+    ``{"pattern": [...], "filters": [...], "binds": [...]}`` — SPARQL's
+    full OPTIONAL group: the sub-pattern evaluates as a unit (its
+    local FILTERs/BINDs apply INSIDE, before the left join, so a
+    group filter can only null the group's bindings, never eliminate
+    an outer row — the classic left-join-with-condition semantics a
+    per-element filter cannot express), then left-joins on its shared
+    REQUIRED outer variables (sharing only optional variables
+    raises — that compatibility form needs null-aware join keys).
+
     ``optional`` elements have SPARQL OPTIONAL (left-join) semantics:
     a binding of the required pattern survives even when the optional
     element matches nothing, with the optional element's new variables
@@ -1290,9 +1300,46 @@ def match_pattern(
     req_cols: list[tuple[int, list[str]]] = []
     post_vars: list[str] = []  # optional/subquery first-appearance
     steps = ([("element", pattern[i], False, i) for i in order]
-             + [("element", el, True, -1) for el in optional]
+             + [("optgroup" if isinstance(el, dict) else "element",
+                 el, True, -1) for el in optional]
              + [("subquery", sq, False, -1) for sq in subqueries])
     for i, (kind, item, is_optional, written_idx) in enumerate(steps):
+        if kind == "optgroup":
+            # an OPTIONAL GROUP — SPARQL's left join of a whole
+            # sub-pattern (its triples AND its local FILTERs/BINDs
+            # evaluate INSIDE the group, before the left join; a
+            # group-local filter can therefore never eliminate an
+            # outer row, only turn the group's bindings null)
+            unknown = set(item) - {"pattern", "filters", "binds"}
+            if unknown:
+                raise ValueError(
+                    f"OPTIONAL group has unknown keys {sorted(unknown)}"
+                    " (supported: pattern, filters, binds)")
+            sub = match_pattern(triples, item["pattern"],
+                                filters=item.get("filters", ()),
+                                binds=item.get("binds", ()),
+                                path_max_hops=path_max_hops,
+                                plan=plan)
+            cols = {"?" + c for c in sub.columns}
+            shared = required_vars & cols
+            if not shared:
+                raise ValueError(
+                    f"OPTIONAL group {item.get('pattern')} shares no "
+                    "REQUIRED variable with the outer pattern — the "
+                    "left join would be a cartesian product; bind a "
+                    "shared required variable")
+            clash = (bound_vars - required_vars) & cols - shared
+            if clash:
+                raise ValueError(
+                    f"OPTIONAL group rebinds {sorted(clash)} which the"
+                    " outer group binds optionally — rename the "
+                    "group's variables or make the outer binding "
+                    "required")
+            bound = bound.join(sub, [v[1:] for v in sorted(shared)],
+                               "left")
+            bound_vars |= cols
+            post_vars.extend("?" + c for c in sub.columns)
+            continue
         if kind == "subquery":
             sub = solutions(triples, path_max_hops=path_max_hops,
                             **item)

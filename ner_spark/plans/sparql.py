@@ -53,7 +53,9 @@ raises with the offending token rather than mis-parsing):
                | 'COALESCE' | 'SUBSTR' | 'REPLACE'
                | 'STRBEFORE' | 'STRAFTER' | 'SHA256' | 'MD5'
     Union     := Group ('UNION' Group)+
-    Optional  := 'OPTIONAL' '{' Triple+ '}'
+    Optional  := 'OPTIONAL' '{' Triple+ (Filter | Bind)* '}'
+                 (group semantics: local FILTER/BIND evaluate INSIDE,
+                  before the left join; multi-triple groups atomic)
     Minus     := 'MINUS' '{' Triple+ '}'
     Filter    := 'FILTER' ('NOT'? 'EXISTS' '{' Triple+ '}'
                  | '(' Expr ')' | Func | Bound)
@@ -499,8 +501,34 @@ def _parse_group_body(cur: _Cursor) -> dict:
         elif kw == "OPTIONAL":
             cur.next()
             cur.eat("{")
-            kwargs["optional"].extend(_parse_triples(cur))
+            tris = _parse_triples(cur)
+            ofilts: list = []
+            obinds: list = []
+            while cur.peek_kw() in ("FILTER", "BIND"):
+                fk = cur.next().upper()
+                if fk == "BIND":
+                    obinds.append(_parse_bind(cur))
+                    continue
+                if cur.peek_kw() in ("NOT", "EXISTS"):
+                    raise ValueError(
+                        "FILTER [NOT] EXISTS inside OPTIONAL is not "
+                        "supported — only boolean FILTER expressions")
+                ofilts.append(_parse_filter_expr(cur))
             cur.eat("}")
+            if not tris:
+                raise ValueError("OPTIONAL group has no triples")
+            if len(tris) == 1 and not ofilts and not obinds:
+                # single bare triple: the per-element fast form
+                kwargs["optional"].extend(tris)
+            else:
+                # SPARQL group semantics: triples + local FILTER/BIND
+                # evaluate as a unit before the left join
+                g: dict = {"pattern": tris}
+                if ofilts:
+                    g["filters"] = ofilts
+                if obinds:
+                    g["binds"] = obinds
+                kwargs["optional"].append(g)
         elif kw == "MINUS":
             cur.next()
             cur.eat("{")

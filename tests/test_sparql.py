@@ -325,6 +325,69 @@ def test_sparql_numeric_aggregates_separator_reduced(spark):
         ("repo:a", 2.0), ("repo:b", 2.0)]
 
 
+def test_sparql_optional_group_semantics(spark):
+    # FILTER inside OPTIONAL applies BEFORE the left join: outer rows
+    # survive with null group bindings (left-join-with-condition);
+    # the same filter OUTSIDE eliminates rows — both pinned here
+    tri = _triples(spark, [
+        ("r", "D", "e1", 1), ("r", "D", "e2", 1),
+        ("e1", "L", "kb:Q1", 1), ("e2", "L", "kb:Q2", 1),
+        ("e1", "M", "e2", 1)])
+    inside = sparql(tri, '''
+        SELECT ?e ?kb WHERE {
+          ?r D ?e OPTIONAL { ?e L ?kb FILTER STRENDS(?kb, "2") } }''')
+    assert sorted(map(tuple, inside.collect())) == [
+        ("e1", None), ("e2", "kb:Q2")]
+    outside = sparql(tri, '''
+        SELECT ?e ?kb WHERE {
+          ?r D ?e OPTIONAL { ?e L ?kb } FILTER STRENDS(?kb, "2") }''')
+    assert sorted(map(tuple, outside.collect())) == [("e2", "kb:Q2")]
+    # multi-triple OPTIONAL is atomic (group, not per-element joins)
+    atomic = sparql(tri, '''
+        SELECT ?e ?x ?kb WHERE {
+          ?r D ?e OPTIONAL { ?e M ?x . ?x L ?kb } }''')
+    assert sorted(map(tuple, atomic.collect())) == [
+        ("e1", "e2", "kb:Q2"), ("e2", None, None)]
+    # BIND inside the group projects before the join (null outside)
+    bnd = sparql(tri, '''
+        SELECT ?e ?g WHERE {
+          ?r D ?e OPTIONAL { ?e M ?x BIND(UCASE(?x) AS ?g) } }''')
+    assert sorted(map(tuple, bnd.collect())) == [
+        ("e1", "E2"), ("e2", None)]
+    with pytest.raises(ValueError, match="no triples"):
+        parse_sparql('SELECT * WHERE { ?a ?p ?b '
+                     'OPTIONAL { FILTER BOUND(?a) } }')
+    with pytest.raises(ValueError, match="not supported"):
+        parse_sparql('SELECT * WHERE { ?a ?p ?b OPTIONAL '
+                     '{ ?b L ?k . ?k L ?j FILTER NOT EXISTS '
+                     "{ ?k M ?z } } }")
+
+
+def test_optional_group_validation(spark):
+    from ner_spark.plans.kg_query import match_pattern
+
+    tri = _triples(spark, [("r", "D", "e1", 1), ("x", "L", "y", 1)])
+    with pytest.raises(ValueError, match="unknown keys"):
+        match_pattern(tri, [("?r", "D", "?e")],
+                      optional=[{"pattern": [("?e", "L", "?k")],
+                                 "negation": []}])
+    with pytest.raises(ValueError, match="REQUIRED variable"):
+        match_pattern(tri, [("?r", "D", "?e")],
+                      optional=[{"pattern": [("?a", "L", "?b")]}])
+    # sharing only an optional variable raises (needs null-aware keys)
+    with pytest.raises(ValueError, match="REQUIRED variable"):
+        match_pattern(
+            tri, [("?r", "D", "?e")],
+            optional=[("?e", "L", "?k"),
+                      {"pattern": [("?k", "L", "?j")]}])
+    # sharing a required var but REBINDING an outer optional raises
+    with pytest.raises(ValueError, match="rebinds"):
+        match_pattern(
+            tri, [("?r", "D", "?e")],
+            optional=[("?e", "L", "?k"),
+                      {"pattern": [("?e", "M", "?k")]}])
+
+
 def test_sparql_select_star_optional(spark):
     out = sparql(_graph(spark), """
         SELECT * WHERE { ?r DECLARES ?e OPTIONAL { ?e LINKED_TO ?kb } }
