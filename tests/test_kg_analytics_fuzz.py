@@ -286,6 +286,62 @@ def test_graph_ops_match_oracles_on_random_graphs(spark, rows):
                 fill_null=("?k",), kg_sql=kg_sql),
             name="kg_pattern:n_null_optional",
         )
+        # OPTIONAL GROUPS on random graphs: the group's local
+        # filter/bind evaluates INSIDE (before the left join), so
+        # outer rows always survive — with null group bindings where
+        # the filtered group missed
+        for gname, gpat, og, fills in (
+            ("og_filtered", [("?a", "MENTIONED_WITH", "?b")],
+             {"pattern": [("?b", "LINKED_TO", "?k")],
+              "filters": ['strends(?k, "1")']}, ("?k",)),
+            ("og_multi", [("?a", "?p", "?b")],
+             {"pattern": [("?b", "DECLARES", "?c"),
+                          ("?c", "LINKED_TO", "?k")]}, ("?c", "?k")),
+            ("og_bind", [("?a", "MENTIONED_WITH", "?b")],
+             {"pattern": [("?b", "LINKED_TO", "?k")],
+              "binds": ['CONCAT("x:", ?k) AS ?t']}, ("?k", "?t")),
+        ):
+            df = match_pattern(tri, gpat, optional=[dict(og)])
+            for v in fills:
+                df = df.withColumn(v[1:],
+                                   F.coalesce(v[1:], F.lit("")))
+            assert_df_matches_duckdb(
+                df, con,
+                entrymod._kg_pattern_oracle(
+                    gpat, optional=[dict(og)], fill_null=fills,
+                    kg_sql=kg_sql),
+                name=f"kg_pattern:{gname}",
+            )
+        # conditional/splitting/hashing BINDs on random graphs
+        cf_binds = ['IF(contains(?b, "e"), "y", ?p) AS ?c',
+                    "SHA256(?b) AS ?h",
+                    'STRBEFORE(?b, ":") AS ?ns']
+        assert_df_matches_duckdb(
+            match_pattern(tri, [("?a", "?p", "?b")], binds=cf_binds),
+            con,
+            entrymod._kg_pattern_oracle([("?a", "?p", "?b")],
+                                        binds=cf_binds, kg_sql=kg_sql),
+            name="kg_pattern:condfns_binds",
+        )
+        # numeric aggregates / separator group_concat / numeric
+        # HAVING on random graphs (sum/avg over STRLEN-bound terms —
+        # exact decimal sums, so the DOUBLE surfaces compare equal)
+        from ner_spark.plans.kg_query import solutions
+        num_kw = dict(
+            binds=["STRLEN(?b) AS ?len"],
+            group_by=["?p"],
+            aggregates=["sum(?len) AS s", "avg(?len) AS av",
+                        "sum_distinct(?len) AS sd",
+                        'group_concat(?b; separator="|") AS bs',
+                        "count(*) AS n"],
+            having=["n >= 1"], order_by=["?p ASC"],
+        )
+        assert_df_matches_duckdb(
+            solutions(tri, [("?a", "?p", "?b")], **num_kw), con,
+            entrymod._kg_solutions_oracle(
+                [("?a", "?p", "?b")], **num_kw, kg_sql=kg_sql),
+            name="kg_solutions:numagg",
+        )
         # CONSTRUCT on random graphs: template projection (variables,
         # constants, multi-element), set collapse with evidence_count
         # multiplicity, and the null-OPTIONAL instantiation drop must
