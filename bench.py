@@ -448,9 +448,69 @@ same workload at {factor}× volume, not an easier or harder one.
         f.write(md)
 
 
+def run_bgp_planner(cpus: str = "8") -> dict:
+    """Reproduce BENCH/BGP_PLANNER.md: the written-order vs planned
+    join-order gap on a synthetic hub graph (2M MENTIONED_WITH edges
+    over 100k entities + 50 selective INSTANCE_OF edges), pattern
+    written worst-case (2-hop hub fan-out before the selective
+    constant).  Prints one JSON line with per-mode seconds (cold and
+    warm) and the row count (identical across modes — the invariance
+    the fuzz pins)."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as SF
+
+    from ner_spark.plans.kg_query import match_pattern
+
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .config("spark.sql.shuffle.partitions", str(cpus))
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory", "8g")
+             .appName("bgp-planner-bench").getOrCreate())
+    n_ent, n_edges = 100_000, 2_000_000
+    e = spark.range(n_edges).select(
+        SF.concat(SF.lit("ent:"),
+                  SF.pmod(SF.xxhash64("id"), n_ent)).alias("subj"),
+        SF.lit("MENTIONED_WITH").alias("pred"),
+        SF.concat(SF.lit("ent:"),
+                  SF.pmod(SF.xxhash64("id", SF.lit(1)),
+                          n_ent)).alias("obj"),
+        SF.lit(1).cast("bigint").alias("evidence_count"))
+    i = spark.range(50).select(
+        SF.concat(SF.lit("ent:"), SF.col("id")).alias("subj"),
+        SF.lit("INSTANCE_OF").alias("pred"),
+        SF.lit("kb:Q1").alias("obj"),
+        SF.lit(1).cast("bigint").alias("evidence_count"))
+    t = (e.union(i).repartition(int(cpus))
+         .localCheckpoint(eager=True))
+    pattern = [("?a", "MENTIONED_WITH", "?b"),
+               ("?b", "MENTIONED_WITH", "?c"),
+               ("?a", "INSTANCE_OF", "kb:Q1")]
+    out: dict = {"metric": "bgp_planner", "unit": "sec",
+                 "edges": n_edges, "modes": {}}
+    rows = None
+    for rep in ("cold", "warm"):
+        for mode in (None, "static", "stats"):
+            t0 = time.perf_counter()
+            n = match_pattern(t, pattern, plan=mode).count()
+            out["modes"].setdefault(
+                "written" if mode is None else mode, {})[rep] = round(
+                time.perf_counter() - t0, 3)
+            assert rows is None or rows == n
+            rows = n
+    out["rows"] = rows
+    w, s = out["modes"]["written"]["warm"], out["modes"]["static"]["warm"]
+    out["static_speedup_warm"] = round(w / s, 2) if s else None
+    spark.stop()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if "--bgp-planner" in sys.argv:
+        print(json.dumps(run_bgp_planner(
+            os.environ.get("SPARK_GRAFT_PLANNER_CPUS", "8"))))
+        return
     if "--scaling" in sys.argv:
         run_scaling(
             sf_dir,
