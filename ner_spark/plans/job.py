@@ -1281,8 +1281,14 @@ class KgJob:
         match_pattern`); the committed table is exactly where
         ``"stats"``'s one costing scan is cheapest (pruned parquet,
         no recompute), so long patterns may want it.
+        ``plan="catalog"`` plans from the PERSISTED per-predicate
+        statistics (:meth:`stats` — built once, no per-query scan at
+        all), the triple-store answer at 10^12 edges.
         """
         from ner_spark.plans.kg_query import solutions
+
+        if plan == "catalog":
+            plan = self.pattern_costs(pattern)
 
         return solutions(self.triples(), pattern, optional=optional,
                          filters=filters, negation=negation,
@@ -1303,6 +1309,41 @@ class KgJob:
         from ner_spark.plans.sparql import sparql as run_sparql
 
         return run_sparql(self.triples(), text, plan=plan)
+
+    def stats(self, refresh: bool = False) -> dict:
+        """The per-predicate statistics catalog:
+        ``{pred: (edges, distinct_subjects, distinct_objects)}``,
+        persisted under ``{out}/stats`` — computed ONCE (one
+        pred-partitioned aggregate over the committed table,
+        HLL-sketched distincts) and read back as a handful of rows on
+        every later call, so query planning never rescans the data.
+        ``refresh=True`` recomputes (after update/compact/edits —
+        stale stats only degrade plan QUALITY, never results, so
+        refreshing is an optimization, not a correctness duty)."""
+        path = f"{self.out}/stats"
+        if refresh or not self._exists(path + "/_SUCCESS"):
+            t = self.triples()
+            (t.groupBy("pred").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.approx_count_distinct("subj").alias("n_subj"),
+                F.approx_count_distinct("obj").alias("n_obj"))
+             .coalesce(1)
+             .write.mode("overwrite").parquet(path))
+        return {
+            r["pred"]: (int(r["n"]), int(r["n_subj"]), int(r["n_obj"]))
+            for r in self.spark.read.parquet(path).collect()
+        }
+
+    def pattern_costs(self, pattern) -> list:
+        """Per-element cost estimates for a BGP from the persisted
+        :meth:`stats` catalog (no data scan) — pass to
+        :meth:`query`'s ``plan=`` for catalog-planned join order; see
+        :func:`ner_spark.plans.kg_query.pattern_catalog_costs`."""
+        from ner_spark.plans.kg_query import pattern_catalog_costs
+
+        stats = self.stats()
+        total = sum(n for n, _, _ in stats.values())
+        return pattern_catalog_costs(pattern, stats, total)
 
     def export_ntriples(self, path: str, base: str | None = None,
                         evidence: bool = False,
@@ -1775,12 +1816,15 @@ def main() -> None:
                              "graphs only — the sort is a global "
                              "shuffle)")
     parser.add_argument("--match-plan", default="static",
-                        choices=["static", "stats", "written"],
+                        choices=["static", "stats", "catalog",
+                                 "written"],
                         help="with --match/--sparql: BGP join-order "
                              "mode — 'static' selectivity rank "
                              "(default), 'stats' one measured costing "
-                             "scan of the committed table, 'written' "
-                             "the author's order")
+                             "scan of the committed table, 'catalog' "
+                             "the persisted per-predicate statistics "
+                             "(--match only; built on first use), "
+                             "'written' the author's order")
     parser.add_argument("--update-id", default=None,
                         help="stable id for this delta under "
                              "{output}/updates/ (pass the same id to "
@@ -1856,6 +1900,10 @@ def main() -> None:
         # standalone SPARQL query over an already-committed output
         job = KgJob(spark, args.output, mode=args.mode,
                     tokenizer_mode=args.tokenizer_mode, run_id=args.run_id)
+        if args.match_plan == "catalog":
+            parser.error("--match-plan catalog works with --match "
+                         "(the text form would need the parsed "
+                         "pattern); use stats or static with --sparql")
         plan = None if args.match_plan == "written" else args.match_plan
         _print_query_result(job.sparql(args.sparql, plan=plan),
                             args, "sparql")

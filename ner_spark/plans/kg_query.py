@@ -1068,6 +1068,82 @@ def pattern_stats_costs(
             for i in range(len(pattern))]
 
 
+def pattern_catalog_costs(
+    pattern: list[tuple[str, str, str]],
+    pred_stats: dict,
+    total_edges: int,
+) -> list[float]:
+    """Scan-FREE measured costs for :func:`plan_pattern` from a
+    per-predicate statistics catalog — the RDF-3X-style middle ground
+    between the static rank (no data at all) and
+    :func:`pattern_stats_costs` (one scan per query): a triple store
+    persists ``{pred: (edge_count, distinct_subjects,
+    distinct_objects)}`` once at write time (:meth:`KgJob.stats`) and
+    every query plans from the dict.
+
+    Estimates per element: a constant predicate costs its edge count;
+    a constant endpoint divides by the predicate's distinct count on
+    that side (the classical uniform-degree estimate — count/distinct
+    = average degree); alternations sum their arms; negated sets cost
+    ``total - named``; closures and sequences apply the same
+    deferral multipliers as :func:`pattern_stats_costs` (×4 per
+    closure, ×2·segments per sequence); a variable predicate costs
+    the whole edge table.  An unlisted predicate costs 0 — an empty
+    relation is the BEST possible seed.  Estimates only steer the
+    join ORDER; results are order-invariant (the fuzz-pinned
+    property), so stale statistics can cost speed, never correctness.
+    """
+    def mass(p: str) -> tuple[float, float, float, float]:
+        # (edges, distinct_subj, distinct_obj, work multiplier)
+        if p.startswith("^") and len(p) > 1:
+            n, ns, no, m = mass(p[1:])
+            return n, no, ns, m
+        segs = _sequence_segments(p)
+        if segs is not None:
+            parts = [mass(seg) for seg in segs]
+            n = max((pn * pm for pn, _, _, pm in parts), default=0.0)
+            return (n, parts[0][1], parts[-1][2],
+                    2.0 * len(segs))
+        neg = _negated_set(p)
+        if neg is not None:
+            named = sum(pred_stats.get(a, (0, 0, 0))[0] for a in neg)
+            n = max(float(total_edges) - named, 0.0)
+            return n, n, n, 1.0
+        path = _path_pred(p)
+        if path is not None:
+            base, mod = path
+            n, ns, no, m = mass(base)
+            return n, ns, no, m * (1.0 if mod == "?" else 4.0)
+        arms = _pred_alternatives(p)
+        n = sum(pred_stats.get(a, (0, 0, 0))[0] for a in arms)
+        ns = max((pred_stats.get(a, (0, 1, 1))[1] for a in arms),
+                 default=1)
+        no = max((pred_stats.get(a, (0, 1, 1))[2] for a in arms),
+                 default=1)
+        return float(n), float(ns), float(no), 1.0
+
+    costs: list[float] = []
+    for element in pattern:
+        if len(element) != 3:
+            raise ValueError(
+                f"pattern element {element!r} is not a triple")
+        s, p, o = element
+        if p.startswith("^") and len(p) > 1:
+            s, p, o = o, p[1:], s
+        if _is_var(p):
+            n, ns, no, mult = (float(total_edges), float(total_edges),
+                               float(total_edges), 1.0)
+        else:
+            n, ns, no, mult = mass(p)
+        cost = n
+        if not _is_var(s):
+            cost /= max(ns, 1.0)
+        if not _is_var(o):
+            cost /= max(no, 1.0)
+        costs.append(cost * mult)
+    return costs
+
+
 def plan_pattern(
     pattern: list[tuple[str, str, str]],
     costs: list | None = None,
@@ -1279,12 +1355,17 @@ def match_pattern(
     """
     if not pattern:
         raise ValueError("empty pattern")
-    if plan not in (None, "static", "stats"):
+    explicit_costs = isinstance(plan, (list, tuple))
+    if not explicit_costs and plan not in (None, "static", "stats"):
         raise ValueError(
             f"unknown plan mode {plan!r}: None (written order), "
-            "'static' or 'stats'")
-    if plan is None or len(pattern) <= 1:
+            "'static', 'stats', or an explicit per-element cost list")
+    if plan is None or (not explicit_costs and len(pattern) <= 1):
         order = list(range(len(pattern)))
+    elif explicit_costs:
+        # caller-supplied costs (e.g. a persisted statistics catalog
+        # — KgJob.pattern_costs) — no scan, planned like "stats"
+        order = plan_pattern(pattern, list(plan))
     else:
         order = plan_pattern(
             pattern,

@@ -276,6 +276,86 @@ def test_plan_mode_passes_through_solutions_and_sparql(spark):
         solutions(t, plan="greedy", **kw)
 
 
+def test_pattern_catalog_costs_estimates():
+    from ner_spark.plans.kg_query import pattern_catalog_costs
+
+    stats = {"M": (1000, 100, 50), "D": (10, 10, 2),
+             "L": (40, 40, 4)}
+    total = 1050
+
+    def c(el):
+        return pattern_catalog_costs([el], stats, total)[0]
+
+    assert c(("?a", "M", "?b")) == 1000.0
+    # constant endpoints divide by the side's distinct count
+    assert c(("x", "M", "?b")) == 10.0       # 1000/100
+    assert c(("?a", "M", "y")) == 20.0       # 1000/50
+    assert c(("x", "M", "y")) == 0.2         # both sides
+    # inverse swaps the sides before dividing
+    assert c(("?a", "^M", "x")) == 10.0      # = c(("x","M","?a"))
+    # alternation sums arms; negated set costs total - named
+    assert c(("?a", "(D|L)", "?b")) == 50.0
+    assert c(("?a", "!M", "?b")) == 50.0     # 1050 - 1000
+    # closure ×4, zero-or-one ×1, sequences ×2·segments on max mass
+    assert c(("?a", "D+", "?b")) == 40.0
+    assert c(("?a", "D?", "?b")) == 10.0
+    assert c(("?a", "D/L", "?b")) == 160.0   # max(10,40)·2·2
+    # a variable predicate reads the whole edge table; an unknown
+    # predicate is the empty relation — the best seed there is
+    assert c(("?a", "?p", "?b")) == 1050.0
+    assert c(("?a", "NOPE", "?b")) == 0.0
+    # and the ranks drive plan_pattern through the explicit-costs path
+    pat = [("?a", "M", "?b"), ("?b", "D", "?c"), ("?c", "L", "kb:q")]
+    costs = pattern_catalog_costs(pat, stats, total)
+    order = plan_pattern(pat, costs)
+    assert order == [1, 2, 0] or order == [2, 1, 0]
+
+
+def test_match_pattern_explicit_cost_plan(spark):
+    t = _triples(spark, [
+        ("r", "D", "e", 1), ("e", "L", "k", 1), ("e", "M", "x", 1),
+    ])
+    pat = [("?e", "M", "?x"), ("?r", "D", "?e"), ("?e", "L", "?k")]
+    base = sorted(map(tuple, match_pattern(t, pat, plan=None)
+                      .collect()))
+    got = sorted(map(tuple, match_pattern(t, pat, plan=[9.0, 1.0, 3.0])
+                     .collect()))
+    assert got == base
+    with pytest.raises(ValueError, match="1 costs for 3"):
+        match_pattern(t, pat, plan=[1.0])
+
+
+def test_job_stats_catalog_planning(spark, tmp_path):
+    from ner_spark.plans.job import KgJob
+    from ner_spark.sources.fixtures import source_table
+
+    out = str(tmp_path / "kg")
+    job = KgJob(spark, out, run_id="s1")
+    job.run(source_table(spark, n_rows=24))
+    stats = job.stats()
+    # the catalog matches the exact per-pred counts and persists
+    exact = {r["pred"]: r["n"] for r in
+             job.triples().groupBy("pred").count()
+             .withColumnRenamed("count", "n").collect()}
+    assert {p: n for p, (n, _, _) in stats.items()} == exact
+    import glob
+    assert glob.glob(out + "/stats/_SUCCESS")
+    assert job.stats() == stats          # second call: read-back
+    # catalog-planned query returns the same rows as written order
+    pat = [("?a", "MENTIONED_WITH", "?b"),
+           ("?b", "INSTANCE_OF", "?t"),
+           ("?b", "LINKED_TO", "?kb")]
+    base = sorted(map(tuple, job.query(pat, plan=None).collect()))
+    assert sorted(map(tuple,
+                      job.query(pat, plan="catalog").collect())) == base
+    costs = job.pattern_costs(pat)
+    assert len(costs) == 3 and all(c >= 0 for c in costs)
+    # stats refresh after an edit folds the new predicate in
+    job.sparql_update("INSERT DATA { a:x NEW_PRED b:y }")
+    assert "NEW_PRED" not in job.stats()         # stale is allowed
+    assert job.stats(refresh=True)["NEW_PRED"][0] == 1
+
+
 @pytest.mark.parametrize("seed", range(6))
 def test_plan_invariance_on_random_patterns(spark, seed):
     rng = random.Random(seed)
