@@ -782,6 +782,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_redact_mentions(spark, sf):
         return A.redact_mentions(A.corpus_tokens_df(spark))
 
+    def _gold_entailed(spark):
+        # memoized per session: the entailment chain feeds two
+        # contract keys (kg_entailment, kg_validation)
+        cached = getattr(spark, "_ner_gold_entail_memo", None)
+        if cached is not None:
+            return cached
+        from ner_spark.plans.kg_gold import kg_triples_gold
+        from ner_spark.plans.kg_infer import entail, ontology
+
+        out = entail(kg_triples_gold(spark), ontology(spark)).localCheckpoint(
+            eager=True
+        )
+        spark._ner_gold_entail_memo = out
+        return out
+
+    def q_kg_entailment(spark, sf):
+        # RDFS-lite forward chaining (rho-df rules) over the gold KG +
+        # the committed demo ontology: schema closure then one
+        # broadcast fact pass — plans/kg_infer.py
+        return _gold_entailed(spark)
+
+    def q_kg_validation(spark, sf):
+        # SHACL-lite shape checking over the ENTAILED graph (class
+        # targeting relies on the inferred INSTANCE_OF triples) —
+        # plans/kg_validate.py
+        from ner_spark.plans.kg_validate import shapes, validate
+
+        return validate(_gold_entailed(spark), shapes(spark))
+
     def _with_pkg(fn):
         def wrapped(spark, sf):
             _ensure_pkg(spark)
@@ -877,6 +906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "curate_corpus": q_curate_corpus,
         "redact_mentions": q_redact_mentions,
+        "kg_entailment": q_kg_entailment,
+        "kg_validation": q_kg_validation,
     }.items()}
 
 
@@ -1489,6 +1520,126 @@ def _kg_gold_oracle() -> str:
     """SQL twin of plans.kg_gold.kg_triples_gold: gold spans → the
     shared NED/NEL/CC/triples chain (:func:`_kg_chain_sql`)."""
     return _kg_gold_men_sql() + _kg_chain_sql()
+
+
+def _kg_entail_body(kg_sql: str | None = None) -> str:
+    """Shared WITH-chain for the entailment oracles: gold kg + the
+    committed ontology VALUES, recursive subClassOf/subPropertyOf
+    closures, then the staged instance derivations f1 (rdfs7 over the
+    closed property hierarchy) → f2 (rdfs2/rdfs3 over the
+    rdfs7-extended facts) → f3 (rdfs9 over every type triple).  The
+    staging is the standard rho-df stratification, complete when no
+    schema predicate (incl. INSTANCE_OF) is itself the subject/object
+    of subPropertyOf/domain/range — which plans/kg_infer.py's fragment
+    guard enforces and the committed ontology satisfies; the Spark
+    engine's semi-naive loop reaches the same fixpoint (differentially
+    fuzzed against a naive Python fixpoint in tests/test_kg_infer.py).
+
+    Non-recursive CTEs spell dedup as DISTINCT-over-UNION-ALL — under
+    WITH RECURSIVE, DuckDB gives bare UNION bodies recursive
+    union-table semantics (same caveat as :func:`_kg_closure_cte`)."""
+    from ner_spark.plans.kg_infer import ONTOLOGY_ROWS
+
+    vals = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in ONTOLOGY_ROWS)
+    return f"""WITH RECURSIVE kg AS MATERIALIZED ({kg_sql or _kg_gold_oracle()}),
+onto(subj, pred, obj) AS (VALUES {vals}),
+ebase AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM (
+  SELECT subj, pred, obj FROM kg
+  UNION ALL SELECT subj, pred, obj FROM onto)),
+scoe AS MATERIALIZED (SELECT subj, obj FROM ebase WHERE pred = 'subClassOf'),
+sco AS (SELECT subj, obj FROM scoe
+  UNION SELECT s.subj, e.obj FROM sco s JOIN scoe e ON s.obj = e.subj),
+spoe AS MATERIALIZED (SELECT subj, obj FROM ebase WHERE pred = 'subPropertyOf'),
+spo AS (SELECT subj, obj FROM spoe
+  UNION SELECT s.subj, e.obj FROM spo s JOIN spoe e ON s.obj = e.subj),
+edom AS MATERIALIZED (SELECT subj AS p, obj AS c FROM ebase WHERE pred = 'domain'),
+erng AS MATERIALIZED (SELECT subj AS p, obj AS c FROM ebase WHERE pred = 'range'),
+ef1 AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM (
+  SELECT subj, pred, obj FROM ebase
+  UNION ALL SELECT subj, 'subClassOf', obj FROM sco
+  UNION ALL SELECT subj, 'subPropertyOf', obj FROM spo
+  UNION ALL SELECT f.subj, s.obj AS pred, f.obj
+    FROM ebase f JOIN spo s ON f.pred = s.subj)),
+ef2 AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM (
+  SELECT subj, pred, obj FROM ef1
+  UNION ALL SELECT f.subj, 'INSTANCE_OF' AS pred, d.c AS obj
+    FROM ef1 f JOIN edom d ON f.pred = d.p
+  UNION ALL SELECT f.obj AS subj, 'INSTANCE_OF' AS pred, r.c AS obj
+    FROM ef1 f JOIN erng r ON f.pred = r.p)),
+ef3 AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM (
+  SELECT subj, pred, obj FROM ef2
+  UNION ALL SELECT f.subj, 'INSTANCE_OF' AS pred, c.obj
+    FROM ef2 f JOIN sco c ON f.obj = c.subj
+    WHERE f.pred = 'INSTANCE_OF'))"""
+
+
+def _kg_entail_oracle(kg_sql: str | None = None) -> str:
+    """SQL twin of plans.kg_infer.entail over the gold triples +
+    committed ontology: the staged closure (:func:`_kg_entail_body`)
+    with ``inferred`` = not-a-base-triple via LEFT JOIN IS NULL."""
+    return f"""{_kg_entail_body(kg_sql)}
+SELECT f.subj, f.pred, f.obj, (b.subj IS NULL) AS inferred
+FROM ef3 f LEFT JOIN ebase b
+  ON f.subj = b.subj AND f.pred = b.pred AND f.obj = b.obj
+"""
+
+
+def _kg_validate_oracle(kg_sql: str | None = None) -> str:
+    """SQL twin of plans.kg_validate.validate over the ENTAILED gold
+    graph and the committed shapes: focus selection by INSTANCE_OF
+    membership, a LEFT JOIN for per-focus edges (so zero-edge foci
+    still count), cardinality violations off one GROUP BY, pattern /
+    class violations per offending object."""
+    from ner_spark.plans.kg_validate import SHAPES_ROWS
+
+    def _v(x, cast):
+        if x is None:
+            return f"CAST(NULL AS {cast})"
+        return str(x) if cast == "INTEGER" else f"'{x}'"
+
+    rows = ", ".join(
+        "(" + ", ".join([
+            _v(r[0], "VARCHAR"), _v(r[1], "VARCHAR"), _v(r[2], "VARCHAR"),
+            _v(r[3], "INTEGER"), _v(r[4], "INTEGER"),
+            _v(r[5], "VARCHAR"), _v(r[6], "VARCHAR"),
+        ]) + ")"
+        for r in SHAPES_ROWS
+    )
+    return f"""{_kg_entail_body(kg_sql)},
+ent AS MATERIALIZED (SELECT subj, pred, obj FROM ef3),
+shp(shape_id, target_class, s_pred, min_count, max_count, obj_pattern,
+    obj_class) AS (VALUES {rows}),
+typ AS MATERIALIZED (
+  SELECT subj AS t_subj, obj AS t_cls FROM ent WHERE pred = 'INSTANCE_OF'),
+foc AS MATERIALIZED (
+  SELECT s.shape_id, t.t_subj AS focus, s.s_pred, s.min_count,
+         s.max_count, s.obj_pattern, s.obj_class
+  FROM typ t JOIN shp s ON t.t_cls = s.target_class),
+m AS MATERIALIZED (
+  SELECT foc.shape_id, foc.focus, foc.min_count, foc.max_count,
+         foc.obj_pattern, foc.obj_class, e.obj AS e_obj
+  FROM foc LEFT JOIN ent e
+    ON e.subj = foc.focus AND e.pred = foc.s_pred),
+cnt AS MATERIALIZED (
+  SELECT shape_id, focus, min_count, max_count, count(e_obj) AS n
+  FROM m GROUP BY shape_id, focus, min_count, max_count)
+SELECT shape_id, focus, "constraint", value FROM (
+  SELECT shape_id, focus, 'minCount' AS "constraint",
+         CAST(n AS VARCHAR) AS value
+    FROM cnt WHERE min_count IS NOT NULL AND n < min_count
+  UNION ALL
+  SELECT shape_id, focus, 'maxCount', CAST(n AS VARCHAR)
+    FROM cnt WHERE max_count IS NOT NULL AND n > max_count
+  UNION ALL
+  SELECT shape_id, focus, 'pattern', e_obj FROM m
+    WHERE obj_pattern IS NOT NULL AND e_obj IS NOT NULL
+      AND NOT regexp_matches(e_obj, obj_pattern)
+  UNION ALL
+  SELECT shape_id, focus, 'class', e_obj FROM m
+    WHERE obj_class IS NOT NULL AND e_obj IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM typ t
+                      WHERE t.t_subj = m.e_obj AND t.t_cls = m.obj_class))
+"""
 
 
 def _kg_degree_oracle(kg_sql: str | None = None) -> str:
@@ -3222,6 +3373,8 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "ann_ivf": _ann_ivf_oracle(),
         "embedding_near_dup_ivf": _embedding_ivf_pairs_oracle(),
         "kg_triples": _kg_gold_oracle(),
+        "kg_entailment": _kg_entail_oracle(),
+        "kg_validation": _kg_validate_oracle(),
         "kg_triples_tagged": _kg_tagged_oracle(),
         "kg_entities_fuzzy": _kg_entities_fuzzy_oracle(),
         "kg_entity_degree": _kg_degree_oracle(),
