@@ -1241,6 +1241,102 @@ class KgJob:
             self._log_event(f"analytics_{name}", n)
         return counts
 
+    def entailment(self, onto: "DataFrame" = None,
+                   shapes_df: "DataFrame" = None) -> dict[str, int]:
+        """Materialize the RDFS-lite closure of the committed triple
+        table plus its SHACL-lite validation report as derived views
+        (:mod:`ner_spark.plans.kg_infer` /
+        :mod:`ner_spark.plans.kg_validate`):
+
+        - ``<out>/entailment/triples``    — (subj, pred, obj, inferred)
+        - ``<out>/entailment/violations`` — (shape_id, focus,
+          constraint, value); empty = the entailed graph conforms
+
+        ``onto`` / ``shapes_df`` default to the committed demo
+        ontology and shapes; production passes its own relations.
+        Like :meth:`analytics` these carry no resume marker — always
+        recomputed from the current triples when invoked — and install
+        crash-safely via tmp + rename.  A state token (materialize
+        sidecar meta + folded edit ids + triple count) is committed
+        alongside so :meth:`entailed_triples` can detect that an
+        update/compact/edit landed AFTER the views and fall back to
+        on-the-fly computation instead of serving a stale closure.
+        Returns {view: row_count} and logs one lineage row per view.
+        """
+        from ner_spark.plans.kg_infer import entail, ontology
+        from ner_spark.plans.kg_validate import shapes, validate
+
+        if onto is None:
+            onto = ontology(self.spark)
+        if shapes_df is None:
+            shapes_df = shapes(self.spark)
+        token = self._kg_state_token()
+        ent = entail(self.triples(), onto).localCheckpoint(eager=True)
+        tables = {
+            "triples": lambda: ent,
+            "violations": lambda: validate(ent, shapes_df),
+        }
+        counts: dict[str, int] = {}
+        for name, compute in tables.items():
+            dst = f"{self.out}/entailment/{name}"
+            tmp = dst + ".tmp"
+            if self._exists(tmp):
+                self._delete(tmp)
+            compute().write.mode("overwrite").parquet(tmp)
+            n = self.spark.read.parquet(tmp).count()
+            if self._exists(dst):
+                self._delete(dst)
+            self._rename(tmp, dst)
+            counts[name] = n
+            self._log_event(f"entailment_{name}", n)
+        # state token LAST: a crash above leaves no/old token, which
+        # reads as stale — on-the-fly fallback, never a wrong answer
+        dst = f"{self.out}/entailment/state"
+        tmp = dst + ".tmp"
+        if self._exists(tmp):
+            self._delete(tmp)
+        self.spark.createDataFrame(
+            [(token,)], "state_json string"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        if self._exists(dst):
+            self._delete(dst)
+        self._rename(tmp, dst)
+        return counts
+
+    def _kg_state_token(self) -> str:
+        """A value identifying the current committed triple state:
+        the materialize sidecar meta (update coverage), the folded
+        edit ids, and the folded triple count.  Cheap to compute (one
+        metadata read + one count over the pred-partitioned
+        checkpoint) and changes whenever update/compact/edits/force
+        change what :meth:`triples` returns."""
+        import json
+
+        meta = self._sidecar_meta(self._path("materialize"))
+        return json.dumps(
+            {"meta": meta, "edits": list(self.edit_ids()),
+             "n": self.triples().count()},
+            sort_keys=True)
+
+    def entailed_triples(self) -> "DataFrame":
+        """The entailed graph as a (subj, pred, obj) relation for
+        querying under the RDFS entailment regime: reads the
+        materialized ``entailment/triples`` view when committed AND
+        its state token still matches the current triple state
+        (:meth:`_kg_state_token`); else computes the closure on the
+        fly from the committed triples + the demo ontology."""
+        path = f"{self.out}/entailment/triples"
+        state = f"{self.out}/entailment/state"
+        if self._exists(path) and self._exists(state):
+            row = self.spark.read.parquet(state).first()
+            if row is not None and row["state_json"] == self._kg_state_token():
+                return self.spark.read.parquet(path).select(
+                    "subj", "pred", "obj")
+        from ner_spark.plans.kg_infer import entail, ontology
+
+        return entail(self.triples(), ontology(self.spark)).select(
+            "subj", "pred", "obj")
+
     def query(
         self,
         pattern: list[tuple[str, str, str]],
@@ -1300,15 +1396,24 @@ class KgJob:
                          offset=offset, limit=limit, plan=plan)
 
     def sparql(self, text: str,
-               plan: str | None = "static") -> "DataFrame":
+               plan: str | None = "static",
+               entailed: bool = False) -> "DataFrame":
         """Run a SPARQL SELECT / ASK / CONSTRUCT string over the
         committed triple table — the text twin of :meth:`query`; see
         :mod:`ner_spark.plans.sparql` for the supported subset.  Same
         partitioned-checkpoint read, so constant predicates still
-        prune ``pred`` partitions under the parsed plan."""
+        prune ``pred`` partitions under the parsed plan.
+
+        ``entailed=True`` queries under the RDFS entailment regime:
+        the pattern matches against :meth:`entailed_triples` (the
+        materialized closure view when committed — itself
+        pred-partition-prunable once written — else computed on the
+        fly), so ``?e INSTANCE_OF class:Agent`` finds the inferred
+        members too."""
         from ner_spark.plans.sparql import sparql as run_sparql
 
-        return run_sparql(self.triples(), text, plan=plan)
+        rel = self.entailed_triples() if entailed else self.triples()
+        return run_sparql(rel, text, plan=plan)
 
     def stats(self, refresh: bool = False) -> dict:
         """The per-predicate statistics catalog:
@@ -1702,6 +1807,18 @@ def main() -> None:
                              "<output>/analytics/")
     parser.add_argument("--pagerank-iterations", type=int, default=3,
                         help="--analytics: PageRank iteration count")
+    parser.add_argument("--entail", action="store_true",
+                        help="after the run (or standalone over an "
+                             "already-committed output), materialize "
+                             "the RDFS-lite closure + SHACL-lite "
+                             "validation report under "
+                             "<output>/entailment/ (views: triples "
+                             "with an inferred flag, violations)")
+    parser.add_argument("--sparql-entailed", action="store_true",
+                        help="with --sparql: query under the RDFS "
+                             "entailment regime (the materialized "
+                             "closure view when fresh, else computed "
+                             "on the fly)")
     parser.add_argument("--sparql", default=None, metavar="QUERY",
                         help="query the committed KG with a SPARQL "
                              "SELECT/ASK/CONSTRUCT string (see "
@@ -1905,7 +2022,8 @@ def main() -> None:
                          "(the text form would need the parsed "
                          "pattern); use stats or static with --sparql")
         plan = None if args.match_plan == "written" else args.match_plan
-        _print_query_result(job.sparql(args.sparql, plan=plan),
+        _print_query_result(job.sparql(args.sparql, plan=plan,
+                                       entailed=args.sparql_entailed),
                             args, "sparql")
         return
     elif args.import_ntriples:
@@ -1970,16 +2088,23 @@ def main() -> None:
         )
         _print_query_result(out, args, "query")
         return
-    elif args.analytics:
-        # standalone analytics over an already-committed output
+    elif args.analytics or args.entail:
+        # standalone derived views over an already-committed output
         job = KgJob(spark, args.output, mode=args.mode,
                     tokenizer_mode=args.tokenizer_mode, run_id=args.run_id,
                     fuzzy_canon=args.fuzzy_canon,
                     fuzzy_threshold=args.fuzzy_threshold)
-        counts = job.analytics(pagerank_iterations=args.pagerank_iterations)
-        print("stage=analytics "
-              + " ".join(f"{k}={v}" for k, v in counts.items())
-              + f" output={args.output}/analytics")
+        if args.analytics:
+            counts = job.analytics(
+                pagerank_iterations=args.pagerank_iterations)
+            print("stage=analytics "
+                  + " ".join(f"{k}={v}" for k, v in counts.items())
+                  + f" output={args.output}/analytics")
+        if args.entail:
+            counts = job.entailment()
+            print("stage=entailment "
+                  + " ".join(f"{k}={v}" for k, v in counts.items())
+                  + f" output={args.output}/entailment")
         return
     else:
         parser.error("one of --input / --fixture-rows is required")
@@ -2004,6 +2129,11 @@ def main() -> None:
         print("stage=analytics "
               + " ".join(f"{k}={v}" for k, v in counts.items())
               + f" output={args.output}/analytics")
+    if args.entail:
+        counts = job.entailment()
+        print("stage=entailment "
+              + " ".join(f"{k}={v}" for k, v in counts.items())
+              + f" output={args.output}/entailment")
     if args.publish_iceberg:
         job.publish_iceberg(args.publish_iceberg)
         print(f"published={args.publish_iceberg}")

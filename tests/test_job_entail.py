@@ -1,0 +1,105 @@
+"""The --entail layer of the staged job: the materialized RDFS
+closure + SHACL validation views, their state-token staleness guard
+(an edit after materialization must not serve the stale closure), and
+the entailment-regime SPARQL surface."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from ner_spark.plans.job import KgJob
+from ner_spark.plans.kg_infer import RDF_TYPE, entail, ontology
+from ner_spark.plans.kg_validate import shapes, validate
+from ner_spark.sources.fixtures import source_table
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    d = str(tmp_path / "kg")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_entailment_requires_committed_materialize(spark, out_dir):
+    job = KgJob(spark, out_dir, run_id="r1")
+    with pytest.raises(ValueError, match="materialize"):
+        job.entailment()
+
+
+def test_entailment_views_match_operators(spark, out_dir):
+    src = source_table(spark, n_rows=40)
+    job = KgJob(spark, out_dir, run_id="r1")
+    triples = job.run(src)
+
+    counts = job.entailment()
+    assert set(counts) == {"triples", "violations"}
+    ent_view = spark.read.parquet(f"{out_dir}/entailment/triples")
+    vio_view = spark.read.parquet(f"{out_dir}/entailment/violations")
+    want_ent = entail(triples, ontology(spark))
+    assert _rows(ent_view) == _rows(want_ent)
+    assert _rows(vio_view) == _rows(validate(want_ent, shapes(spark)))
+    assert counts["triples"] == want_ent.count()
+    # base triples all present and un-inferred; closure strictly grows
+    n_base = triples.count()
+    assert ent_view.where("NOT inferred").count() > n_base  # + ontology
+    assert ent_view.count() > n_base
+
+    # lineage rows landed
+    m = spark.read.parquet(f"{out_dir}/metrics")
+    stages = {r.stage for r in m.select("stage").distinct().collect()}
+    assert {"entailment_triples", "entailment_violations"} <= stages
+
+
+def test_entailed_triples_serves_fresh_view_then_detects_edits(
+    spark, out_dir
+):
+    src = source_table(spark, n_rows=30)
+    job = KgJob(spark, out_dir, run_id="r1")
+    job.run(src)
+    job.entailment()
+
+    # fresh: the committed view backs the read
+    ent0 = job.entailed_triples()
+    assert _rows(ent0) == _rows(
+        spark.read.parquet(f"{out_dir}/entailment/triples")
+        .select("subj", "pred", "obj"))
+
+    # an edit lands AFTER materialization: the stale view must NOT be
+    # served — the new entity's inferred type has to appear
+    job.sparql_update(
+        'INSERT DATA { "ent:zz_new" "INSTANCE_OF" "PER" }')
+    ent1 = _rows(job.entailed_triples())
+    assert ("ent:zz_new", RDF_TYPE, "PER") in ent1
+    assert ("ent:zz_new", RDF_TYPE, "class:Agent") in ent1  # inferred
+    assert ("ent:zz_new", RDF_TYPE, "class:Thing") in ent1  # 2-hop
+
+    # re-materializing refreshes the token; the view serves again and
+    # contains the edit's consequences
+    job.entailment()
+    ent2 = spark.read.parquet(f"{out_dir}/entailment/triples")
+    assert ("ent:zz_new", RDF_TYPE, "class:Agent") in {
+        (r.subj, r.pred, r.obj) for r in ent2.collect()
+    }
+
+
+def test_sparql_entailment_regime(spark, out_dir):
+    src = source_table(spark, n_rows=30)
+    job = KgJob(spark, out_dir, run_id="r1")
+    job.run(src)
+
+    q = ("SELECT ?e WHERE { ?e INSTANCE_OF class:Agent } "
+         "ORDER BY ?e LIMIT 5")
+    # plain regime: class:Agent has no asserted members
+    assert job.sparql(q).count() == 0
+    # entailment regime (on the fly — no materialized view yet)
+    got_fly = job.sparql(q, entailed=True)
+    assert got_fly.count() == 5
+    # and identical through the materialized view
+    job.entailment()
+    assert _rows(job.sparql(q, entailed=True)) == _rows(got_fly)

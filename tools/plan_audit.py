@@ -813,6 +813,40 @@ def main() -> int:
           "CartesianProduct" not in p
           and "BroadcastNestedLoopJoin" not in p)
 
+    # RDFS entailment: the fact-side derivation pass (_derive_once)
+    # must join the big fact table ONLY against the broadcast closed
+    # schema — any SortMergeJoin here would shuffle the 100 TB side
+    # per rule; the loop's anti-join dedup is audited separately via
+    # the end-to-end entail() plan (no cartesian anywhere)
+    from ner_spark.plans.kg_infer import (
+        _derive_once, entail, ontology, schema_closure)
+    from ner_spark.plans.kg_validate import shapes as kg_shapes
+    from ner_spark.plans.kg_validate import validate as kg_validate
+
+    onto = ontology(spark)
+    base = tri.select("subj", "pred", "obj").unionByName(onto).distinct()
+    p = plans["kg_entail_derive"] = plan_of(
+        _derive_once(base, schema_closure(base)))
+    check("kg_entail_derive", "every rule join broadcasts the schema "
+          "(no SortMergeJoin against the fact table)",
+          "SortMergeJoin" not in p and "BroadcastHashJoin" in p)
+    check("kg_entail_derive", "no cartesian / nested-loop join",
+          "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p)
+    ent_df = entail(tri, onto)
+    p = plans["kg_entailment"] = plan_of(ent_df)
+    check("kg_entailment", "inferred-flag marking is a hash join, "
+          "never a nested loop",
+          "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p)
+    p = plans["kg_validation"] = plan_of(kg_validate(ent_df,
+                                                     kg_shapes(spark)))
+    check("kg_validation", "shapes are a broadcast dimension",
+          "BroadcastHashJoin" in p)
+    check("kg_validation", "no cartesian / nested-loop join",
+          "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p)
+
     ok_all = all(ok for _q, _l, ok, _n in checks)
     lines = ["# PLANS — physical-plan audit", "",
              f"`python tools/plan_audit.py` at {SF_DIR} (local[4]).", "",
