@@ -797,6 +797,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark._ner_gold_entail_memo = out
         return out
 
+    def q_kg_quads(spark, sf):
+        # the gold KG as named-graph quads (per-repo provenance for
+        # DECLARES, shared graph for the rest) — plans/kg_gold.py
+        from ner_spark.plans.kg_gold import kg_quads_gold
+
+        return kg_quads_gold(spark)
+
+    def q_kg_sparql_graph(spark, sf):
+        # SPARQL GRAPH blocks over the quads: per-graph aggregate
+        # (variable graph) — dataset semantics through the text
+        # front-end
+        from ner_spark.plans.kg_gold import kg_quads_gold
+        from ner_spark.plans.sparql import sparql as run_sparql
+
+        return run_sparql(kg_quads_gold(spark), _SPARQL_GRAPH)
+
+    def q_kg_pattern_graph(spark, sf):
+        # programmatic quad pattern: a variable-graph element chained
+        # with a DEFAULT-graph element (the RDF-merge dedup path)
+        from ner_spark.plans.kg_gold import kg_quads_gold
+        from ner_spark.plans.kg_query import match_pattern
+
+        return match_pattern(kg_quads_gold(spark), _PATTERN_GRAPH,
+                             filters=_PATTERN_GRAPH_FILTERS)
+
     def q_kg_entailment(spark, sf):
         # RDFS-lite forward chaining (rho-df rules) over the gold KG +
         # the committed demo ontology: schema closure then one
@@ -908,6 +933,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_mentions": q_redact_mentions,
         "kg_entailment": q_kg_entailment,
         "kg_validation": q_kg_validation,
+        "kg_quads": q_kg_quads,
+        "kg_sparql_graph": q_kg_sparql_graph,
+        "kg_pattern_graph": q_kg_pattern_graph,
     }.items()}
 
 
@@ -921,6 +949,23 @@ _PATTERN = [
     ("?e", "MENTIONED_WITH", "?x"),
     ("?x", "LINKED_TO", "?kb"),
 ]
+
+# the kg_sparql_graph contract query: per-named-graph DECLARES
+# counts — GRAPH ?g with an aggregate over the graph variable
+_SPARQL_GRAPH = (
+    "SELECT ?g (COUNT(?e) AS ?n) WHERE "
+    "{ GRAPH ?g { ?r DECLARES ?e } } "
+    "GROUP BY ?g ORDER BY DESC(?n) ?g LIMIT 10")
+
+# the kg_pattern_graph contract BGP: a variable-graph quad element
+# (which repo-graph declares the entity) chained with a
+# default-graph element (LINKED_TO lives in g:shared; the RDF-merge
+# dedup path) plus a graph-variable FILTER
+_PATTERN_GRAPH = [
+    ("?g", "?r", "DECLARES", "?e"),
+    ("?e", "LINKED_TO", "?kb"),
+]
+_PATTERN_GRAPH_FILTERS = ['strstarts(?g, "g:repo")']
 
 # the kg_pattern_filter contract FILTERs: one of each grammar form —
 # var-var comparison, substring, prefix, and a regex over the OPTIONAL
@@ -1520,6 +1565,16 @@ def _kg_gold_oracle() -> str:
     """SQL twin of plans.kg_gold.kg_triples_gold: gold spans → the
     shared NED/NEL/CC/triples chain (:func:`_kg_chain_sql`)."""
     return _kg_gold_men_sql() + _kg_chain_sql()
+
+
+def _kg_quads_gold_sql() -> str:
+    """SQL twin of plans.kg_gold.kg_quads_gold: the gold chain with
+    the per-repo provenance graph column derived exactly as the Spark
+    fixture derives it."""
+    return f"""SELECT CASE WHEN pred = 'DECLARES'
+            THEN 'g:' || substr(subj, 6) ELSE 'g:shared' END AS graph,
+       subj, pred, obj, evidence_count
+FROM ({_kg_gold_oracle()}) gq"""
 
 
 def _kg_entail_body(kg_sql: str | None = None) -> str:
@@ -2148,7 +2203,8 @@ def _kg_bind_sql(expr, refs: dict) -> str:
 
 
 def _kg_path_ctes(idx: int, pred: str, zero: bool,
-                  max_hops: int | None, prefix: str = "") -> tuple[str, str]:
+                  max_hops: int | None, prefix: str = "",
+                  graph: str | None = None) -> tuple[str, str]:
     """Recursive-CTE twin of kg_query.path_closure: distinct pairs
     connected by 1..n (or with ``zero`` 0..n) hops of ``pred``.
     Returns (cte_sql, relation_name).  The recursive UNION dedups, so
@@ -2160,8 +2216,9 @@ def _kg_path_ctes(idx: int, pred: str, zero: bool,
     from ner_spark.plans.kg_query import _pred_alternatives
 
     alts = ", ".join(_sql_str(a) for a in _pred_alternatives(pred))
+    gf = f" AND graph = {_sql_str(graph)}" if graph is not None else ""
     ctes = [f"{e} AS (SELECT DISTINCT subj, obj FROM kg "
-            f"WHERE pred IN ({alts}))"]
+            f"WHERE pred IN ({alts}){gf})"]
     if max_hops is None:
         ctes.append(
             f"{c} AS (SELECT subj, obj FROM {e} "
@@ -2181,17 +2238,20 @@ def _kg_path_ctes(idx: int, pred: str, zero: bool,
         # is `base UNION step` as a recursive union-table (different
         # dedup semantics), so non-recursive CTEs here must spell the
         # dedup as DISTINCT over UNION ALL instead of a bare UNION
+        gw = (f" WHERE graph = {_sql_str(graph)}"
+              if graph is not None else "")
         body = (
             f"SELECT DISTINCT subj, obj FROM ({body} UNION ALL "
-            "SELECT n, n FROM (SELECT subj AS n FROM kg "
-            "UNION ALL SELECT obj FROM kg))"
+            f"SELECT n, n FROM (SELECT subj AS n FROM kg{gw} "
+            f"UNION ALL SELECT obj FROM kg{gw}))"
         )
     ctes.append(f"{p} AS ({body})")
     return ",\n".join(ctes), p
 
 
 def _kg_seq_cte(idx: int, segs: list, ctes: list,
-                path_max_hops, prefix: str = "") -> tuple[str, str]:
+                path_max_hops, prefix: str = "",
+                graph: str | None = None) -> tuple[str, str]:
     """Non-recursive-CTE twin of kg_query._sequence_relation: the
     sequence path's segments compile through :func:`_kg_element_sql`
     on fresh ``?__s{i}`` chain variables (so inverse / closure /
@@ -2210,8 +2270,11 @@ def _kg_seq_cte(idx: int, segs: list, ctes: list,
         # closure segment appends its own CTEs first, so naming at
         # entry would collide (two sq0's for a nested sequence)
         alias = f"sq{idx}_{i}"
+        el = (f"?__s{i}", seg, f"?__s{i + 1}")
+        if graph is not None:  # constant-graph sequence: every
+            el = (graph,) + el  # segment stays inside the graph
         rel, ec = _kg_element_sql(
-            alias, (f"?__s{i}", seg, f"?__s{i + 1}"), sfirst, ctes,
+            alias, el, sfirst, ctes,
             path_max_hops, prefix=prefix)
         froms.append(f"{rel} {alias}")
         conds.extend(ec)
@@ -2224,7 +2287,7 @@ def _kg_seq_cte(idx: int, segs: list, ctes: list,
 
 def _kg_element_sql(alias: str, element, first: dict, ctes: list,
                     path_max_hops, outer: dict | None = None,
-                    prefix: str = ""):
+                    prefix: str = "", quads: bool = False):
     """Shared per-element compile for the pattern oracle: returns
     (relation_name, conds).  Variable first-binding sites register in
     ``first``; with ``outer`` given (negation groups) outer-bound
@@ -2232,8 +2295,11 @@ def _kg_element_sql(alias: str, element, first: dict, ctes: list,
     CTEs and bind (subj, obj) of the closure relation; sequence-path
     elements append a chain CTE (:func:`_kg_seq_cte`) the same way."""
     from ner_spark.plans.kg_query import _negated_set, _path_pred, \
-        _sequence_segments
+        _sequence_segments, _split_graph
 
+    gterm, element = _split_graph(element)
+    gconst = gterm if gterm is not None and not gterm.startswith("?") \
+        else None
     if element[1].startswith("^"):
         # inverse path: swap endpoints, same as the Spark compile
         element = (element[2], element[1][1:], element[0])
@@ -2244,22 +2310,39 @@ def _kg_element_sql(alias: str, element, first: dict, ctes: list,
     negset = None if segs is not None else _negated_set(element[1])
     path = None if segs is not None or negset is not None \
         else _path_pred(element[1])
+    if gterm is not None and gconst is None and (
+            segs is not None or path is not None):
+        # parity with _element_relation's variable-graph path guard
+        raise ValueError(
+            f"property path {element[1]!r} under a VARIABLE graph "
+            f"{gterm} is unsupported")
     if segs is not None:
         cte, rel = _kg_seq_cte(len(ctes), segs, ctes, path_max_hops,
-                               prefix=prefix)
+                               prefix=prefix, graph=gconst)
         ctes.append(cte)
         fields, terms = ("subj", "obj"), (element[0], element[2])
     elif path is not None:
         base, mod = path
         cte, rel = _kg_path_ctes(len(ctes), base, mod in "*?",
                                  1 if mod == "?" else path_max_hops,
-                                 prefix=prefix)
+                                 prefix=prefix, graph=gconst)
         ctes.append(cte)
         fields, terms = ("subj", "obj"), (element[0], element[2])
-    else:
+    elif gterm is not None and gconst is None:
+        # variable graph: the graph column binds like any field
         rel = "kg"
+        fields = ("graph", "subj", "pred", "obj")
+        terms = (gterm,) + tuple(element)
+    else:
+        # plain element: over quads the default graph is the RDF
+        # merge of the named graphs — the DISTINCT triple projection
+        # (kgd); a CONSTANT graph scans kg with a graph equality
+        rel = "kg" if gconst is not None else ("kgd" if quads else "kg")
         fields, terms = ("subj", "pred", "obj"), element
-    conds: list[str] = []
+    conds0: list[str] = []
+    if gconst is not None and segs is None and path is None:
+        conds0.append(f"{alias}.graph = {_sql_str(gconst)}")
+    conds: list[str] = list(conds0)
     for field, term in zip(fields, terms):
         ref = f"{alias}.{field}"
         if term.startswith("?"):
@@ -2285,7 +2368,7 @@ def _kg_element_sql(alias: str, element, first: dict, ctes: list,
 
 def _kg_negation_sql(gidx: int, group, outer: dict, ctes: list,
                      path_max_hops, negated: bool = True,
-                     prefix: str = "") -> str:
+                     prefix: str = "", quads: bool = False) -> str:
     """(NOT) EXISTS twin of match_pattern's negation anti-join /
     existence semi-join: group elements comma-join inside the
     subquery, variables bound in the outer pattern correlate to their
@@ -2300,7 +2383,7 @@ def _kg_negation_sql(gidx: int, group, outer: dict, ctes: list,
         alias = f"{'n' if negated else 'x'}{gidx}_{j}"
         rel, ec = _kg_element_sql(alias, element, gfirst, ctes,
                                   path_max_hops, outer=outer,
-                                  prefix=prefix)
+                                  prefix=prefix, quads=quads)
         froms.append(f"{rel} {alias}")
         conds.extend(ec)
     where = " AND ".join(conds) if conds else "TRUE"
@@ -2309,7 +2392,8 @@ def _kg_negation_sql(gidx: int, group, outer: dict, ctes: list,
 
 
 def _kg_minus_sql(gidx: int, group, outer: dict, ctes: list,
-                  path_max_hops, prefix: str = "") -> str | None:
+                  path_max_hops, prefix: str = "",
+                  quads: bool = False) -> str | None:
     """SQL twin of match_pattern's MINUS set-difference: the group
     compiles UNCORRELATED (its elements chain among themselves via
     ``gfirst``), then the NOT EXISTS applies SPARQL compatibility —
@@ -2324,7 +2408,8 @@ def _kg_minus_sql(gidx: int, group, outer: dict, ctes: list,
     for j, element in enumerate(group):
         alias = f"mi{gidx}_{j}"
         rel, ec = _kg_element_sql(alias, element, gfirst, ctes,
-                                  path_max_hops, prefix=prefix)
+                                  path_max_hops, prefix=prefix,
+                                  quads=quads)
         froms.append(f"{rel} {alias}")
         conds.extend(ec)
     shared = sorted(v for v in gfirst if v in outer)
@@ -2411,7 +2496,8 @@ def _kg_pattern_oracle(pattern, optional=(), fill_null=(), filters=(),
                        subqueries=(), values=None, binds=(),
                        path_max_hops=None,
                        kg_sql: str | None = None,
-                       prefix: str = "") -> str:
+                       prefix: str = "",
+                       quads: bool = False) -> str:
     """SQL twin of plans.kg_query.match_pattern: every pattern element
     becomes one alias of the triple relation; constants and repeated
     variables become equality predicates (first element → WHERE,
@@ -2433,7 +2519,8 @@ def _kg_pattern_oracle(pattern, optional=(), fill_null=(), filters=(),
     ]
     for i, (element, is_optional) in enumerate(elements):
         rel, conds = _kg_element_sql(f"t{i}", element, first, ctes,
-                                     path_max_hops, prefix=prefix)
+                                     path_max_hops, prefix=prefix,
+                                     quads=quads)
         if i == 0:
             from0 = f"{rel} t0"
             where0 = conds
@@ -2448,7 +2535,8 @@ def _kg_pattern_oracle(pattern, optional=(), fill_null=(), filters=(),
     # the sub-SQL carries its own WITH (scoped: the inner kg shadows)
     for i, sub in enumerate(subqueries):
         sub_sql = _kg_solutions_oracle(**sub, kg_sql=kg_sql,
-                                       prefix=f"{prefix}sub{i}_")
+                                       prefix=f"{prefix}sub{i}_",
+                                       quads=quads)
         alias = f"{prefix}sub{i}"
         conds = []
         for name in _kg_subquery_vars(sub):
@@ -2469,7 +2557,7 @@ def _kg_pattern_oracle(pattern, optional=(), fill_null=(), filters=(),
         g_sql = _kg_pattern_oracle(
             g["pattern"], filters=g.get("filters", ()),
             binds=g.get("binds", ()), path_max_hops=path_max_hops,
-            kg_sql=kg_sql, prefix=f"{prefix}og{i}_")
+            kg_sql=kg_sql, prefix=f"{prefix}og{i}_", quads=quads)
         alias = f"{prefix}og{i}"
         conds = []
         for v in _kg_branch_vars(g["pattern"],
@@ -2522,20 +2610,21 @@ def _kg_pattern_oracle(pattern, optional=(), fill_null=(), filters=(),
             from ner_spark.plans.kg_query import parse_pattern
             group = parse_pattern(group)
         conds.append(_kg_negation_sql(g, group, refs, ctes,
-                                      path_max_hops, prefix=prefix))
+                                      path_max_hops, prefix=prefix,
+                                      quads=quads))
     for g, group in enumerate(existence):
         if isinstance(group, str):
             from ner_spark.plans.kg_query import parse_pattern
             group = parse_pattern(group)
         conds.append(_kg_negation_sql(g, group, refs, ctes,
                                       path_max_hops, negated=False,
-                                      prefix=prefix))
+                                      prefix=prefix, quads=quads))
     for g, group in enumerate(minus):
         if isinstance(group, str):
             from ner_spark.plans.kg_query import parse_pattern
             group = parse_pattern(group)
         c = _kg_minus_sql(g, group, refs, ctes, path_max_hops,
-                          prefix=prefix)
+                          prefix=prefix, quads=quads)
         if c is not None:
             conds.append(c)
     where = " AND ".join(conds) if conds else "TRUE"
@@ -2544,7 +2633,9 @@ def _kg_pattern_oracle(pattern, optional=(), fill_null=(), filters=(),
     # nested (prefix) form: reference the ancestor's kg CTE instead of
     # shadowing it (DuckDB rejects duplicate CTE aliases across scopes)
     kg_cte = ("" if prefix
-              else f"kg AS MATERIALIZED ({kg_sql or _kg_gold_oracle()}),\n")
+              else f"kg AS MATERIALIZED ({kg_sql or _kg_gold_oracle()}),\n"
+              + ("kgd AS MATERIALIZED (SELECT DISTINCT subj, pred, obj "
+                 "FROM kg),\n" if quads else ""))
     return f"""WITH {rec}{kg_cte}{cte_sql}{prefix}__one AS (SELECT 1)
 SELECT {sel}
 FROM {from0}
@@ -2559,7 +2650,9 @@ def _kg_branch_vars(pattern, optional=(), values=None,
     order match_pattern emits (fields order within an element; path
     and sequence elements bind only their endpoints; VALUES-only
     variables append after the pattern's)."""
-    from ner_spark.plans.kg_query import _path_pred, _sequence_segments
+    from ner_spark.plans.kg_query import (_path_pred,
+                                          _sequence_segments,
+                                          _split_graph)
 
     out: list[str] = []
     for el in list(pattern) + list(optional):
@@ -2569,9 +2662,12 @@ def _kg_branch_vars(pattern, optional=(), values=None,
                 if v not in out:
                     out.append(v)
             continue
+        gterm, el = _split_graph(el)
         is_path = (_sequence_segments(el[1]) is not None
                    or _path_pred(el[1]) is not None)
         terms = (el[0], el[2]) if is_path else tuple(el)
+        if gterm is not None:  # quad: the graph term binds FIRST
+            terms = (gterm,) + terms
         for t in terms:
             if t.startswith("?") and t not in out:
                 out.append(t)
@@ -2592,7 +2688,7 @@ def _kg_branch_vars(pattern, optional=(), values=None,
 def _kg_union_oracle(groups, filters=(), fill_null=(),
                      path_max_hops=None,
                      kg_sql: str | None = None,
-                     prefix: str = "") -> str:
+                     prefix: str = "", quads: bool = False) -> str:
     """SQL twin of plans.kg_query.match_union: each group's BGP oracle
     becomes one UNION ALL arm, projected to the union of the branch
     variable sets with NULL for the variables a branch does not bind
@@ -2623,7 +2719,7 @@ def _kg_union_oracle(groups, filters=(), fill_null=(),
             values=g.get("values"),
             binds=g.get("binds", ()),
             path_max_hops=path_max_hops, kg_sql=kg_sql,
-            prefix=f"{prefix}u{i}_")
+            prefix=f"{prefix}u{i}_", quads=quads)
         sel = ", ".join(
             v[1:] if v in bv else f"NULL AS {v[1:]}" for v in all_vars)
         arms.append(f"SELECT {sel} FROM (\n{inner}) u{i}")
@@ -2636,7 +2732,9 @@ def _kg_union_oracle(groups, filters=(), fill_null=(),
     # the arms are prefixed (no kg of their own), so the union itself
     # declares kg once at top level — or, nested, uses the ancestor's
     head = ("" if prefix else
-            f"WITH kg AS MATERIALIZED ({kg_sql or _kg_gold_oracle()})\n")
+            f"WITH kg AS MATERIALIZED ({kg_sql or _kg_gold_oracle()})"
+            + (",\nkgd AS MATERIALIZED (SELECT DISTINCT subj, pred, "
+               "obj FROM kg)" if quads else "") + "\n")
     return (f"{head}SELECT {sel} FROM (\n{body}\n) u"
             + (f"\nWHERE {where}" if where else "") + "\n")
 
@@ -2644,7 +2742,8 @@ def _kg_union_oracle(groups, filters=(), fill_null=(),
 def _kg_construct_oracle(pattern, template, optional=(), filters=(),
                          negation=(), existence=(), minus=(),
                          subqueries=(), values=None, binds=(),
-                         kg_sql: str | None = None) -> str:
+                         kg_sql: str | None = None,
+                         quads: bool = False) -> str:
     """SQL twin of plans.kg_query.construct: the BGP oracle as a CTE,
     one SELECT per template element (variables → the binding columns,
     constants → literals) UNION ALL'd, null terms dropped (SPARQL's
@@ -2655,7 +2754,7 @@ def _kg_construct_oracle(pattern, template, optional=(), filters=(),
                                existence=existence, minus=minus,
                                subqueries=subqueries,
                                values=values, binds=binds,
-                               kg_sql=kg_sql)
+                               kg_sql=kg_sql, quads=quads)
     arms = []
     for element in template:
         terms = []
@@ -2680,7 +2779,8 @@ def _kg_solutions_oracle(pattern=(), optional=(), filters=(),
                          select=None, distinct=False, order_by=(),
                          offset=None, limit=None,
                          kg_sql: str | None = None,
-                         prefix: str = "") -> str:
+                         prefix: str = "",
+                         quads: bool = False) -> str:
     """SQL twin of plans.kg_query.solutions: the BGP oracle as a CTE
     with GROUP BY / aggregates / projection / DISTINCT / ORDER BY /
     LIMIT layered on top, using the exact same modifier semantics —
@@ -2693,7 +2793,8 @@ def _kg_solutions_oracle(pattern=(), optional=(), filters=(),
         inner = _kg_union_oracle(union, filters=filters,
                                  fill_null=fill_null,
                                  path_max_hops=path_max_hops,
-                                 kg_sql=kg_sql, prefix=prefix)
+                                 kg_sql=kg_sql, prefix=prefix,
+                                 quads=quads)
     else:
         inner = _kg_pattern_oracle(pattern, optional=optional,
                                    filters=filters, negation=negation,
@@ -2702,7 +2803,8 @@ def _kg_solutions_oracle(pattern=(), optional=(), filters=(),
                                    values=values, binds=binds,
                                    fill_null=fill_null,
                                    path_max_hops=path_max_hops,
-                                   kg_sql=kg_sql, prefix=prefix)
+                                   kg_sql=kg_sql, prefix=prefix,
+                                   quads=quads)
     keys = [v[1:] for v in group_by]
     aggs = [parse_aggregate(a) if isinstance(a, str) else a
             for a in aggregates]
@@ -2811,7 +2913,8 @@ def _kg_describe_oracle(terms, pattern=(), optional=(), filters=(),
 
 
 def _kg_sparql_oracle(text: str, fill_null=(),
-                      kg_sql: str | None = None) -> str:
+                      kg_sql: str | None = None,
+                      quads: bool = False) -> str:
     """SQL twin of plans.sparql.sparql: the query TEXT parses once
     (plans.sparql.parse_sparql — no Spark dependency) and the same
     kwargs feed the form's existing oracle generator, so the text
@@ -2822,19 +2925,21 @@ def _kg_sparql_oracle(text: str, fill_null=(),
     form = kw.pop("form")
     if form == "select":
         return _kg_solutions_oracle(**kw, fill_null=fill_null,
-                                    kg_sql=kg_sql)
+                                    kg_sql=kg_sql, quads=quads)
     if form == "ask":
         if "union" in kw:
-            inner = _kg_union_oracle(kw["union"], kg_sql=kg_sql)
+            inner = _kg_union_oracle(kw["union"], kg_sql=kg_sql,
+                                     quads=quads)
         else:
-            inner = _kg_pattern_oracle(**kw, kg_sql=kg_sql)
+            inner = _kg_pattern_oracle(**kw, kg_sql=kg_sql,
+                                       quads=quads)
         return (f"SELECT count(*) > 0 AS ask FROM "
                 f"(SELECT 1 FROM (\n{inner}) b LIMIT 1) c\n")
     if form == "describe":
         return _kg_describe_oracle(kw.pop("terms"), **kw, kg_sql=kg_sql)
     template = kw.pop("template")
     return _kg_construct_oracle(kw.pop("pattern"), template, **kw,
-                                kg_sql=kg_sql)
+                                kg_sql=kg_sql, quads=quads)
 
 
 def _kg_ntriples_oracle(kg_sql: str | None = None) -> str:
@@ -3375,6 +3480,13 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "kg_triples": _kg_gold_oracle(),
         "kg_entailment": _kg_entail_oracle(),
         "kg_validation": _kg_validate_oracle(),
+        "kg_quads": f"SELECT graph, subj, pred, obj, evidence_count "
+                    f"FROM ({_kg_quads_gold_sql()}) q",
+        "kg_sparql_graph": _kg_sparql_oracle(
+            _SPARQL_GRAPH, kg_sql=_kg_quads_gold_sql(), quads=True),
+        "kg_pattern_graph": _kg_pattern_oracle(
+            _PATTERN_GRAPH, filters=_PATTERN_GRAPH_FILTERS,
+            kg_sql=_kg_quads_gold_sql(), quads=True),
         "kg_triples_tagged": _kg_tagged_oracle(),
         "kg_entities_fuzzy": _kg_entities_fuzzy_oracle(),
         "kg_entity_degree": _kg_degree_oracle(),

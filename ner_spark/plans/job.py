@@ -1397,7 +1397,8 @@ class KgJob:
 
     def sparql(self, text: str,
                plan: str | None = "static",
-               entailed: bool = False) -> "DataFrame":
+               entailed: bool = False,
+               provenance: bool = False) -> "DataFrame":
         """Run a SPARQL SELECT / ASK / CONSTRUCT string over the
         committed triple table — the text twin of :meth:`query`; see
         :mod:`ner_spark.plans.sparql` for the supported subset.  Same
@@ -1409,10 +1410,21 @@ class KgJob:
         materialized closure view when committed — itself
         pred-partition-prunable once written — else computed on the
         fly), so ``?e INSTANCE_OF class:Agent`` finds the inferred
-        members too."""
+        members too.
+
+        ``provenance=True`` queries the provenance QUADS
+        (:meth:`quads`): GRAPH blocks bind/filter the origin of each
+        triple (``base`` / ``edit:NNNNNN``); plain patterns match the
+        union default graph as usual."""
         from ner_spark.plans.sparql import sparql as run_sparql
 
-        rel = self.entailed_triples() if entailed else self.triples()
+        if entailed and provenance:
+            raise ValueError(
+                "entailed and provenance are mutually exclusive "
+                "regimes (the closure view carries no provenance)")
+        rel = (self.entailed_triples() if entailed
+               else self.quads() if provenance
+               else self.triples())
         return run_sparql(rel, text, plan=plan)
 
     def stats(self, refresh: bool = False) -> dict:
@@ -1678,6 +1690,48 @@ class KgJob:
                              self._read_edit_side(base, "ins"))
         return out
 
+    def quads(self) -> DataFrame:
+        """The committed KG as PROVENANCE QUADS — (graph, subj, pred,
+        obj, evidence_count) where ``graph`` names the origin of each
+        CURRENT triple: ``base`` for the materialize checkpoint,
+        ``edit:NNNNNN`` for a triple a SPARQL-Update edit introduced.
+        The view replays the edit ledger with :func:`fold_delta`'s
+        exact semantics, tagging instead of just folding — so
+        ``quads().drop("graph")`` equals :meth:`triples` row-for-row
+        (a deleted-then-reinserted triple attributes to the
+        reinserting edit; an insert of an already-present triple
+        leaves the earlier attribution standing, like the fold's
+        already-present anti-join).  Feed it to
+        :func:`ner_spark.plans.sparql.sparql` for GRAPH queries
+        ("which edit asserted this?") — or :meth:`sparql` with
+        ``provenance=True``."""
+        if not self._committed("materialize"):
+            raise ValueError(
+                f"no committed materialize stage in {self.out}; run() first"
+            )
+        base = self._read_committed(self._path("materialize"),
+                                    partitioned=True)
+        ec = (F.col("evidence_count").cast("bigint")
+              if "evidence_count" in base.columns else F.lit(1))
+        keys = ["subj", "pred", "obj"]
+        out = base.select(*keys, ec.alias("evidence_count")).withColumn(
+            "graph", F.lit("base"))
+        for seq in self.edit_ids():
+            eb = f"{self.out}/edits/{seq:06d}"
+            dels = self._read_edit_side(eb, "del")
+            ins = self._read_edit_side(eb, "ins")
+            if dels is not None:
+                out = out.join(dels.select(*keys), keys, "left_anti")
+            if ins is not None:
+                new = ins.join(out.select(*keys).distinct(), keys,
+                               "left_anti")
+                out = out.unionByName(
+                    new.select(
+                        *keys,
+                        F.col("evidence_count").cast("bigint"),
+                    ).withColumn("graph", F.lit(f"edit:{seq:06d}")))
+        return out.select("graph", *keys, "evidence_count")
+
     def publish_iceberg(self, table: str,
                         metrics_table: str | None = None) -> None:
         """Publish the committed triple table to an Iceberg table — the
@@ -1814,6 +1868,10 @@ def main() -> None:
                              "validation report under "
                              "<output>/entailment/ (views: triples "
                              "with an inferred flag, violations)")
+    parser.add_argument("--sparql-provenance", action="store_true",
+                        help="with --sparql: query the provenance "
+                             "QUADS view — GRAPH blocks bind each "
+                             "triple's origin (base / edit:NNNNNN)")
     parser.add_argument("--sparql-entailed", action="store_true",
                         help="with --sparql: query under the RDFS "
                              "entailment regime (the materialized "
@@ -2022,9 +2080,9 @@ def main() -> None:
                          "(the text form would need the parsed "
                          "pattern); use stats or static with --sparql")
         plan = None if args.match_plan == "written" else args.match_plan
-        _print_query_result(job.sparql(args.sparql, plan=plan,
-                                       entailed=args.sparql_entailed),
-                            args, "sparql")
+        _print_query_result(job.sparql(
+            args.sparql, plan=plan, entailed=args.sparql_entailed,
+            provenance=args.sparql_provenance), args, "sparql")
         return
     elif args.import_ntriples:
         # adopt an external graph as the committed table

@@ -169,3 +169,21 @@ def sota_gold(
                 yield pd.DataFrame(out)
 
     return sents.mapInPandas(run, schema=SOTA_GOLD_SCHEMA)
+
+
+def kg_quads_gold(spark: SparkSession) -> DataFrame:
+    """The gold KG as QUADS — (graph, subj, pred, obj,
+    evidence_count) with a per-repo provenance assignment: DECLARES
+    triples live in their repo's named graph (``g:<repo>`` — the subj
+    IS ``repo:<repo>``, so the graph is derivable and the oracle can
+    mirror it), everything else in the shared graph ``g:shared``.
+    The fixture for the GRAPH query layer (contract keys kg_quads /
+    kg_sparql_graph / kg_pattern_graph); the production provenance
+    quads view is :meth:`ner_spark.plans.job.KgJob.quads`."""
+    t = kg_triples_gold(spark)
+    graph = F.when(
+        F.col("pred") == "DECLARES",
+        F.concat(F.lit("g:"), F.expr("substring(subj, 6)")),
+    ).otherwise(F.lit("g:shared"))
+    return t.select(graph.alias("graph"), "subj", "pred", "obj",
+                    "evidence_count")

@@ -815,16 +815,59 @@ def _sequence_relation(
                       F.col(f"__seq{n}").alias("obj"))
 
 
+def _split_graph(element: tuple) -> tuple:
+    """Normalize a pattern element to ``(graph_term_or_None,
+    (s, p, o))`` — a 4-tuple is a QUAD element ``(g, s, p, o)``
+    (SPARQL ``GRAPH g { s p o }``), a 3-tuple is a plain triple
+    element."""
+    if len(element) == 4:
+        return element[0], tuple(element[1:])
+    if len(element) == 3:
+        return None, tuple(element)
+    raise ValueError(
+        f"pattern element {element!r} is neither a triple (s, p, o) "
+        "nor a quad (graph, s, p, o)")
+
+
 def _element_relation(
     triples: DataFrame,
-    element: tuple[str, str, str],
+    element: tuple,
     path_max_hops: int | None = None,
 ) -> tuple[DataFrame, dict[str, str]]:
     """Compile one pattern element to (relation, {?var: field}) — the
     scan (or path closure) with constants and repeated-variable
-    equalities applied, projected to the variable columns."""
-    if len(element) != 3:
-        raise ValueError(f"pattern element {element!r} is not a triple")
+    equalities applied, projected to the variable columns.
+
+    Quad elements ``(g, s, p, o)`` match against a relation carrying a
+    ``graph`` column: a CONSTANT graph prunes the scan to that graph
+    up front (so a closure under it iterates within the graph — the
+    SPARQL per-named-graph path semantics); a VARIABLE graph binds the
+    column like any other field.  Plain triple elements over a
+    graph-bearing relation match the UNION DEFAULT GRAPH — the RDF
+    merge of every named graph, i.e. the DISTINCT (s, p, o)
+    projection (the dedup is semantically required: the merge is a
+    set, and a triple asserted in two graphs must not double
+    bindings)."""
+    gterm, element = _split_graph(element)
+    has_graph = "graph" in triples.columns
+    if gterm is not None:
+        if not has_graph:
+            raise ValueError(
+                f"quad element ({gterm}, {', '.join(element)}) needs a "
+                "relation with a 'graph' column (quads); this relation "
+                f"has {triples.columns}")
+        if not _is_var(gterm):
+            # constant graph: prune FIRST, then compile the inner
+            # element (incl. paths/closures) inside that graph only —
+            # the graph column is projected away so the one-graph
+            # slice behaves exactly like a triple relation (unique per
+            # (s, p, o) because quads are unique per (g, s, p, o))
+            triples = triples.where(
+                F.col("graph") == F.lit(gterm)).select(*_FIELDS)
+            gterm = None
+    elif has_graph:
+        # plain element over quads: union default graph (RDF merge)
+        triples = triples.select(*_FIELDS).distinct()
     if element[1].startswith("^"):
         # SPARQL inverse path: ^P is P with the endpoints swapped —
         # and inversion commutes with closure and alternation
@@ -840,6 +883,12 @@ def _element_relation(
     negset = None if segs is not None else _negated_set(element[1])
     path = None if segs is not None or negset is not None \
         else _path_pred(element[1])
+    if gterm is not None and (segs is not None or path is not None):
+        raise ValueError(
+            f"property path {element[1]!r} under a VARIABLE graph "
+            f"{gterm} is unsupported — the closure would have to "
+            "iterate per named graph; bind the graph to a constant "
+            "(GRAPH <g> {{ ... }}) or match the edge single-step")
     if segs is not None:
         rel = _sequence_relation(triples, element, segs, path_max_hops)
         fields: tuple[str, ...] = ("subj", "obj")
@@ -854,6 +903,9 @@ def _element_relation(
         )
         fields = ("subj", "obj")
         terms = (element[0], element[2])
+    elif gterm is not None:
+        rel = triples.select("graph", *_FIELDS)
+        fields, terms = ("graph",) + _FIELDS, (gterm,) + element
     else:
         rel = triples.select(*_FIELDS)
         fields, terms = _FIELDS, element
@@ -957,18 +1009,22 @@ def _join_values(
     return bound, bound_vars, var_order
 
 
-def _element_vars(element: tuple[str, str, str]) -> set[str]:
+def _element_vars(element: tuple) -> set[str]:
     """The ``?variables`` one pattern element binds (inverse marker
-    stripped — ``^P`` swaps endpoints but binds the same set)."""
-    if len(element) != 3:
-        raise ValueError(f"pattern element {element!r} is not a triple")
+    stripped — ``^P`` swaps endpoints but binds the same set; a quad
+    element's graph term counts — a variable graph joins like any
+    other variable)."""
+    gterm, element = _split_graph(element)
     p = element[1]
     if p.startswith("^") and len(p) > 1:
         p = p[1:]
-    return {t for t in (element[0], p, element[2]) if _is_var(t)}
+    out = {t for t in (element[0], p, element[2]) if _is_var(t)}
+    if gterm is not None and _is_var(gterm):
+        out.add(gterm)
+    return out
 
 
-def _element_static_cost(element: tuple[str, str, str]) -> tuple:
+def _element_static_cost(element: tuple) -> tuple:
     """Scan-free selectivity rank of one element, ascending = evaluate
     first.  The ordering encodes what the triple-store statistics say
     before any statistics exist: a constant endpoint bounds the scan
@@ -978,10 +1034,15 @@ def _element_static_cost(element: tuple[str, str, str]) -> tuple:
     sequence paths are eager materializations whose output exceeds
     their base-edge scan (largest — defer them until the bindings
     that seed them are small)."""
+    gterm, element = _split_graph(element)
     s, p, o = element
     if p.startswith("^") and len(p) > 1:
         s, p, o = o, p[1:], s
     endpoint_consts = sum(1 for t in (s, o) if not _is_var(t))
+    if gterm is not None and not _is_var(gterm):
+        # a constant graph prunes like a constant endpoint (one
+        # named graph's slice of the quad relation)
+        endpoint_consts += 1
     if _is_var(p):
         closure, pred_class = 0, 2
     else:
@@ -1043,15 +1104,16 @@ def pattern_stats_costs(
     long enough that one extra scan buys a better join tree; the
     static rank costs nothing and is the default."""
     aggs, mults = [], []
+    has_graph = "graph" in triples.columns
     for i, element in enumerate(pattern):
+        gterm, element = _split_graph(element)
         s, p, o = element
-        if len(element) != 3:
-            raise ValueError(
-                f"pattern element {element!r} is not a triple")
         if p.startswith("^") and len(p) > 1:
             s, p, o = o, p[1:], s
         cond = F.lit(True)
         mult = 1.0
+        if gterm is not None and has_graph and not _is_var(gterm):
+            cond = cond & (F.col("graph") == F.lit(gterm))
         if not _is_var(s):
             cond = cond & (F.col("subj") == F.lit(s))
         if not _is_var(o):
@@ -1124,9 +1186,10 @@ def pattern_catalog_costs(
 
     costs: list[float] = []
     for element in pattern:
-        if len(element) != 3:
-            raise ValueError(
-                f"pattern element {element!r} is not a triple")
+        # graph term carries no catalog statistics — a quad element
+        # costs like its inner triple (a constant graph only shrinks
+        # it, so the estimate stays upper-leaning)
+        _g, element = _split_graph(element)
         s, p, o = element
         if p.startswith("^") and len(p) > 1:
             s, p, o = o, p[1:], s

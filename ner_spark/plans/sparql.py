@@ -45,7 +45,13 @@ raises with the offending token rather than mis-parsing):
     Describe  := 'DESCRIBE' Term+ ('WHERE'? Group)?
     Group     := '{' GroupBody '}'
     GroupBody := Union | (Triple | Optional | Filter | Values | Bind
-                 | Minus | SubSelect)*
+                 | Minus | SubSelect | GraphBlock)*
+    GraphBlock:= 'GRAPH' (Var | Term) '{' Triple+ '}' '.'?
+                 (needs a QUADS relation — a 'graph' column; a
+                  variable binds the graph name and constrains the
+                  block's triples to the SAME graph, a constant
+                  prunes to that graph; plain triples outside GRAPH
+                  match the union default graph, i.e. the RDF merge)
     SubSelect := '{' 'SELECT' ... '}'   (a nested Select, same form)
     Bind      := 'BIND' '(' (Term | Fn '(' Term (',' Term)* ')'
                  | 'IF' '(' Expr ',' Term ',' Term ')') 'AS' Var ')'
@@ -149,7 +155,7 @@ _KEYWORDS = {
     "SELECT", "DISTINCT", "WHERE", "OPTIONAL", "FILTER", "NOT",
     "EXISTS", "MINUS", "UNION", "VALUES", "UNDEF", "GROUP", "BY", "ORDER",
     "ASC", "DESC", "LIMIT", "OFFSET", "HAVING", "ASK", "CONSTRUCT",
-    "DESCRIBE", "AS", "BIND", "REDUCED", "SEPARATOR",
+    "DESCRIBE", "AS", "BIND", "REDUCED", "SEPARATOR", "GRAPH",
 }
 _AGG_FNS = {"COUNT", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE",
             "SUM", "AVG"}
@@ -240,7 +246,7 @@ def _parse_triples(cur: _Cursor) -> list[tuple[str, str, str]]:
     out = []
     while not cur.at("}"):
         if cur.peek_kw() in ("OPTIONAL", "FILTER", "VALUES", "UNION",
-                             "BIND", "MINUS"):
+                             "BIND", "MINUS", "GRAPH"):
             break
         if cur.at("{"):  # a subquery starts — group loop handles it
             break
@@ -529,6 +535,23 @@ def _parse_group_body(cur: _Cursor) -> dict:
                 if obinds:
                     g["binds"] = obinds
                 kwargs["optional"].append(g)
+        elif kw == "GRAPH":
+            # GRAPH term { triples } — each contained triple becomes
+            # a QUAD element (term, s, p, o); a variable term binds
+            # the graph name (and constrains every triple in the
+            # block to the SAME graph), a constant prunes to it.
+            # Needs a quads relation (a 'graph' column) at run time.
+            cur.next()
+            gterm = _term(cur.next())
+            cur.eat("{")
+            tris = _parse_triples(cur)
+            cur.eat("}")
+            if not tris:
+                raise ValueError("GRAPH block has no triples")
+            kwargs["pattern"].extend(
+                (gterm,) + tuple(t) for t in tris)
+            if cur.at("."):  # optional separator after the block
+                cur.next()
         elif kw == "MINUS":
             cur.next()
             cur.eat("{")

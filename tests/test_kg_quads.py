@@ -1,0 +1,171 @@
+"""Named graphs (quads): GRAPH semantics in match_pattern and the
+SPARQL text front-end, differentially fuzzed against the generated
+DuckDB oracle on random quad graphs.
+
+Semantics pinned here:
+
+- a 4-tuple element ``(g, s, p, o)`` / ``GRAPH g { s p o }`` matches
+  within named graphs; a variable graph binds the graph name and
+  constrains every element carrying it to the SAME graph;
+- a plain triple element over a quads relation matches the UNION
+  DEFAULT GRAPH — the RDF merge (DISTINCT over graphs), so a triple
+  asserted in two graphs binds once;
+- property paths close WITHIN a constant graph and raise under a
+  variable graph.
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from ner_spark.plans.kg_query import match_pattern, solutions  # noqa: E402
+from ner_spark.plans.sparql import sparql  # noqa: E402
+from tests.oracle_compare import assert_df_matches_duckdb  # noqa: E402
+
+QUAD_SCHEMA = ("graph string, subj string, pred string, obj string, "
+               "evidence_count int")
+
+
+def _quads(spark, rows):
+    return spark.createDataFrame(rows, QUAD_SCHEMA)
+
+
+def _kg_sql(rows):
+    vals = ", ".join(f"('{g}', '{s}', '{p}', '{o}', {e})"
+                     for g, s, p, o, e in rows)
+    return (f"SELECT * FROM (VALUES {vals}) "
+            "AS t(graph, subj, pred, obj, evidence_count)")
+
+
+FIXED = [
+    ("g1", "a", "P", "b", 1), ("g1", "b", "P", "c", 1),
+    ("g2", "a", "P", "b", 2), ("g2", "b", "Q", "c", 1),
+    ("g2", "c", "P", "d", 1), ("g3", "d", "Q", "a", 1),
+]
+
+
+def test_variable_graph_binds_and_chains(spark):
+    q = _quads(spark, FIXED)
+    got = {tuple(r) for r in match_pattern(
+        q, [("?g", "?s", "P", "?o"), ("?g", "?o", "P", "?t")]
+    ).collect()}
+    # only g1 chains a->b->c within ONE graph (g2's a->b, c->d do not
+    # chain; chaining a cross-graph pair must NOT match)
+    assert got == {("g1", "a", "b", "c")}
+
+
+def test_union_default_graph_dedups(spark):
+    q = _quads(spark, FIXED)
+    got = sorted(tuple(r) for r in match_pattern(
+        q, [("?s", "P", "?o")]).collect())
+    # (a, b) asserted in g1 AND g2 binds once
+    assert got == [("a", "b"), ("b", "c"), ("c", "d")]
+
+
+def test_constant_graph_scopes_closure(spark):
+    q = _quads(spark, FIXED)
+    got = {r.x for r in match_pattern(
+        q, [("g1", "a", "P+", "?x")]).collect()}
+    assert got == {"b", "c"}  # g2's c->d must not leak in
+    with pytest.raises(ValueError, match="VARIABLE graph"):
+        match_pattern(q, [("?g", "a", "P+", "?x")])
+
+
+def test_quad_element_requires_graph_column(spark):
+    tri = spark.createDataFrame(
+        [("a", "P", "b")], "subj string, pred string, obj string")
+    with pytest.raises(ValueError, match="graph"):
+        match_pattern(tri, [("?g", "?s", "P", "?o")])
+
+
+def test_sparql_graph_text_forms(spark):
+    q = _quads(spark, FIXED)
+    out = sparql(q, "SELECT ?g (COUNT(?s) AS ?n) WHERE "
+                    "{ GRAPH ?g { ?s ?p ?o } } GROUP BY ?g ORDER BY ?g")
+    assert [tuple(r) for r in out.collect()] == [
+        ("g1", 2), ("g2", 3), ("g3", 1)]
+    out = sparql(q, "ASK { GRAPH <g3> { d Q ?x } }")
+    assert out.collect()[0][0] is True
+
+
+def _random_quads(rnd):
+    graphs = [f"g{i}" for i in range(rnd.randint(1, 4))]
+    nodes = [f"n{i}" for i in range(rnd.randint(3, 8))]
+    preds = ["P", "Q", "R"][: rnd.randint(2, 3)]
+    rows = sorted({
+        (rnd.choice(graphs), rnd.choice(nodes), rnd.choice(preds),
+         rnd.choice(nodes))
+        for _ in range(rnd.randint(4, 30))
+    })
+    return [(g, s, p, o, 1) for g, s, p, o in rows], graphs, nodes, preds
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_quad_patterns_vs_oracle(spark, seed):
+    rnd = random.Random(3000 + seed)
+    rows, graphs, nodes, preds = _random_quads(rnd)
+    q = _quads(spark, rows)
+    kg_sql = _kg_sql(rows)
+    con = duckdb.connect()
+    try:
+        for trial in range(3):
+            # one var-graph quad element, chained with either another
+            # same-graph quad element or a default-graph element;
+            # sometimes a constant graph / a filter
+            p1 = rnd.choice(preds)
+            p2 = rnd.choice(preds)
+            pattern = [("?g", "?s", p1, "?o")]
+            if rnd.random() < 0.5:
+                pattern.append(("?g", "?o", p2, "?t"))
+            else:
+                pattern.append(("?o", p2, "?t"))
+            if rnd.random() < 0.4:
+                pattern[0] = (rnd.choice(graphs),) + pattern[0][1:]
+            filters = (["?s != ?t"] if rnd.random() < 0.3 else [])
+            got = match_pattern(q, pattern, filters=filters, plan=None)
+            sql = entrymod._kg_pattern_oracle(
+                pattern, filters=filters, kg_sql=kg_sql, quads=True)
+            assert_df_matches_duckdb(
+                got, con, sql, name=f"quads-{seed}-{trial}")
+            # planned order must equal written order results
+            got_planned = match_pattern(q, pattern, filters=filters,
+                                        plan="static")
+            assert_df_matches_duckdb(
+                got_planned, con, sql,
+                name=f"quads-planned-{seed}-{trial}")
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_sparql_graph_text_vs_oracle(spark, seed):
+    rnd = random.Random(4000 + seed)
+    rows, graphs, nodes, preds = _random_quads(rnd)
+    q = _quads(spark, rows)
+    kg_sql = _kg_sql(rows)
+    con = duckdb.connect()
+    queries = [
+        "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s P ?o } }",
+        ("SELECT ?g (COUNT(?s) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } }"
+         " GROUP BY ?g ORDER BY DESC(?n) ?g"),
+        f"SELECT ?s ?o WHERE {{ GRAPH <{graphs[0]}> {{ ?s ?p ?o }} }}",
+        f"SELECT ?x WHERE {{ GRAPH <{graphs[0]}> {{ {nodes[0]} P+ ?x }} }}",
+        "SELECT ?s WHERE { ?s P ?o . GRAPH ?g { ?o Q ?t } }",
+        "ASK { GRAPH ?g { ?s Q ?o } }",
+    ]
+    try:
+        for text in queries:
+            sdf = sparql(q, text)
+            sql = entrymod._kg_sparql_oracle(text, kg_sql=kg_sql,
+                                             quads=True)
+            assert_df_matches_duckdb(sdf, con, sql, name=text)
+    finally:
+        con.close()

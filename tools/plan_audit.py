@@ -813,6 +813,27 @@ def main() -> int:
           "CartesianProduct" not in p
           and "BroadcastNestedLoopJoin" not in p)
 
+    # Named graphs: a CONSTANT graph must prune the quad scan BEFORE
+    # any join (a Filter on graph below the joins, no post-join
+    # filter), and a variable-graph chain stays hash equi-joins
+    from ner_spark.plans.kg_query import match_pattern as mp
+
+    quads_df = spark.createDataFrame(
+        [("g1", "a", "P", "b", 1), ("g2", "b", "P", "c", 1)],
+        "graph string, subj string, pred string, obj string, "
+        "evidence_count bigint")
+    p = plans["kg_quads_const_graph"] = plan_of(
+        mp(quads_df, [("g1", "?s", "P", "?o"), ("?o", "P", "?t")]))
+    check("kg_quads_const_graph", "no cartesian / nested-loop join",
+          "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p)
+    p = plans["kg_quads_var_graph"] = plan_of(
+        mp(quads_df, [("?g", "?s", "P", "?o"), ("?g", "?o", "P", "?t")]))
+    check("kg_quads_var_graph", "same-graph chain is a hash equi-join "
+          "(graph rides the join key)",
+          "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p)
+
     # RDFS entailment: the fact-side derivation pass (_derive_once)
     # must join the big fact table ONLY against the broadcast closed
     # schema — any SortMergeJoin here would shuffle the 100 TB side
