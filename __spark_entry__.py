@@ -822,6 +822,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return match_pattern(kg_quads_gold(spark), _PATTERN_GRAPH,
                              filters=_PATTERN_GRAPH_FILTERS)
 
+    def q_kg_sparql_dataset(spark, sf):
+        # FROM / FROM NAMED dataset clauses over the gold quads
+        from ner_spark.plans.kg_gold import kg_quads_gold
+        from ner_spark.plans.sparql import sparql as run_sparql
+
+        return run_sparql(kg_quads_gold(spark), _SPARQL_DATASET)
+
     def q_kg_entailment(spark, sf):
         # RDFS-lite forward chaining (rho-df rules) over the gold KG +
         # the committed demo ontology: schema closure then one
@@ -936,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_quads": q_kg_quads,
         "kg_sparql_graph": q_kg_sparql_graph,
         "kg_pattern_graph": q_kg_pattern_graph,
+        "kg_sparql_dataset": q_kg_sparql_dataset,
     }.items()}
 
 
@@ -966,6 +974,15 @@ _PATTERN_GRAPH = [
     ("?e", "LINKED_TO", "?kb"),
 ]
 _PATTERN_GRAPH_FILTERS = ['strstarts(?g, "g:repo")']
+
+# the kg_sparql_dataset contract query: FROM merges two repo graphs
+# into the default graph, FROM NAMED restricts which graphs GRAPH may
+# bind — the full SPARQL dataset clause over the provenance quads
+_SPARQL_DATASET = (
+    "SELECT ?r ?e ?g FROM <g:repo0> FROM <g:repo1> "
+    "FROM NAMED <g:shared> WHERE "
+    "{ ?r DECLARES ?e . GRAPH ?g { ?e INSTANCE_OF ?c } } "
+    "ORDER BY ?r ?e LIMIT 25")
 
 # the kg_pattern_filter contract FILTERs: one of each grammar form —
 # var-var comparison, substring, prefix, and a regex over the OPTIONAL
@@ -2204,7 +2221,8 @@ def _kg_bind_sql(expr, refs: dict) -> str:
 
 def _kg_path_ctes(idx: int, pred: str, zero: bool,
                   max_hops: int | None, prefix: str = "",
-                  graph: str | None = None) -> tuple[str, str]:
+                  graph: str | None = None,
+                  graph_in: list | None = None) -> tuple[str, str]:
     """Recursive-CTE twin of kg_query.path_closure: distinct pairs
     connected by 1..n (or with ``zero`` 0..n) hops of ``pred``.
     Returns (cte_sql, relation_name).  The recursive UNION dedups, so
@@ -2217,6 +2235,9 @@ def _kg_path_ctes(idx: int, pred: str, zero: bool,
 
     alts = ", ".join(_sql_str(a) for a in _pred_alternatives(pred))
     gf = f" AND graph = {_sql_str(graph)}" if graph is not None else ""
+    if graph_in is not None:
+        gin = ", ".join(_sql_str(g) for g in graph_in)
+        gf += f" AND graph IN ({gin})"
     ctes = [f"{e} AS (SELECT DISTINCT subj, obj FROM kg "
             f"WHERE pred IN ({alts}){gf})"]
     if max_hops is None:
@@ -2238,8 +2259,12 @@ def _kg_path_ctes(idx: int, pred: str, zero: bool,
         # is `base UNION step` as a recursive union-table (different
         # dedup semantics), so non-recursive CTEs here must spell the
         # dedup as DISTINCT over UNION ALL instead of a bare UNION
-        gw = (f" WHERE graph = {_sql_str(graph)}"
-              if graph is not None else "")
+        gconds = ([f"graph = {_sql_str(graph)}"]
+                  if graph is not None else [])
+        if graph_in is not None:
+            gconds.append("graph IN (" + ", ".join(
+                _sql_str(g) for g in graph_in) + ")")
+        gw = (" WHERE " + " AND ".join(gconds)) if gconds else ""
         body = (
             f"SELECT DISTINCT subj, obj FROM ({body} UNION ALL "
             f"SELECT n, n FROM (SELECT subj AS n FROM kg{gw} "
@@ -2251,7 +2276,9 @@ def _kg_path_ctes(idx: int, pred: str, zero: bool,
 
 def _kg_seq_cte(idx: int, segs: list, ctes: list,
                 path_max_hops, prefix: str = "",
-                graph: str | None = None) -> tuple[str, str]:
+                graph: str | None = None,
+                quads: bool = False,
+                dataset: dict | None = None) -> tuple[str, str]:
     """Non-recursive-CTE twin of kg_query._sequence_relation: the
     sequence path's segments compile through :func:`_kg_element_sql`
     on fresh ``?__s{i}`` chain variables (so inverse / closure /
@@ -2275,7 +2302,8 @@ def _kg_seq_cte(idx: int, segs: list, ctes: list,
             el = (graph,) + el  # segment stays inside the graph
         rel, ec = _kg_element_sql(
             alias, el, sfirst, ctes,
-            path_max_hops, prefix=prefix)
+            path_max_hops, prefix=prefix, quads=quads,
+            dataset=dataset)
         froms.append(f"{rel} {alias}")
         conds.extend(ec)
     where = " AND ".join(conds) if conds else "TRUE"
@@ -2287,7 +2315,8 @@ def _kg_seq_cte(idx: int, segs: list, ctes: list,
 
 def _kg_element_sql(alias: str, element, first: dict, ctes: list,
                     path_max_hops, outer: dict | None = None,
-                    prefix: str = "", quads: bool = False):
+                    prefix: str = "", quads: bool = False,
+                    dataset: dict | None = None):
     """Shared per-element compile for the pattern oracle: returns
     (relation_name, conds).  Variable first-binding sites register in
     ``first``; with ``outer`` given (negation groups) outer-bound
@@ -2316,16 +2345,22 @@ def _kg_element_sql(alias: str, element, first: dict, ctes: list,
         raise ValueError(
             f"property path {element[1]!r} under a VARIABLE graph "
             f"{gterm} is unsupported")
+    named = (dataset or {}).get("named") if quads else None
+    default = (dataset or {}).get("default") if quads else None
     if segs is not None:
         cte, rel = _kg_seq_cte(len(ctes), segs, ctes, path_max_hops,
-                               prefix=prefix, graph=gconst)
+                               prefix=prefix, graph=gconst,
+                               quads=quads,
+                               dataset=None if gconst else dataset)
         ctes.append(cte)
         fields, terms = ("subj", "obj"), (element[0], element[2])
     elif path is not None:
         base, mod = path
         cte, rel = _kg_path_ctes(len(ctes), base, mod in "*?",
                                  1 if mod == "?" else path_max_hops,
-                                 prefix=prefix, graph=gconst)
+                                 prefix=prefix, graph=gconst,
+                                 graph_in=(default if gconst is None
+                                           and gterm is None else None))
         ctes.append(cte)
         fields, terms = ("subj", "obj"), (element[0], element[2])
     elif gterm is not None and gconst is None:
@@ -2342,6 +2377,13 @@ def _kg_element_sql(alias: str, element, first: dict, ctes: list,
     conds0: list[str] = []
     if gconst is not None and segs is None and path is None:
         conds0.append(f"{alias}.graph = {_sql_str(gconst)}")
+    if gterm is not None and named is not None:
+        if gconst is not None:
+            if gconst not in named:  # outside FROM NAMED: no match
+                conds0.append("1 = 0")
+        elif segs is None and path is None:
+            gin = ", ".join(_sql_str(g) for g in named)
+            conds0.append(f"{alias}.graph IN ({gin})")
     conds: list[str] = list(conds0)
     for field, term in zip(fields, terms):
         ref = f"{alias}.{field}"
@@ -2368,7 +2410,8 @@ def _kg_element_sql(alias: str, element, first: dict, ctes: list,
 
 def _kg_negation_sql(gidx: int, group, outer: dict, ctes: list,
                      path_max_hops, negated: bool = True,
-                     prefix: str = "", quads: bool = False) -> str:
+                     prefix: str = "", quads: bool = False,
+                     dataset: dict | None = None) -> str:
     """(NOT) EXISTS twin of match_pattern's negation anti-join /
     existence semi-join: group elements comma-join inside the
     subquery, variables bound in the outer pattern correlate to their
@@ -2383,7 +2426,8 @@ def _kg_negation_sql(gidx: int, group, outer: dict, ctes: list,
         alias = f"{'n' if negated else 'x'}{gidx}_{j}"
         rel, ec = _kg_element_sql(alias, element, gfirst, ctes,
                                   path_max_hops, outer=outer,
-                                  prefix=prefix, quads=quads)
+                                  prefix=prefix, quads=quads,
+                                  dataset=dataset)
         froms.append(f"{rel} {alias}")
         conds.extend(ec)
     where = " AND ".join(conds) if conds else "TRUE"
@@ -2393,7 +2437,8 @@ def _kg_negation_sql(gidx: int, group, outer: dict, ctes: list,
 
 def _kg_minus_sql(gidx: int, group, outer: dict, ctes: list,
                   path_max_hops, prefix: str = "",
-                  quads: bool = False) -> str | None:
+                  quads: bool = False,
+                  dataset: dict | None = None) -> str | None:
     """SQL twin of match_pattern's MINUS set-difference: the group
     compiles UNCORRELATED (its elements chain among themselves via
     ``gfirst``), then the NOT EXISTS applies SPARQL compatibility —
@@ -2409,7 +2454,7 @@ def _kg_minus_sql(gidx: int, group, outer: dict, ctes: list,
         alias = f"mi{gidx}_{j}"
         rel, ec = _kg_element_sql(alias, element, gfirst, ctes,
                                   path_max_hops, prefix=prefix,
-                                  quads=quads)
+                                  quads=quads, dataset=dataset)
         froms.append(f"{rel} {alias}")
         conds.extend(ec)
     shared = sorted(v for v in gfirst if v in outer)
@@ -2497,7 +2542,8 @@ def _kg_pattern_oracle(pattern, optional=(), fill_null=(), filters=(),
                        path_max_hops=None,
                        kg_sql: str | None = None,
                        prefix: str = "",
-                       quads: bool = False) -> str:
+                       quads: bool = False,
+                       dataset: dict | None = None) -> str:
     """SQL twin of plans.kg_query.match_pattern: every pattern element
     becomes one alias of the triple relation; constants and repeated
     variables become equality predicates (first element → WHERE,
@@ -2520,7 +2566,7 @@ def _kg_pattern_oracle(pattern, optional=(), fill_null=(), filters=(),
     for i, (element, is_optional) in enumerate(elements):
         rel, conds = _kg_element_sql(f"t{i}", element, first, ctes,
                                      path_max_hops, prefix=prefix,
-                                     quads=quads)
+                                     quads=quads, dataset=dataset)
         if i == 0:
             from0 = f"{rel} t0"
             where0 = conds
@@ -2536,7 +2582,7 @@ def _kg_pattern_oracle(pattern, optional=(), fill_null=(), filters=(),
     for i, sub in enumerate(subqueries):
         sub_sql = _kg_solutions_oracle(**sub, kg_sql=kg_sql,
                                        prefix=f"{prefix}sub{i}_",
-                                       quads=quads)
+                                       quads=quads, dataset=dataset)
         alias = f"{prefix}sub{i}"
         conds = []
         for name in _kg_subquery_vars(sub):
@@ -2557,7 +2603,8 @@ def _kg_pattern_oracle(pattern, optional=(), fill_null=(), filters=(),
         g_sql = _kg_pattern_oracle(
             g["pattern"], filters=g.get("filters", ()),
             binds=g.get("binds", ()), path_max_hops=path_max_hops,
-            kg_sql=kg_sql, prefix=f"{prefix}og{i}_", quads=quads)
+            kg_sql=kg_sql, prefix=f"{prefix}og{i}_", quads=quads,
+            dataset=dataset)
         alias = f"{prefix}og{i}"
         conds = []
         for v in _kg_branch_vars(g["pattern"],
@@ -2611,20 +2658,21 @@ def _kg_pattern_oracle(pattern, optional=(), fill_null=(), filters=(),
             group = parse_pattern(group)
         conds.append(_kg_negation_sql(g, group, refs, ctes,
                                       path_max_hops, prefix=prefix,
-                                      quads=quads))
+                                      quads=quads, dataset=dataset))
     for g, group in enumerate(existence):
         if isinstance(group, str):
             from ner_spark.plans.kg_query import parse_pattern
             group = parse_pattern(group)
         conds.append(_kg_negation_sql(g, group, refs, ctes,
                                       path_max_hops, negated=False,
-                                      prefix=prefix, quads=quads))
+                                      prefix=prefix, quads=quads,
+                                      dataset=dataset))
     for g, group in enumerate(minus):
         if isinstance(group, str):
             from ner_spark.plans.kg_query import parse_pattern
             group = parse_pattern(group)
         c = _kg_minus_sql(g, group, refs, ctes, path_max_hops,
-                          prefix=prefix, quads=quads)
+                          prefix=prefix, quads=quads, dataset=dataset)
         if c is not None:
             conds.append(c)
     where = " AND ".join(conds) if conds else "TRUE"
@@ -2632,10 +2680,14 @@ def _kg_pattern_oracle(pattern, optional=(), fill_null=(), filters=(),
     cte_sql = "".join(c + ",\n" for c in ctes)
     # nested (prefix) form: reference the ancestor's kg CTE instead of
     # shadowing it (DuckDB rejects duplicate CTE aliases across scopes)
+    dflt = (dataset or {}).get("default")
+    kgd_where = ("" if dflt is None else
+                 " WHERE graph IN (" + ", ".join(
+                     _sql_str(g) for g in dflt) + ")")
     kg_cte = ("" if prefix
               else f"kg AS MATERIALIZED ({kg_sql or _kg_gold_oracle()}),\n"
-              + ("kgd AS MATERIALIZED (SELECT DISTINCT subj, pred, obj "
-                 "FROM kg),\n" if quads else ""))
+              + (f"kgd AS MATERIALIZED (SELECT DISTINCT subj, pred, obj "
+                 f"FROM kg{kgd_where}),\n" if quads else ""))
     return f"""WITH {rec}{kg_cte}{cte_sql}{prefix}__one AS (SELECT 1)
 SELECT {sel}
 FROM {from0}
@@ -2688,7 +2740,8 @@ def _kg_branch_vars(pattern, optional=(), values=None,
 def _kg_union_oracle(groups, filters=(), fill_null=(),
                      path_max_hops=None,
                      kg_sql: str | None = None,
-                     prefix: str = "", quads: bool = False) -> str:
+                     prefix: str = "", quads: bool = False,
+                     dataset: dict | None = None) -> str:
     """SQL twin of plans.kg_query.match_union: each group's BGP oracle
     becomes one UNION ALL arm, projected to the union of the branch
     variable sets with NULL for the variables a branch does not bind
@@ -2719,7 +2772,7 @@ def _kg_union_oracle(groups, filters=(), fill_null=(),
             values=g.get("values"),
             binds=g.get("binds", ()),
             path_max_hops=path_max_hops, kg_sql=kg_sql,
-            prefix=f"{prefix}u{i}_", quads=quads)
+            prefix=f"{prefix}u{i}_", quads=quads, dataset=dataset)
         sel = ", ".join(
             v[1:] if v in bv else f"NULL AS {v[1:]}" for v in all_vars)
         arms.append(f"SELECT {sel} FROM (\n{inner}) u{i}")
@@ -2731,10 +2784,14 @@ def _kg_union_oracle(groups, filters=(), fill_null=(),
          if v in fill_null else v[1:]) for v in all_vars)
     # the arms are prefixed (no kg of their own), so the union itself
     # declares kg once at top level — or, nested, uses the ancestor's
+    udflt = (dataset or {}).get("default")
+    ukgd_where = ("" if udflt is None else
+                  " WHERE graph IN (" + ", ".join(
+                      _sql_str(g) for g in udflt) + ")")
     head = ("" if prefix else
             f"WITH kg AS MATERIALIZED ({kg_sql or _kg_gold_oracle()})"
-            + (",\nkgd AS MATERIALIZED (SELECT DISTINCT subj, pred, "
-               "obj FROM kg)" if quads else "") + "\n")
+            + (f",\nkgd AS MATERIALIZED (SELECT DISTINCT subj, pred, "
+               f"obj FROM kg{ukgd_where})" if quads else "") + "\n")
     return (f"{head}SELECT {sel} FROM (\n{body}\n) u"
             + (f"\nWHERE {where}" if where else "") + "\n")
 
@@ -2743,7 +2800,8 @@ def _kg_construct_oracle(pattern, template, optional=(), filters=(),
                          negation=(), existence=(), minus=(),
                          subqueries=(), values=None, binds=(),
                          kg_sql: str | None = None,
-                         quads: bool = False) -> str:
+                         quads: bool = False,
+                         dataset: dict | None = None) -> str:
     """SQL twin of plans.kg_query.construct: the BGP oracle as a CTE,
     one SELECT per template element (variables → the binding columns,
     constants → literals) UNION ALL'd, null terms dropped (SPARQL's
@@ -2754,7 +2812,8 @@ def _kg_construct_oracle(pattern, template, optional=(), filters=(),
                                existence=existence, minus=minus,
                                subqueries=subqueries,
                                values=values, binds=binds,
-                               kg_sql=kg_sql, quads=quads)
+                               kg_sql=kg_sql, quads=quads,
+                               dataset=dataset)
     arms = []
     for element in template:
         terms = []
@@ -2780,7 +2839,8 @@ def _kg_solutions_oracle(pattern=(), optional=(), filters=(),
                          offset=None, limit=None,
                          kg_sql: str | None = None,
                          prefix: str = "",
-                         quads: bool = False) -> str:
+                         quads: bool = False,
+                         dataset: dict | None = None) -> str:
     """SQL twin of plans.kg_query.solutions: the BGP oracle as a CTE
     with GROUP BY / aggregates / projection / DISTINCT / ORDER BY /
     LIMIT layered on top, using the exact same modifier semantics —
@@ -2794,7 +2854,7 @@ def _kg_solutions_oracle(pattern=(), optional=(), filters=(),
                                  fill_null=fill_null,
                                  path_max_hops=path_max_hops,
                                  kg_sql=kg_sql, prefix=prefix,
-                                 quads=quads)
+                                 quads=quads, dataset=dataset)
     else:
         inner = _kg_pattern_oracle(pattern, optional=optional,
                                    filters=filters, negation=negation,
@@ -2804,7 +2864,7 @@ def _kg_solutions_oracle(pattern=(), optional=(), filters=(),
                                    fill_null=fill_null,
                                    path_max_hops=path_max_hops,
                                    kg_sql=kg_sql, prefix=prefix,
-                                   quads=quads)
+                                   quads=quads, dataset=dataset)
     keys = [v[1:] for v in group_by]
     aggs = [parse_aggregate(a) if isinstance(a, str) else a
             for a in aggregates]
@@ -3484,6 +3544,8 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
                     f"FROM ({_kg_quads_gold_sql()}) q",
         "kg_sparql_graph": _kg_sparql_oracle(
             _SPARQL_GRAPH, kg_sql=_kg_quads_gold_sql(), quads=True),
+        "kg_sparql_dataset": _kg_sparql_oracle(
+            _SPARQL_DATASET, kg_sql=_kg_quads_gold_sql(), quads=True),
         "kg_pattern_graph": _kg_pattern_oracle(
             _PATTERN_GRAPH, filters=_PATTERN_GRAPH_FILTERS,
             kg_sql=_kg_quads_gold_sql(), quads=True),

@@ -833,6 +833,7 @@ def _element_relation(
     triples: DataFrame,
     element: tuple,
     path_max_hops: int | None = None,
+    dataset: dict | None = None,
 ) -> tuple[DataFrame, dict[str, str]]:
     """Compile one pattern element to (relation, {?var: field}) — the
     scan (or path closure) with constants and repeated-variable
@@ -847,9 +848,20 @@ def _element_relation(
     merge of every named graph, i.e. the DISTINCT (s, p, o)
     projection (the dedup is semantically required: the merge is a
     set, and a triple asserted in two graphs must not double
-    bindings)."""
+    bindings).
+
+    ``dataset`` is the SPARQL dataset clause — ``{"default": [g...],
+    "named": [g...]}`` (either key may be absent = unrestricted):
+    plain elements see only the ``default`` graphs' merge (FROM),
+    GRAPH elements only the ``named`` graphs (FROM NAMED) — a GRAPH
+    constant outside the named set matches nothing, per spec."""
     gterm, element = _split_graph(element)
     has_graph = "graph" in triples.columns
+    if dataset and has_graph:
+        allowed = dataset.get("named" if gterm is not None
+                              else "default")
+        if allowed is not None:
+            triples = triples.where(F.col("graph").isin(list(allowed)))
     if gterm is not None:
         if not has_graph:
             raise ValueError(
@@ -1276,6 +1288,7 @@ def match_pattern(
     binds: list = (),
     path_max_hops: int | None = None,
     plan: str | None = "static",
+    dataset: dict | None = None,
 ) -> DataFrame:
     """Match a basic graph pattern; see the module docstring.
 
@@ -1463,7 +1476,7 @@ def match_pattern(
                                 filters=item.get("filters", ()),
                                 binds=item.get("binds", ()),
                                 path_max_hops=path_max_hops,
-                                plan=plan)
+                                plan=plan, dataset=dataset)
             cols = {"?" + c for c in sub.columns}
             shared = required_vars & cols
             if not shared:
@@ -1511,7 +1524,8 @@ def match_pattern(
             # VALUES treat these as nullable
             continue
         element = item
-        t, cols = _element_relation(triples, element, path_max_hops)
+        t, cols = _element_relation(triples, element, path_max_hops,
+                                    dataset=dataset)
         if bound is None:
             bound = t
         else:
@@ -1581,7 +1595,8 @@ def match_pattern(
             seen = set(shared)
             for j, element in enumerate(group):
                 t, cols = _element_relation(triples, element,
-                                            path_max_hops)
+                                            path_max_hops,
+                                            dataset=dataset)
                 s = seen & set(cols)
                 if not s:
                     raise ValueError(
@@ -1601,7 +1616,8 @@ def match_pattern(
         # the MINUS group is an independent pattern — its own chain
         # guard, its own scans; SPARQL evaluates it without the outer
         # bindings in scope
-        msol = match_pattern(triples, group, path_max_hops=path_max_hops)
+        msol = match_pattern(triples, group, path_max_hops=path_max_hops,
+                             dataset=dataset)
         shared = sorted(
             v[1:] for v in bound_vars & {"?" + c for c in msol.columns})
         if not shared:
@@ -1650,6 +1666,7 @@ def construct(
     values: tuple | None = None,
     binds: list = (),
     path_max_hops: int | None = None,
+    dataset: dict | None = None,
 ) -> DataFrame:
     """SPARQL CONSTRUCT: derive NEW triples from the bindings of a
     basic graph pattern — the rule-based enrichment surface ("repos
@@ -1681,7 +1698,8 @@ def construct(
                           existence=existence, minus=minus,
                           subqueries=subqueries,
                           values=values, binds=binds,
-                          path_max_hops=path_max_hops)
+                          path_max_hops=path_max_hops,
+                          dataset=dataset)
     bound_vars = {"?" + c for c in bound.columns}
     outs = []
     for i, element in enumerate(template):
@@ -1723,6 +1741,7 @@ def describe(
     values: tuple | None = None,
     binds: list = (),
     path_max_hops: int | None = None,
+    dataset: dict | None = None,
 ) -> DataFrame:
     """SPARQL DESCRIBE: the set of triples touching the described
     nodes — constants name nodes directly, ``?variables`` describe
@@ -1755,7 +1774,8 @@ def describe(
                               existence=existence, minus=minus,
                               subqueries=subqueries,
                               values=values, binds=binds,
-                              path_max_hops=path_max_hops)
+                              path_max_hops=path_max_hops,
+                              dataset=dataset)
         for v in var_terms:
             if v[1:] not in bound.columns:
                 raise ValueError(
@@ -1782,6 +1802,7 @@ def match_union(
     groups: list,
     filters: list = (),
     path_max_hops: int | None = None,
+    dataset: dict | None = None,
 ) -> DataFrame:
     """SPARQL UNION: alternation of group graph patterns —
     ``{ G1 } UNION { G2 }``.  Each group is either a bare pattern
@@ -1818,6 +1839,7 @@ def match_union(
             raise ValueError(
                 f"UNION group {i} has unknown keys {sorted(unknown)}")
         branch = match_pattern(triples, path_max_hops=path_max_hops,
+                               dataset=dataset,
                                **kwargs)
         bound_vars |= {"?" + c for c in branch.columns}
         bound = branch if bound is None else bound.unionByName(
@@ -1938,6 +1960,7 @@ def solutions(
     offset: int | None = None,
     limit: int | None = None,
     plan: str | None = "static",
+    dataset: dict | None = None,
 ) -> DataFrame:
     """SPARQL solution modifiers over a basic graph pattern: GROUP BY
     + aggregates, SELECT projection, DISTINCT, ORDER BY and LIMIT —
@@ -2014,7 +2037,8 @@ def solutions(
                 "both; branch-local pattern kwargs go inside the "
                 "group dicts")
         bound = match_union(triples, union, filters=filters,
-                            path_max_hops=path_max_hops)
+                            path_max_hops=path_max_hops,
+                            dataset=dataset)
     else:
         bound = match_pattern(triples, pattern, optional=optional,
                               filters=filters, negation=negation,
@@ -2022,7 +2046,7 @@ def solutions(
                               subqueries=subqueries,
                               values=values, binds=binds,
                               path_max_hops=path_max_hops,
-                              plan=plan)
+                              plan=plan, dataset=dataset)
     bound_vars = {"?" + c for c in bound.columns}
     aggs = [parse_aggregate(a) if isinstance(a, str) else a
             for a in aggregates]

@@ -31,7 +31,8 @@ raises with the offending token rather than mis-parsing):
 .. code-block:: text
 
     Query     := Select | Ask | Construct | Describe
-    Select    := 'SELECT' 'DISTINCT'? ('*' | Proj+) 'WHERE'? Group
+    Select    := 'SELECT' 'DISTINCT'? ('*' | Proj+) Dataset*
+                 'WHERE'? Group
                  ('GROUP' 'BY' Var+)? ('HAVING' '(' Var Op INT ')')*
                  ('ORDER' 'BY' Ord+)?
                  ('LIMIT' INT | 'OFFSET' INT)*
@@ -39,8 +40,13 @@ raises with the offending token rather than mis-parsing):
                  (';' 'SEPARATOR' '=' String)? ')' 'AS' Var ')'
     Agg       := 'COUNT' | 'MIN' | 'MAX' | 'GROUP_CONCAT' | 'SAMPLE'
                | 'SUM' | 'AVG'
-    Ask       := 'ASK' 'WHERE'? Group
-    Construct := 'CONSTRUCT' '{' Triple+ '}' 'WHERE' Group
+    Ask       := 'ASK' Dataset* 'WHERE'? Group
+    Dataset   := 'FROM' 'NAMED'? Term
+                 (FROM graphs merge into the default graph plain
+                  triples match; FROM NAMED restricts which graphs
+                  GRAPH blocks may bind — a constant outside the set
+                  matches nothing)
+    Construct := 'CONSTRUCT' '{' Triple+ '}' Dataset* 'WHERE' Group
                | 'CONSTRUCT' 'WHERE' '{' Triple+ '}'
     Describe  := 'DESCRIBE' Term+ ('WHERE'? Group)?
     Group     := '{' GroupBody '}'
@@ -669,6 +675,35 @@ def _parse_projection(cur: _Cursor) -> tuple[list[str], list[str]]:
     return select, aggregates
 
 
+def _parse_dataset(cur: _Cursor) -> dict | None:
+    """Zero or more ``FROM <g>`` / ``FROM NAMED <g>`` dataset clauses
+    (between the projection and WHERE) → ``{"default": [...],
+    "named": [...]}`` with absent keys unrestricted, or None when no
+    clause was given.  Per SPARQL: FROM graphs merge into the default
+    graph plain triples match; FROM NAMED restricts which graphs
+    GRAPH blocks may match.  Giving only FROM leaves GRAPH
+    unrestricted here (this engine has no outer dataset to empty out),
+    and vice versa — the restriction applied is exactly what was
+    written."""
+    default: list[str] = []
+    named: list[str] = []
+    while cur.at("FROM"):
+        cur.next()
+        if cur.at("NAMED"):
+            cur.next()
+            named.append(_term(cur.next()))
+        else:
+            default.append(_term(cur.next()))
+    if not default and not named:
+        return None
+    out: dict = {}
+    if default:
+        out["default"] = default
+    if named:
+        out["named"] = named
+    return out
+
+
 def _parse_select(cur: _Cursor, nested: bool = False) -> dict:
     """The body of a SELECT query (the ``SELECT`` token already
     consumed): projection, WHERE group, trailing modifiers — used by
@@ -685,9 +720,12 @@ def _parse_select(cur: _Cursor, nested: bool = False) -> dict:
         cur.next()
         distinct = True
     select, aggregates = _parse_projection(cur)
+    dataset = None if nested else _parse_dataset(cur)
     if cur.at("WHERE"):
         cur.next()
     kwargs = _parse_group(cur)
+    if dataset is not None:
+        kwargs["dataset"] = dataset
     kwargs.update(_parse_modifiers(cur, nested=nested))
     if aggregates:
         kwargs["aggregates"] = aggregates
@@ -777,9 +815,12 @@ def parse_sparql(text: str) -> dict:
         kwargs["form"] = "select"
         return kwargs
     if form == "ASK":
+        dataset = _parse_dataset(cur)
         if cur.at("WHERE"):
             cur.next()
         kwargs = _parse_group(cur)
+        if dataset is not None:
+            kwargs["dataset"] = dataset
         if not cur.done():
             raise ValueError(f"unexpected trailing token {cur.peek()!r}")
         kwargs["form"] = "ask"
@@ -809,8 +850,11 @@ def parse_sparql(text: str) -> dict:
         cur.eat("{")
         template = _parse_triples(cur)
         cur.eat("}")
+        dataset = _parse_dataset(cur)
         cur.eat("WHERE")
         kwargs = _parse_group(cur)
+        if dataset is not None:
+            kwargs["dataset"] = dataset
         if not cur.done():
             raise ValueError(f"unexpected trailing token {cur.peek()!r}")
         if "union" in kwargs or "values" in kwargs:
@@ -873,7 +917,8 @@ def sparql(triples: DataFrame, text: str,
         bound = (match_pattern(triples, plan=plan, **kwargs)
                  if "union" not in kwargs else
                  solutions(triples, union=kwargs["union"],
-                           filters=kwargs.get("filters", ())))
+                           filters=kwargs.get("filters", ()),
+                           dataset=kwargs.get("dataset")))
         return (bound.limit(1)
                 .agg((F.count(F.lit(1)) > 0).alias("ask")))
     template = kwargs.pop("template")

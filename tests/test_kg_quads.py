@@ -169,3 +169,56 @@ def test_fuzz_sparql_graph_text_vs_oracle(spark, seed):
             assert_df_matches_duckdb(sdf, con, sql, name=text)
     finally:
         con.close()
+
+
+def test_dataset_clauses(spark):
+    q = _quads(spark, FIXED)
+    # FROM restricts the default graph to the named slices' merge
+    got = sorted(tuple(r) for r in sparql(
+        q, "SELECT ?s ?o FROM <g1> WHERE { ?s P ?o }").collect())
+    assert got == [("a", "b"), ("b", "c")]
+    # two FROMs merge (and dedup the shared a->b)
+    got = sorted(tuple(r) for r in sparql(
+        q, "SELECT ?s ?o FROM <g1> FROM <g2> WHERE { ?s P ?o }"
+    ).collect())
+    assert got == [("a", "b"), ("b", "c"), ("c", "d")]
+    # FROM NAMED restricts GRAPH: a constant outside it matches nothing
+    assert sparql(
+        q, "SELECT ?s FROM NAMED <g2> WHERE { GRAPH <g1> { ?s P ?o } }"
+    ).count() == 0
+    got = {r.g for r in sparql(
+        q, "SELECT ?g FROM NAMED <g2> FROM NAMED <g3> "
+           "WHERE { GRAPH ?g { ?s ?p ?o } }").collect()}
+    assert got == {"g2", "g3"}
+    # a path closes within the FROM slice only
+    got = {r.x for r in sparql(
+        q, "SELECT ?x FROM <g2> WHERE { a P+ ?x }").collect()}
+    assert got == {"b"}
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_dataset_clauses_vs_oracle(spark, seed):
+    rnd = random.Random(5000 + seed)
+    rows, graphs, nodes, preds = _random_quads(rnd)
+    q = _quads(spark, rows)
+    kg_sql = _kg_sql(rows)
+    con = duckdb.connect()
+    g0 = graphs[0]
+    sub = " ".join(f"FROM <{g}>" for g in graphs[:2])
+    queries = [
+        f"SELECT ?s ?o {sub} WHERE {{ ?s P ?o }}",
+        f"SELECT ?g ?s FROM NAMED <{g0}> WHERE {{ GRAPH ?g {{ ?s P ?o }} }}",
+        f"SELECT ?s FROM NAMED <{g0}> WHERE {{ GRAPH <{g0}> {{ ?s ?p ?o }} }}",
+        f"SELECT ?x FROM <{g0}> WHERE {{ {nodes[0]} P+ ?x }}",
+        f"ASK FROM <{g0}> {{ ?s Q ?o }}",
+        (f"SELECT ?g (COUNT(?s) AS ?n) FROM NAMED <{g0}> "
+         "WHERE { GRAPH ?g { ?s ?p ?o } } GROUP BY ?g"),
+    ]
+    try:
+        for text in queries:
+            sdf = sparql(q, text)
+            sql = entrymod._kg_sparql_oracle(text, kg_sql=kg_sql,
+                                             quads=True)
+            assert_df_matches_duckdb(sdf, con, sql, name=text)
+    finally:
+        con.close()
