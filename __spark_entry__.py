@@ -829,6 +829,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run_sparql(kg_quads_gold(spark), _SPARQL_DATASET)
 
+    def q_kg_nquads(spark, sf):
+        # N-Quads serialization of the provenance quads — graph label
+        # as the fourth term, default-graph reified evidence lines
+        from ner_spark.plans.kg_export import nquads_lines
+        from ner_spark.plans.kg_gold import kg_quads_gold
+
+        return nquads_lines(kg_quads_gold(spark), evidence=True)
+
+    def q_kg_nquads_roundtrip(spark, sf):
+        # serialize → parse must be the identity on the gold quads
+        from ner_spark.plans.kg_export import nquads_lines, nquads_parse
+        from ner_spark.plans.kg_gold import kg_quads_gold
+
+        return nquads_parse(
+            nquads_lines(kg_quads_gold(spark), evidence=True))
+
     def q_kg_entailment(spark, sf):
         # RDFS-lite forward chaining (rho-df rules) over the gold KG +
         # the committed demo ontology: schema closure then one
@@ -944,6 +960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_graph": q_kg_sparql_graph,
         "kg_pattern_graph": q_kg_pattern_graph,
         "kg_sparql_dataset": q_kg_sparql_dataset,
+        "kg_nquads": q_kg_nquads,
+        "kg_nquads_roundtrip": q_kg_nquads_roundtrip,
     }.items()}
 
 
@@ -3034,6 +3052,39 @@ FROM kg
 """
 
 
+def _kg_nquads_oracle(kg_sql: str | None = None) -> str:
+    """SQL twin of plans.kg_export.nquads_lines(evidence=True): the
+    N-Triples oracle's escape chains with the graph label as the
+    fourth IRI and a graph-first reified edge id on the
+    default-graph evidence lines."""
+    from ner_spark.plans.kg_export import (DEFAULT_BASE, _EDGE_ESCAPES,
+                                           _ESCAPES)
+
+    def esc(col, escapes):
+        for raw, e in escapes:
+            col = f"replace({col}, {_sql_str(raw)}, {_sql_str(e)})"
+        return col
+
+    b = DEFAULT_BASE
+
+    def iri(col):
+        return f"'<{b}' || {esc(col, _ESCAPES)} || '>'"
+
+    edge = (f"'<{b}edge:' || {esc('graph', _EDGE_ESCAPES)} || '/' || "
+            f"{esc('subj', _EDGE_ESCAPES)} || '/' || "
+            f"{esc('pred', _EDGE_ESCAPES)} || '/' || "
+            f"{esc('obj', _EDGE_ESCAPES)} || '>'")
+    return f"""WITH kg AS MATERIALIZED ({kg_sql or _kg_quads_gold_sql()})
+SELECT {iri('subj')} || ' ' || {iri('pred')} || ' ' || {iri('obj')}
+       || ' ' || {iri('graph')} || ' .' AS line FROM kg
+UNION ALL
+SELECT {edge} || ' <{b}evidence_count> "'
+       || CAST(evidence_count AS VARCHAR)
+       || '"^^<http://www.w3.org/2001/XMLSchema#integer> .' AS line
+FROM kg
+"""
+
+
 def _kg_update_oracle(text: str, kg_sql: str | None = None) -> str:
     """SQL twin of plans.kg_update.apply_update: the update TEXT
     parses once (plans.kg_update.parse_update — shared with the Spark
@@ -3613,6 +3664,10 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
             _SPARQL_OPTGROUP, fill_null=("?kb", "?tag")),
         "kg_ntriples": _kg_ntriples_oracle(),
         "kg_ntriples_roundtrip": _kg_gold_oracle(),
+        "kg_nquads": _kg_nquads_oracle(),
+        "kg_nquads_roundtrip": f"SELECT graph, subj, pred, obj, "
+                               f"evidence_count FROM "
+                               f"({_kg_quads_gold_sql()}) q",
         "kg_sparql_describe": _kg_sparql_oracle(_SPARQL_DESCRIBE),
         "mentions_hybrid": _mentions_oracle("hybrid"),
         "mentions_crf": _mentions_oracle("crf_only"),

@@ -1479,6 +1479,20 @@ class KgJob:
                       base=base if base is not None else DEFAULT_BASE,
                       evidence=evidence, single_file=single_file)
 
+    def export_nquads(self, path: str, base: str | None = None,
+                      evidence: bool = False,
+                      single_file: bool = False) -> None:
+        """Serialize the PROVENANCE QUADS (:meth:`quads`) as W3C
+        N-Quads text under ``path`` — the named-graph interchange
+        surface: each current triple exports with its origin graph
+        (base / edit:NNNNNN) as the fourth term, loadable by any
+        quad store.  Same scale shape as :meth:`export_ntriples`."""
+        from ner_spark.plans.kg_export import DEFAULT_BASE, nquads_save
+
+        nquads_save(self.quads(), path,
+                    base=base if base is not None else DEFAULT_BASE,
+                    evidence=evidence, single_file=single_file)
+
     def import_ntriples(self, source, base: str | None = None,
                         strict: bool = True) -> DataFrame:
         """Adopt an external N-Triples graph as this output's
@@ -1977,6 +1991,13 @@ def main() -> None:
                         help="with --import-ntriples: drop unparseable/"
                              "foreign lines instead of raising "
                              "(strict=False)")
+    parser.add_argument("--export-nquads", default=None, metavar="PATH",
+                        help="serialize the committed KG's PROVENANCE "
+                             "QUADS (graph = base/edit:NNNNNN origin) "
+                             "as W3C N-Quads text under PATH "
+                             "(standalone, like --export-ntriples; "
+                             "honors --export-evidence / "
+                             "--export-single-file)")
     parser.add_argument("--export-ntriples", default=None, metavar="PATH",
                         help="serialize the committed KG as N-Triples "
                              "text under PATH (pure projection, no "
@@ -2104,6 +2125,17 @@ def main() -> None:
         n = spark.read.text(args.export_ntriples).count()
         print(f"stage=export_ntriples lines={n} "
               f"output={args.export_ntriples}")
+        return
+    elif args.export_nquads:
+        # standalone provenance-quads export
+        job = KgJob(spark, args.output, mode=args.mode,
+                    tokenizer_mode=args.tokenizer_mode, run_id=args.run_id)
+        job.export_nquads(args.export_nquads,
+                          evidence=args.export_evidence,
+                          single_file=args.export_single_file)
+        n = spark.read.text(args.export_nquads).count()
+        print(f"stage=export_nquads lines={n} "
+              f"output={args.export_nquads}")
         return
     elif args.sparql_update:
         # standalone edit of an already-committed output

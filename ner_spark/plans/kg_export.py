@@ -238,3 +238,138 @@ def ntriples_save(
     if single_file:
         lines = lines.orderBy("line").coalesce(1)
     lines.write.mode("overwrite").text(path)
+
+
+# --------------------------------------------------------------- N-Quads
+
+#: data line: four IRIREFs (graph label LAST, per W3C N-Quads) + dot
+_NQ_DATA_RE = f"^{_NT_TERM} {_NT_TERM} {_NT_TERM} {_NT_TERM} \\.$"
+_NQ_EV_RE = _NT_EV_RE  # evidence lines are default-graph N-Triples
+
+
+def nquads_lines(
+    quads: DataFrame,
+    base: str = DEFAULT_BASE,
+    evidence: bool = False,
+) -> DataFrame:
+    """Serialize ``(graph, subj, pred, obj[, evidence_count])`` to one
+    W3C N-Quads ``line`` column — the named-graph twin of
+    :func:`ntriples_lines`, with the graph label as the fourth term:
+
+        <urn:ner:repo:r1> <urn:ner:DECLARES> <urn:ner:ent:x> <urn:ner:g:r1> .
+
+    Same scale shape (pure per-row projection, no shuffle, codegen)
+    and the same escape chain, so any N-Quads consumer (Jena,
+    Oxigraph, rdflib) loads the provenance graphs as-is.  With
+    ``evidence=True`` each quad adds a DEFAULT-GRAPH line carrying
+    its count on the reified edge id ``<base>edge:G/S/P/O`` (graph
+    FIRST, ``/``-escaped like the N-Triples edge ids) — quads are
+    unique per (graph, s, p, o), so the id is unambiguous."""
+    if base != DEFAULT_BASE:
+        if any(ch in base for ch in ' <>"\\'):
+            raise ValueError(
+                f"base {base!r} contains characters N-Quads forbids "
+                "inside an IRI")
+    data = quads.select(
+        F.concat(
+            _iri(F.col("subj"), base), F.lit(" "),
+            _iri(F.col("pred"), base), F.lit(" "),
+            _iri(F.col("obj"), base), F.lit(" "),
+            _iri(F.col("graph"), base), F.lit(" ."),
+        ).alias("line"))
+    if not evidence:
+        return data
+    ee = tuple(_EDGE_ESCAPES)
+    edge = F.concat(
+        F.lit("<" + base + "edge:"), _esc_col(F.col("graph"), ee),
+        F.lit("/"), _esc_col(F.col("subj"), ee),
+        F.lit("/"), _esc_col(F.col("pred"), ee),
+        F.lit("/"), _esc_col(F.col("obj"), ee), F.lit(">"))
+    ev = quads.select(
+        F.concat(
+            edge, F.lit(" <" + base + "evidence_count> \""),
+            F.col("evidence_count").cast("string"),
+            F.lit('"^^<http://www.w3.org/2001/XMLSchema#integer> .'),
+        ).alias("line"))
+    return data.unionAll(ev)
+
+
+def nquads_parse(
+    lines: DataFrame,
+    base: str = DEFAULT_BASE,
+    strict: bool = True,
+) -> DataFrame:
+    """Parse N-Quads text back into ``(graph, subj, pred, obj,
+    evidence_count)`` — the exact inverse of :func:`nquads_lines`,
+    with the same strict/lenient contract and scale shape as
+    :func:`ntriples_parse` (per-row regexes, one equi-join to
+    re-attach evidence, one validation aggregate under strict)."""
+    col = "line" if "line" in lines.columns else "value"
+    raw = lines.select(F.col(col).alias("line"))
+    ignorable = (F.trim(F.col("line")) == "") | \
+        F.col("line").startswith("#")
+    data_m = F.regexp_extract("line", _NQ_DATA_RE, 0) != ""
+    ev_m = F.regexp_extract("line", _NQ_EV_RE, 0) != ""
+
+    def under_base(i: int) -> Column:
+        return F.regexp_extract("line", _NQ_DATA_RE, i).startswith(base)
+
+    eb = base + "edge:"
+    data_ok = data_m & under_base(1) & under_base(2) \
+        & under_base(3) & under_base(4)
+    ev_ok = ev_m \
+        & F.regexp_extract("line", _NQ_EV_RE, 1).startswith(eb) \
+        & (F.regexp_extract("line", _NQ_EV_RE, 2)
+           == base + "evidence_count")
+    if strict:
+        bad = (raw.where(~(ignorable | data_ok | ev_ok))
+               .limit(5).collect())
+        if bad:
+            raise ValueError(
+                "unparseable or foreign N-Quads line(s) under base "
+                f"{base!r} (strict=False drops them): "
+                + "; ".join(repr(r["line"]) for r in bad))
+
+    def term(i: int) -> Column:
+        return _unesc_col(F.regexp_extract(
+            "line", _NQ_DATA_RE, i).substr(F.lit(len(base) + 1),
+                                           F.length("line")))
+
+    edges = raw.where(data_ok).select(
+        term(4).alias("graph"), term(1).alias("subj"),
+        term(2).alias("pred"), term(3).alias("obj"))
+    ev_id = F.regexp_extract("line", _NQ_EV_RE, 1)
+    ev = raw.where(ev_ok).select(
+        ev_id.substr(F.lit(len(eb) + 1), F.length("line"))
+        .alias("edge_id"),
+        F.regexp_extract("line", _NQ_EV_RE, 3).cast("bigint")
+        .alias("evidence_count"))
+    ee = tuple(_EDGE_ESCAPES)
+    parts = F.split(F.col("edge_id"), "/")
+    ev = ev.where(F.size(parts) == 4).select(
+        _unesc_col(parts[0], ee).alias("graph"),
+        _unesc_col(parts[1], ee).alias("subj"),
+        _unesc_col(parts[2], ee).alias("pred"),
+        _unesc_col(parts[3], ee).alias("obj"),
+        "evidence_count")
+    out = edges.join(ev, ["graph", "subj", "pred", "obj"], "left")
+    return out.select(
+        "graph", "subj", "pred", "obj",
+        F.coalesce("evidence_count", F.lit(1).cast("bigint"))
+        .alias("evidence_count"))
+
+
+def nquads_save(
+    quads: DataFrame,
+    path: str,
+    base: str = DEFAULT_BASE,
+    evidence: bool = False,
+    single_file: bool = False,
+) -> None:
+    """Write the N-Quads serialization as text; ``single_file`` sorts
+    + coalesces for byte-stable small exports, same contract as
+    :func:`ntriples_save`."""
+    lines = nquads_lines(quads, base=base, evidence=evidence)
+    if single_file:
+        lines = lines.orderBy("line").coalesce(1)
+    lines.write.mode("overwrite").text(path)

@@ -202,3 +202,73 @@ def test_job_import_collapses_duplicate_lines(spark, tmp_path):
     assert [tuple(r) for r in
             out.select("subj", "pred", "obj",
                        "evidence_count").collect()] == [("a", "P", "b", 3)]
+
+
+# --------------------------------------------------------------- N-Quads
+
+NASTY_QUADS = [
+    ("g one", "a/b", "P%2F", "x y", 2),   # space, solidus, literal %2F
+    ("g<>", 'q"uote', "\\back", "<угол>", 1),  # forbidden chars, unicode
+    ("g1", "plain", "P", "obj", 7),
+]
+
+
+def test_nquads_roundtrip_nasty_terms(spark):
+    from ner_spark.plans.kg_export import nquads_lines, nquads_parse
+
+    q = spark.createDataFrame(
+        NASTY_QUADS, "graph string, subj string, pred string, "
+                     "obj string, evidence_count long")
+    back = nquads_parse(nquads_lines(q, evidence=True))
+    assert sorted(map(tuple, back.collect())) == sorted(NASTY_QUADS)
+    # without evidence lines every count defaults to 1
+    back1 = nquads_parse(nquads_lines(q, evidence=False))
+    assert {r.evidence_count for r in back1.collect()} == {1}
+
+
+def test_nquads_strictness(spark):
+    from ner_spark.plans.kg_export import nquads_lines, nquads_parse
+
+    q = spark.createDataFrame(
+        [("g1", "a", "P", "b", 1)],
+        "graph string, subj string, pred string, obj string, "
+        "evidence_count long")
+    lines = nquads_lines(q).unionAll(spark.createDataFrame(
+        [("<http://foreign> <p> <o> <g> .",),
+         ("# a comment",), ("",), ("garbage",)], "line string"))
+    with pytest.raises(ValueError, match="N-Quads"):
+        nquads_parse(lines).collect()
+    kept = nquads_parse(lines, strict=False)
+    assert [tuple(r) for r in kept.collect()] == [("g1", "a", "P", "b", 1)]
+
+
+def test_nquads_single_file_byte_stable(spark, tmp_path):
+    from ner_spark.plans.kg_export import nquads_parse, nquads_save
+
+    q = spark.createDataFrame(
+        NASTY_QUADS, "graph string, subj string, pred string, "
+                     "obj string, evidence_count long")
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    nquads_save(q, p1, evidence=True, single_file=True)
+    nquads_save(q, p2, evidence=True, single_file=True)
+    t1 = spark.read.text(p1).orderBy("value").collect()
+    t2 = spark.read.text(p2).orderBy("value").collect()
+    assert t1 == t2 and len(t1) == 6
+    back = nquads_parse(spark.read.text(p1))
+    assert sorted(map(tuple, back.collect())) == sorted(NASTY_QUADS)
+
+
+def test_job_quads_export_roundtrip(spark, tmp_path):
+    from ner_spark.plans.job import KgJob
+    from ner_spark.plans.kg_export import nquads_parse, nquads_save
+    from ner_spark.sources.fixtures import source_table
+
+    job = KgJob(spark, str(tmp_path / "kg"), run_id="r1")
+    job.run(source_table(spark, n_rows=30))
+    job.sparql_update('INSERT DATA { "x:a" "REL" "x:b" }')
+    quads = job.quads()
+    path = str(tmp_path / "nq")
+    nquads_save(quads, path, evidence=True)
+    back = nquads_parse(spark.read.text(path))
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, quads.collect()))

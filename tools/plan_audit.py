@@ -834,6 +834,25 @@ def main() -> int:
           "CartesianProduct" not in p
           and "BroadcastNestedLoopJoin" not in p)
 
+    # N-Quads export: like the N-Triples export, serialization must
+    # stay a pure per-row projection — a 10^12-quad provenance export
+    # parallelizes like a scan
+    from ner_spark.plans.kg_export import nquads_lines, nquads_parse
+
+    p = plans["kg_nquads_export"] = plan_of(
+        nquads_lines(quads_df, evidence=True))
+    check("kg_nquads_export", "serialization is shuffle-free "
+          "(no Exchange)", "Exchange" not in p)
+    check("kg_nquads_export", "no join in the export path",
+          "Join" not in p)
+    p = plans["kg_nquads_import"] = plan_of(
+        nquads_parse(nquads_lines(quads_df, evidence=True),
+                     strict=False))
+    check("kg_nquads_import", "evidence re-attach is a hash "
+          "equi-join, never a nested loop",
+          "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p)
+
     # RDFS entailment: the fact-side derivation pass (_derive_once)
     # must join the big fact table ONLY against the broadcast closed
     # schema — any SortMergeJoin here would shuffle the 100 TB side
