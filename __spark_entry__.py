@@ -822,6 +822,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return match_pattern(kg_quads_gold(spark), _PATTERN_GRAPH,
                              filters=_PATTERN_GRAPH_FILTERS)
 
+    def q_kg_sparql_graph_path(spark, sf):
+        # variable-graph property-path closure over the gold quads
+        from ner_spark.plans.kg_gold import kg_quads_gold
+        from ner_spark.plans.sparql import sparql as run_sparql
+
+        return run_sparql(kg_quads_gold(spark), _SPARQL_GRAPH_PATH)
+
     def q_kg_sparql_dataset(spark, sf):
         # FROM / FROM NAMED dataset clauses over the gold quads
         from ner_spark.plans.kg_gold import kg_quads_gold
@@ -960,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_graph": q_kg_sparql_graph,
         "kg_pattern_graph": q_kg_pattern_graph,
         "kg_sparql_dataset": q_kg_sparql_dataset,
+        "kg_sparql_graph_path": q_kg_sparql_graph_path,
         "kg_nquads": q_kg_nquads,
         "kg_nquads_roundtrip": q_kg_nquads_roundtrip,
     }.items()}
@@ -992,6 +1000,13 @@ _PATTERN_GRAPH = [
     ("?e", "LINKED_TO", "?kb"),
 ]
 _PATTERN_GRAPH_FILTERS = ['strstarts(?g, "g:repo")']
+
+# the kg_sparql_graph_path contract query: a property-path CLOSURE
+# under a VARIABLE graph — per-graph semi-naive fixpoint, graph term
+# bound from the closure relation
+_SPARQL_GRAPH_PATH = (
+    "SELECT ?g ?e ?x WHERE { GRAPH ?g { ?e MENTIONED_WITH+ ?x } } "
+    "ORDER BY ?e ?x LIMIT 40")
 
 # the kg_sparql_dataset contract query: FROM merges two repo graphs
 # into the default graph, FROM NAMED restricts which graphs GRAPH may
@@ -2240,7 +2255,8 @@ def _kg_bind_sql(expr, refs: dict) -> str:
 def _kg_path_ctes(idx: int, pred: str, zero: bool,
                   max_hops: int | None, prefix: str = "",
                   graph: str | None = None,
-                  graph_in: list | None = None) -> tuple[str, str]:
+                  graph_in: list | None = None,
+                  with_graph: bool = False) -> tuple[str, str]:
     """Recursive-CTE twin of kg_query.path_closure: distinct pairs
     connected by 1..n (or with ``zero`` 0..n) hops of ``pred``.
     Returns (cte_sql, relation_name).  The recursive UNION dedups, so
@@ -2256,22 +2272,26 @@ def _kg_path_ctes(idx: int, pred: str, zero: bool,
     if graph_in is not None:
         gin = ", ".join(_sql_str(g) for g in graph_in)
         gf += f" AND graph IN ({gin})"
-    ctes = [f"{e} AS (SELECT DISTINCT subj, obj FROM kg "
+    gc = "graph, " if with_graph else ""
+    gj = " AND c.graph = e.graph" if with_graph else ""
+    gp = "c.graph, " if with_graph else ""
+    ctes = [f"{e} AS (SELECT DISTINCT {gc}subj, obj FROM kg "
             f"WHERE pred IN ({alts}){gf})"]
     if max_hops is None:
         ctes.append(
-            f"{c} AS (SELECT subj, obj FROM {e} "
-            f"UNION SELECT c.subj, e.obj FROM {c} c "
-            f"JOIN {e} e ON c.obj = e.subj)"
+            f"{c} AS (SELECT {gc}subj, obj FROM {e} "
+            f"UNION SELECT {gp}c.subj, e.obj FROM {c} c "
+            f"JOIN {e} e ON c.obj = e.subj{gj})"
         )
-        body = f"SELECT subj, obj FROM {c}"
+        body = f"SELECT {gc}subj, obj FROM {c}"
     else:
         ctes.append(
-            f"{c} AS (SELECT subj, obj, 1 AS h FROM {e} "
-            f"UNION SELECT c.subj, e.obj, c.h + 1 FROM {c} c "
-            f"JOIN {e} e ON c.obj = e.subj WHERE c.h < {int(max_hops)})"
+            f"{c} AS (SELECT {gc}subj, obj, 1 AS h FROM {e} "
+            f"UNION SELECT {gp}c.subj, e.obj, c.h + 1 FROM {c} c "
+            f"JOIN {e} e ON c.obj = e.subj{gj} "
+            f"WHERE c.h < {int(max_hops)})"
         )
-        body = f"SELECT DISTINCT subj, obj FROM {c}"
+        body = f"SELECT DISTINCT {gc}subj, obj FROM {c}"
     if zero:
         # NOTE: under WITH RECURSIVE, DuckDB treats ANY cte whose body
         # is `base UNION step` as a recursive union-table (different
@@ -2283,11 +2303,19 @@ def _kg_path_ctes(idx: int, pred: str, zero: bool,
             gconds.append("graph IN (" + ", ".join(
                 _sql_str(g) for g in graph_in) + ")")
         gw = (" WHERE " + " AND ".join(gconds)) if gconds else ""
-        body = (
-            f"SELECT DISTINCT subj, obj FROM ({body} UNION ALL "
-            f"SELECT n, n FROM (SELECT subj AS n FROM kg{gw} "
-            f"UNION ALL SELECT obj FROM kg{gw}))"
-        )
+        if with_graph:
+            body = (
+                f"SELECT DISTINCT graph, subj, obj FROM ({body} "
+                "UNION ALL SELECT graph, n, n FROM "
+                f"(SELECT graph, subj AS n FROM kg{gw} "
+                f"UNION ALL SELECT graph, obj FROM kg{gw}))"
+            )
+        else:
+            body = (
+                f"SELECT DISTINCT subj, obj FROM ({body} UNION ALL "
+                f"SELECT n, n FROM (SELECT subj AS n FROM kg{gw} "
+                f"UNION ALL SELECT obj FROM kg{gw}))"
+            )
     ctes.append(f"{p} AS ({body})")
     return ",\n".join(ctes), p
 
@@ -2357,15 +2385,27 @@ def _kg_element_sql(alias: str, element, first: dict, ctes: list,
     negset = None if segs is not None else _negated_set(element[1])
     path = None if segs is not None or negset is not None \
         else _path_pred(element[1])
-    if gterm is not None and gconst is None and (
-            segs is not None or path is not None):
-        # parity with _element_relation's variable-graph path guard
+    if gterm is not None and gconst is None and segs is not None:
+        # parity with _element_relation's variable-graph seq guard
         raise ValueError(
-            f"property path {element[1]!r} under a VARIABLE graph "
+            f"sequence path {element[1]!r} under a VARIABLE graph "
             f"{gterm} is unsupported")
     named = (dataset or {}).get("named") if quads else None
     default = (dataset or {}).get("default") if quads else None
-    if segs is not None:
+    if gterm is not None and gconst is None and path is not None:
+        # variable-graph closure: per-graph recursive CTE (the graph
+        # column rides the recursion), graph term binds from it
+        base_p, mod = path
+        cte, rel = _kg_path_ctes(len(ctes), base_p, mod in "*?",
+                                 1 if mod == "?" else path_max_hops,
+                                 prefix=prefix, graph_in=named,
+                                 with_graph=True)
+        ctes.append(cte)
+        fields = ("graph", "subj", "obj")
+        terms = (gterm, element[0], element[2])
+        segs = path = None
+        gterm = gconst = None
+    elif segs is not None:
         cte, rel = _kg_seq_cte(len(ctes), segs, ctes, path_max_hops,
                                prefix=prefix, graph=gconst,
                                quads=quads,
@@ -3597,6 +3637,9 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
             _SPARQL_GRAPH, kg_sql=_kg_quads_gold_sql(), quads=True),
         "kg_sparql_dataset": _kg_sparql_oracle(
             _SPARQL_DATASET, kg_sql=_kg_quads_gold_sql(), quads=True),
+        "kg_sparql_graph_path": _kg_sparql_oracle(
+            _SPARQL_GRAPH_PATH, kg_sql=_kg_quads_gold_sql(),
+            quads=True),
         "kg_pattern_graph": _kg_pattern_oracle(
             _PATTERN_GRAPH, filters=_PATTERN_GRAPH_FILTERS,
             kg_sql=_kg_quads_gold_sql(), quads=True),

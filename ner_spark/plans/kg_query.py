@@ -668,6 +668,7 @@ def path_closure(
     max_hops: int | None = None,
     src: str | None = None,
     dst: str | None = None,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Distinct ``(subj, obj)`` pairs connected by 1..n hops of
     ``pred`` edges (SPARQL ``pred+``); with ``zero=True`` also every
@@ -694,15 +695,26 @@ def path_closure(
     set semantics even where the underlying triple table carries
     duplicates, and the recursive-CTE oracle's UNION matches.
     """
+    g = [group_col] if group_col else []
     edges = (
         triples.where(F.col("pred").isin(_pred_alternatives(pred)))
-        .select("subj", "obj").distinct()
+        .select(*g, "subj", "obj").distinct()
         .localCheckpoint(eager=True)
     )
+    # constraint scrub (canonicalize.py:581 idiom): the checkpointed
+    # LogicalRDD keeps the ORIGIN plan's constraints (a committed
+    # table's partition filters, a provenance view's lit("base")
+    # equality), and the closure loop's union + re-checkpoint trips
+    # Spark 4.1's Union constraint rewrite (AttributeMap miss) on
+    # them.  Rebuilding from the materialized RDD yields a
+    # constraint-free plan; the roundtrip touches only the pred-pruned
+    # distinct edge set the closure iterates anyway.
+    edges = edges.sparkSession.createDataFrame(
+        edges.rdd, edges.schema).localCheckpoint(eager=True)
     flip = False
     if src is None and dst is not None:
         # BFS backwards from the constant object, flip at the end
-        edges = edges.select(F.col("obj").alias("subj"),
+        edges = edges.select(*g, F.col("obj").alias("subj"),
                              F.col("subj").alias("obj"))
         src, dst, flip = dst, None, True
     if src is not None:
@@ -720,16 +732,29 @@ def path_closure(
     frontier = closure
     rounds = max_hops if max_hops is not None else 64
     converged = False
+    keys = g + ["subj", "obj"]
+    step_on = ((F.col("f.obj") == F.col("e.subj"))
+               if not group_col else
+               (F.col("f.obj") == F.col("e.subj"))
+               & (F.col(f"f.{group_col}") == F.col(f"e.{group_col}")))
     for _ in range(1, rounds):
         step = (
             frontier.alias("f")
-            .join(edges.alias("e"), F.col("f.obj") == F.col("e.subj"))
-            .select(F.col("f.subj").alias("subj"),
+            .join(edges.alias("e"), step_on)
+            .select(*[F.col(f"f.{c}") for c in g],
+                    F.col("f.subj").alias("subj"),
                     F.col("e.obj").alias("obj"))
             .distinct()
         )
-        new = step.join(closure, ["subj", "obj"], "left_anti") \
+        new = step.join(closure, keys, "left_anti") \
                   .localCheckpoint(eager=True)
+        if group_col:
+            # second scrub: the anti-join's derived constraint keeps a
+            # stale group-column exprId (the same Spark 4.1 rewrite
+            # bug), so the union below would crash at checkpoint; the
+            # roundtrip touches only the frontier's new pairs
+            new = new.sparkSession.createDataFrame(
+                new.rdd, new.schema).localCheckpoint(eager=True)
         if new.isEmpty():
             converged = True
             break
@@ -741,10 +766,11 @@ def path_closure(
         # a silent prefix of the fixpoint
         probe = (
             frontier.alias("f")
-            .join(edges.alias("e"), F.col("f.obj") == F.col("e.subj"))
-            .select(F.col("f.subj").alias("subj"),
+            .join(edges.alias("e"), step_on)
+            .select(*[F.col(f"f.{c}") for c in g],
+                    F.col("f.subj").alias("subj"),
                     F.col("e.obj").alias("obj"))
-            .join(closure, ["subj", "obj"], "left_anti")
+            .join(closure, keys, "left_anti")
         )
         if not probe.isEmpty():
             raise RuntimeError(
@@ -756,15 +782,17 @@ def path_closure(
         # explode, not a self-union under renames (the latter trips the
         # same Union constraint rewrite — see operators/dedup.py)
         z = (
-            triples.select(F.explode(F.array("subj", "obj")).alias("n"))
+            triples.select(*g, F.explode(F.array("subj", "obj"))
+                           .alias("n"))
             .distinct()
-            .select(F.col("n").alias("subj"), F.col("n").alias("obj"))
+            .select(*g, F.col("n").alias("subj"),
+                    F.col("n").alias("obj"))
         )
         if src is not None:
             z = z.where(F.col("subj") == src)
         closure = closure.unionByName(z).distinct()
     if flip:
-        closure = closure.select(F.col("obj").alias("subj"),
+        closure = closure.select(*g, F.col("obj").alias("subj"),
                                  F.col("subj").alias("obj"))
     return closure
 
@@ -895,13 +923,28 @@ def _element_relation(
     negset = None if segs is not None else _negated_set(element[1])
     path = None if segs is not None or negset is not None \
         else _path_pred(element[1])
-    if gterm is not None and (segs is not None or path is not None):
+    if gterm is not None and segs is not None:
         raise ValueError(
-            f"property path {element[1]!r} under a VARIABLE graph "
-            f"{gterm} is unsupported — the closure would have to "
-            "iterate per named graph; bind the graph to a constant "
-            "(GRAPH <g> {{ ... }}) or match the edge single-step")
-    if segs is not None:
+            f"sequence path {element[1]!r} under a VARIABLE graph "
+            f"{gterm} is unsupported — bind the graph to a constant "
+            "(GRAPH <g> { ... }) or chain single-step elements")
+    if gterm is not None and path is not None:
+        # variable-graph closure: the fixpoint iterates PER GRAPH —
+        # the graph column rides the frontier join key, so one
+        # semi-naive loop closes every named graph at once
+        base, mod = path
+        rel = path_closure(
+            triples, base, zero=mod in "*?",
+            max_hops=1 if mod == "?" else path_max_hops,
+            src=None if _is_var(element[0]) else element[0],
+            dst=None if _is_var(element[2]) else element[2],
+            group_col="graph",
+        )
+        fields = ("graph", "subj", "obj")
+        terms = (gterm, element[0], element[2])
+        segs = path = None
+        gterm = None  # handled; skip the plain-quad branch below
+    elif segs is not None:
         rel = _sequence_relation(triples, element, segs, path_max_hops)
         fields: tuple[str, ...] = ("subj", "obj")
         terms: tuple[str, ...] = (element[0], element[2])

@@ -96,3 +96,26 @@ def test_sparql_provenance_regime(spark, out_dir):
         "ASK { x:a REL ?o }", provenance=True).collect()[0][0] is True
     with pytest.raises(ValueError, match="mutually exclusive"):
         job.sparql("ASK { ?s REL ?o }", entailed=True, provenance=True)
+
+
+def test_provenance_var_graph_closure(spark, out_dir):
+    """Property-path closure under a VARIABLE graph over the COMMITTED
+    provenance view — the parquet-backed relation carries origin-plan
+    constraints (partition filters, the lit('base') projection) that
+    the in-memory fuzz never has; pins the Spark 4.1 Union
+    constraint-rewrite scrub inside path_closure's loop."""
+    from ner_spark.sources.fixtures import source_table
+
+    job = KgJob(spark, out_dir, run_id="r1")
+    job.run(source_table(spark, n_rows=30))
+    job.sparql_update('INSERT DATA { "x:a" "HOP" "x:b" . '
+                      '"x:b" "HOP" "x:c" }')
+    out = job.sparql(
+        "SELECT ?g ?a ?b WHERE { GRAPH ?g { ?a HOP+ ?b } }",
+        provenance=True)
+    got = {tuple(r) for r in out.collect()}
+    assert got == {
+        ("edit:000001", "x:a", "x:b"),
+        ("edit:000001", "x:b", "x:c"),
+        ("edit:000001", "x:a", "x:c"),
+    }

@@ -10,8 +10,10 @@ Semantics pinned here:
 - a plain triple element over a quads relation matches the UNION
   DEFAULT GRAPH — the RDF merge (DISTINCT over graphs), so a triple
   asserted in two graphs binds once;
-- property paths close WITHIN a constant graph and raise under a
-  variable graph.
+- property paths close WITHIN a constant graph; under a variable
+  graph the closure runs PER GRAPH (the graph column rides the
+  semi-naive frontier join key), so reachability never leaks across
+  graphs; sequence paths under a variable graph raise.
 """
 
 from __future__ import annotations
@@ -75,8 +77,18 @@ def test_constant_graph_scopes_closure(spark):
     got = {r.x for r in match_pattern(
         q, [("g1", "a", "P+", "?x")]).collect()}
     assert got == {"b", "c"}  # g2's c->d must not leak in
+
+
+def test_variable_graph_closure_is_per_graph(spark):
+    q = _quads(spark, FIXED)
+    got = {(r.g, r.x) for r in match_pattern(
+        q, [("?g", "a", "P+", "?x")]).collect()}
+    # g1: a->b->c within g1; g2: a->b only (b's next edge is Q);
+    # cross-graph chaining (g2's a->b with g1's b->c) must NOT appear
+    assert got == {("g1", "b"), ("g1", "c"), ("g2", "b")}
+    # sequences under a variable graph stay unsupported
     with pytest.raises(ValueError, match="VARIABLE graph"):
-        match_pattern(q, [("?g", "a", "P+", "?x")])
+        match_pattern(q, [("?g", "a", "P/Q", "?x")])
 
 
 def test_quad_element_requires_graph_column(spark):
@@ -158,6 +170,8 @@ def test_fuzz_sparql_graph_text_vs_oracle(spark, seed):
          " GROUP BY ?g ORDER BY DESC(?n) ?g"),
         f"SELECT ?s ?o WHERE {{ GRAPH <{graphs[0]}> {{ ?s ?p ?o }} }}",
         f"SELECT ?x WHERE {{ GRAPH <{graphs[0]}> {{ {nodes[0]} P+ ?x }} }}",
+        f"SELECT ?g ?x WHERE {{ GRAPH ?g {{ {nodes[0]} P+ ?x }} }}",
+        "SELECT ?g ?s ?x WHERE { GRAPH ?g { ?s P* ?x } }",
         "SELECT ?s WHERE { ?s P ?o . GRAPH ?g { ?o Q ?t } }",
         "ASK { GRAPH ?g { ?s Q ?o } }",
     ]
