@@ -829,6 +829,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run_sparql(kg_quads_gold(spark), _SPARQL_GRAPH_PATH)
 
+    def q_kg_rules(spark, sf):
+        # CONSTRUCT-rule forward chaining to a fixpoint over the gold
+        # KG: shared-entity RELATED_REPO, then a recursive CONNECTED
+        # closure through it — plans/kg_rules.py
+        from ner_spark.plans.kg_gold import kg_triples_gold
+        from ner_spark.plans.kg_rules import materialize_rules
+
+        return materialize_rules(kg_triples_gold(spark), _RULES)
+
     def q_kg_sparql_dataset(spark, sf):
         # FROM / FROM NAMED dataset clauses over the gold quads
         from ner_spark.plans.kg_gold import kg_quads_gold
@@ -967,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_graph": q_kg_sparql_graph,
         "kg_pattern_graph": q_kg_pattern_graph,
         "kg_sparql_dataset": q_kg_sparql_dataset,
+        "kg_rules": q_kg_rules,
         "kg_sparql_graph_path": q_kg_sparql_graph_path,
         "kg_nquads": q_kg_nquads,
         "kg_nquads_roundtrip": q_kg_nquads_roundtrip,
@@ -1000,6 +1010,17 @@ _PATTERN_GRAPH = [
     ("?e", "LINKED_TO", "?kb"),
 ]
 _PATTERN_GRAPH_FILTERS = ['strstarts(?g, "g:repo")']
+
+# the kg_rules contract rule set: a join rule with a FILTER, a copy
+# rule, and a RECURSIVE rule (left-linear closure) — the composition
+# the rules engine exists for
+_RULES = [
+    'CONSTRUCT { ?a RELATED_REPO ?b } '
+    'WHERE { ?a DECLARES ?e . ?b DECLARES ?e FILTER(?a != ?b) }',
+    'CONSTRUCT { ?a CONNECTED ?b } WHERE { ?a RELATED_REPO ?b }',
+    'CONSTRUCT { ?a CONNECTED ?c } '
+    'WHERE { ?a CONNECTED ?b . ?b RELATED_REPO ?c }',
+]
 
 # the kg_sparql_graph_path contract query: a property-path CLOSURE
 # under a VARIABLE graph — per-graph semi-naive fixpoint, graph term
@@ -1625,6 +1646,36 @@ def _kg_quads_gold_sql() -> str:
             THEN 'g:' || substr(subj, 6) ELSE 'g:shared' END AS graph,
        subj, pred, obj, evidence_count
 FROM ({_kg_gold_oracle()}) gq"""
+
+
+def _kg_rules_oracle(kg_sql: str | None = None) -> str:
+    """SQL twin of plans.kg_rules.materialize_rules under the
+    committed contract rule set (_RULES): the join rule is one
+    self-join of the base, the recursive rule is a left-linear
+    recursive CTE over its head relation — valid because the rule
+    set's dependency graph is stratified (RELATED_REPO depends only
+    on base DECLARES, CONNECTED only on RELATED_REPO), which is also
+    why the engine's naive fixpoint converges in closure-depth
+    rounds."""
+    return f"""WITH RECURSIVE kg AS MATERIALIZED ({kg_sql or _kg_gold_oracle()}),
+rbase AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM kg),
+rel AS MATERIALIZED (
+  SELECT DISTINCT a.subj AS subj, 'RELATED_REPO' AS pred,
+         b.subj AS obj
+  FROM rbase a JOIN rbase b ON a.obj = b.obj
+  WHERE a.pred = 'DECLARES' AND b.pred = 'DECLARES'
+    AND a.subj != b.subj),
+conn AS (SELECT subj, obj FROM rel
+  UNION SELECT c.subj, r.obj FROM conn c JOIN rel r
+    ON c.obj = r.subj),
+rfull AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM (
+  SELECT subj, pred, obj FROM rbase
+  UNION ALL SELECT subj, pred, obj FROM rel
+  UNION ALL SELECT subj, 'CONNECTED' AS pred, obj FROM conn))
+SELECT f.subj, f.pred, f.obj, (b2.subj IS NULL) AS inferred
+FROM rfull f LEFT JOIN rbase b2
+  ON f.subj = b2.subj AND f.pred = b2.pred AND f.obj = b2.obj
+"""
 
 
 def _kg_entail_body(kg_sql: str | None = None) -> str:
@@ -3637,6 +3688,7 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
             _SPARQL_GRAPH, kg_sql=_kg_quads_gold_sql(), quads=True),
         "kg_sparql_dataset": _kg_sparql_oracle(
             _SPARQL_DATASET, kg_sql=_kg_quads_gold_sql(), quads=True),
+        "kg_rules": _kg_rules_oracle(),
         "kg_sparql_graph_path": _kg_sparql_oracle(
             _SPARQL_GRAPH_PATH, kg_sql=_kg_quads_gold_sql(),
             quads=True),

@@ -1318,6 +1318,27 @@ class KgJob:
              "n": self.triples().count()},
             sort_keys=True)
 
+    def rules_view(self, rules: list) -> dict[str, int]:
+        """Materialize the fixpoint of CONSTRUCT rules over the
+        committed triple table as a derived view
+        ``<out>/rules/triples`` — (subj, pred, obj, inferred), the
+        same crash-safe install and always-recompute contract as
+        :meth:`entailment` (:mod:`ner_spark.plans.kg_rules`)."""
+        from ner_spark.plans.kg_rules import materialize_rules
+
+        out = materialize_rules(self.triples(), rules)
+        dst = f"{self.out}/rules/triples"
+        tmp = dst + ".tmp"
+        if self._exists(tmp):
+            self._delete(tmp)
+        out.write.mode("overwrite").parquet(tmp)
+        n = self.spark.read.parquet(tmp).count()
+        if self._exists(dst):
+            self._delete(dst)
+        self._rename(tmp, dst)
+        self._log_event("rules_triples", n)
+        return {"triples": n}
+
     def entailed_triples(self) -> "DataFrame":
         """The entailed graph as a (subj, pred, obj) relation for
         querying under the RDFS entailment regime: reads the
@@ -1875,6 +1896,13 @@ def main() -> None:
                              "<output>/analytics/")
     parser.add_argument("--pagerank-iterations", type=int, default=3,
                         help="--analytics: PageRank iteration count")
+    parser.add_argument("--rule", action="append", default=[],
+                        metavar="CONSTRUCT",
+                        help="a CONSTRUCT query used as a forward-"
+                             "chaining rule, repeatable; the rules' "
+                             "fixpoint over the committed KG "
+                             "materializes under <output>/rules/ "
+                             "(standalone, like --entail)")
     parser.add_argument("--entail", action="store_true",
                         help="after the run (or standalone over an "
                              "already-committed output), materialize "
@@ -2177,6 +2205,15 @@ def main() -> None:
                   else args.match_plan),
         )
         _print_query_result(out, args, "query")
+        return
+    elif args.rule:
+        # standalone rule materialization over a committed output
+        job = KgJob(spark, args.output, mode=args.mode,
+                    tokenizer_mode=args.tokenizer_mode, run_id=args.run_id)
+        counts = job.rules_view(args.rule)
+        print("stage=rules "
+              + " ".join(f"{k}={v}" for k, v in counts.items())
+              + f" output={args.output}/rules")
         return
     elif args.analytics or args.entail:
         # standalone derived views over an already-committed output

@@ -52,12 +52,14 @@ raises with the offending token rather than mis-parsing):
     Group     := '{' GroupBody '}'
     GroupBody := Union | (Triple | Optional | Filter | Values | Bind
                  | Minus | SubSelect | GraphBlock)*
-    GraphBlock:= 'GRAPH' (Var | Term) '{' Triple+ '}' '.'?
+    GraphBlock:= 'GRAPH' (Var | Term) '{' Triple+ Filter* '}' '.'?
                  (needs a QUADS relation — a 'graph' column; a
                   variable binds the graph name and constrains the
                   block's triples to the SAME graph, a constant
                   prunes to that graph; plain triples outside GRAPH
-                  match the union default graph, i.e. the RDF merge)
+                  match the union default graph, i.e. the RDF merge;
+                  block-local boolean FILTERs hoist to group scope —
+                  equivalent for a conjunctive block)
     SubSelect := '{' 'SELECT' ... '}'   (a nested Select, same form)
     Bind      := 'BIND' '(' (Term | Fn '(' Term (',' Term)* ')'
                  | 'IF' '(' Expr ',' Term ',' Term ')') 'AS' Var ')'
@@ -551,6 +553,18 @@ def _parse_group_body(cur: _Cursor) -> dict:
             gterm = _term(cur.next())
             cur.eat("{")
             tris = _parse_triples(cur)
+            # FILTERs inside the block hoist to group scope — for a
+            # conjunctive block (triples + filters, which is all this
+            # grammar allows inside GRAPH) the inner-scope evaluation
+            # equals the hoisted one, because every block solution
+            # inner-joins into the group's
+            while cur.peek_kw() == "FILTER":
+                cur.next()
+                if cur.peek_kw() in ("NOT", "EXISTS"):
+                    raise ValueError(
+                        "FILTER [NOT] EXISTS inside GRAPH is not "
+                        "supported — put it at group scope")
+                kwargs["filters"].append(_parse_filter_expr(cur))
             cur.eat("}")
             if not tris:
                 raise ValueError("GRAPH block has no triples")

@@ -236,3 +236,27 @@ def test_fuzz_dataset_clauses_vs_oracle(spark, seed):
             assert_df_matches_duckdb(sdf, con, sql, name=text)
     finally:
         con.close()
+
+
+def test_graph_block_with_filter(spark):
+    q = _quads(spark, FIXED)
+    out = sparql(q, 'SELECT ?g ?s ?o WHERE '
+                    '{ GRAPH ?g { ?s P ?o FILTER(?s != a) } } '
+                    'ORDER BY ?g ?s')
+    assert [tuple(r) for r in out.collect()] == [
+        ("g1", "b", "c"), ("g2", "c", "d")]
+    # oracle parity for the hoisted form
+    con = duckdb.connect()
+    try:
+        text = ('SELECT ?g ?s ?o WHERE '
+                '{ GRAPH ?g { ?s P ?o FILTER(?s != a) } }')
+        assert_df_matches_duckdb(
+            sparql(q, text), con,
+            entrymod._kg_sparql_oracle(text, kg_sql=_kg_sql(FIXED),
+                                       quads=True),
+            name="graph-filter")
+    finally:
+        con.close()
+    with pytest.raises(ValueError, match="GRAPH"):
+        sparql(q, 'SELECT ?s WHERE { GRAPH ?g { ?s P ?o '
+                  'FILTER NOT EXISTS { ?o Q ?t } } }')
