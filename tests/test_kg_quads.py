@@ -260,3 +260,46 @@ def test_graph_block_with_filter(spark):
     with pytest.raises(ValueError, match="GRAPH"):
         sparql(q, 'SELECT ?s WHERE { GRAPH ?g { ?s P ?o '
                   'FILTER NOT EXISTS { ?o Q ?t } } }')
+
+
+def test_quad_elements_in_group_operators(spark):
+    """Quad elements inside NEGATION / EXISTENCE / MINUS / OPTIONAL
+    correlate on the graph variable like any other — 'no Q edge from
+    ?o IN THE SAME GRAPH' is expressible, and each form matches its
+    generated oracle."""
+    q = _quads(spark, FIXED)
+    kg_sql = _kg_sql(FIXED)
+    con = duckdb.connect()
+    from pyspark.sql import functions as F
+
+    cases = [
+        dict(pattern=[("?g", "?s", "P", "?o")],
+             negation=[[("?g", "?o", "Q", "?t")]]),
+        dict(pattern=[("?g", "?s", "P", "?o")],
+             existence=[[("?g", "?o", "Q", "?t")]]),
+        dict(pattern=[("?g", "?s", "P", "?o")],
+             minus=[[("?g", "?s", "P", "b")]]),
+        dict(pattern=[("?g", "?s", "P", "?o")],
+             optional=[("?g", "?o", "Q", "?t")]),
+    ]
+    try:
+        for i, kw in enumerate(cases):
+            got = match_pattern(q, **kw)
+            sql = entrymod._kg_pattern_oracle(
+                kw["pattern"], optional=kw.get("optional", ()),
+                negation=kw.get("negation", ()),
+                existence=kw.get("existence", ()),
+                minus=kw.get("minus", ()), kg_sql=kg_sql, quads=True,
+                fill_null=("?t",) if "optional" in kw else ())
+            if "optional" in kw:
+                got = got.withColumn("t", F.coalesce("t", F.lit("")))
+            assert_df_matches_duckdb(got, con, sql, name=f"case{i}")
+        # same-graph negation semantics, concretely: g2's b->Q->c
+        # eliminates only g2's (a, b) binding
+        neg = {tuple(r) for r in match_pattern(
+            q, [("?g", "?s", "P", "?o")],
+            negation=[[("?g", "?o", "Q", "?t")]]).collect()}
+        assert neg == {("g1", "a", "b"), ("g1", "b", "c"),
+                       ("g2", "c", "d")}
+    finally:
+        con.close()
