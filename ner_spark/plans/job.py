@@ -1253,7 +1253,13 @@ class KgJob:
           constraint, value); empty = the entailed graph conforms
 
         ``onto`` / ``shapes_df`` default to the committed demo
-        ontology and shapes; production passes its own relations.
+        ontology and shapes; production passes its own relations, or
+        (``onto`` only) a PATH to an N-Triples schema file — adopted
+        through the interchange parser, so any RDF tooling's export
+        works.  The ontology used persists as a third view
+        (``entailment/ontology``) so :meth:`entailed_triples`'s
+        staleness fallback recomputes with the SAME schema the views
+        were built from, never silently reverting to the demo one.
         Like :meth:`analytics` these carry no resume marker — always
         recomputed from the current triples when invoked — and install
         crash-safely via tmp + rename.  A state token (materialize
@@ -1266,6 +1272,15 @@ class KgJob:
         from ner_spark.plans.kg_infer import entail, ontology
         from ner_spark.plans.kg_validate import shapes, validate
 
+        if isinstance(onto, str):
+            # a path: an N-Triples file/directory of schema triples
+            # (subClassOf / subPropertyOf / domain / range), adopted
+            # through the interchange parser — bring-your-own ontology
+            from ner_spark.plans.kg_export import ntriples_parse
+
+            onto = ntriples_parse(
+                self.spark.read.text(onto), strict=False
+            ).select("subj", "pred", "obj")
         if onto is None:
             onto = ontology(self.spark)
         if shapes_df is None:
@@ -1273,6 +1288,11 @@ class KgJob:
         token = self._kg_state_token()
         ent = entail(self.triples(), onto).localCheckpoint(eager=True)
         tables = {
+            # the ontology persists FIRST so the staleness fallback in
+            # entailed_triples always recomputes with the same schema
+            # the views were built from (a custom --entail-ontology
+            # must not silently fall back to the demo one)
+            "ontology": lambda: onto.select("subj", "pred", "obj"),
             "triples": lambda: ent,
             "violations": lambda: validate(ent, shapes_df),
         }
@@ -1355,7 +1375,10 @@ class KgJob:
                     "subj", "pred", "obj")
         from ner_spark.plans.kg_infer import entail, ontology
 
-        return entail(self.triples(), ontology(self.spark)).select(
+        opath = f"{self.out}/entailment/ontology"
+        onto = (self.spark.read.parquet(opath)
+                if self._exists(opath) else ontology(self.spark))
+        return entail(self.triples(), onto).select(
             "subj", "pred", "obj")
 
     def query(
@@ -1903,6 +1926,12 @@ def main() -> None:
                              "fixpoint over the committed KG "
                              "materializes under <output>/rules/ "
                              "(standalone, like --entail)")
+    parser.add_argument("--entail-ontology", default=None,
+                        metavar="PATH",
+                        help="with --entail: use the N-Triples "
+                             "schema at PATH (subClassOf / "
+                             "subPropertyOf / domain / range triples) "
+                             "instead of the built-in demo ontology")
     parser.add_argument("--entail", action="store_true",
                         help="after the run (or standalone over an "
                              "already-committed output), materialize "
@@ -2228,7 +2257,7 @@ def main() -> None:
                   + " ".join(f"{k}={v}" for k, v in counts.items())
                   + f" output={args.output}/analytics")
         if args.entail:
-            counts = job.entailment()
+            counts = job.entailment(onto=args.entail_ontology)
             print("stage=entailment "
                   + " ".join(f"{k}={v}" for k, v in counts.items())
                   + f" output={args.output}/entailment")
@@ -2257,7 +2286,7 @@ def main() -> None:
               + " ".join(f"{k}={v}" for k, v in counts.items())
               + f" output={args.output}/analytics")
     if args.entail:
-        counts = job.entailment()
+        counts = job.entailment(onto=args.entail_ontology)
         print("stage=entailment "
               + " ".join(f"{k}={v}" for k, v in counts.items())
               + f" output={args.output}/entailment")

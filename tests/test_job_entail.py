@@ -38,7 +38,7 @@ def test_entailment_views_match_operators(spark, out_dir):
     triples = job.run(src)
 
     counts = job.entailment()
-    assert set(counts) == {"triples", "violations"}
+    assert set(counts) == {"ontology", "triples", "violations"}
     ent_view = spark.read.parquet(f"{out_dir}/entailment/triples")
     vio_view = spark.read.parquet(f"{out_dir}/entailment/violations")
     want_ent = entail(triples, ontology(spark))
@@ -103,3 +103,37 @@ def test_sparql_entailment_regime(spark, out_dir):
     # and identical through the materialized view
     job.entailment()
     assert _rows(job.sparql(q, entailed=True)) == _rows(got_fly)
+
+
+def test_custom_ontology_path_and_fallback(spark, out_dir, tmp_path):
+    """--entail-ontology: an N-Triples schema file drives the closure,
+    the ontology persists with the views, and the staleness fallback
+    recomputes with the PERSISTED ontology, not the demo one."""
+
+    src = source_table(spark, n_rows=30)
+    job = KgJob(spark, out_dir, run_id="r1")
+    job.run(src)
+
+    # write a custom schema as N-Triples
+    from ner_spark.plans.kg_export import ntriples_save
+
+    onto_df = spark.createDataFrame(
+        [("PER", "subClassOf", "k:Being"),
+         ("DECLARES", "domain", "k:Repo")],
+        "subj string, pred string, obj string")
+    opath = str(tmp_path / "onto")
+    ntriples_save(onto_df, opath)
+
+    job.entailment(onto=opath)
+    ent = spark.read.parquet(f"{out_dir}/entailment/triples")
+    preds = {(r.pred, r.obj) for r in ent.where("inferred").collect()}
+    assert (RDF_TYPE, "k:Repo") in preds      # custom domain rule
+    assert not any(o == "class:Repository" for _, o in preds)  # no demo
+
+    # staleness: an edit lands; the fallback must use the PERSISTED
+    # custom ontology
+    job.sparql_update('INSERT DATA { "x:n" "INSTANCE_OF" "PER" }')
+    fresh = {(r.subj, r.pred, r.obj)
+             for r in job.entailed_triples().collect()}
+    assert ("x:n", RDF_TYPE, "k:Being") in fresh
+    assert not any(o == "class:Agent" for _, _, o in fresh)
