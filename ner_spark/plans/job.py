@@ -1242,7 +1242,8 @@ class KgJob:
         return counts
 
     def entailment(self, onto: "DataFrame" = None,
-                   shapes_df: "DataFrame" = None) -> dict[str, int]:
+                   shapes_df: "DataFrame" = None,
+                   incremental: bool = True) -> dict[str, int]:
         """Materialize the RDFS-lite closure of the committed triple
         table plus its SHACL-lite validation report as derived views
         (:mod:`ner_spark.plans.kg_infer` /
@@ -1268,8 +1269,22 @@ class KgJob:
         update/compact/edit landed AFTER the views and fall back to
         on-the-fly computation instead of serving a stale closure.
         Returns {view: row_count} and logs one lineage row per view.
+
+        ``incremental=True`` (default) folds a PURELY-ADDITIVE change
+        into the previously committed closure via
+        :func:`~ner_spark.plans.kg_infer.entail_increment` — the
+        delta (new base triples since the views were built) seeds a
+        semi-naive loop against the broadcast schema, so the
+        committed closure is never re-derived; any RETRACTION (a
+        delete edit, a force re-run) or an ontology change falls back
+        to the full recompute automatically (RDFS is monotone, so
+        only additions are incrementally foldable — the same
+        additive-vs-full decision the materialize maintenance path
+        makes).  Either path writes identical views
+        (``tests/test_job_entail.py`` pins equality).
         """
-        from ner_spark.plans.kg_infer import entail, ontology
+        from ner_spark.plans.kg_infer import (entail, entail_increment,
+                                              ontology)
         from ner_spark.plans.kg_validate import shapes, validate
 
         if isinstance(onto, str):
@@ -1286,7 +1301,12 @@ class KgJob:
         if shapes_df is None:
             shapes_df = shapes(self.spark)
         token = self._kg_state_token()
-        ent = entail(self.triples(), onto).localCheckpoint(eager=True)
+        ent = None
+        if incremental:
+            ent = self._entail_incremental(onto)
+        if ent is None:
+            ent = entail(self.triples(), onto)
+        ent = ent.localCheckpoint(eager=True)
         tables = {
             # the ontology persists FIRST so the staleness fallback in
             # entailed_triples always recomputes with the same schema
@@ -1322,6 +1342,50 @@ class KgJob:
             self._delete(dst)
         self._rename(tmp, dst)
         return counts
+
+    def _entail_incremental(self, onto: "DataFrame"):
+        """The additive fast path for :meth:`entailment`: returns the
+        new full entailed relation (same contract as ``entail()``) or
+        None when the increment does not apply — no committed views,
+        a different ontology, or a non-additive change (a retraction
+        means derived triples may need to go away, which only the
+        full monotone recompute handles)."""
+        from ner_spark.plans.kg_infer import entail_increment
+
+        path = f"{self.out}/entailment/triples"
+        opath = f"{self.out}/entailment/ontology"
+        if not (self._exists(path) and self._exists(opath)):
+            return None
+        old_onto = {tuple(r) for r in
+                    self.spark.read.parquet(opath).collect()}
+        new_onto = {tuple(r) for r in
+                    onto.select("subj", "pred", "obj").collect()}
+        if old_onto != new_onto:
+            return None
+        F_ = F
+        old = self.spark.read.parquet(path)
+        old_closure = old.select("subj", "pred", "obj")                          .localCheckpoint(eager=True)
+        old_base = old.where(~F_.col("inferred"))                       .select("subj", "pred", "obj")
+        cur_base = self.triples().select("subj", "pred", "obj")             .unionByName(onto.select("subj", "pred", "obj")).distinct()             .localCheckpoint(eager=True)
+        removed = old_base.join(cur_base, ["subj", "pred", "obj"],
+                                "left_anti")
+        if removed.limit(1).count() > 0:
+            return None  # retraction: full recompute
+        delta = cur_base.join(old_base, ["subj", "pred", "obj"],
+                              "left_anti").localCheckpoint(eager=True)
+        if delta.limit(1).count() == 0:
+            new_full = old_closure
+        else:
+            inc = entail_increment(old_closure, delta, onto)
+            new_full = old_closure.unionByName(
+                inc.select("subj", "pred", "obj"))
+        marked = new_full.join(
+            cur_base.withColumn("__base", F_.lit(True)),
+            ["subj", "pred", "obj"], "left")
+        return marked.select(
+            "subj", "pred", "obj",
+            (~F_.coalesce(F_.col("__base"), F_.lit(False)))
+            .alias("inferred"))
 
     def _kg_state_token(self) -> str:
         """A value identifying the current committed triple state:

@@ -193,3 +193,70 @@ def entail(
         "subj", "pred", "obj",
         (~F.coalesce(F.col("__base"), F.lit(False))).alias("inferred"),
     )
+
+
+def entail_increment(
+    closure: DataFrame,
+    delta: DataFrame,
+    onto: DataFrame,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Consequences of ADDING ``delta`` to an already-entailed graph:
+    returns the NEW entailed triples only — ``(subj, pred, obj)``
+    distinct, disjoint from ``closure`` — so
+    ``closure ∪ delta ∪ result`` equals ``entail(base ∪ delta)``'s
+    triple set whenever ``closure`` is the closure of ``base ∪ onto``.
+
+    This is the delta-proportional path the incremental KG
+    maintenance layer needs: RDFS is monotone, so an ADDED fact can
+    only add consequences, and the semi-naive loop seeded with the
+    delta alone derives exactly them — each round is broadcast joins
+    of the (small) frontier against the closed schema plus one
+    anti-join against the accumulated closure.  The 100 TB closure is
+    never re-derived and never joined against itself.
+
+    DELETIONS are out of scope by design (retracting a fact can
+    strand derived triples, which needs over-delete/re-derive
+    bookkeeping — DRed — or a full re-run); callers handling deletes
+    recompute via :func:`entail`, exactly like the maintenance
+    layer's differential-vs-full materialize decision.
+
+    Fragment guard: ``delta`` must not add SCHEMA triples (they would
+    invalidate the precomputed closure) — raises if it does.
+    """
+    has_schema = delta.where(
+        F.col("pred").isin(*SCHEMA_PREDS)).limit(1).count()
+    if has_schema:
+        raise ValueError(
+            "delta adds schema triples (subClassOf/subPropertyOf/"
+            "domain/range) — the precomputed schema closure would be "
+            "stale; re-run entail() over the union instead")
+    base_all = closure.select("subj", "pred", "obj").unionByName(
+        onto.select("subj", "pred", "obj")).distinct()
+    cl = schema_closure(base_all)
+    new_delta = (delta.select("subj", "pred", "obj").distinct()
+                 .join(base_all, ["subj", "pred", "obj"], "left_anti")
+                 .localCheckpoint(eager=True))
+    known = base_all.unionByName(new_delta).localCheckpoint(eager=True)
+    acc = new_delta
+    frontier = new_delta
+    for _ in range(max_rounds):
+        new = (
+            _derive_once(frontier, cl)
+            .distinct()
+            .join(known, ["subj", "pred", "obj"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if new.limit(1).count() == 0:
+            break
+        acc = acc.unionByName(new)
+        known = known.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    else:
+        raise RuntimeError(
+            f"incremental entailment did not converge in {max_rounds} "
+            "rounds")
+    # result = delta + its consequences, minus what was already known
+    return acc.join(
+        closure.select("subj", "pred", "obj"),
+        ["subj", "pred", "obj"], "left_anti").distinct()

@@ -137,3 +137,40 @@ def test_custom_ontology_path_and_fallback(spark, out_dir, tmp_path):
              for r in job.entailed_triples().collect()}
     assert ("x:n", RDF_TYPE, "k:Being") in fresh
     assert not any(o == "class:Agent" for _, _, o in fresh)
+
+
+def test_incremental_entailment_matches_full(spark, out_dir):
+    """After additive edits the incremental refresh must write views
+    identical to the full recompute; a delete edit (retraction) must
+    fall back to the full path and still agree."""
+    src = source_table(spark, n_rows=30)
+    job = KgJob(spark, out_dir, run_id="r1")
+    job.run(src)
+    job.entailment()  # initial full materialization
+
+    # additive change: the increment path applies
+    job.sparql_update('INSERT DATA { "ent:zz_inc" "INSTANCE_OF" "ORG" . '
+                      '"repo:rX" "DECLARES" "ent:zz_inc" }')
+    assert job._entail_incremental(
+        __import__("ner_spark.plans.kg_infer",
+                   fromlist=["ontology"]).ontology(spark)) is not None
+    job.entailment(incremental=True)
+    inc_view = _rows(spark.read.parquet(f"{out_dir}/entailment/triples"))
+    job.entailment(incremental=False)
+    full_view = _rows(spark.read.parquet(f"{out_dir}/entailment/triples"))
+    assert inc_view == full_view
+    assert ("ent:zz_inc", RDF_TYPE, "class:Agent", True) in inc_view
+    assert ("repo:rX", RDF_TYPE, "class:Repository", True) in inc_view
+
+    # retraction: the increment refuses, entailment() still succeeds
+    victim = job.triples().where("pred = 'DECLARES'").first()
+    job.sparql_update('DELETE DATA { "%s" "%s" "%s" }'
+                      % (victim.subj, victim.pred, victim.obj))
+    from ner_spark.plans.kg_infer import ontology as _onto
+
+    assert job._entail_incremental(_onto(spark)) is None
+    job.entailment(incremental=True)  # falls back to full internally
+    after = _rows(spark.read.parquet(f"{out_dir}/entailment/triples"))
+    job.entailment(incremental=False)
+    assert after == _rows(
+        spark.read.parquet(f"{out_dir}/entailment/triples"))

@@ -240,3 +240,55 @@ def test_oracle_twin_on_random_graphs(spark):
             )
         finally:
             con.close()
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_entail_increment_equals_full_rerun(spark, seed):
+    """closure(base) + increment(delta) must equal entail(base+delta)
+    triple-for-triple — the delta-proportional maintenance property,
+    on random graphs under the committed ontology."""
+    from ner_spark.plans.kg_infer import entail_increment
+
+    rnd = random.Random(7000 + seed)
+    nodes = [f"n{i}" for i in range(8)] + ["PER", "ORG"]
+    preds = ["DECLARES", "LINKED_TO", "MENTIONED_WITH", RDF_TYPE]
+    def rand_facts(n):
+        return {(rnd.choice(nodes), rnd.choice(preds),
+                 rnd.choice(nodes)) for _ in range(n)}
+
+    base = rand_facts(rnd.randint(5, 20))
+    delta = rand_facts(rnd.randint(1, 8))
+    schema = "subj string, pred string, obj string"
+    onto = ontology(spark)
+    closure = entail(
+        spark.createDataFrame(sorted(base), schema), onto
+    ).select("subj", "pred", "obj").localCheckpoint(eager=True)
+    inc = entail_increment(
+        closure, spark.createDataFrame(sorted(delta), schema), onto)
+    got = {tuple(r) for r in closure.collect()} | \
+          {tuple(r) for r in inc.collect()}
+    want = {
+        (r.subj, r.pred, r.obj)
+        for r in entail(
+            spark.createDataFrame(sorted(base | delta), schema), onto
+        ).collect()
+    }
+    assert got == want
+    # the increment is disjoint from the closure (delta-proportional)
+    assert not ({tuple(r) for r in inc.collect()}
+                & {tuple(r) for r in closure.collect()})
+
+
+def test_entail_increment_rejects_schema_delta(spark):
+    from ner_spark.plans.kg_infer import entail_increment
+
+    schema = "subj string, pred string, obj string"
+    onto = ontology(spark)
+    closure = entail(
+        spark.createDataFrame([("a", RDF_TYPE, "PER")], schema), onto
+    ).select("subj", "pred", "obj")
+    with pytest.raises(ValueError, match="schema triples"):
+        entail_increment(
+            closure,
+            spark.createDataFrame([("X", SUB_CLASS, "Y")], schema),
+            onto)

@@ -28,7 +28,7 @@ import pytest
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import __spark_entry__ as entrymod  # noqa: E402
-from ner_spark.plans.kg_query import match_pattern, solutions  # noqa: E402
+from ner_spark.plans.kg_query import match_pattern  # noqa: E402
 from ner_spark.plans.sparql import sparql  # noqa: E402
 from tests.oracle_compare import assert_df_matches_duckdb  # noqa: E402
 
