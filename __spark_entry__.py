@@ -35,6 +35,10 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 FIXTURE_ROWS = 102  # 2× the 51 reference fixture texts
 
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+
+# Sentinel for "argument not supplied" where None is itself meaningful
+# (e.g. an explicit cap opt-out that must mirror the Spark operator).
+_UNSET = object()
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
@@ -1956,15 +1960,25 @@ def _kg_hits_oracle(iterations: int = 3, kg_sql: str | None = None,
             "ON a.node = h.node\n")
 
 
-def _kg_linkpred_oracle(k: int = 20, max_degree: int | None = None,
+def _kg_linkpred_oracle(k: int = 20, max_degree: int | None = _UNSET,
                         kg_sql: str | None = None,
                         quantized: bool = True) -> str:
     """SQL twin of plans.kg_analytics.link_prediction: the wedge
     self-join on the shared neighbor (with its degree attached for
-    the Adamic-Adar weight and the optional hub cap), pair counts,
-    existing edges anti-joined out, jaccard from exact-integer inputs
+    the Adamic-Adar weight and the hub cap), pair counts, existing
+    edges anti-joined out, jaccard from exact-integer inputs
     (engine-portable bit-for-bit — it is the ranking key), ordered by
-    the total (jaccard DESC, node_a, node_b) and cut at k."""
+    the total (jaccard DESC, node_a, node_b) and cut at k.  The
+    default cap mirrors the Spark operator's
+    LINKPRED_DEFAULT_MAX_DEGREE so the twins stay twins; pass
+    ``max_degree=None`` only alongside the same opt-out on the
+    Spark side."""
+    if max_degree is _UNSET:
+        from ner_spark.plans.kg_analytics import (
+            LINKPRED_DEFAULT_MAX_DEGREE,
+        )
+
+        max_degree = LINKPRED_DEFAULT_MAX_DEGREE
     cap = (f"WHERE dz.deg <= {float(max_degree)!r}"
            if max_degree is not None else "")
     if quantized:

@@ -1263,7 +1263,10 @@ class KgJob:
         were built from, never silently reverting to the demo one.
         Like :meth:`analytics` these carry no resume marker — always
         recomputed from the current triples when invoked — and install
-        crash-safely via tmp + rename.  A state token (materialize
+        as ONE atomic generation: all three views plus the state token
+        are written under ``entailment.tmp`` and swapped in by a
+        single directory rename, so no crash window can pair an old
+        closure with a new ontology view.  A state token (materialize
         sidecar meta + folded edit ids + triple count) is committed
         alongside so :meth:`entailed_triples` can detect that an
         update/compact/edit landed AFTER the views and fall back to
@@ -1316,31 +1319,33 @@ class KgJob:
             "triples": lambda: ent,
             "violations": lambda: validate(ent, shapes_df),
         }
-        counts: dict[str, int] = {}
-        for name, compute in tables.items():
-            dst = f"{self.out}/entailment/{name}"
-            tmp = dst + ".tmp"
-            if self._exists(tmp):
-                self._delete(tmp)
-            compute().write.mode("overwrite").parquet(tmp)
-            n = self.spark.read.parquet(tmp).count()
-            if self._exists(dst):
-                self._delete(dst)
-            self._rename(tmp, dst)
-            counts[name] = n
-            self._log_event(f"entailment_{name}", n)
-        # state token LAST: a crash above leaves no/old token, which
-        # reads as stale — on-the-fly fallback, never a wrong answer
-        dst = f"{self.out}/entailment/state"
-        tmp = dst + ".tmp"
+        # ONE directory-level install for all three views + the state
+        # token: per-view renames left a crash window where a NEW
+        # ontology view sat next to OLD triples while the previous
+        # token still matched the (unchanged) triple state — a later
+        # incremental entailment would then validate against the new
+        # ontology view but fold onto the old-ontology closure.  With
+        # the whole generation swapped atomically the committed views
+        # are always mutually consistent; the only crash windows are
+        # "old generation intact" (token matches it) and "no views at
+        # all" (entailed_triples falls back on the fly) — never a
+        # mixed answer.
+        root = f"{self.out}/entailment"
+        tmp = root + ".tmp"
         if self._exists(tmp):
             self._delete(tmp)
+        counts: dict[str, int] = {}
+        for name, compute in tables.items():
+            compute().write.mode("overwrite").parquet(f"{tmp}/{name}")
+            counts[name] = self.spark.read.parquet(f"{tmp}/{name}").count()
         self.spark.createDataFrame(
             [(token,)], "state_json string"
-        ).coalesce(1).write.mode("overwrite").parquet(tmp)
-        if self._exists(dst):
-            self._delete(dst)
-        self._rename(tmp, dst)
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/state")
+        if self._exists(root):
+            self._delete(root)
+        self._rename(tmp, root)  # commit point for the generation
+        for name in tables:
+            self._log_event(f"entailment_{name}", counts[name])
         return counts
 
     def _entail_incremental(self, onto: "DataFrame"):
@@ -1708,7 +1713,10 @@ class KgJob:
         :meth:`publish_iceberg`) folds the committed edits in order:
         one hash anti-join on the frozen delete set plus one anti-joined
         union of the frozen insert set per edit — delta-proportional,
-        never a store rewrite.
+        never a store rewrite.  That per-read plan grows linearly with
+        ledger length; :meth:`compact_edits` collapses the ledger into
+        ONE equivalent frozen edit (exact for every base, attribution
+        preserved) so long edit histories stay one fold per read.
 
         Crash safety: the delete/insert sets write first, the one-row
         ``meta`` table last — its ``_SUCCESS`` is the commit point, so
@@ -1723,7 +1731,9 @@ class KgJob:
         recorded "this triple shall not be in the store", and the
         mention/link checkpoints it was derived from are still there).
         :meth:`clear_edits` drops the whole ledger when the operator
-        decides the base derivation should stand unedited.
+        decides the base derivation should stand unedited;
+        :meth:`compact_edits` keeps it (semantics intact, tombstones
+        intact) while bounding its length at one.
         """
         import json
 
@@ -1735,6 +1745,7 @@ class KgJob:
             raise ValueError(
                 f"no committed materialize stage in {self.out}; run() first"
             )
+        self._maybe_finish_edit_compact()
         spark = self.spark
         seq = -1
         for parsed in ops:
@@ -1791,6 +1802,141 @@ class KgJob:
                   + (", evidence_count bigint" if side == "ins" else ""))
         return self.spark.read.schema(schema).parquet(f"{base}/{side}")
 
+    def _read_edit_ins_attr(self, base: str, seq: int) -> DataFrame:
+        """The frozen insert side WITH per-row edit attribution.  A
+        plain edit's parquet has no ``graph`` column (read as null by
+        the explicit schema, name-based evolution) and attributes
+        wholly to ``edit:{seq}``; a COMPACTED edit persists the
+        original attribution per row, which the coalesce passes
+        through unchanged."""
+        schema = ("subj string, pred string, obj string, "
+                  "evidence_count bigint, graph string")
+        return (
+            self.spark.read.schema(schema).parquet(f"{base}/ins")
+            .withColumn(
+                "graph",
+                F.coalesce(F.col("graph"), F.lit(f"edit:{seq:06d}")))
+        )
+
+    def compact_edits(self) -> int:
+        """Collapse the committed SPARQL-Update edit ledger into ONE
+        equivalent frozen edit, bounding the per-read fold at a single
+        anti-join + insert union no matter how many edits were ever
+        applied (:meth:`triples` otherwise replays the ledger —
+        delta-proportional per edit, but linear PLAN growth forever).
+
+        Why not fold the edits into the materialize checkpoint
+        itself?  Two reasons, both architectural: (a) document
+        maintenance (:meth:`compact` / :meth:`update`) re-derives the
+        base tables from the mention/link checkpoints, so anything
+        folded into ``materialize`` would be silently clobbered by
+        the next document compaction; (b) the frozen delete sets are
+        documented persistent TOMBSTONES — they must keep suppressing
+        triples a later document update re-derives, which a one-time
+        base rewrite cannot do.  The ledger-collapse form keeps both
+        guarantees and still caps the plan.
+
+        The collapse is exact for EVERY base, not just the current
+        one — sequential fold composition closes over single deltas::
+
+            fold(fold(B, d1, i1), d2, i2)
+              = (B \\ (d1 ∪ d2)) ∪ ((i1 \\ d2) ∪ i2)
+
+        so inductively the whole ledger is one pair: ``d* = ∪ dᵢ``
+        (tombstone union) and ``i*`` built by replaying each edit's
+        delete-then-insert against the accumulated insert set (an
+        insert of a key already live in ``i*`` keeps the earlier row,
+        mirroring fold_delta's already-present anti-join; a delete
+        removes it so a later reinsert wins).  Each surviving ``i*``
+        row carries a ``graph`` attribution column naming its origin
+        edit, so :meth:`quads` provenance survives compaction
+        (re-compacting preserves prior attributions via the coalesce
+        in :meth:`_read_edit_ins_attr`).
+
+        Crash safety: the compacted edit is fully written under
+        ``edits/_compact_tmp`` (invisible — not a digit dir), then
+        atomically renamed to ``edits/{max+1}``, then the folded dirs
+        are deleted.  The rename is the commit point, and every crash
+        window is CORRECT, not just recoverable: applying any suffix
+        of the old edits followed by the compacted edit equals
+        applying the full ledger (the compacted edit re-applies the
+        whole history idempotently), so a reader between rename and
+        cleanup sees the right triples.  The folded seq list rides in
+        the compacted edit's meta; :meth:`_maybe_finish_edit_compact`
+        deletes leftovers on the next maintenance call.
+
+        Returns the number of edits folded (0 = ledger already ≤ 1).
+        """
+        import json
+
+        self._maybe_finish_edit_compact()
+        ids = self.edit_ids()
+        if len(ids) <= 1:
+            return 0
+        spark = self.spark
+        keys = ["subj", "pred", "obj"]
+        dstar = None
+        istar = None
+        for seq in ids:
+            base = f"{self.out}/edits/{seq:06d}"
+            dels = self._read_edit_side(base, "del").select(*keys)
+            ins = self._read_edit_ins_attr(base, seq)
+            dstar = dels if dstar is None else dstar.unionByName(dels)
+            if istar is None:
+                istar = ins
+            else:
+                kept = istar.join(dels, keys, "left_anti")
+                new = ins.join(kept.select(*keys), keys, "left_anti")
+                istar = kept.unionByName(new)
+                # bounded ledger sizes, but the iterative build's
+                # lineage is O(#edits) — truncate it as the CC loop does
+                istar = istar.localCheckpoint(eager=True)
+        dstar = dstar.distinct()
+        tmp = f"{self.out}/edits/_compact_tmp"
+        if self._exists(tmp):
+            self._delete(tmp)
+        dstar.write.mode("overwrite").parquet(f"{tmp}/del")
+        istar.write.mode("overwrite").parquet(f"{tmp}/ins")
+        newseq = ids[-1] + 1
+        meta = {
+            "seq": newseq,
+            "text": f"# compacted from edits {ids}",
+            "op": "compact_edits",
+            "folded": ids,
+            "del_rows": self.spark.read.parquet(f"{tmp}/del").count(),
+            "ins_rows": self.spark.read.parquet(f"{tmp}/ins").count(),
+        }
+        spark.createDataFrame(
+            [(json.dumps(meta),)], "meta_json string"
+        ).write.mode("overwrite").parquet(f"{tmp}/meta")
+        self._rename(tmp, f"{self.out}/edits/{newseq:06d}")  # commit
+        for seq in ids:
+            self._delete(f"{self.out}/edits/{seq:06d}")
+        self._log_event("compact_edits", len(ids))
+        return len(ids)
+
+    def _maybe_finish_edit_compact(self) -> None:
+        """Roll a crashed edit compaction forward: drop an uncommitted
+        tmp dir, and delete any committed edit dirs an already-renamed
+        compacted edit records as folded.  Safe to skip entirely — the
+        leftover states are replay-correct (see :meth:`compact_edits`)
+        — so this runs only from maintenance entry points, never from
+        the read path."""
+        import json
+
+        tmp = f"{self.out}/edits/_compact_tmp"
+        if self._exists(tmp):
+            self._delete(tmp)
+        ids = set(self.edit_ids())
+        for seq in sorted(ids):
+            row = self.spark.read.parquet(
+                f"{self.out}/edits/{seq:06d}/meta").first()
+            folded = json.loads(row["meta_json"]).get("folded") or []
+            for old in folded:
+                if old in ids:
+                    self._delete(f"{self.out}/edits/{old:06d}")
+                    ids.discard(old)
+
     def triples(self) -> DataFrame:
         """The KG's current triple view: the committed materialize
         checkpoint with every committed SPARQL-Update edit folded in
@@ -1841,17 +1987,18 @@ class KgJob:
         for seq in self.edit_ids():
             eb = f"{self.out}/edits/{seq:06d}"
             dels = self._read_edit_side(eb, "del")
-            ins = self._read_edit_side(eb, "ins")
-            if dels is not None:
-                out = out.join(dels.select(*keys), keys, "left_anti")
-            if ins is not None:
-                new = ins.join(out.select(*keys).distinct(), keys,
-                               "left_anti")
-                out = out.unionByName(
-                    new.select(
-                        *keys,
-                        F.col("evidence_count").cast("bigint"),
-                    ).withColumn("graph", F.lit(f"edit:{seq:06d}")))
+            # per-row attribution: a compacted edit carries each
+            # surviving insert's ORIGIN edit in its persisted graph
+            # column (so provenance survives compact_edits); a plain
+            # edit attributes wholly to its own seq via the coalesce
+            ins = self._read_edit_ins_attr(eb, seq)
+            out = out.join(dels.select(*keys), keys, "left_anti")
+            new = ins.join(out.select(*keys), keys, "left_anti")
+            out = out.unionByName(
+                new.select(*keys,
+                           F.col("evidence_count").cast("bigint")
+                           .alias("evidence_count"),
+                           "graph"))
         return out.select("graph", *keys, "evidence_count")
 
     def publish_iceberg(self, table: str,

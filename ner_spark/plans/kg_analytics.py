@@ -586,10 +586,24 @@ def hits(
     return hub.join(auth, "node").select("node", "hub", "authority")
 
 
+# Default shared-neighbor degree cap for link_prediction.  The wedge
+# enumeration costs Σ_z min(deg z, cap)² ≤ 2·|E|·cap rows, so an
+# UNCAPPED hub (the 10%-hub scale-bench graph has deg ≈ 200k) alone is
+# a ~4e10-row intermediate.  1000 keeps the bound at 2000·|E| — linear
+# in the edge count with a moderate constant — while being far above
+# any non-hub degree in a real entity graph; pass ``max_degree=None``
+# to opt out explicitly (small graphs / exhaustive audits only).
+LINKPRED_DEFAULT_MAX_DEGREE = 1000
+
+# Sentinel distinguishing "caller said nothing" (use the default cap)
+# from an explicit ``max_degree=None`` opt-out.
+_UNSET = object()
+
+
 def link_prediction(
     triples: DataFrame,
     k: int = 20,
-    max_degree: int | None = None,
+    max_degree=_UNSET,
 ) -> DataFrame:
     """Top-k predicted (missing) edges by neighborhood overlap over
     the undirected simple graph — the classic link-prediction
@@ -613,14 +627,23 @@ def link_prediction(
     the same join class as :func:`triangles` — followed by a
     map-side-combinable pair count.  Its cost is Σ_z deg(z)², so a
     hub intermediate is quadratic: ``max_degree`` caps the shared
-    neighbors considered (a standard similarity-join guard — at
-    100 TB you set it; the scores then ignore hubs above the cap,
-    documented semantics, and the plan stays bounded).
+    neighbors considered (a standard similarity-join guard — the
+    scores then ignore hubs above the cap, documented semantics, and
+    the plan stays bounded).  The cap DEFAULTS ON at
+    :data:`LINKPRED_DEFAULT_MAX_DEGREE` (1000) — an unguarded wedge
+    join through a 200k-degree hub is a ~4e10-row intermediate, so
+    uncapped is the opt-in (``max_degree=None``), never the default.
+    Dropping hub-mediated wedges is also the semantics a curator
+    wants: a shared neighbor of degree 10⁵ carries ~zero Adamic-Adar
+    weight and no signal — "both entities co-occur with the mega-repo"
+    predicts nothing.
 
     Returns (node_a, node_b, common_neighbors, jaccard, adamic_adar).
     """
     if k <= 0:
         raise ValueError("k must be positive")
+    if max_degree is _UNSET:
+        max_degree = LINKPRED_DEFAULT_MAX_DEGREE
     sym, _v = _undirected_simple(triples)
     deg = sym.groupBy(F.col("x").alias("node")).agg(
         F.count(F.lit(1)).cast("double").alias("deg")

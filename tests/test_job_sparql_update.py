@@ -131,6 +131,103 @@ def test_clear_edits_restores_base_derivation(spark, base_out):
     assert not [t for t in spo if t[0] == "sentinel:edit1"]
 
 
+def _plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_compact_edits_collapses_ledger(spark, base_out):
+    # runs after clear_edits: the ledger restarts at seq 1
+    job = KgJob(spark, base_out, run_id="c1")
+    job.sparql_update("""
+        DELETE { ?e LINKED_TO ?kb }
+        INSERT { ?e WAS_LINKED ?kb . sentinel:c1 MARKER "a" }
+        WHERE  { ?e LINKED_TO ?kb }
+    """)
+    job.sparql_update('INSERT DATA { sentinel:c2 MARKER "b" }')
+    job.sparql_update("""
+        DELETE { sentinel:c1 MARKER "a" } INSERT { sentinel:c1 MARKER "z" }
+        WHERE  { sentinel:c1 MARKER "a" }
+    """)
+    assert job.edit_ids() == [1, 2, 3]
+    before = sorted(map(tuple, job.triples().collect()))
+    quads_before = sorted(map(tuple, job.quads().collect()))
+    pre_antis = _plan(job.triples()).count("Join LeftAnti")
+    n = job.compact_edits()
+    assert n == 3
+    assert job.edit_ids() == [4]
+    # value-identical view, evidence included
+    assert sorted(map(tuple, job.triples().collect())) == before
+    # provenance survives: every surviving insert still attributes to
+    # its ORIGIN edit, and base rows stay base
+    assert sorted(map(tuple, job.quads().collect())) == quads_before
+    # the whole point: the per-read fold is now ONE del anti-join +
+    # one ins-dedup anti-join no matter how long the history was.
+    # The plan STRING shows 3 LeftAnti because the del-folded `kept`
+    # subtree prints again inside the ins-dedup's right branch — the
+    # single-edit constant, while the 3-edit ledger printed more.
+    plan = _plan(job.triples())
+    assert plan.count("Join LeftAnti") == 3
+    assert plan.count("Join LeftAnti") < pre_antis
+    meta = job.edits()[-1]
+    assert meta["op"] == "compact_edits" and meta["folded"] == [1, 2, 3]
+    # idempotent: a second call is a no-op
+    assert job.compact_edits() == 0
+
+
+def test_compact_edits_crash_windows(spark, base_out):
+    import shutil
+
+    job = KgJob(spark, base_out, run_id="c2")
+    # a leftover tmp dir (crash before rename) is invisible to the
+    # ledger and swept by the next maintenance call
+    tmp = f"{base_out}/edits/_compact_tmp"
+    spark.createDataFrame([("j", "P", "k")],
+                          "subj string, pred string, obj string") \
+        .write.mode("overwrite").parquet(f"{tmp}/del")
+    assert job.edit_ids() == [4]
+    view = sorted(map(tuple, job.triples().collect()))
+    job.sparql_update('INSERT DATA { sentinel:c3 MARKER "c" }')
+    assert not job._exists(tmp)
+    # crash AFTER the rename but BEFORE old-dir deletion: replaying
+    # old edits then the compacted edit is value-identical (the
+    # compacted edit re-applies the history idempotently)
+    saved = f"{base_out}/edits_saved"
+    shutil.copytree(f"{base_out}/edits/000004", f"{saved}/000004")
+    shutil.copytree(f"{base_out}/edits/000005", f"{saved}/000005")
+    n = job.compact_edits()
+    assert n == 2 and job.edit_ids() == [6]
+    after = sorted(map(tuple, job.triples().collect()))
+    shutil.copytree(f"{saved}/000004", f"{base_out}/edits/000004")
+    shutil.copytree(f"{saved}/000005", f"{base_out}/edits/000005")
+    shutil.rmtree(saved)
+    assert job.edit_ids() == [4, 5, 6]
+    assert sorted(map(tuple, job.triples().collect())) == after
+    # the next maintenance entry point finishes the cleanup
+    job._maybe_finish_edit_compact()
+    assert job.edit_ids() == [6]
+    assert sorted(map(tuple, job.triples().collect())) == after
+
+
+def test_recompaction_preserves_attribution(spark, base_out):
+    # compacting a ledger that already contains a compacted edit keeps
+    # the ORIGINAL per-edit attribution through the coalesce
+    job = KgJob(spark, base_out, run_id="c3")
+    job.sparql_update('INSERT DATA { sentinel:c4 MARKER "d" }')
+    attribution_before = {
+        (r["subj"], r["pred"], r["obj"]): r["graph"]
+        for r in job.quads().where("graph != 'base'").collect()
+    }
+    assert job.compact_edits() == 2
+    attribution_after = {
+        (r["subj"], r["pred"], r["obj"]): r["graph"]
+        for r in job.quads().where("graph != 'base'").collect()
+    }
+    assert attribution_after == attribution_before
+    # distinct origin edits survive inside the single compacted dir
+    assert len(set(attribution_after.values())) >= 2
+    job.clear_edits()
+
+
 def test_sparql_update_requires_committed_run(spark, tmp_path):
     job = KgJob(spark, str(tmp_path / "none"), run_id="e6")
     with pytest.raises(ValueError, match="no committed materialize"):

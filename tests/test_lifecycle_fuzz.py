@@ -32,7 +32,9 @@ def _triples_set(df):
     return sorted(map(tuple, df.collect()))
 
 
-@pytest.mark.parametrize("seed", [11, 23, 19])  # 19 fires the edit op
+# 47 fires edit → update → edit → compact_edits → edit (a real ledger
+# collapse with maintenance on both sides); 19 fires two plain edits
+@pytest.mark.parametrize("seed", [11, 47, 19])
 def test_lifecycle_fuzz(spark, out_dir, seed):
     rng = random.Random(seed)
     rows = build_source_rows(96)
@@ -47,7 +49,7 @@ def test_lifecycle_fuzz(spark, out_dir, seed):
     last_update = None  # (update_id, chunk) — for idempotent retries
     for step in range(5):
         op = rng.choice(["update", "update", "compact", "crash_resume",
-                         "retry", "edit"])
+                         "retry", "edit", "edit", "compact_edits"])
         if op == "update" and lo < len(rows):
             n = rng.choice([8, 12, 16])
             chunk = rows[lo:lo + n]
@@ -79,6 +81,11 @@ def test_lifecycle_fuzz(spark, out_dir, seed):
                 'WHERE { ?e INSTANCE_OF ?c }',
             ])
             KgJob(spark, out_dir, run_id=f"e{step}").sparql_update(txt)
+        elif op == "compact_edits":
+            # ledger collapse anywhere in the history: the python
+            # fold below replays whatever ledger remains, so this
+            # holds only if the collapse is exactly equivalent
+            KgJob(spark, out_dir, run_id=f"ce{step}").compact_edits()
         elif op == "compact":
             KgJob(spark, out_dir, run_id=f"c{step}").compact()
         else:
