@@ -151,10 +151,62 @@ def vocab_topk(docs: DataFrame, n: int = 2, k: int = 50) -> DataFrame:
     )
 
 
+def materialize_clusters(
+    docs: DataFrame,
+    path: str,
+    force: bool = False,
+    **cluster_kwargs,
+) -> DataFrame:
+    """Compute :func:`ner_spark.operators.dedup.dedup_clusters` ONCE
+    and install it crash-safely under ``path`` (tmp write + atomic
+    directory rename — the same protocol the KG job's derived views
+    use); return the committed relation.
+
+    The cluster pass (shingle → MinHash → LSH bands → pair graph →
+    transitive CC) is the expensive half of every near-dup-aware
+    curation call — :func:`leakage_safe_split` alone pays ~6 s at
+    sf0.1 per invocation when it recomputes.  A pipeline that splits,
+    re-splits with different weights, runs contamination reports, and
+    audits cluster sizes should pay it once: every later call is a
+    pure parquet scan (pass the committed relation via the
+    ``clusters=`` parameter of :func:`leakage_safe_split`).
+
+    A committed view (``_SUCCESS`` present after the rename) is
+    reused as-is; ``force=True`` recomputes (after the corpus
+    changed).  A crash mid-write leaves only the invisible ``.tmp``
+    dir — the next call discards it and recomputes, never serving a
+    torn table.
+    """
+    from ner_spark.operators.dedup import dedup_clusters
+
+    spark = docs.sparkSession
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def p(s):
+        return jvm.org.apache.hadoop.fs.Path(s)
+
+    fs = p(path).getFileSystem(conf)
+    if force and fs.exists(p(path)):
+        fs.delete(p(path), True)
+    if not fs.exists(p(path + "/_SUCCESS")):
+        tmp = path + ".tmp"
+        if fs.exists(p(tmp)):
+            fs.delete(p(tmp), True)
+        dedup_clusters(docs, **cluster_kwargs).write.mode(
+            "overwrite").parquet(tmp)
+        if fs.exists(p(path)):
+            fs.delete(p(path), True)  # torn earlier install
+        if not fs.rename(p(tmp), p(path)):
+            raise IOError(f"rename {tmp} -> {path} failed")
+    return spark.read.parquet(path)
+
+
 def leakage_safe_split(
     docs: DataFrame,
     weights: tuple[tuple[str, float], ...] = DEFAULT_SPLITS,
     salt: str = "split-v1",
+    clusters: DataFrame | None = None,
     **cluster_kwargs,
 ) -> DataFrame:
     """Near-dup-aware train/val/test assignment: every document in a
@@ -174,13 +226,17 @@ def leakage_safe_split(
     Scale shape: the cluster pass is the already-bucketed LSH pipeline
     (the pair graph and its CC loop touch only near-dups); the split
     itself adds one shuffle-free hash projection over the distinct
-    cluster ids plus one equi-join on cluster_id.
+    cluster ids plus one equi-join on cluster_id.  Pass a committed
+    :func:`materialize_clusters` relation via ``clusters=`` to make
+    repeated splits (new weights, a re-salted fold assignment) pure
+    scans instead of recomputing the whole LSH pipeline each time.
 
     Returns (doc_id, cluster_id, split).
     """
     from ner_spark.operators.dedup import dedup_clusters
 
-    clusters = dedup_clusters(docs, **cluster_kwargs)
+    if clusters is None:
+        clusters = dedup_clusters(docs, **cluster_kwargs)
     assigned = dataset_split(
         clusters.select(F.col("cluster_id").alias("doc_id")).distinct(),
         weights=weights, salt=salt, id_col="doc_id",

@@ -411,6 +411,7 @@ class KgJob:
         if last_stage == "canonicalize":
             return entities
 
+        mat_fresh = self.force or not self._committed("materialize")
         triples = self._run_stage(
             "materialize", full_links,
             lambda: materialize_triples(full_links, entities),
@@ -418,6 +419,8 @@ class KgJob:
             meta={"applied_updates": applied},
         )
         self._log_truncation(full_links, entities)
+        if mat_fresh:
+            self._refresh_stats_if_present()
         return triples
 
     def _log_truncation(self, links: DataFrame, entities: DataFrame) -> None:
@@ -905,6 +908,7 @@ class KgJob:
             # the checkpointed blocks — repeated updates in one session
             # must not accumulate copies of the old tables
             old_entities = old_triples = None  # noqa: F841
+        self._refresh_stats_if_present()
         return triples
 
     def _differential_materialize(
@@ -1547,9 +1551,13 @@ class KgJob:
         pred-partitioned aggregate over the committed table,
         HLL-sketched distincts) and read back as a handful of rows on
         every later call, so query planning never rescans the data.
-        ``refresh=True`` recomputes (after update/compact/edits —
-        stale stats only degrade plan QUALITY, never results, so
-        refreshing is an optimization, not a correctness duty)."""
+        ``refresh=True`` recomputes; the maintenance entry points
+        (run/update/edit submit/edit clear/import) also call
+        :meth:`_refresh_stats_if_present` when they change the triple
+        view, so an EXISTING catalog never plans on stale counts.
+        Stale stats only degrade plan QUALITY, never results, so a
+        torn refresh (no ``_SUCCESS``) simply recomputes on the next
+        read."""
         path = f"{self.out}/stats"
         if refresh or not self._exists(path + "/_SUCCESS"):
             t = self.triples()
@@ -1563,6 +1571,17 @@ class KgJob:
             r["pred"]: (int(r["n"]), int(r["n_subj"]), int(r["n_obj"]))
             for r in self.spark.read.parquet(path).collect()
         }
+
+    def _refresh_stats_if_present(self) -> None:
+        """Re-materialize the statistics catalog after an operation
+        that changed the triple view — but ONLY if a catalog already
+        exists (its presence means someone opted into catalog
+        planning; a pipeline that never calls :meth:`stats` pays
+        nothing).  One small pred-partitioned aggregate per
+        maintenance op, amortized against every later scan-free
+        planning call."""
+        if self._exists(f"{self.out}/stats/_SUCCESS"):
+            self.stats(refresh=True)
 
     def pattern_costs(self, pattern) -> list:
         """Per-element cost estimates for a BGP from the persisted
@@ -1647,11 +1666,15 @@ class KgJob:
         triples = (parsed.groupBy("subj", "pred", "obj")
                    .agg(F.max("evidence_count").alias("evidence_count")))
         self._check_manifest()
-        return self._run_stage(
+        fresh = self.force or not self._committed("materialize")
+        out = self._run_stage(
             "materialize", lines, lambda: triples,
             partition_by=("pred",),
             meta={"applied_updates": [], "imported": True},
         )
+        if fresh:
+            self._refresh_stats_if_present()
+        return out
 
     def _is_imported(self) -> bool:
         meta = self._sidecar_meta(self._path("materialize"))
@@ -1782,6 +1805,7 @@ class KgJob:
             ).write.mode("overwrite").parquet(f"{base}/meta")
             self._log_event("sparql_update", meta["del_rows"]
                             + meta["ins_rows"])
+        self._refresh_stats_if_present()
         return seq
 
     def clear_edits(self) -> int:
@@ -1793,6 +1817,8 @@ class KgJob:
         if self._exists(f"{self.out}/edits"):
             self._delete(f"{self.out}/edits")
         self._log_event("clear_edits", n)
+        if n:
+            self._refresh_stats_if_present()
         return n
 
     def _read_edit_side(self, base: str, side: str) -> DataFrame:
@@ -2501,6 +2527,14 @@ def main() -> None:
         print("stage=entailment "
               + " ".join(f"{k}={v}" for k, v in counts.items())
               + f" output={args.output}/entailment")
+    if args.rule:
+        # --rule combined with a source run: materialize the rules
+        # view over the just-committed KG, same as the standalone
+        # branch (previously this combination was silently ignored)
+        counts = job.rules_view(args.rule)
+        print("stage=rules "
+              + " ".join(f"{k}={v}" for k, v in counts.items())
+              + f" output={args.output}/rules")
     if args.publish_iceberg:
         job.publish_iceberg(args.publish_iceberg)
         print(f"published={args.publish_iceberg}")

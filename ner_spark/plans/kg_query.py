@@ -661,6 +661,30 @@ def _sequence_segments(pred: str) -> list[str] | None:
     return parts
 
 
+def _scrub_constraints(df: DataFrame) -> DataFrame:
+    """Constraint scrub (canonicalize.py idiom), GATED: a checkpointed
+    LogicalRDD keeps the ORIGIN plan's constraints (a committed
+    table's partition filters, a provenance view's ``lit("base")``
+    equality), and the closure loop's union + re-checkpoint trips
+    Spark 4.1's ``Union.rewriteConstraints`` (AttributeMap miss) on
+    any such retained constraint.  The crash therefore has an exact,
+    cheap precondition — the checkpointed plan retains a non-empty
+    constraint set — so the JVM→Python RDD round-trip that rebuilds a
+    constraint-free plan is paid ONLY then; a plain triple-relation
+    closure (retained constraints = ``Set()``, the common case) is
+    returned untouched.  ``df`` must already be checkpointed (the
+    probe reads its LogicalRDD; the rebuild re-checkpoints)."""
+    try:
+        clean = df._jdf.queryExecution().analyzed().constraints() \
+            .isEmpty()
+    except Exception:
+        clean = False  # private API drifted: pay the safe path
+    if clean:
+        return df
+    return df.sparkSession.createDataFrame(df.rdd, df.schema) \
+        .localCheckpoint(eager=True)
+
+
 def path_closure(
     triples: DataFrame,
     pred: str,
@@ -696,21 +720,11 @@ def path_closure(
     duplicates, and the recursive-CTE oracle's UNION matches.
     """
     g = [group_col] if group_col else []
-    edges = (
+    edges = _scrub_constraints(
         triples.where(F.col("pred").isin(_pred_alternatives(pred)))
         .select(*g, "subj", "obj").distinct()
         .localCheckpoint(eager=True)
     )
-    # constraint scrub (canonicalize.py:581 idiom): the checkpointed
-    # LogicalRDD keeps the ORIGIN plan's constraints (a committed
-    # table's partition filters, a provenance view's lit("base")
-    # equality), and the closure loop's union + re-checkpoint trips
-    # Spark 4.1's Union constraint rewrite (AttributeMap miss) on
-    # them.  Rebuilding from the materialized RDD yields a
-    # constraint-free plan; the roundtrip touches only the pred-pruned
-    # distinct edge set the closure iterates anyway.
-    edges = edges.sparkSession.createDataFrame(
-        edges.rdd, edges.schema).localCheckpoint(eager=True)
     flip = False
     if src is None and dst is not None:
         # BFS backwards from the constant object, flip at the end
@@ -718,15 +732,12 @@ def path_closure(
                              F.col("subj").alias("obj"))
         src, dst, flip = dst, None, True
     if src is not None:
-        # constraint scrub (same idiom as canonicalize.py): the seed
-        # filter's constraint survives into the LogicalRDD and trips
-        # Spark 4.1's Union.rewriteConstraints (AttributeMap miss) on
-        # the first closure union.  Rebuilding from the materialized
-        # RDD yields a constraint-free plan; the seed frontier is one
-        # node's out-edges, so the Python round-trip is tiny.
-        base = edges.where(F.col("subj") == src).localCheckpoint(eager=True)
-        base = base.sparkSession.createDataFrame(base.rdd, base.schema)
-        closure = base.localCheckpoint(eager=True)
+        # the seed filter's constraint (subj = src) survives into the
+        # LogicalRDD on a column the closure unions over, so the scrub
+        # always fires here — the seed frontier is one node's
+        # out-edges, so the Python round-trip is tiny
+        closure = _scrub_constraints(
+            edges.where(F.col("subj") == src).localCheckpoint(eager=True))
     else:
         closure = edges
     frontier = closure
@@ -753,8 +764,7 @@ def path_closure(
             # stale group-column exprId (the same Spark 4.1 rewrite
             # bug), so the union below would crash at checkpoint; the
             # roundtrip touches only the frontier's new pairs
-            new = new.sparkSession.createDataFrame(
-                new.rdd, new.schema).localCheckpoint(eager=True)
+            new = _scrub_constraints(new)
         if new.isEmpty():
             converged = True
             break
@@ -885,7 +895,15 @@ def _element_relation(
     constant outside the named set matches nothing, per spec."""
     gterm, element = _split_graph(element)
     has_graph = "graph" in triples.columns
-    if dataset and has_graph:
+    if dataset:
+        if not has_graph:
+            # mirror the quad-element check below: silently ignoring a
+            # FROM / FROM NAMED clause would return UNRESTRICTED
+            # results for a query that asked for a dataset slice
+            raise ValueError(
+                "FROM / FROM NAMED dataset clause needs a relation "
+                "with a 'graph' column (quads — e.g. sparql(..., "
+                f"provenance=True)); this relation has {triples.columns}")
         allowed = dataset.get("named" if gterm is not None
                               else "default")
         if allowed is not None:

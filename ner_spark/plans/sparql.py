@@ -33,7 +33,7 @@ raises with the offending token rather than mis-parsing):
     Query     := Select | Ask | Construct | Describe
     Select    := 'SELECT' 'DISTINCT'? ('*' | Proj+) Dataset*
                  'WHERE'? Group
-                 ('GROUP' 'BY' Var+)? ('HAVING' '(' Var Op INT ')')*
+                 ('GROUP' 'BY' Var+)? ('HAVING' '(' Var Op NUM ')')*
                  ('ORDER' 'BY' Ord+)?
                  ('LIMIT' INT | 'OFFSET' INT)*
     Proj      := Var | '(' Agg '(' ('DISTINCT'? Var | '*')
@@ -106,9 +106,11 @@ Deliberate restrictions, matching the engine's semantics:
 - SELECT REDUCED is pinned to DISTINCT (the spec's "may deduplicate"
   cannot hash-match an oracle).
 - HAVING compares a numeric aggregate's ALIAS (COUNT / COUNT
-  DISTINCT / SUM / AVG) to an integer (``HAVING(?n >= 2)``); SPARQL's
-  inline-aggregate HAVING form is not re-parsed, and decimal
-  thresholds are programmatic-API-only (the tokenizer owns ``.``).
+  DISTINCT / SUM / AVG) to a number — integer or decimal
+  (``HAVING(?n >= 2)``, ``HAVING(?avg >= 1.5)``; the tokenizer
+  emits ``\\d+.\\d+`` as one literal, so a triple-separator ``.``
+  after a bare integer object still splits).  SPARQL's
+  inline-aggregate HAVING form is not re-parsed.
 - OFFSET requires ORDER BY (an unordered OFFSET is nondeterministic).
 - Keywords are case-insensitive; bare constants that collide with a
   keyword (a predicate literally named ``FILTER``) need quotes.
@@ -151,6 +153,10 @@ _TOKEN_RE = re.compile(
                                         # lookahead requires a path
                                         # operator inside, so (*) and
                                         # bare (CONST) stay punct+word
+      | (?P<number>\d+\.\d+)            # decimal literal (digits on
+                                        # BOTH sides, so a triple
+                                        # separator '.' after a bare
+                                        # integer object still splits)
       | (?P<punct>[{}().,;]|!=|<=|>=|=|<|>|\*|\|\||&&|!)
       | (?P<word>[^\s{}().,"<>=!;]+)    # vars, keywords, constants
                                         # (';' excluded: it separates
@@ -771,14 +777,17 @@ def _parse_modifiers(cur: _Cursor, nested: bool = False) -> dict:
         if op not in _CMP_OPS:
             raise ValueError(f"unsupported HAVING operator {op!r}")
         n = cur.next()
-        if not n.isdigit():
+        if n.isdigit():
+            val = int(n)
+        elif re.fullmatch(r"\d+\.\d+", n):
+            val = float(n)  # e.g. HAVING(?avg >= 1.5)
+        else:
             raise ValueError(
-                "HAVING compares a numeric-aggregate alias to an "
-                f"integer, got {n!r} (decimal thresholds are available "
-                "through the programmatic solutions(having=) API)")
+                "HAVING compares a numeric-aggregate alias to a "
+                f"number, got {n!r}")
         cur.eat(")")
         out.setdefault("having", []).append(
-            (alias.lstrip("?"), op, int(n)))
+            (alias.lstrip("?"), op, val))
     if cur.at("ORDER"):
         cur.next()
         cur.eat("BY")

@@ -209,6 +209,41 @@ def test_leakage_safe_split_moves_clusters_together(spark):
     assert out[1]["split"] == plain[1]
 
 
+def test_materialize_clusters_staged_view(spark, tmp_path):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    rows = [(1, "en", base + " mu"),
+            (2, "en", base + " nu"),
+            (3, "en", "completely different text about other things")]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    path = str(tmp_path / "clusters")
+    live = curate.leakage_safe_split(docs)
+    staged = curate.materialize_clusters(docs, path)
+    expected = sorted(map(tuple, staged.collect()))
+    # the committed view IS the cluster relation the live path builds
+    from ner_spark.operators.dedup import dedup_clusters
+    assert expected == sorted(map(tuple, dedup_clusters(docs).collect()))
+    # a second call is a pure scan: no LSH pipeline in the plan
+    again = curate.materialize_clusters(docs, path)
+    plan = again._jdf.queryExecution().optimizedPlan().toString()
+    assert "Relation" in plan and "Generate" not in plan \
+        and "Join" not in plan
+    # splitting from the committed clusters equals the live recompute
+    from_staged = curate.leakage_safe_split(docs, clusters=again)
+    assert sorted(map(tuple, from_staged.collect())) == \
+        sorted(map(tuple, live.collect()))
+    # crash windows: a leftover tmp never shadows the committed view;
+    # a torn main dir (no _SUCCESS) is recomputed, never served
+    spark.createDataFrame([(9,)], "x long").write.mode(
+        "overwrite").parquet(path + ".tmp")
+    ok = curate.materialize_clusters(docs, path)
+    assert sorted(map(tuple, ok.collect())) == expected
+    import shutil
+    shutil.rmtree(path)
+    (tmp_path / "clusters").mkdir()
+    rebuilt = curate.materialize_clusters(docs, path)
+    assert sorted(map(tuple, rebuilt.collect())) == expected
+
+
 def test_contamination_check_flags_shared_ngrams_only(spark):
     # doc 10 quotes 4 consecutive tokens of eval doc 0 (= two distinct
     # 3-gram shingles); doc 11 shares nothing; the eval doc never

@@ -208,6 +208,14 @@ def test_dataset_clauses(spark):
     got = {r.x for r in sparql(
         q, "SELECT ?x FROM <g2> WHERE { a P+ ?x }").collect()}
     assert got == {"b"}
+    # a dataset clause over a graph-LESS relation is an error, not a
+    # silently unrestricted result (mirrors the quad-element check)
+    tri = q.select("subj", "pred", "obj")
+    with pytest.raises(ValueError, match="FROM / FROM NAMED"):
+        sparql(tri, "SELECT ?s FROM <g1> WHERE { ?s P ?o }").collect()
+    with pytest.raises(ValueError, match="FROM / FROM NAMED"):
+        sparql(tri, "SELECT ?s FROM NAMED <g1> "
+                    "WHERE { GRAPH ?g { ?s P ?o } }").collect()
 
 
 @pytest.mark.parametrize("seed", range(4))

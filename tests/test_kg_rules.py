@@ -167,3 +167,29 @@ def test_job_rules_view(spark, tmp_path):
         assert got == base
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_cli_rule_with_source_run(spark, tmp_path, capsys, monkeypatch):
+    # --rule combined with --fixture-rows must materialize the rules
+    # view after the run (it used to be silently ignored whenever a
+    # source was given, because only the standalone branch handled it)
+    import shutil
+
+    from ner_spark.plans import job as jobmod
+
+    out = str(tmp_path / "kg_cli")
+    try:
+        monkeypatch.setattr("sys.argv", [
+            "job", "--output", out, "--fixture-rows", "10",
+            "--no-prewarm",
+            "--rule",
+            'CONSTRUCT { ?a RELATED_REPO ?b } WHERE '
+            '{ ?a DECLARES ?e . ?b DECLARES ?e FILTER(?a != ?b) }',
+        ])
+        jobmod.main()
+        outp = capsys.readouterr().out
+        assert "stage=rules triples=" in outp
+        view = spark.read.parquet(f"{out}/rules/triples")
+        assert view.where("pred = 'RELATED_REPO' AND inferred").count() > 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -350,10 +350,22 @@ def test_job_stats_catalog_planning(spark, tmp_path):
                       job.query(pat, plan="catalog").collect())) == base
     costs = job.pattern_costs(pat)
     assert len(costs) == 3 and all(c >= 0 for c in costs)
-    # stats refresh after an edit folds the new predicate in
+    # an edit submit auto-refreshes an EXISTING catalog, so
+    # plan="catalog" never plans on stale counts after maintenance
     job.sparql_update("INSERT DATA { a:x NEW_PRED b:y }")
-    assert "NEW_PRED" not in job.stats()         # stale is allowed
-    assert job.stats(refresh=True)["NEW_PRED"][0] == 1
+    assert job.stats()["NEW_PRED"][0] == 1
+    # a document update refreshes it too: the catalog equals a
+    # from-scratch recompute afterwards
+    from ner_spark.sources.fixtures import build_source_rows
+    from ner_spark.schemas import SOURCE_SCHEMA
+
+    delta = spark.createDataFrame(build_source_rows(30)[24:],
+                                  SOURCE_SCHEMA)
+    job.update(delta, update_id="u1")
+    assert job.stats() == job.stats(refresh=True)
+    # clearing the ledger refreshes as well (NEW_PRED came from it)
+    job.clear_edits()
+    assert "NEW_PRED" not in job.stats()
 
 
 @pytest.mark.parametrize("seed", range(6))

@@ -508,9 +508,48 @@ def test_parse_having_offset():
     assert kw["limit"] == 4 and kw["offset"] == 2
     with pytest.raises(ValueError, match="duplicate LIMIT"):
         parse_sparql("SELECT * WHERE { ?a ?p ?b } LIMIT 2 LIMIT 3")
-    with pytest.raises(ValueError, match="integer"):
+    with pytest.raises(ValueError, match="number"):
         parse_sparql("SELECT (COUNT(*) AS ?n) WHERE { ?a ?p ?b } "
                      "GROUP BY ?a HAVING(?n > x)")
+    # decimal thresholds tokenize as one literal and parse to float
+    kw = parse_sparql("""
+        SELECT ?r (AVG(?n) AS ?avg) WHERE { ?r HAS ?n }
+        GROUP BY ?r HAVING(?avg >= 1.5)
+    """)
+    assert kw["having"] == [("avg", ">=", 1.5)]
+    # and a '.' right after a bare-integer OBJECT still separates
+    # triples (the number token needs digits on both sides)
+    kw = parse_sparql('ASK { s P "5" . s Q ?x }')
+    assert len(kw["pattern"]) == 2
+
+
+def test_sparql_decimal_having_matches_twin(spark):
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tests.oracle_compare import assert_df_matches_duckdb
+
+    kg_sql = """SELECT * FROM (VALUES
+        ('repo:a','HAS','1'), ('repo:a','HAS','2'),
+        ('repo:b','HAS','1'), ('repo:b','HAS','1'),
+        ('repo:c','HAS','3')
+        ) t(subj, pred, obj)"""
+    text = """
+        SELECT ?r (AVG(?n) AS ?avg) WHERE { ?r HAS ?n }
+        GROUP BY ?r HAVING(?avg >= 1.5) ORDER BY ?r
+    """
+    t = _triples(spark, [
+        ("repo:a", "HAS", "1", 1), ("repo:a", "HAS", "2", 1),
+        ("repo:b", "HAS", "1", 1), ("repo:b", "HAS", "1", 1),
+        ("repo:c", "HAS", "3", 1),
+    ])
+    out = sparql(t, text)
+    got = [(r["r"], r["avg"]) for r in out.collect()]
+    assert got == [("repo:a", 1.5), ("repo:c", 3.0)]
+    assert_df_matches_duckdb(
+        out, duckdb.connect(),
+        entrymod._kg_sparql_oracle(text, kg_sql=kg_sql),
+        "decimal_having")
 
 
 def test_sparql_having_offset_matches_twin(spark):
