@@ -237,6 +237,120 @@ def _decode_netpbm(payload: bytes) -> np.ndarray:
     return (rgb @ np.array([0.299, 0.587, 0.114])).astype(np.uint8)
 
 
+PNG_MIME = "image/png"
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color_type → samples/px
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Invert the PNG per-scanline filters (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6) over the decompressed byte stream → (h, stride)
+    uint8.  Up and None vectorize whole-row; Sub/Average/Paeth have a
+    true byte-serial dependency along the row, so they run a per-byte
+    loop — row-local, bounded by the image width, and only on rows an
+    encoder actually filtered that way."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        row = np.frombuffer(raw, np.uint8, stride, pos).copy()
+        pos += stride
+        prev = out[y - 1] if y else np.zeros(stride, np.uint8)
+        if ft == 0:
+            pass
+        elif ft == 2:  # Up
+            row += prev  # uint8 wraps = mod-256 per spec
+        elif ft == 1:  # Sub
+            for x in range(bpp, stride):
+                row[x] = (int(row[x]) + int(row[x - bpp])) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                row[x] = (int(row[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc
+                                                       else c)
+                row[x] = (int(row[x]) + pr) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {ft} invalid")
+        out[y] = row
+    return out
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Dependency-free PNG decode (stdlib ``zlib`` inflate + numpy
+    unfilter) → uint8 luminance array, so ONE compressed codec runs
+    for real in this container (JPEG stays on the Pillow deploy
+    branch).  Supports the common web shapes: 8-bit depth, color
+    types gray / RGB / palette / gray+alpha / RGBA, non-interlaced;
+    anything else raises loudly rather than mis-decoding."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("not a PNG signature")
+    i, w = 8, None
+    idat, plte = [], None
+    while i + 8 <= len(payload):
+        size = int.from_bytes(payload[i:i + 4], "big")
+        ctype = payload[i + 4:i + 8]
+        body = payload[i + 8:i + 8 + size]
+        if ctype == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, color, _comp, _filt, interlace = body[8:13]
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        i += 12 + size  # length + type + data + crc
+    if w is None or not idat:
+        raise NotImplementedError("PNG missing IHDR/IDAT")
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={color} "
+            f"interlace={interlace} not wired (8-bit non-interlaced "
+            "gray/RGB/palette/gray+alpha/RGBA only)")
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    expected = h * (stride + 1)
+    if expected > (1 << 28):
+        raise NotImplementedError(
+            "PNG raster over the 256 MiB decode-hook bound")
+    # bounded inflate: a malformed stream raises the documented
+    # NotImplementedError, and a zip-bomb cannot expand past the
+    # header-declared raster size (this runs inside a distributed
+    # mapInPandas task — no uncontrolled exception, no runaway alloc)
+    try:
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected)
+    except zlib.error as exc:
+        raise NotImplementedError(f"PNG inflate failed: {exc}") from exc
+    if len(raw) != expected or d.decompress(b"", 1):
+        raise NotImplementedError("PNG stream length mismatch")
+    px = _png_unfilter(raw, h, stride, ch).reshape(h, w, ch)
+    if color == 0:
+        return px[:, :, 0]
+    if color == 4:  # gray + alpha: luminance is the gray channel
+        return px[:, :, 0]
+    if color == 3:
+        if plte is None:
+            raise NotImplementedError("palette PNG without PLTE")
+        rgb = plte[px[:, :, 0]].astype(np.float64)
+    else:  # 2 = RGB, 6 = RGBA (alpha ignored for luminance)
+        rgb = px[:, :, :3].astype(np.float64)
+    # BT.601 luma — same weights as _decode_netpbm / PIL convert("L")
+    return (rgb @ np.array([0.299, 0.587, 0.114])).astype(np.uint8)
+
+
 WAV_MIMES = ("audio/wav", "audio/x-wav", "audio/wave")
 
 
@@ -334,12 +448,12 @@ def decode_stub(payload: bytes, mime: str) -> np.ndarray:
     feature shape and normalization as :func:`fake_decode_features`,
     so the paths are drop-in interchangeable.
 
-    Branches by codec availability: netpbm (P5/P6) images and RIFF PCM
-    WAV audio decode with numpy alone, so they work everywhere
-    including this container; every other ``image/*`` mime needs
-    Pillow (deploy-time dependency) and raises ``NotImplementedError``
-    where it is absent.  Compressed audio and video decode stay
-    unwired hooks regardless of installed libraries.
+    Branches by codec availability: netpbm (P5/P6) and PNG images and
+    RIFF PCM WAV audio decode with numpy + stdlib alone, so they work
+    everywhere including this container; every other ``image/*`` mime
+    (JPEG foremost) needs Pillow (deploy-time dependency) and raises
+    ``NotImplementedError`` where it is absent.  Compressed audio and
+    video decode stay unwired hooks regardless of installed libraries.
     """
     if mime in WAV_MIMES:
         return _luminance_histogram(_decode_wav(payload))
@@ -352,12 +466,14 @@ def decode_stub(payload: bytes, mime: str) -> np.ndarray:
         )
     if mime in NETPBM_MIMES:
         return _luminance_histogram(_decode_netpbm(payload))
+    if mime == PNG_MIME:
+        return _luminance_histogram(_decode_png(payload))
     try:
         from PIL import Image  # optional deploy-time dependency
     except ImportError as exc:
         raise NotImplementedError(
             f"decode for {mime!r} requires Pillow, not present in this "
-            "container (netpbm image/x-portable-* decodes without it)"
+            "container (netpbm and PNG decode without it)"
         ) from exc
 
     import io

@@ -92,6 +92,42 @@ def test_pgm_roundtrip(w, h, data):
     assert np.array_equal(_decode_netpbm(payload), arr)
 
 
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=256))
+def test_png_never_uncontrolled(payload):
+    from ner_spark.operators.multimodal import _decode_png
+
+    _check_decoder(_decode_png, payload)
+    _check_decoder(_decode_png, b"\x89PNG\r\n\x1a\n" + payload)
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(1, 12), st.integers(1, 12),
+       st.sampled_from([0, 2, 4, 6]), st.data())
+def test_png_roundtrip_all_filters(w, h, color, data):
+    # random raster, random filter type PER SCANLINE: the decoder's
+    # five unfilter inverses must reproduce the source pixel-exactly
+    from ner_spark.operators.multimodal import _PNG_CHANNELS, _decode_png
+    from tests.test_multimodal import _png
+
+    ch = _PNG_CHANNELS[color]
+    flat = data.draw(st.lists(st.integers(0, 255), min_size=w * h * ch,
+                              max_size=w * h * ch))
+    filters = data.draw(st.lists(st.integers(0, 4), min_size=h,
+                                 max_size=h))
+    arr = np.asarray(flat, dtype=np.uint8).reshape(h, w, ch)
+    got = _decode_png(_png(arr, color, filters=filters))
+    if color == 0:
+        assert np.array_equal(got, arr[:, :, 0])
+    elif color == 4:
+        assert np.array_equal(got, arr[:, :, 0])
+    else:
+        luma = (arr[:, :, :3].astype(np.float64)
+                @ np.array([0.299, 0.587, 0.114])).astype(np.uint8)
+        assert np.array_equal(got, luma)
+
+
 @settings(max_examples=100, deadline=None)
 @given(st.lists(st.integers(0, 255), min_size=0, max_size=64))
 def test_wav8_roundtrip(samples):

@@ -20,10 +20,12 @@ def _pil_available() -> bool:
 
 
 def test_decode_stub_raises_without_pil():
+    # JPEG is the codec that stays behind the Pillow deploy branch
+    # (PNG now decodes dependency-free, see the _png tests below)
     if _pil_available():
         pytest.skip("PIL installed — deploy path active")
-    with pytest.raises(NotImplementedError):
-        decode_stub(b"\x89PNG...", "image/png")
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_stub(b"\xff\xd8\xff\xe0...", "image/jpeg")
 
 
 def test_decode_stub_unwired_mime_raises_regardless_of_pil():
@@ -113,6 +115,143 @@ def test_decode_real_ppm_luma_matches_bt601():
 def test_decode_netpbm_rejects_ascii_variants():
     with pytest.raises(NotImplementedError, match="P5/P6"):
         decode_stub(b"P2\n2 2\n255\n0 1 2 3", "image/x-portable-graymap")
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib as _z
+
+    return (len(body).to_bytes(4, "big") + ctype + body
+            + _z.crc32(ctype + body).to_bytes(4, "big"))
+
+
+def _png(arr: np.ndarray, color: int, filters=None,
+         plte: np.ndarray | None = None) -> bytes:
+    """Minimal PNG encoder (8-bit, non-interlaced) applying the
+    REQUESTED filter type per scanline, so the decoder's unfilter
+    inverse is exercised for all five filter types — not just the
+    trivial None rows a lazy encoder would emit."""
+    import zlib as _z
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    bpp = ch
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        cur = arr[y].reshape(-1).astype(np.uint8)
+        ft = filters[y % len(filters)]
+        raw.append(ft)
+        for x in range(w * ch):
+            a = int(cur[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            if ft == 0:
+                v = cur[x]
+            elif ft == 1:
+                v = (int(cur[x]) - a) & 0xFF
+            elif ft == 2:
+                v = (int(cur[x]) - b) & 0xFF
+            elif ft == 3:
+                v = (int(cur[x]) - ((a + b) >> 1)) & 0xFF
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc
+                                                       else c)
+                v = (int(cur[x]) - pr) & 0xFF
+            raw.append(v)
+        prev = cur
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, color, 0, 0, 0]))
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    out += _png_chunk(b"IDAT", _z.compress(bytes(raw)))
+    return out + _png_chunk(b"IEND", b"")
+
+
+def test_decode_real_png_all_filters_no_media_library():
+    """PNG decodes with stdlib zlib + numpy alone — a COMPRESSED codec
+    on the real path in this container.  Every scanline uses a
+    different filter type, so all five unfilter inverses are hit and
+    verified pixel-exact against the source array."""
+    from ner_spark.operators.multimodal import _decode_png
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, size=(10, 9), dtype=np.uint8).astype(np.uint8)
+    png = _png(arr, color=0, filters=[0, 1, 2, 3, 4])
+    assert np.array_equal(_decode_png(png), arr)
+    # histogram path through the public dispatch
+    feats = decode_stub(png, "image/png")
+    expect = np.bincount(arr.ravel() >> 4, minlength=16) / arr.size
+    assert np.allclose(feats, expect.astype(np.float32))
+
+
+def test_decode_real_png_color_types():
+    from ner_spark.operators.multimodal import _decode_png
+
+    # RGB: pure red → BT.601 luma 76, filters incl. Paeth on RGB bpp=3
+    rgb = np.zeros((4, 3, 3), dtype=np.uint8)
+    rgb[..., 0] = 255
+    assert np.array_equal(_decode_png(_png(rgb, 2, filters=[4, 3, 1, 2])),
+                          np.full((4, 3), 76, dtype=np.uint8))
+    # RGBA: alpha ignored for luminance
+    rgba = np.zeros((2, 2, 4), dtype=np.uint8)
+    rgba[..., 1] = 255  # pure green → luma int(255*0.587) = 149
+    rgba[..., 3] = 7
+    assert np.array_equal(_decode_png(_png(rgba, 6)),
+                          np.full((2, 2), 149, dtype=np.uint8))
+    # palette: indices map through PLTE then BT.601
+    plte = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    got = _decode_png(_png(idx, 3, plte=plte))
+    assert np.array_equal(got, np.array([[0, 255], [255, 0]], np.uint8))
+    # gray+alpha: luminance is the gray channel
+    ga = np.dstack([np.full((2, 2), 33, np.uint8),
+                    np.full((2, 2), 200, np.uint8)])
+    assert np.array_equal(_decode_png(_png(ga, 4)),
+                          np.full((2, 2), 33, dtype=np.uint8))
+
+
+def test_decode_png_rejects_unwired_shapes():
+    from ner_spark.operators.multimodal import _decode_png
+
+    arr = np.zeros((2, 2), dtype=np.uint8)
+    png = bytearray(_png(arr, 0))
+    png[24] = 16  # IHDR depth byte → 16-bit
+    with pytest.raises(NotImplementedError, match="depth=16"):
+        _decode_png(bytes(png))
+    png = bytearray(_png(arr, 0))
+    png[28] = 1  # IHDR interlace byte → Adam7
+    with pytest.raises(NotImplementedError, match="interlace=1"):
+        _decode_png(bytes(png))
+    with pytest.raises(NotImplementedError, match="signature"):
+        _decode_png(b"\xff\xd8\xff\xe0 not a png")
+
+
+def test_extract_media_features_png_end_to_end(spark):
+    """The non-stub mapInPandas path over PNG payloads: a compressed
+    codec through the distributed Arrow batches, verified against the
+    locally computed histograms."""
+    from ner_spark.operators.multimodal import extract_media_features
+
+    rng = np.random.RandomState(11)
+    arrs = [rng.randint(0, 256, size=(6, 6), dtype=np.uint8)
+            for _ in range(3)]
+    rows = [(i, "image", "image/png",
+             bytearray(_png(a, 0, filters=[0, 1, 2, 3, 4])), 6, 6, 0)
+            for i, a in enumerate(arrs)]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, mime string, payload binary,"
+              " width int, height int, duration_ms int")
+    got = {r["media_id"]: np.asarray(r["features"], dtype=np.float32)
+           for r in extract_media_features(media, use_stub=False).collect()}
+    for i, a in enumerate(arrs):
+        expect = (np.bincount(a.ravel() >> 4, minlength=16)
+                  / a.size).astype(np.float32)
+        assert np.allclose(got[i], expect)
 
 
 def test_extract_media_features_real_decode_end_to_end(spark):
