@@ -215,6 +215,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             multimodal.docs_as_wav(_docs(spark, sf)), use_stub=False
         ))
 
+    def q_media_features_png(spark, sf):
+        # REAL COMPRESSED decode path: text bytes zlib-deflated into a
+        # 1-row grayscale PNG, decoded by the actual inflate + unfilter
+        # decoder (no stand-in anywhere).  Gray luminance IS the raw
+        # byte stream, so the histogram oracle equals the netpbm key's;
+        # the container size is not SQL-expressible (deflate output
+        # length), so this key projects the features only.
+        return _quant_features(multimodal.extract_media_features(
+            multimodal.docs_as_png(_docs(spark, sf)), use_stub=False
+        )).drop("n_bytes")
+
     def q_frame_features_y4m(spark, sf):
         # REAL per-frame decode: text bytes chopped into fixed 8-byte
         # luma frames of one multi-frame y4m stream per doc; the y4m
@@ -905,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_features_netpbm": q_media_features_netpbm,
         "media_features_wav": q_media_features_wav,
+        "media_features_png": q_media_features_png,
         "media_features_y4m": q_media_features_y4m,
         "frame_features_y4m": q_frame_features_y4m,
         "media_near_dup": q_media_near_dup,
@@ -1499,18 +1511,22 @@ _MEDIA_FEATS = ", ".join(
 _MEDIA_ZEROS = ",".join(["0"] * 16)
 
 
-def _media_oracle(modality: str, n_bytes_expr: str) -> str:
+def _media_oracle(modality: str, n_bytes_expr: str | None) -> str:
     """Shared nibble-histogram oracle: the feature vector is the L1-normed
     16-bin histogram of the text's UTF-8 bytes' high nibbles — identical
-    for the byte-histogram stand-in AND for the real netpbm/WAV decodes,
-    whose rasters/samples ARE those bytes; only the container framing
-    (and hence ``n_bytes``) differs per key."""
+    for the byte-histogram stand-in AND for the real netpbm/PNG/WAV
+    decodes, whose rasters/samples ARE those bytes; only the container
+    framing (and hence ``n_bytes``) differs per key.  ``None`` omits
+    the n_bytes column (the PNG container's deflate length is not
+    SQL-expressible, so that key projects features only)."""
+    nb_col = ("" if n_bytes_expr is None
+              else f"CAST({n_bytes_expr} AS BIGINT) AS n_bytes,")
     return f"""
 WITH h AS (SELECT doc_id AS media_id, lower(hex(encode(text))) AS hx FROM documents),
 n AS (SELECT media_id, hx, len(hx) // 2 AS nb FROM h),
 nib AS (SELECT media_id, nb,
   list_transform(generate_series(1, nb), i -> hx[2*i-1]) AS cs FROM n)
-SELECT media_id, '{modality}' AS modality, CAST({n_bytes_expr} AS BIGINT) AS n_bytes,
+SELECT media_id, '{modality}' AS modality, {nb_col}
   CASE WHEN nb = 0 THEN '{_MEDIA_ZEROS}'
        ELSE concat_ws(',', {_MEDIA_FEATS}) END AS features_q
 FROM nib
@@ -3788,6 +3804,7 @@ SELECT doc_id, lang, quality_score, reason, (reason = 'kept') AS keep FROM r
         "media_features_netpbm": _media_oracle(
             "image", "nb + 10 + len(CAST(nb AS VARCHAR))"),
         "media_features_wav": _media_oracle("audio", "nb + 44"),
+        "media_features_png": _media_oracle("image", None),
         # y4m header 'YUV4MPEG2 W{nb} H1 F25:1 Ip A1:1 Cmono\n' (35 +
         # digits(nb)) + 'FRAME\n' (6)
         "media_features_y4m": _media_oracle(

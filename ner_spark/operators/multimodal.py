@@ -132,6 +132,48 @@ def docs_as_wav(docs: DataFrame) -> DataFrame:
     )
 
 
+def docs_as_png(docs: DataFrame) -> DataFrame:
+    """Adapt the documents table into REAL compressed media: each
+    text's UTF-8 bytes become the raster of a 1-row 8-bit grayscale
+    PNG (zlib-deflated, one filter-None scanline), so
+    :func:`decode_stub` exercises the actual inflate + unfilter path
+    end-to-end.  PNG needs zlib + CRC32, which Catalyst cannot
+    express — a vectorized pandas UDF builds the container (fixture
+    adapter only; production payloads arrive already encoded).
+    Grayscale luminance IS the raw byte stream, so the decoded
+    feature histogram has the same exact oracle as the netpbm key."""
+
+    @F.pandas_udf(BinaryType())
+    def png_wrap(text: pd.Series) -> pd.Series:
+        import zlib
+
+        def chunk(ctype: bytes, body: bytes) -> bytes:
+            return (len(body).to_bytes(4, "big") + ctype + body
+                    + zlib.crc32(ctype + body).to_bytes(4, "big"))
+
+        def wrap(t: str | None) -> bytes:
+            data = (t or "").encode("utf-8")
+            w = len(data)
+            ihdr = (w.to_bytes(4, "big") + (1).to_bytes(4, "big")
+                    + bytes([8, 0, 0, 0, 0]))  # 8-bit gray, no interlace
+            raw = b"\x00" + data  # one scanline, filter type None
+            return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(raw))
+                    + chunk(b"IEND", b""))
+
+        return text.map(wrap)
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.lit("image/png").alias("mime"),
+        png_wrap(F.col("text")).alias("payload"),
+        F.octet_length("text").cast("int").alias("width"),
+        F.lit(1).alias("height"),
+        F.lit(0).alias("duration_ms"),
+    )
+
+
 def docs_as_y4m(docs: DataFrame) -> DataFrame:
     """Adapt the documents table into REAL video: each text's UTF-8
     bytes become the luma plane of a single-frame monochrome

@@ -2139,6 +2139,12 @@ def main() -> None:
                              "the base tokenize_tag/link checkpoints "
                              "(LSM-style major compaction; output-identical, "
                              "bounds the per-update union fan-in)")
+    parser.add_argument("--compact-edits", action="store_true",
+                        help="collapse the committed SPARQL-Update edit "
+                             "ledger into ONE equivalent frozen edit "
+                             "(view-identical, tombstones and quad "
+                             "attribution preserved; bounds the per-read "
+                             "fold at a single anti-join)")
     parser.add_argument("--publish-iceberg", default=None, metavar="TABLE",
                         help="after the run/update completes, publish the "
                              "committed triple table to this Iceberg "
@@ -2352,6 +2358,15 @@ def main() -> None:
                     fuzzy_threshold=args.fuzzy_threshold)
         n = job.compact()
         print(f"stage=compact folded={n} output={args.output}")
+        if args.compact_edits:
+            n = job.compact_edits()
+            print(f"stage=compact_edits folded={n} output={args.output}")
+        return
+    if args.compact_edits:
+        job = KgJob(spark, args.output, mode=args.mode,
+                    tokenizer_mode=args.tokenizer_mode, run_id=args.run_id)
+        n = job.compact_edits()
+        print(f"stage=compact_edits folded={n} output={args.output}")
         return
     if args.stream_input:
         from ner_spark.streaming.ingest import drain_kg_updates

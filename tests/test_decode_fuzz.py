@@ -176,7 +176,8 @@ def unicode_corpora(draw):
 
 
 _MEDIA_KEYS = ("media_features", "media_features_netpbm",
-               "media_features_wav", "media_features_y4m",
+               "media_features_wav", "media_features_png",
+               "media_features_y4m",
                "frame_features_y4m", "media_near_dup")
 
 

@@ -257,3 +257,21 @@ def test_cli_sparql_update(spark, tmp_path, capsys, monkeypatch):
     jobmod.main()
     outp = capsys.readouterr().out
     assert "false" in outp.lower()
+    # --compact-edits collapses the ledger from the CLI; the folded
+    # view is unchanged afterwards
+    monkeypatch.setattr("sys.argv", [
+        "job", "--output", out, "--sparql-update",
+        'INSERT DATA { sentinel:cli MARKER "x" }',
+    ])
+    jobmod.main()
+    capsys.readouterr()
+    monkeypatch.setattr("sys.argv",
+                        ["job", "--output", out, "--compact-edits"])
+    jobmod.main()
+    line = capsys.readouterr().out.splitlines()[-1]
+    assert line.startswith("stage=compact_edits folded=2")
+    job = KgJob(spark, out, run_id="cli2")
+    assert job.edit_ids() == [3]
+    spo = _spo(job.triples())
+    assert not [t for t in spo if t[1] == "LINKED_TO"]
+    assert ("sentinel:cli", "MARKER", "x") in spo

@@ -293,6 +293,27 @@ def test_docs_as_netpbm_roundtrips_text_bytes(spark):
             assert _decode_netpbm(payload).tobytes() == raw
 
 
+def test_docs_as_png_roundtrips_text_bytes(spark):
+    """docs_as_png deflates text bytes into a 1-row grayscale PNG; the
+    real inflate + unfilter decoder must recover exactly those bytes
+    (compression is lossless), including multi-byte UTF-8 and the
+    empty string."""
+    from ner_spark.operators.multimodal import _decode_png, docs_as_png
+
+    texts = ["hello world", "naïve — café", ""]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    rows = {r["media_id"]: r for r in docs_as_png(docs).collect()}
+    for i, t in enumerate(texts):
+        raw = t.encode("utf-8")
+        payload = bytes(rows[i]["payload"])
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        assert rows[i]["mime"] == "image/png"
+        assert rows[i]["width"] == len(raw)
+        if raw:
+            assert _decode_png(payload).tobytes() == raw
+
+
 def test_docs_as_wav_roundtrips_text_bytes(spark):
     """docs_as_wav frames text bytes as 8-bit PCM samples behind the
     canonical 44-byte RIFF header; the real WAV chunk walker must

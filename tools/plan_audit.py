@@ -189,6 +189,7 @@ def main() -> int:
     # the real-decode twins (netpbm/wav/y4m framing) must keep the same
     # narrow shape — the container adapter is projection-only
     for media_key in ("media_features_netpbm", "media_features_wav",
+                      "media_features_png",
                       "media_features_y4m", "frame_features_y4m"):
         p = plans[media_key] = plan_of(q[media_key](spark, SF_DIR))
         check(media_key, "narrow mapInPandas (no Exchange before it)",
@@ -430,6 +431,29 @@ def main() -> int:
               bool(schemas)
               and all(s == "struct<repo:string,path:string>" for s in schemas),
               f"ReadSchemas: {schemas}")
+
+        # edit-ledger compaction: after compact_edits() the per-read
+        # fold is ONE frozen edit no matter how long the history was.
+        # Counted on the optimized plan: the single-edit fold prints 3
+        # "Join LeftAnti" (the del-folded subtree prints again inside
+        # the ins-dedup's right branch) — the 3-edit pre-compaction
+        # ledger prints strictly more.
+        def anti_count(df) -> int:
+            return (df._jdf.queryExecution().optimizedPlan()
+                    .toString().count("Join LeftAnti"))
+
+        job.sparql_update('INSERT DATA { audit:a P1 audit:b }')
+        job.sparql_update('DELETE WHERE { ?e LINKED_TO ?kb }')
+        job.sparql_update('INSERT DATA { audit:c P1 audit:d }')
+        pre_antis = anti_count(job.triples())
+        job.compact_edits()
+        post_antis = anti_count(job.triples())
+        plans["stage_edit_compaction"] = plan_of(job.triples())
+        check("stage_edit_compaction",
+              "post-compaction fold is one frozen edit "
+              "(single-edit anti-join constant, < pre-compaction)",
+              post_antis == 3 and post_antis < pre_antis,
+              f"pre={pre_antis} post={post_antis}")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
