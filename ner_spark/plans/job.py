@@ -1532,13 +1532,26 @@ class KgJob:
         ``provenance=True`` queries the provenance QUADS
         (:meth:`quads`): GRAPH blocks bind/filter the origin of each
         triple (``base`` / ``edit:NNNNNN``); plain patterns match the
-        union default graph as usual."""
+        union default graph as usual.
+
+        ``plan="catalog"`` plans the query's top-level BGP from the
+        persisted per-predicate statistics (:meth:`stats`) — the text
+        parse yields the pattern, so the text surface gets the same
+        scan-free planning as :meth:`query`.  Forms without a
+        top-level BGP (DESCRIBE, UNION queries) fall back to the
+        static rank; under ``entailed``/``provenance`` the statistics
+        describe the base view, so estimates lean stale — order-only,
+        never correctness (the fuzz-pinned invariance)."""
+        from ner_spark.plans.sparql import parse_sparql
         from ner_spark.plans.sparql import sparql as run_sparql
 
         if entailed and provenance:
             raise ValueError(
                 "entailed and provenance are mutually exclusive "
                 "regimes (the closure view carries no provenance)")
+        if plan == "catalog":
+            pattern = parse_sparql(text).get("pattern")
+            plan = self.pattern_costs(pattern) if pattern else "static"
         rel = (self.entailed_triples() if entailed
                else self.quads() if provenance
                else self.triples())
@@ -2319,7 +2332,8 @@ def main() -> None:
                              "(default), 'stats' one measured costing "
                              "scan of the committed table, 'catalog' "
                              "the persisted per-predicate statistics "
-                             "(--match only; built on first use), "
+                             "(built on first use; forms without a "
+                             "top-level BGP fall back to static), "
                              "'written' the author's order")
     parser.add_argument("--update-id", default=None,
                         help="stable id for this delta under "
@@ -2405,10 +2419,6 @@ def main() -> None:
         # standalone SPARQL query over an already-committed output
         job = KgJob(spark, args.output, mode=args.mode,
                     tokenizer_mode=args.tokenizer_mode, run_id=args.run_id)
-        if args.match_plan == "catalog":
-            parser.error("--match-plan catalog works with --match "
-                         "(the text form would need the parsed "
-                         "pattern); use stats or static with --sparql")
         plan = None if args.match_plan == "written" else args.match_plan
         _print_query_result(job.sparql(
             args.sparql, plan=plan, entailed=args.sparql_entailed,

@@ -344,7 +344,10 @@ def fold_delta(
                           "left_anti")
     if ins_df is None:
         return kept
-    new = ins_df.join(kept.select(*_FIELDS).distinct(), list(_FIELDS),
+    # anti-join semantics ignore right-side duplicates, so the kept
+    # store needs NO distinct here — a dedup would be a full shuffle
+    # of the store on every fold of every read
+    new = ins_df.join(kept.select(*_FIELDS), list(_FIELDS),
                       "left_anti")
     return kept.unionByName(new.select(*kept.columns))
 

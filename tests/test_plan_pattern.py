@@ -366,6 +366,18 @@ def test_job_stats_catalog_planning(spark, tmp_path):
     # clearing the ledger refreshes as well (NEW_PRED came from it)
     job.clear_edits()
     assert "NEW_PRED" not in job.stats()
+    # the TEXT surface plans from the catalog too (parse yields the
+    # pattern); results are order-invariant vs the written order
+    text = ("SELECT ?a ?b ?kb WHERE { ?a MENTIONED_WITH ?b . "
+            "?b INSTANCE_OF ?t . ?b LINKED_TO ?kb }")
+    base_rows = sorted(map(tuple, job.sparql(text, plan=None).collect()))
+    got = sorted(map(tuple, job.sparql(text, plan="catalog").collect()))
+    assert got == base_rows
+    row = job.sparql("ASK { ?a MENTIONED_WITH ?b }",
+                     plan="catalog").first()
+    assert row["ask"] is True
+    # a form without a top-level BGP falls back to the static rank
+    assert job.sparql("DESCRIBE repo:", plan="catalog").count() >= 0
 
 
 @pytest.mark.parametrize("seed", range(6))
