@@ -33,8 +33,11 @@ def _triples_set(df):
 
 
 # 47 fires edit → update → edit → compact_edits → edit (a real ledger
-# collapse with maintenance on both sides); 19 fires two plain edits
-@pytest.mark.parametrize("seed", [11, 47, 19])
+# collapse with maintenance on both sides); 81 fires compact_edits →
+# edit → edit → compact_edits → update (a DOUBLE collapse — the second
+# folds a ledger already containing a compacted edit, exercising the
+# attribution-preserving coalesce); 19 fires two plain edits
+@pytest.mark.parametrize("seed", [11, 47, 19, 81])
 def test_lifecycle_fuzz(spark, out_dir, seed):
     rng = random.Random(seed)
     rows = build_source_rows(96)

@@ -446,6 +446,7 @@ def main() -> int:
         job.sparql_update('DELETE WHERE { ?e LINKED_TO ?kb }')
         job.sparql_update('INSERT DATA { audit:c P1 audit:d }')
         pre_antis = anti_count(job.triples())
+        pre_q_antis = anti_count(job.quads())
         job.compact_edits()
         post_antis = anti_count(job.triples())
         plans["stage_edit_compaction"] = plan_of(job.triples())
@@ -454,6 +455,17 @@ def main() -> int:
               "(single-edit anti-join constant, < pre-compaction)",
               post_antis == 3 and post_antis < pre_antis,
               f"pre={pre_antis} post={post_antis}")
+        # the provenance view stops replaying the ledger too, and its
+        # per-edit distinct() growth is gone entirely
+        post_q = job.quads()
+        post_q_antis = anti_count(post_q)
+        pq = plans["stage_edit_compaction_quads"] = plan_of(post_q)
+        check("stage_edit_compaction_quads",
+              "post-compaction quads replay one attributed edit, "
+              "no per-edit dedup shuffle",
+              post_q_antis == 3 and post_q_antis < pre_q_antis
+              and "HashAggregate" not in pq,
+              f"pre={pre_q_antis} post={post_q_antis}")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
